@@ -1,0 +1,85 @@
+"""Format detection + dispatch — reference parity.
+
+Detection rules characterized at
+/root/reference/tests/Characterization/ShaclParserTest.php:197-290:
+
+- turtle   : '@prefix' or SPARQL-style 'PREFIX' (case-insensitive)
+- rdf/xml  : '<rdf:RDF' element (with or without XML declaration)
+- json-ld  : '{' + '@context'
+- ntriples : every non-comment line matches '<s> <p> o .'
+- empty / whitespace-only content -> ParseError ('empty'),
+  unrecognizable -> FormatDetectionError
+  (tests/Unit/ShaclParserTest.php:147-162). At corpus scale errors become
+  per-row status columns, never exceptions that kill the job (SURVEY §2.1 S4).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .jsonld import parse_jsonld
+from .ntriples import parse_ntriples
+from .rdfa import parse_rdfa
+from .turtle import parse_turtle
+from .xmlrdf import parse_rdfxml
+
+FORMAT_TURTLE = "turtle"
+FORMAT_RDFXML = "rdf/xml"
+FORMAT_JSONLD = "json-ld"
+FORMAT_NTRIPLES = "ntriples"
+FORMAT_RDFA = "rdfa"
+
+_TURTLE_RE = re.compile(r"(?:^|\n)\s*(?:@prefix|@base|prefix\s+[\w-]*\s*:|base\s+<)", re.I)
+_NT_LINE_RE = re.compile(r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+.+\.\s*$")
+
+
+class ParseError(ValueError):
+    """Empty / unparseable content (reference: ParseException)."""
+
+
+class FormatDetectionError(ValueError):
+    """No handler recognizes the content (reference: FormatDetectionException)."""
+
+
+def detect_format(content: str) -> str:
+    if content is None or content.strip() == "":
+        raise ParseError("empty content")
+    stripped = content.lstrip()
+    if _TURTLE_RE.search(content):
+        return FORMAT_TURTLE
+    if "<rdf:RDF" in content or "<RDF" in content:
+        return FORMAT_RDFXML
+    if stripped.startswith(("{", "[")) and '"@context"' in content:
+        return FORMAT_JSONLD
+    lines = [ln for ln in content.split("\n") if ln.strip() and not ln.lstrip().startswith("#")]
+    if lines and all(_NT_LINE_RE.match(ln) for ln in lines):
+        return FORMAT_NTRIPLES
+    # bare turtle without directives (full-IRI statements)
+    if stripped.startswith("<") and "." in content:
+        return FORMAT_TURTLE
+    raise FormatDetectionError("unrecognized RDF content")
+
+
+_PARSERS = {
+    FORMAT_TURTLE: parse_turtle,
+    FORMAT_RDFXML: lambda c: parse_rdfxml(c),
+    FORMAT_JSONLD: lambda c: parse_jsonld(c),
+    FORMAT_NTRIPLES: lambda c: parse_ntriples(c),
+    FORMAT_RDFA: lambda c: parse_rdfa(c),
+}
+
+
+def parse_rdf(content: str, fmt: str | None = None) -> tuple[list[tuple], dict[str, str], str]:
+    """content -> (triples, prefixes, format). Raises ParseError/FormatDetectionError."""
+    if fmt is None:
+        fmt = detect_format(content)
+    parser = _PARSERS.get(fmt)
+    if parser is None:
+        raise FormatDetectionError(f"unsupported format {fmt!r}")
+    try:
+        triples, prefixes = parser(content)
+    except (ParseError, FormatDetectionError):
+        raise
+    except Exception as e:  # parser-level failure -> ParseError
+        raise ParseError(f"{fmt} parse failed: {e}") from e
+    return triples, prefixes, fmt
