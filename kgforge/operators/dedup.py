@@ -1,0 +1,187 @@
+"""Deduplication operators over a documents table (training-data pipeline ops).
+
+Five families, all DataFrame-native:
+
+- exact          : group-by content digest (md5 — cross-engine-stable so the
+                   DuckDB oracle can reproduce it bit-for-bit)
+- minhash-LSH    : shingle -> minhash -> band buckets -> verified Jaccard
+                   (shared machinery with entity canonicalization)
+- simhash        : 64-bit sign-of-weighted-sums fingerprint, near-dup =
+                   small Hamming distance within same band
+- n-gram Jaccard : exact pairwise verification (used standalone for small
+                   candidate sets; as verifier after LSH at scale)
+- embedding cosine near-dup : pairs above a cosine threshold, LSH-bucketed
+                   at scale (see similarity.py for the shared primitives)
+
+Scale: never all-pairs. Every near-dup path blocks first (LSH bands /
+simhash bands / hyperplane buckets), verifies inside buckets only, and caps
+pathological bucket sizes explicitly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .canonicalize import _ngram_set, lsh_candidate_pairs, minhash_signatures
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per duplicate group: digest, canonical (min) id, group size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("digest"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, [id_col], "left_semi")
+
+
+def minhash_duplicate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(a, b, jaccard) near-duplicate pairs via MinHash-LSH + exact verify."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    grams = docs.select(F.col(id_col).alias("id"), _ngram_set(F.col(text_col), 3).alias("grams"))
+    return (
+        cands.join(grams.alias("ga"), cands.a == F.col("ga.id"))
+        .join(grams.alias("gb"), cands.b == F.col("gb.id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ga.grams", "gb.grams"))
+                / F.size(F.array_union("ga.grams", "gb.grams"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_py(text: str, shingle: int = 4) -> int:
+    """64-bit SimHash of character shingles. Deterministic across processes
+    (blake2b, not PYTHONHASHSEED). Votes are weighted by shingle frequency
+    and vectorized with numpy over the *unique* shingles — repetitive text
+    makes uniques tiny relative to length."""
+    import hashlib
+
+    import numpy as np
+
+    t = " ".join((text or "").lower().split())
+    if len(t) < shingle:
+        t = t.ljust(shingle)
+    uniq: dict[str, int] = {}
+    for i in range(len(t) - shingle + 1):
+        s = t[i : i + shingle]
+        uniq[s] = uniq.get(s, 0) + 1
+    hs = np.array(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") for s in uniq],
+        dtype=np.uint64,
+    )
+    w = np.array(list(uniq.values()), dtype=np.int64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    fp = np.uint64(0)
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= np.uint64(1) << np.uint64(b)
+    return int(fp.astype(np.int64))  # reinterpret as signed for Spark LongType
+
+
+def simhash_col(text_col, bits: int = 64, shingle: int = 4):
+    """SimHash fingerprint as a bigint column (Arrow-batched pandas UDF).
+
+    A pure-columnar 64-plane fold would recompute the shingle transform once
+    per bit plane; the numpy path hashes each unique shingle once and does
+    one (uniques x 64) matrix reduction — no shuffle, one pass, and the
+    per-batch cost is data-size-linear at any corpus scale."""
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: simhash_py(t, shingle))
+
+    return _simhash(text_col)
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    band_bits: int = 16,
+) -> DataFrame:
+    """(a, b, hamming) pairs whose simhash differs in <= max_hamming bits.
+
+    Blocking: split the fingerprint into bits/band_bits bands; by pigeonhole
+    any pair within max_hamming < #bands shares at least one exact band —
+    join per band, verify Hamming via bit_count(xor)."""
+    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
+    nbands = bits // band_bits
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(F.col("x.sh").bitwiseXOR(F.col("y.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. With ``block_col`` the
+    self-join is restricted to equal blocks (scale path); without, it is
+    all-pairs (test scale only — callers must know their cardinality)."""
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        _ngram_set(F.col(text_col), n).alias("grams"),
+    )
+    cond = [F.col("ga.id") < F.col("gb.id")]
+    if block_col:
+        cond.append(F.col("ga.blk") == F.col("gb.blk"))
+    joined = grams.alias("ga").join(grams.alias("gb"), on=cond[0] if len(cond) == 1 else (cond[0] & cond[1]))
+    return joined.select(
+        F.col("ga.id").alias("a"),
+        F.col("gb.id").alias("b"),
+        (
+            F.size(F.array_intersect("ga.grams", "gb.grams"))
+            / F.size(F.array_union("ga.grams", "gb.grams"))
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

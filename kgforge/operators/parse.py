@@ -1,0 +1,147 @@
+"""Stage 01-03: text extraction, RDF parsing, shape extraction.
+
+All three are embarrassingly parallel per-page transforms implemented as
+``mapInPandas`` (Arrow-batched, no per-row Python API calls, no shuffle) —
+the Spark equivalent of the reference's single-file parse entry point
+(/root/reference/src/ShaclParser.php:34-43). Everything downstream of these
+operators is pure DataFrame algebra.
+
+Scale notes:
+- A 100 TB pages table partitions by input file; each task parses its own
+  batch; zero shuffle in this stage.
+- Error rows never kill the job: parse failures become status columns
+  (reference throws ParseException/FormatDetectionException per file —
+  tests/Unit/ShaclParserTest.php:147-162; corpus semantics per SURVEY §2.1 S4).
+- Triples carry ``seq`` (per-doc encounter order) so order-sensitive
+  downstream logic (first-wins label maps) stays deterministic after any
+  shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..html import extract_text, find_rdf_payloads
+from ..rdf.detect import FormatDetectionError, ParseError, parse_rdf
+from ..schema import SHAPES_SCHEMA, TRIPLES_SCHEMA
+from ..shacl.extractor import extract_shapes_from_triples
+from ..shacl.rows import shape_to_row
+
+_TRIPLE_COLS = ["url", "seq", "subject", "predicate", "object", "fmt", "status", "error"]
+
+
+def _doc_payloads(html, text):
+    """A document's RDF payloads: embedded blocks from html, else raw text
+    content when it is itself RDF (the reference's direct-parse path)."""
+    payloads = find_rdf_payloads(html) if html is not None else []
+    if not payloads and text:
+        payloads = [(None, text)]  # format auto-detected
+    return payloads
+
+
+def parse_document(url: str, html, text) -> tuple[list[tuple], list[dict], str | None, str | None]:
+    """-> (triples[(s,p,o) terms], errors, fmt, status). Blank-node labels are
+    namespaced per payload index so multi-payload pages cannot collide."""
+    payloads = _doc_payloads(html, text)
+    triples: list[tuple] = []
+    fmt_used = None
+    status = "ok"
+    error = None
+    if not payloads:
+        return [], [], None, "empty"
+    for pidx, (fmt, content) in enumerate(payloads):
+        try:
+            ptriples, _prefixes, pfmt = parse_rdf(content, fmt)
+        except ParseError as e:
+            status, error = "parse_error", str(e)
+            continue
+        except FormatDetectionError as e:
+            status, error = "format_error", str(e)
+            continue
+        fmt_used = pfmt if fmt_used is None else fmt_used
+        if pidx > 0:
+            ns = f"_:p{pidx}"
+            ptriples = [
+                tuple(
+                    (ns + t[0][1:], t[1], t[2], t[3]) if t[1] == "bnode" else t
+                    for t in (s, p, o)
+                )
+                for s, p, o in ptriples
+            ]
+        triples.extend(ptriples)
+    if triples and status != "ok":
+        status = "ok"  # partial success: some payload parsed
+    return triples, [], fmt_used, status if not triples else "ok"
+
+
+def _term_struct(t: tuple) -> dict:
+    return {"value": t[0], "kind": t[1], "datatype": t[2], "lang": t[3]}
+
+
+def parse_pages(pages: DataFrame) -> DataFrame:
+    """pages -> triples DF (TRIPLES_SCHEMA). One Arrow batch in, one out."""
+
+    def fn(batches):
+        for pdf in batches:
+            out = {c: [] for c in _TRIPLE_COLS}
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                triples, _errs, fmt, status = parse_document(url, html, text)
+                if not triples:
+                    out["url"].append(url)
+                    out["seq"].append(0)
+                    out["subject"].append(None)
+                    out["predicate"].append(None)
+                    out["object"].append(None)
+                    out["fmt"].append(fmt)
+                    out["status"].append(status)
+                    out["error"].append(None)
+                    continue
+                for seq, (s, p, o) in enumerate(triples):
+                    out["url"].append(url)
+                    out["seq"].append(seq)
+                    out["subject"].append(s[0])
+                    out["predicate"].append(p[0])
+                    out["object"].append(_term_struct(o))
+                    out["fmt"].append(fmt)
+                    out["status"].append("ok")
+                    out["error"].append(None)
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(fn, schema=TRIPLES_SCHEMA)
+
+
+def extract_shapes_df(pages: DataFrame) -> DataFrame:
+    """pages -> shape records DF (SHAPES_SCHEMA). Parse + SHACL extraction in
+    ONE UDF pass per page: shape semantics are document-confined (the
+    reference parses one file at a time), so fusing the stages avoids a
+    groupBy-url shuffle entirely."""
+
+    def fn(batches):
+        cols = [f.name for f in SHAPES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                triples, _errs, _fmt, status = parse_document(url, html, text)
+                if not triples:
+                    continue
+                shapes = extract_shapes_from_triples(triples)
+                for shape in shapes.values():
+                    rows.append(shape_to_row(url, shape))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(fn, schema=SHAPES_SCHEMA)
+
+
+def extract_text_df(pages: DataFrame) -> DataFrame:
+    """pages + extracted_text + text_matches columns (byte-identical
+    invariant check, BASELINE.json input_hint)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(extract_text)
+
+    df = pages.withColumn("extracted_text", _extract("html"))
+    return df.withColumn("text_matches", F.col("extracted_text").eqNullSafe(F.col("text")))

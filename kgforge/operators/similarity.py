@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``brute_force_topk``  : exact cosine top-k, pure relational formulation
+  (posexplode -> join -> sum-of-products -> window top-k). Every step is a
+  built-in expression; DuckDB can reproduce it exactly (the correctness
+  oracle), and Catalyst turns it into one shuffle + partial aggregation.
+- ``brute_force_topk_gemm`` : same result via numpy GEMM inside
+  ``mapInPandas`` against a broadcast query matrix — the throughput path
+  (vectorized, no join blow-up); used when the query set fits in memory.
+- ``lsh_topk``          : random-hyperplane LSH bucketing (sign bits from
+  deterministic per-plane hash projections) -> candidate join inside
+  buckets -> exact re-rank. The 100 TB path: probes only matching buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+from pyspark.sql.window import Window
+
+
+def _norm_col(vec_col):
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def cosine_col(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+    return dot / (_norm_col(a) * _norm_col(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact, relational, oracle-able.
+
+    Deterministic total order: (-cosine_rounded, neighbor_id) so ranks are
+    reproducible across engines and float summation orders."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    scored = (
+        q.crossJoin(e)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("ev")), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def brute_force_topk_gemm(
+    embeddings: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Throughput variant: broadcast query matrix, one GEMM per Arrow batch,
+    per-partition top-k then global top-k (tree-reduced by the final window
+    over only ~k*partitions rows, not n rows)."""
+    spark = embeddings.sparkSession
+    qids = [q[0] for q in query_vecs]
+    qm = np.array([q[1] for q in query_vecs], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        qids_l, qm_l = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            em = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+            em = em / np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-12)
+            cos = qm_l @ em.T  # (q, n)
+            out_q, out_n, out_c = [], [], []
+            kk = min(k + 1, cos.shape[1])
+            for qi, qid in enumerate(qids_l):
+                idx = np.argpartition(-cos[qi], kk - 1)[:kk]
+                for j in idx:
+                    if ids[j] != qid:
+                        out_q.append(qid)
+                        out_n.append(ids[j])
+                        out_c.append(round(float(cos[qi, j]), round_digits))
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    partial = embeddings.mapInPandas(fn, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_bucket_col(vec_col, planes: int = 12, dim: int = 64):
+    """Deterministic random-hyperplane signature (int column).
+
+    Plane p, dim d weight = sign-ish pseudo-random from xxhash64(p, d) — no
+    RNG state, reproducible everywhere. Computed as sum over dims of
+    weight*component per plane, then sign bits packed."""
+    bits = []
+    for p in range(planes):
+        acc = F.lit(0.0)
+        for d in range(dim):
+            h = (p * 1315423911 + d * 2654435761) % 2147483647
+            w = 1.0 if (h >> 7) % 2 == 0 else -1.0
+            acc = acc + F.coalesce(vec_col[d].cast("double"), F.lit(0.0)) * F.lit(w)
+        bits.append(F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 10,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane bucket (multi-probe:
+    exact bucket + 1-bit flips), exact cosine re-rank inside candidates."""
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")).withColumn(
+        "bucket", hyperplane_bucket_col(F.col("ev"), planes, dim)
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qbucket", hyperplane_bucket_col(F.col("qv"), planes, dim)
+    )
+    # multi-probe: query bucket plus all 1-bit neighbors
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array_union(
+                F.array(F.col("qbucket")),
+                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]),
+            )
+        ).alias("bucket"),
+    )
+    cand = probes.join(e, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("qv"), F.col("ev")), round_digits).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

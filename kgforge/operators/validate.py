@@ -1,0 +1,222 @@
+"""Stage 05: SHACL-shape-driven validation of emitted triples.
+
+Executes the constraint subset the parser extracts (datatype, nodeKind,
+pattern, in, languageIn, string lengths, value ranges, min/maxCount, closed)
+as *declarative DataFrame filters* over the corpus triples — the reference
+only ever extracts these as metadata (sh:pattern regexes are data there,
+ShaclPropertyAnalyzer.php:34,250-255); executing them is the engine's
+validation stage per the north rule (accepted + reject streams, SURVEY §7.1).
+
+Scale design:
+- the constraint table (exploded property shapes) is tiny → ``broadcast()``
+  join against the triples fact table; no shuffle on the big side for
+  row-local checks.
+- cardinality checks aggregate per (url, subject, predicate) — one shuffle,
+  partial aggregation map-side, AQE handles skew.
+- closed-shape checks are a broadcast semi/anti join on predicate sets.
+- everything row-local runs in WholeStageCodegen (built-in expressions only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rdf.terms import RDF_TYPE, SH
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_NUMERIC_DTS = [XSD + t for t in ("integer", "decimal", "double", "float", "int", "long", "short", "byte")]
+
+
+def property_constraints(shapes: DataFrame) -> DataFrame:
+    """Explode shape records into one row per (target_class, property
+    constraint) — the broadcastable rule table."""
+    ps = shapes.select(
+        "url",
+        F.col("uri").alias("shape_uri"),
+        F.col("deactivated").alias("shape_deactivated"),
+        F.col("severity"),
+        F.explode_outer("target_classes").alias("target_class"),
+        F.col("property_shapes"),
+    ).select(
+        "url",
+        "shape_uri",
+        "shape_deactivated",
+        "severity",
+        "target_class",
+        F.explode("property_shapes").alias("ps"),
+    )
+    return ps.select(
+        "url",
+        "shape_uri",
+        "shape_deactivated",
+        "severity",
+        "target_class",
+        F.col("ps.path_type").alias("path_type"),
+        F.col("ps.path").alias("path"),
+        F.col("ps.datatype").alias("c_datatype"),
+        F.col("ps.class").alias("c_class"),
+        F.col("ps.nodeKind").alias("c_nodeKind"),
+        F.col("ps.pattern").alias("c_pattern"),
+        F.col("ps.flags").alias("c_flags"),
+        F.col("ps.in").alias("c_in"),
+        F.col("ps.languageIn").alias("c_languageIn"),
+        F.col("ps.minLength").cast("int").alias("c_minLength"),
+        F.col("ps.maxLength").cast("int").alias("c_maxLength"),
+        F.col("ps.minInclusive").cast("double").alias("c_minInclusive"),
+        F.col("ps.maxInclusive").cast("double").alias("c_maxInclusive"),
+        F.col("ps.minExclusive").cast("double").alias("c_minExclusive"),
+        F.col("ps.maxExclusive").cast("double").alias("c_maxExclusive"),
+        F.col("ps.minCount").cast("int").alias("c_minCount"),
+        F.col("ps.maxCount").cast("int").alias("c_maxCount"),
+        F.col("ps.deactivated").alias("ps_deactivated"),
+    ).filter(
+        F.col("path_type") == "predicate"  # only predicate paths are executable row-local
+    ).filter(
+        ~F.col("shape_deactivated") & (F.col("ps_deactivated").isNull() | ~F.col("ps_deactivated").isin("true", "1"))
+    )
+
+
+def _typed_subjects(triples: DataFrame) -> DataFrame:
+    """(url, subject, class) from rdf:type triples."""
+    return (
+        triples.filter((F.col("predicate") == RDF_TYPE) & (F.col("object.kind") == "iri"))
+        .select("url", "subject", F.col("object.value").alias("cls"))
+        .distinct()
+    )
+
+
+def validate_triples(triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True) -> DataFrame:
+    """-> triples + (violations: array<string>) column; callers split into
+    accepted (empty) / rejected (non-empty) streams.
+
+    Constraint applicability: a data triple (s, p, o) is checked against
+    property constraints whose target_class matches a type of s and whose
+    path == p. Row-local checks happen in one broadcast-join pass; count
+    constraints in one aggregate pass.
+    """
+    rules = property_constraints(shapes)
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    fact = data.alias("t").join(
+        typed.alias("ty"),
+        (F.col("t.subject") == F.col("ty.subject")) & ((F.col("t.url") == F.col("ty.url")) if same_url_scope else F.lit(True)),
+        "left",
+    ).select("t.*", F.col("ty.cls").alias("subj_class"))
+
+    rule_cond = (F.col("r.target_class") == F.col("f.subj_class")) & (F.col("r.path") == F.col("f.predicate"))
+    if same_url_scope:
+        rule_cond = rule_cond & (F.col("r.url") == F.col("f.url"))
+    joined = fact.alias("f").join(F.broadcast(rules.alias("r")), rule_cond, "left")
+
+    o_val = F.col("f.object.value")
+    o_kind = F.col("f.object.kind")
+    o_dt = F.coalesce(
+        F.when(F.col("f.object.datatype") != "", F.col("f.object.datatype")), F.lit(XSD + "string")
+    )
+    o_lang = F.col("f.object.lang")
+    num_val = F.when(
+        (o_kind == "literal") & o_val.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), o_val.cast("double")
+    )
+
+    checks = [
+        (
+            "datatype",
+            F.col("r.c_datatype").isNotNull()
+            & ((o_kind != "literal") | (o_dt != F.col("r.c_datatype"))),
+        ),
+        (
+            "nodeKind",
+            F.col("r.c_nodeKind").isNotNull()
+            & ~(
+                ((F.col("r.c_nodeKind") == SH + "IRI") & (o_kind == "iri"))
+                | ((F.col("r.c_nodeKind") == SH + "BlankNode") & (o_kind == "bnode"))
+                | ((F.col("r.c_nodeKind") == SH + "Literal") & (o_kind == "literal"))
+                | ((F.col("r.c_nodeKind") == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
+                | ((F.col("r.c_nodeKind") == SH + "BlankNodeOrLiteral") & o_kind.isin("bnode", "literal"))
+                | ((F.col("r.c_nodeKind") == SH + "IRIOrLiteral") & o_kind.isin("iri", "literal"))
+            ),
+        ),
+        ("pattern", F.col("r.c_pattern").isNotNull() & ~F.regexp_like(o_val, F.col("r.c_pattern"))),
+        ("in", F.col("r.c_in").isNotNull() & ~F.array_contains(F.col("r.c_in"), o_val)),
+        (
+            "languageIn",
+            F.col("r.c_languageIn").isNotNull() & ~F.array_contains(F.col("r.c_languageIn"), o_lang),
+        ),
+        ("minLength", F.col("r.c_minLength").isNotNull() & (F.length(o_val) < F.col("r.c_minLength"))),
+        ("maxLength", F.col("r.c_maxLength").isNotNull() & (F.length(o_val) > F.col("r.c_maxLength"))),
+        (
+            "minInclusive",
+            F.col("r.c_minInclusive").isNotNull()
+            & (num_val.isNull() | (num_val < F.col("r.c_minInclusive"))),
+        ),
+        (
+            "maxInclusive",
+            F.col("r.c_maxInclusive").isNotNull()
+            & (num_val.isNull() | (num_val > F.col("r.c_maxInclusive"))),
+        ),
+        (
+            "minExclusive",
+            F.col("r.c_minExclusive").isNotNull()
+            & (num_val.isNull() | (num_val <= F.col("r.c_minExclusive"))),
+        ),
+        (
+            "maxExclusive",
+            F.col("r.c_maxExclusive").isNotNull()
+            & (num_val.isNull() | (num_val >= F.col("r.c_maxExclusive"))),
+        ),
+    ]
+    viol = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
+    )
+    per_rule = joined.select(
+        "f.*",
+        F.col("r.shape_uri").alias("shape_uri"),
+        F.col("r.severity").alias("severity"),
+        F.when(F.col("r.shape_uri").isNotNull(), viol).otherwise(F.array().cast("array<string>")).alias(
+            "violations"
+        ),
+        F.col("r.c_minCount").alias("c_minCount"),
+        F.col("r.c_maxCount").alias("c_maxCount"),
+    )
+
+    # collapse multiple matching rules / subject classes back to one row per triple
+    row = per_rule.groupBy("url", "seq", "subject", "predicate").agg(
+        F.first("object").alias("object"),
+        F.first("fmt").alias("fmt"),
+        F.first("status").alias("status"),
+        F.first("error").alias("error"),
+        F.array_distinct(F.flatten(F.collect_list("violations"))).alias("violations"),
+        F.max(F.when(F.size("violations") > 0, F.col("severity"))).alias("violation_severity"),
+    )
+
+    # cardinality: per (url, subject, predicate in rules) counts vs min/maxCount
+    counts = (
+        per_rule.filter(F.col("shape_uri").isNotNull())
+        .groupBy("url", "subject", "predicate", "shape_uri", "c_minCount", "c_maxCount")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "card_violation",
+            F.when(F.col("c_minCount").isNotNull() & (F.col("n") < F.col("c_minCount")), F.lit("minCount"))
+            .when(F.col("c_maxCount").isNotNull() & (F.col("n") > F.col("c_maxCount")), F.lit("maxCount")),
+        )
+        .filter(F.col("card_violation").isNotNull())
+        .groupBy("url", "subject", "predicate")
+        .agg(F.array_distinct(F.collect_list("card_violation")).alias("card_violations"))
+    )
+
+    out = row.join(counts, ["url", "subject", "predicate"], "left").withColumn(
+        "violations",
+        F.array_distinct(
+            F.concat(F.col("violations"), F.coalesce(F.col("card_violations"), F.array().cast("array<string>")))
+        ),
+    ).drop("card_violations")
+    return out
+
+
+def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
+    accepted = validated.filter(F.size("violations") == 0)
+    rejected = validated.filter(F.size("violations") > 0)
+    return accepted, rejected

@@ -1,0 +1,114 @@
+"""Scaling-efficiency evidence run (north rule: throughput scaling efficiency
+>= 0.8 from N to 4N executors; sandboxed as local[8] vs local[32] on the
+SAME input).
+
+Runs the KG pipeline (parse -> shapes -> mentions -> validate ->
+canonicalize) as separate spark-submit-style subprocesses (fresh JVM per
+parallelism level so the measurements don't share a warmed executor), then
+writes BENCH/BASELINE.md with absolute triples/sec at both levels plus the
+efficiency ratio.
+
+Usage: python tools/scaling_bench.py [n_pages] [low_cpus] [high_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from kgforge.session import get_spark
+from kgforge.fixtures import pages_df, gazetteer_rows
+from kgforge.operators.parse import parse_pages, extract_shapes_df
+from kgforge.operators.mentions import detect_mentions, mention_triples
+from kgforge.operators.validate import validate_triples, split_validated
+from kgforge.operators.canonicalize import canonicalize_entities
+
+cpus = %(cpus)d
+n_pages = %(n_pages)d
+spark = get_spark(app_name=f"kgforge-scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=2*cpus)
+pages = pages_df(spark, n_pages, partitions=2*cpus).persist()
+pages.count()
+t0 = time.time()
+triples = parse_pages(pages)
+shapes = extract_shapes_df(pages)
+mentions = detect_mentions(pages, gazetteer_rows())
+all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions))
+accepted, rejected = split_validated(validate_triples(all_triples, shapes))
+accepted = accepted.persist()
+n = accepted.count() + rejected.count()
+mapping = canonicalize_entities(accepted)
+mapping.count()
+sec = time.time() - t0
+print(json.dumps({"cpus": cpus, "n_pages": n_pages, "n_triples": n,
+                  "sec": round(sec, 2), "triples_per_sec": round(n / sec, 1)}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_pages: int) -> dict:
+    code = _CHILD % {"repo": REPO, "cpus": cpus, "n_pages": n_pages}
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "triples_per_sec" in line:
+            return json.loads(line)
+    raise RuntimeError(f"no result line (rc={out.returncode}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    r_low = run_level(low, n_pages)
+    r_high = run_level(high, n_pages)
+    # efficiency: achieved speedup / ideal speedup
+    speedup = r_high["triples_per_sec"] / r_low["triples_per_sec"]
+    ideal = high / low
+    eff = speedup / ideal
+    report = {
+        "low": r_low,
+        "high": r_high,
+        "speedup": round(speedup, 3),
+        "ideal_speedup": ideal,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+    md = f"""# BENCH/BASELINE — scaling-efficiency evidence
+
+North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
+Sandbox evidence: the same KG-construction job (parse -> shapes -> mentions ->
+validate -> canonicalize) over the SAME deterministic {n_pages}-page corpus at
+two parallelism levels, fresh JVM each (tools/scaling_bench.py).
+
+| parallelism | pages | triples | wall sec | triples/sec |
+|---|---|---|---|---|
+| local[{low}] | {r_low['n_pages']} | {r_low['n_triples']} | {r_low['sec']} | {r_low['triples_per_sec']} |
+| local[{high}] | {r_high['n_pages']} | {r_high['n_triples']} | {r_high['sec']} | {r_high['triples_per_sec']} |
+
+- speedup {low}->{high} cores: **{speedup:.2f}x** (ideal {ideal:.0f}x)
+- **scaling efficiency: {eff:.3f}** (target >= 0.8)
+
+Notes: the pipeline's heavy stages are embarrassingly parallel mapInPandas
+passes (parse/shapes/mentions) plus AQE-managed shuffles (validate join,
+CC iterations); single-JVM local mode shares one driver and one shuffle
+service, so this is a conservative lower bound vs a real multi-executor
+cluster where scan parallelism scales with executors.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()
