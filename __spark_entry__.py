@@ -7,9 +7,11 @@
                      training-data ops (dedup / similarity / text analysis).
 ``oracle_sql()``   — exact DuckDB ANSI-SQL twins for every SQL-expressible
                      query (column names aligned, doubles rounded, counts
-                     cast to BIGINT). Approximate / non-SQL ops (MinHash,
-                     SimHash, LSH ANN, KG parsing) intentionally have no
-                     oracle: the driver records rows-only checks for them.
+                     cast to BIGINT). The KG queries get closed-form
+                     arithmetic oracles (the synthetic corpus is a pure
+                     function of doc_id). Only genuinely approximate ops
+                     (MinHash pairs, SimHash, LSH ANN, gazetteer mentions)
+                     have no oracle: the driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -242,7 +244,10 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----- approximate / non-SQL operators (rows-only checks, no oracle) --------
+# ----- approximate operators (rows-only checks, no oracle) ------------------
+# The KG queries below DO have oracles: the synthetic page corpus is a pure
+# function of doc_id (kgforge/fixtures.py), so expected shapes / triple counts
+# / violations / components are closed-form DuckDB arithmetic.
 
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,6 +423,13 @@ def _dd_quality() -> str:
     )
 
 
+# deduped entity-id list per page, mirroring kgforge.fixtures.page_entities
+_DD_ENTS = (
+    "list_distinct(list_transform(range(0, 2 + (doc_id*7)%4), "
+    "j -> CASE WHEN j=0 AND doc_id%10=3 THEN 0 ELSE (doc_id*31 + 17*j)%1000 END))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     grams = (
         "list_distinct(list_transform(range(1, greatest(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 2, 1) + 1), "
@@ -552,5 +564,69 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY label, t.range
             )
             GROUP BY label ORDER BY label
+        """,
+        # --- KG pipeline oracles: closed-form arithmetic over doc_id (the
+        # fixture corpus is deterministic; see kgforge/fixtures.py) ---
+        "q_kg_shapes": """
+            SELECT 'https://ex' || CAST(doc_id%97 AS VARCHAR) || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   'https://ex' || CAST(doc_id%97 AS VARCHAR) || '.example.org/ns#Shape' || CAST(doc_id AS VARCHAR) AS uri,
+                   'http://schema.org/' ||
+                     CASE (CASE WHEN doc_id%10=3 THEN 0 ELSE (doc_id*31)%1000 END) % 3
+                       WHEN 0 THEN 'Person' WHEN 1 THEN 'Organization' ELSE 'Place' END AS target_class,
+                   CAST(3 AS INT) AS n_ps,
+                   'violation' AS severity
+            FROM documents ORDER BY url, uri
+        """,
+        "q_kg_triples": f"""
+            WITH d AS (SELECT doc_id AS i, len({_DD_ENTS}) AS ne FROM documents),
+            per AS (
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate, 1 + ne AS n FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#targetClass', 1 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#property', 3 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#path', 3 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#datatype', 2 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#minCount', 1 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#maxCount', 2 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#nodeKind', 1 FROM d
+              UNION ALL SELECT 'http://schema.org/name', ne + CASE WHEN i%13<>0 AND i%17=0 THEN 1 ELSE 0 END FROM d
+              UNION ALL SELECT 'http://schema.org/age', CASE WHEN i%13<>0 AND i%17=0 THEN 0 ELSE 1 END FROM d
+              UNION ALL SELECT 'http://schema.org/knows', CASE WHEN ne>=2 THEN 1 ELSE 0 END FROM d
+              UNION ALL SELECT 'http://www.w3.org/2002/07/owl#sameAs', ne FROM d)
+            SELECT predicate, CAST(sum(n) AS BIGINT) AS n FROM per
+            GROUP BY predicate HAVING sum(n) > 0 ORDER BY predicate
+        """,
+        "q_kg_validate": """
+            WITH d AS (
+              SELECT doc_id AS i, doc_id%97 AS site,
+                     CASE WHEN doc_id%10=3 THEN 0 ELSE (doc_id*31)%1000 END AS e0
+              FROM documents),
+            v AS (
+              SELECT i, site, e0, 'http://schema.org/age' AS predicate, 'datatype' AS violations
+              FROM d WHERE i%13 = 0
+              UNION ALL
+              SELECT i, site, e0, 'http://schema.org/name', 'maxCount'
+              FROM d, range(2) t WHERE i%17 = 0 AND i%13 <> 0)
+            SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/doc/' || CAST(i AS VARCHAR) AS url,
+                   'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E' || lpad(CAST(e0 AS VARCHAR), 4, '0') AS subject,
+                   predicate, violations
+            FROM v ORDER BY url, subject, predicate
+        """,
+        "q_kg_canonicalize": f"""
+            WITH d AS (SELECT doc_id%97 AS site, unnest({_DD_ENTS}) AS k FROM documents),
+            mention AS (SELECT DISTINCT site, k FROM d),
+            nodes AS (
+              SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0') AS node, k
+              FROM mention
+              UNION
+              SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
+            comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
+            SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        "q_multimodal_features": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   sha256('media-' || CAST(i AS VARCHAR) || '-' || repeat('x', CAST(i%37 AS INT))) AS sha256,
+                   CAST(length('media-' || CAST(i AS VARCHAR) || '-' || repeat('x', CAST(i%37 AS INT))) AS BIGINT) AS n_bytes,
+                   CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h
+            FROM range(64) t(i) ORDER BY media_id
         """,
     }
