@@ -56,7 +56,12 @@ def main():
     triples = parse_pages(pages)
     shapes = extract_shapes_df(pages)
     mentions = detect_mentions(pages, gazetteer_rows())
-    all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions))
+    # stage boundary: the real pipeline (kgforge.pipeline.run) materializes
+    # parse output via write_stage; persist() is the in-memory equivalent so
+    # validate's two branch reads don't re-run the parse/mention UDFs
+    all_triples = (
+        triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions)).persist()
+    )
     accepted, rejected = split_validated(validate_triples(all_triples, shapes))
     accepted = accepted.persist()
     n_triples = accepted.count() + rejected.count()
@@ -66,6 +71,7 @@ def main():
     timings["kg_pipeline"] = round(kg_sec, 3)
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
     accepted.unpersist()
+    all_triples.unpersist()
     pages.unpersist()
 
     # ---- headline analytical queries at sf_dir ----

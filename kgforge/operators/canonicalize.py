@@ -195,6 +195,7 @@ def connected_components(
     spark: SparkSession | None = None,
     max_iterations: int = 20,
     num_partitions: int | None = None,
+    verbose: bool = False,
 ) -> DataFrame:
     """(src: string, dst: string) -> (node: string, component: string).
 
@@ -205,6 +206,15 @@ def connected_components(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
 
+    # Size the whole CC job's partitioning from the measured edge count:
+    # each iteration is ~8 shuffle stages, so task-scheduling overhead (not
+    # data) dominates when a small graph inherits a wide partitioning. ~50k
+    # 16-byte edge rows per task keeps tasks meaningful; large graphs keep
+    # num_partitions untouched. (Callers pass persisted/materialized edges,
+    # so the sizing count is cheap.)
+    n_edges_in = edges.count()
+    parts = min(num_partitions, max(spark.sparkContext.defaultParallelism, n_edges_in // 50_000 + 1))
+
     nodes = (
         edges.select(F.col("src").alias("uri"))
         .union(edges.select(F.col("dst").alias("uri")))
@@ -214,11 +224,17 @@ def connected_components(
     # zipWithIndex-free: dense ids via window over sorted uris would single-task;
     # instead use monotonically_increasing_id on a range-partitioned sort, which
     # preserves global order because partition index is the high bits.
-    nodes = nodes.repartitionByRange(num_partitions, "uri").sortWithinPartitions("uri").withColumn(
+    nodes = nodes.repartitionByRange(parts, "uri").sortWithinPartitions("uri").withColumn(
         "nid", F.monotonically_increasing_id()
     )
-    nodes = nodes.persist()
-    nodes.count()
+    # localCheckpoint, NOT persist: monotonically_increasing_id is
+    # nondeterministic, so a persist()ed plan containing it can never be
+    # cache-matched (Expression.semanticEquals is false for nondeterministic
+    # exprs) — every downstream reference would silently recompute the
+    # distinct+sort+id assignment, which is both slow and a correctness
+    # hazard (recomputation may assign different ids). Checkpointing pins
+    # one materialized id assignment for all references.
+    nodes = nodes.localCheckpoint()
 
     e = (
         edges.join(nodes.withColumnRenamed("uri", "src").withColumnRenamed("nid", "src_id"), "src")
@@ -226,7 +242,7 @@ def connected_components(
         .select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .repartition(num_partitions, "u")
+        .repartition(parts, "u")
         .localCheckpoint()
     )
 
@@ -258,15 +274,20 @@ def connected_components(
         return out.filter(F.col("u") != F.col("v")).distinct()
 
     prev_hash = None
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
+        import time as _time
+
+        t0 = _time.time()
         e2 = large_star(e)
-        e2 = small_star(e2).repartition(num_partitions, "u").localCheckpoint()
+        e2 = small_star(e2).repartition(parts, "u").localCheckpoint()
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"), F.count("*").alias("c")
         ).collect()[0]
         cur_hash = (str(h["h"]), h["c"])
         e = e2
+        if verbose:
+            print(f"CC iter {it}: edges={h['c']} {_time.time() - t0:.1f}s", flush=True)
         if cur_hash == prev_hash:
             break
         prev_hash = cur_hash
@@ -287,7 +308,6 @@ def connected_components(
         )
         .select(F.col("uri").alias("node"), "component")
     )
-    nodes.unpersist()
     return out
 
 

@@ -182,38 +182,43 @@ def validate_triples(triples: DataFrame, shapes: DataFrame, same_url_scope: bool
         F.col("r.c_maxCount").alias("c_maxCount"),
     )
 
+    # cardinality via a window over the SAME per_rule stream (count of value
+    # rows per (url, subject, predicate, shape)) — a linear plan. The earlier
+    # formulation aggregated per_rule twice and joined the branches back
+    # together; that diamond recomputes the whole parse->join lineage per
+    # branch when the input is not materialized, which dominated pipeline
+    # wall time.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url", "subject", "predicate", "shape_uri")
+    with_counts = per_rule.withColumn("n_vals", F.count("*").over(w)).withColumn(
+        "card_violation",
+        F.when(
+            F.col("shape_uri").isNotNull()
+            & F.col("c_minCount").isNotNull()
+            & (F.col("n_vals") < F.col("c_minCount")),
+            F.lit("minCount"),
+        ).when(
+            F.col("shape_uri").isNotNull()
+            & F.col("c_maxCount").isNotNull()
+            & (F.col("n_vals") > F.col("c_maxCount")),
+            F.lit("maxCount"),
+        ),
+    )
+    all_viol = F.array_compact(F.concat("violations", F.array(F.col("card_violation"))))
+
     # collapse multiple matching rules / subject classes back to one row per triple
-    row = per_rule.groupBy("url", "seq", "subject", "predicate").agg(
+    row = with_counts.withColumn("all_violations", all_viol).groupBy(
+        "url", "seq", "subject", "predicate"
+    ).agg(
         F.first("object").alias("object"),
         F.first("fmt").alias("fmt"),
         F.first("status").alias("status"),
         F.first("error").alias("error"),
-        F.array_distinct(F.flatten(F.collect_list("violations"))).alias("violations"),
-        F.max(F.when(F.size("violations") > 0, F.col("severity"))).alias("violation_severity"),
+        F.array_distinct(F.flatten(F.collect_list("all_violations"))).alias("violations"),
+        F.max(F.when(F.size("all_violations") > 0, F.col("severity"))).alias("violation_severity"),
     )
-
-    # cardinality: per (url, subject, predicate in rules) counts vs min/maxCount
-    counts = (
-        per_rule.filter(F.col("shape_uri").isNotNull())
-        .groupBy("url", "subject", "predicate", "shape_uri", "c_minCount", "c_maxCount")
-        .agg(F.count("*").alias("n"))
-        .withColumn(
-            "card_violation",
-            F.when(F.col("c_minCount").isNotNull() & (F.col("n") < F.col("c_minCount")), F.lit("minCount"))
-            .when(F.col("c_maxCount").isNotNull() & (F.col("n") > F.col("c_maxCount")), F.lit("maxCount")),
-        )
-        .filter(F.col("card_violation").isNotNull())
-        .groupBy("url", "subject", "predicate")
-        .agg(F.array_distinct(F.collect_list("card_violation")).alias("card_violations"))
-    )
-
-    out = row.join(counts, ["url", "subject", "predicate"], "left").withColumn(
-        "violations",
-        F.array_distinct(
-            F.concat(F.col("violations"), F.coalesce(F.col("card_violations"), F.array().cast("array<string>")))
-        ),
-    ).drop("card_violations")
-    return out
+    return row
 
 
 def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
