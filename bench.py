@@ -62,15 +62,15 @@ def main():
     all_triples = (
         triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions)).persist()
     )
-    accepted, rejected = split_validated(validate_triples(all_triples, shapes))
-    accepted = accepted.persist()
-    n_triples = accepted.count() + rejected.count()
+    validated = validate_triples(all_triples, shapes).persist()
+    accepted, rejected = split_validated(validated)
+    n_triples = validated.count()
     mapping = canonicalize_entities(accepted)
     n_mapped = mapping.count()
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
-    accepted.unpersist()
+    validated.unpersist()
     all_triples.unpersist()
     pages.unpersist()
 

@@ -249,6 +249,10 @@ def connected_components(
     def large_star(df: DataFrame) -> DataFrame:
         # Kiveris et al. §3: for each u over the symmetrized neighborhood,
         # connect every strictly-larger neighbor to m = min(Γ(u) ∪ {u}).
+        # No distinct here: duplicates only inflate the intermediate (small
+        # after star contraction) and small_star dedups at the end — one
+        # fewer shuffle per iteration matters because the loop's stage
+        # latency is serial wrt the whole job.
         sym = df.select("u", "v").union(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         return (
@@ -256,7 +260,6 @@ def connected_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
 
     def small_star(df: DataFrame) -> DataFrame:
@@ -279,7 +282,10 @@ def connected_components(
 
         t0 = _time.time()
         e2 = large_star(e)
-        e2 = small_star(e2).repartition(parts, "u").localCheckpoint()
+        # no repartition before checkpoint: the next iteration's first op is
+        # a groupBy that reshuffles anyway, so co-locating here is a wasted
+        # full shuffle per iteration
+        e2 = small_star(e2).localCheckpoint()
         # convergence: stable edge-set fingerprint (order-insensitive)
         h = e2.select(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"), F.count("*").alias("c")

@@ -48,6 +48,40 @@ def hash_embedding(text: str, dim: int = EMB_DIM) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def _trie_pattern(surfaces: list[str]) -> str:
+    """Trie-structured alternation over the surfaces: a flat 'a|b|c|...'
+    of N surfaces makes the re engine try up to N alternatives at every
+    text position (O(len*N)); sharing prefixes in a trie reduces that to
+    the branching factor. Greedy '?' on shared-prefix continuations keeps
+    the flat pattern's longest-first match semantics."""
+    root: dict = {}
+    for w in surfaces:
+        node = root
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}
+
+    def emit(node: dict) -> str:
+        end = "" in node
+        alts, singles = [], []
+        for ch, child in sorted(node.items()):
+            if ch == "":
+                continue
+            sub = emit(child)
+            if sub == "":
+                singles.append(re.escape(ch))
+            else:
+                alts.append(re.escape(ch) + sub)
+        if singles:
+            alts.append("[" + "".join(singles) + "]" if len(singles) > 1 else singles[0])
+        if not alts:
+            return ""
+        pat = "(?:" + "|".join(alts) + ")" if (len(alts) > 1 or end) else alts[0]
+        return pat + "?" if end else pat
+
+    return emit(root)
+
+
 class GazetteerMatcher:
     """Compiled surface matcher + entity embedding matrix (broadcast payload)."""
 
@@ -57,7 +91,7 @@ class GazetteerMatcher:
         self.by_surface: dict[str, tuple[str, str, float]] = {}
         for eid, surface, type_uri, prior in self.entries:
             self.by_surface.setdefault(surface.lower(), (eid, type_uri, prior))
-        pattern = "|".join(re.escape(e[1]) for e in self.entries)
+        pattern = _trie_pattern([e[1].lower() for e in self.entries])
         self.regex = re.compile(rf"(?<![\w]){pattern}(?![\w])", re.I) if pattern else None
         self.entity_ids = [e[0] for e in self.entries]
         self.emb = np.stack([hash_embedding(e[1]) for e in self.entries]) if self.entries else np.zeros((0, EMB_DIM))

@@ -41,10 +41,12 @@ t0 = time.time()
 triples = parse_pages(pages)
 shapes = extract_shapes_df(pages)
 mentions = detect_mentions(pages, gazetteer_rows())
-all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions))
-accepted, rejected = split_validated(validate_triples(all_triples, shapes))
-accepted = accepted.persist()
-n = accepted.count() + rejected.count()
+# stage boundary (same as bench.py / pipeline.run): materialize parse output
+all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions)).persist()
+validated = validate_triples(all_triples, shapes).persist()
+accepted, rejected = split_validated(validated)
+n = validated.count()
+accepted.count()
 mapping = canonicalize_entities(accepted)
 mapping.count()
 sec = time.time() - t0
