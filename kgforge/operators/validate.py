@@ -168,16 +168,26 @@ def validate_triples(triples: DataFrame, shapes: DataFrame, same_url_scope: bool
             & (num_val.isNull() | (num_val >= F.col("r.c_maxExclusive"))),
         ),
     ]
-    viol = F.array_compact(
-        F.array(*[F.when(cond, F.lit(name)) for name, cond in checks])
-    )
+    # Violations travel as an int BITMASK, not array<string>: the arrays
+    # forced ObjectHashAggregate (collect_list is a TypedImperativeAggregate
+    # — row-based, outside whole-stage codegen) and rode two full-width
+    # shuffles. A mask keeps the agg a codegen HashAggregate (bit_or) and
+    # shuffles 8 bytes instead of an array per row; the string array is
+    # reconstructed in one final projection.
+    bit_of = {name: 1 << i for i, (name, _c) in enumerate(checks)}
+    bit_of["minCount"] = 1 << len(checks)
+    bit_of["maxCount"] = 1 << (len(checks) + 1)
+    mask = None
+    for name, cond in checks:
+        piece = F.when(cond, F.lit(bit_of[name])).otherwise(F.lit(0))
+        mask = piece if mask is None else mask + piece
+    mask = F.when(F.col("r.shape_uri").isNotNull(), mask).otherwise(F.lit(0))
+
     per_rule = joined.select(
         "f.*",
         F.col("r.shape_uri").alias("shape_uri"),
         F.col("r.severity").alias("severity"),
-        F.when(F.col("r.shape_uri").isNotNull(), viol).otherwise(F.array().cast("array<string>")).alias(
-            "violations"
-        ),
+        mask.alias("vmask"),
         F.col("r.c_minCount").alias("c_minCount"),
         F.col("r.c_maxCount").alias("c_maxCount"),
     )
@@ -192,33 +202,42 @@ def validate_triples(triples: DataFrame, shapes: DataFrame, same_url_scope: bool
 
     w = Window.partitionBy("url", "subject", "predicate", "shape_uri")
     with_counts = per_rule.withColumn("n_vals", F.count("*").over(w)).withColumn(
-        "card_violation",
-        F.when(
+        "vmask",
+        F.col("vmask")
+        + F.when(
             F.col("shape_uri").isNotNull()
             & F.col("c_minCount").isNotNull()
             & (F.col("n_vals") < F.col("c_minCount")),
-            F.lit("minCount"),
-        ).when(
+            F.lit(bit_of["minCount"]),
+        ).otherwise(F.lit(0))
+        + F.when(
             F.col("shape_uri").isNotNull()
             & F.col("c_maxCount").isNotNull()
             & (F.col("n_vals") > F.col("c_maxCount")),
-            F.lit("maxCount"),
-        ),
+            F.lit(bit_of["maxCount"]),
+        ).otherwise(F.lit(0)),
     )
-    all_viol = F.array_compact(F.concat("violations", F.array(F.col("card_violation"))))
 
-    # collapse multiple matching rules / subject classes back to one row per triple
-    row = with_counts.withColumn("all_violations", all_viol).groupBy(
-        "url", "seq", "subject", "predicate"
-    ).agg(
+    # collapse multiple matching rules / subject classes back to one row per
+    # triple — all-declarative aggregates, stays in whole-stage codegen
+    row = with_counts.groupBy("url", "seq", "subject", "predicate").agg(
         F.first("object").alias("object"),
         F.first("fmt").alias("fmt"),
         F.first("status").alias("status"),
         F.first("error").alias("error"),
-        F.array_distinct(F.flatten(F.collect_list("all_violations"))).alias("violations"),
-        F.max(F.when(F.size("all_violations") > 0, F.col("severity"))).alias("violation_severity"),
+        F.bit_or("vmask").alias("vmask"),
+        F.max(F.when(F.col("vmask") > 0, F.col("severity"))).alias("violation_severity"),
     )
-    return row
+    names_in_order = [name for name, _c in checks] + ["minCount", "maxCount"]
+    violations = F.array_compact(
+        F.array(
+            *[
+                F.when(F.col("vmask").bitwiseAND(F.lit(bit_of[n])) != 0, F.lit(n))
+                for n in names_in_order
+            ]
+        )
+    )
+    return row.withColumn("violations", violations).drop("vmask")
 
 
 def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -35,20 +35,34 @@ cpus = %(cpus)d
 n_pages = %(n_pages)d
 spark = get_spark(app_name=f"kgforge-scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=2*cpus)
+
+def run_once(pages):
+    triples = parse_pages(pages)
+    shapes = extract_shapes_df(pages)
+    mentions = detect_mentions(pages, gazetteer_rows())
+    all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions)).persist()
+    validated = validate_triples(all_triples, shapes).persist()
+    accepted, rejected = split_validated(validated)
+    n = validated.count()
+    accepted.count()
+    mapping = canonicalize_entities(accepted)
+    mapping.count()
+    validated.unpersist(); all_triples.unpersist()
+    return n
+
+# warmup: full pipeline on a small slice — JIT/codegen compilation, python
+# worker pool spin-up, and vCPU frequency ramp all land outside the timed
+# window (standard steady-state benchmarking; the cold-start penalty
+# otherwise dominates the wide-parallelism run and masks scaling)
+warm = pages_df(spark, 4000, partitions=2*cpus).persist()
+warm.count()
+run_once(warm)
+warm.unpersist()
+
 pages = pages_df(spark, n_pages, partitions=2*cpus).persist()
 pages.count()
 t0 = time.time()
-triples = parse_pages(pages)
-shapes = extract_shapes_df(pages)
-mentions = detect_mentions(pages, gazetteer_rows())
-# stage boundary (same as bench.py / pipeline.run): materialize parse output
-all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions)).persist()
-validated = validate_triples(all_triples, shapes).persist()
-accepted, rejected = split_validated(validated)
-n = validated.count()
-accepted.count()
-mapping = canonicalize_entities(accepted)
-mapping.count()
+n = run_once(pages)
 sec = time.time() - t0
 print(json.dumps({"cpus": cpus, "n_pages": n_pages, "n_triples": n,
                   "sec": round(sec, 2), "triples_per_sec": round(n / sec, 1)}))
