@@ -8,12 +8,14 @@ ShaclPropertyAnalyzer.php:34,250-255); executing them is the engine's
 validation stage per the north rule (accepted + reject streams, SURVEY §7.1).
 
 Scale design:
-- the constraint table (exploded property shapes) is tiny → ``broadcast()``
-  join against the triples fact table; no shuffle on the big side for
-  row-local checks.
-- cardinality checks aggregate per (url, subject, predicate) — one shuffle,
-  partial aggregation map-side, AQE handles skew.
-- closed-shape checks are a broadcast semi/anti join on predicate sets.
+- the constraint table (exploded property shapes) joins against the triples
+  fact table with AQE choosing the strategy at runtime: broadcast when the
+  rule side is actually small, shuffle join when per-url shapes scale with
+  the corpus (``broadcast_rules=True`` forces the hint for a known-small
+  global catalog).
+- cardinality checks ride a window over the same stream (one sort), and the
+  per-triple collapse is a codegen HashAggregate over an int violation
+  bitmask — no ObjectHashAggregate, no array-valued shuffles.
 - everything row-local runs in WholeStageCodegen (built-in expressions only).
 """
 
@@ -87,7 +89,12 @@ def _typed_subjects(triples: DataFrame) -> DataFrame:
     )
 
 
-def validate_triples(triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True) -> DataFrame:
+def validate_triples(
+    triples: DataFrame,
+    shapes: DataFrame,
+    same_url_scope: bool = True,
+    broadcast_rules: bool = False,
+) -> DataFrame:
     """-> triples + (violations: array<string>) column; callers split into
     accepted (empty) / rejected (non-empty) streams.
 
@@ -109,7 +116,14 @@ def validate_triples(triples: DataFrame, shapes: DataFrame, same_url_scope: bool
     rule_cond = (F.col("r.target_class") == F.col("f.subj_class")) & (F.col("r.path") == F.col("f.predicate"))
     if same_url_scope:
         rule_cond = rule_cond & (F.col("r.url") == F.col("f.url"))
-    joined = fact.alias("f").join(F.broadcast(rules.alias("r")), rule_cond, "left")
+    # No forced broadcast by default: with same_url_scope the rule table
+    # scales WITH the corpus (per-url shapes), so a static broadcast hint
+    # OOMs at 10^12 pages. AQE converts the join to broadcast at runtime
+    # whenever the built side is actually small (measured identical wall
+    # time at bench scale). Pass broadcast_rules=True only for a known-small
+    # global shapes catalog.
+    r = F.broadcast(rules.alias("r")) if broadcast_rules else rules.alias("r")
+    joined = fact.alias("f").join(r, rule_cond, "left")
 
     o_val = F.col("f.object.value")
     o_kind = F.col("f.object.kind")

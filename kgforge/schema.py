@@ -170,6 +170,19 @@ SHAPES_SCHEMA = StructType(
     ]
 )
 
+TRIPLES_WITH_TS_SCHEMA = StructType(
+    [
+        StructField("url", S, False),
+        StructField("warc_ts", TimestampType(), True),  # event time for streaming windows
+        StructField("seq", LongType(), True),
+        StructField("subject", S, True),
+        StructField("predicate", S, True),
+        StructField("obj_value", S, True),
+        StructField("fmt", S, True),
+        StructField("status", S, True),
+    ]
+)
+
 MENTIONS_SCHEMA = StructType(
     [
         StructField("url", S, False),

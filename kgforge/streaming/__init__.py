@@ -1,0 +1,3 @@
+from .pipeline import stream_pages, streaming_predicate_counts, streaming_triples
+
+__all__ = ["stream_pages", "streaming_triples", "streaming_predicate_counts"]

@@ -1,0 +1,106 @@
+"""Structured Streaming front-end for the KG-construction pipeline.
+
+The reference is a pure batch function (SURVEY §2.9: no watermarks, windows,
+state, or late-data handling anywhere in /root/reference/src). This module is
+the engine's own incremental-ingest surface: a continuously-landing directory
+of Common-Crawl-style page files streams through the SAME parse operator the
+batch path uses (``parse_pages`` is a mapInPandas transform, legal on
+streaming DataFrames), with event-time watermarking on the WARC capture
+timestamp for the windowed aggregations.
+
+Scale notes:
+- file-source streaming partitions by arriving file, exactly like the batch
+  scan — zero shuffle until the windowed agg;
+- the watermark bounds state: late pages beyond the horizon are dropped
+  instead of growing the window state forever;
+- sinks: memory (tests), or ``foreachBatch`` into the batch materializer
+  (``kgforge.sinks.materialize.write_stage``) for exactly-once parquet with
+  the same lineage/manifest layout as the batch pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.parse import parse_pages
+from ..schema import PAGES_SCHEMA
+
+
+def stream_pages(spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of a landing directory of page parquet files."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(pages_dir)
+
+
+def streaming_triples(pages_stream: DataFrame) -> DataFrame:
+    """Incremental triple extraction — the batch parse operator applied to a
+    streaming DataFrame (stateless, per-batch, no shuffle)."""
+    return parse_pages(pages_stream)
+
+
+def streaming_predicate_counts(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window triple counts per predicate.
+
+    The watermark on ``warc_ts`` bounds aggregation state; windows older
+    than the horizon finalize and can be emitted in append mode.
+    """
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .transform(parse_pages_with_ts)
+        .filter(F.col("subject").isNotNull())
+        .groupBy(F.window("warc_ts", window), "predicate")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "predicate",
+            "n",
+        )
+    )
+
+
+def parse_pages_with_ts(pages: DataFrame) -> DataFrame:
+    """parse_pages variant that carries the event-time column through the
+    Arrow UDF so downstream windowed aggs can use it."""
+    import pandas as pd
+
+    from ..operators.parse import parse_document
+    from ..schema import TRIPLES_WITH_TS_SCHEMA
+
+    cols = ["url", "warc_ts", "seq", "subject", "predicate", "obj_value", "fmt", "status"]
+
+    def fn(batches):
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for url, ts, html, text in zip(pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"]):
+                triples, _errs, fmt, status = parse_document(url, html, text)
+                if not triples:
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["seq"].append(0)
+                    out["subject"].append(None)
+                    out["predicate"].append(None)
+                    out["obj_value"].append(None)
+                    out["fmt"].append(fmt)
+                    out["status"].append(status)
+                    continue
+                for seq, (s, p, o) in enumerate(triples):
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["seq"].append(seq)
+                    out["subject"].append(s[0])
+                    out["predicate"].append(p[0])
+                    out["obj_value"].append(o[0])
+                    out["fmt"].append(fmt)
+                    out["status"].append("ok")
+            yield pd.DataFrame(out)
+
+    return pages.mapInPandas(fn, schema=TRIPLES_WITH_TS_SCHEMA)

@@ -1,0 +1,51 @@
+"""Structured Streaming smoke: file-source pages -> incremental parse ->
+watermarked windowed predicate counts -> memory sink, driven synchronously
+with processAllAvailable (guide pattern for local smoke tests).
+
+The reference has no streaming surface (SURVEY §2.9); this covers the
+engine's own incremental-ingest path and asserts the streaming result
+matches the batch parse over the same pages.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kgforge.fixtures import pages_pdf
+from kgforge.operators.parse import parse_pages
+from kgforge.streaming import stream_pages, streaming_predicate_counts
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    pages = spark.createDataFrame(pages_pdf(range(60)))
+    pages.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    stream = stream_pages(spark, landing, max_files_per_trigger=1)
+    assert stream.isStreaming
+    counts = streaming_predicate_counts(stream, window="1 hour", watermark="2 hours")
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("pred_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["predicate"],): r["n"]
+        for r in spark.sql("SELECT predicate, sum(n) AS n FROM pred_counts GROUP BY predicate").collect()
+    }
+
+    batch = parse_pages(pages).filter(F.col("subject").isNotNull())
+    want = {(r["predicate"],): r["n"] for r in batch.groupBy("predicate").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+    assert sum(want.values()) > 0
