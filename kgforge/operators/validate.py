@@ -254,6 +254,63 @@ def validate_triples(
     return row.withColumn("violations", violations).drop("vmask")
 
 
+def closed_shape_violations(
+    triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
+) -> DataFrame:
+    """Triples violating ``sh:closed`` shapes (W3C §4.8.1): a focus node
+    (subject typed as a closed shape's target class) may only use predicates
+    that appear as predicate-paths of the shape's property shapes or in
+    ``sh:ignoredProperties``. rdf:type itself must be ignored/listed to be
+    allowed, per spec.
+
+    Composable with ``validate_triples`` (union the reject streams): kept
+    separate because closedness is a *set-membership* check per focus node,
+    not a per-(rule, triple) check — one extra equi-join on (url, subject),
+    AQE-managed.
+    """
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    empty = F.array().cast("array<string>")
+    allowed = F.array_union(
+        F.coalesce(
+            F.transform(
+                F.filter(F.col("property_shapes"), lambda p: p["path_type"] == "predicate"),
+                lambda p: p["path"],
+            ),
+            empty,
+        ),
+        F.coalesce(F.col("constraints.ignoredProperties"), empty),
+    )
+    closed = (
+        shapes.filter(F.coalesce(F.col("constraints.closed"), F.lit(False)) & ~F.col("deactivated"))
+        .select(
+            F.col("url").alias("shape_url"),
+            F.col("uri").alias("shape_uri"),
+            F.explode("target_classes").alias("target_class"),
+            allowed.alias("allowed"),
+        )
+    )
+    typed = _typed_subjects(data)
+    focus_cond = typed.cls == closed.target_class
+    if same_url_scope:
+        focus_cond = focus_cond & (typed.url == closed.shape_url)
+    focus = typed.join(closed, focus_cond).select(
+        "url", "subject", "shape_uri", "allowed"
+    )
+    viol_cond = (F.col("t.subject") == F.col("fo.subject")) & (
+        (F.col("t.url") == F.col("fo.url")) if same_url_scope else F.lit(True)
+    )
+    return (
+        data.alias("t")
+        .join(focus.alias("fo"), viol_cond)
+        .filter(~F.array_contains(F.col("fo.allowed"), F.col("t.predicate")))
+        .select(
+            "t.*",
+            F.col("fo.shape_uri").alias("closed_shape_uri"),
+            F.array(F.lit("closed")).alias("violations"),
+        )
+    )
+
+
 def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     accepted = validated.filter(F.size("violations") == 0)
     rejected = validated.filter(F.size("violations") > 0)

@@ -17,7 +17,7 @@ from ..fixtures import gazetteer_rows
 from ..operators.canonicalize import canonicalize_entities, rewrite_to_canonical
 from ..operators.mentions import detect_mentions, mention_triples
 from ..operators.parse import extract_shapes_df, parse_pages
-from ..operators.validate import split_validated, validate_triples
+from ..operators.validate import closed_shape_violations, split_validated, validate_triples
 from ..sinks.materialize import ManifestStore, materialize_spo, write_stage
 
 
@@ -52,6 +52,11 @@ def run_pipeline(
     )
     validated = validate_triples(all_triples, shapes)
     accepted, rejected = split_validated(validated)
+    closed_rejects = closed_shape_violations(all_triples, shapes).select(
+        "url", "seq", "subject", "predicate", "object", "fmt", "status", "error",
+        F.lit("violation").alias("violation_severity"), "violations",
+    )
+    rejected = rejected.unionByName(closed_rejects)
     accepted = write_stage(
         accepted, os.path.join(work_root, "accepted"), "validate_accept", run_id, manifests,
         range_cols=["subject", "predicate"],
