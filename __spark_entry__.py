@@ -230,6 +230,14 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact blocked-GEMM path)."""
+    from kgforge.operators.similarity import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.35).orderBy("a", "b")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid norms (vector agg via posexplode —
     relational formulation shared with the oracle)."""
@@ -353,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": q_fingerprint,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_sim_topk": q_sim_topk,
+        "q_emb_neardup": q_emb_neardup,
         "q_emb_centroids": q_emb_centroids,
         "q_minhash_dups": q_minhash_dups,
         "q_simhash_dups": q_simhash_dups,
@@ -553,6 +562,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
                 WHERE q.vec_id < 5
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q_emb_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+            ORDER BY a, b
         """,
         "q_emb_centroids": """
             SELECT label,

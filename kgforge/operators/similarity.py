@@ -121,6 +121,68 @@ def _hyperplane_weights(planes: int, dim: int) -> np.ndarray:
     return w
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_broadcast_rows: int = 200_000,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Blocked GEMM: the (ids, row-normalized matrix) is broadcast once and each
+    Arrow batch computes its block against it — one pass over the table, no
+    O(n^2) join materialization (only surviving pairs are emitted). This is
+    the exact/verification path; it requires the full matrix to fit on
+    executors (guarded by ``max_broadcast_rows``). The corpus-scale path is
+    ``lsh_topk``-style hyperplane bucketing with this function applied per
+    bucket."""
+    spark = embeddings.sparkSession
+    rows = embeddings.select(id_col, vec_col).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(rows)} rows exceed max_broadcast_rows={max_broadcast_rows}; "
+            "use hyperplane-bucketed blocking for corpus-scale near-dup"
+        )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def fn(batches):
+        all_ids, all_m = bc.value
+        pos = {int(i): k for k, i in enumerate(all_ids)}
+        for pdf in batches:
+            blk_ids = pdf[id_col].to_numpy()
+            blk = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+            blk = blk / np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+            cos = blk @ all_m.T  # (block, n)
+            rounded = np.round(cos, round_digits)
+            out_a, out_b, out_c = [], [], []
+            for bi, aid in enumerate(blk_ids):
+                hits = np.where(rounded[bi] >= threshold)[0]
+                for j in hits:
+                    other = int(all_ids[j])
+                    if int(aid) < other:
+                        out_a.append(int(aid))
+                        out_b.append(other)
+                        out_c.append(float(rounded[bi, j]))
+            yield pd.DataFrame({"a": out_a, "b": out_b, "cosine": out_c})
+
+    from .util import rebalance
+
+    return rebalance(embeddings).mapInPandas(fn, schema=schema)
+
+
 def hyperplane_bucket_col(vec_col, planes: int = 12, dim: int = 64):
     """Deterministic random-hyperplane signature (int column), computed as
     one numpy GEMM per Arrow batch: bucket = packed sign bits of W @ v.

@@ -72,6 +72,8 @@ def property_constraints(shapes: DataFrame) -> DataFrame:
         F.col("ps.maxExclusive").cast("double").alias("c_maxExclusive"),
         F.col("ps.minCount").cast("int").alias("c_minCount"),
         F.col("ps.maxCount").cast("int").alias("c_maxCount"),
+        F.col("ps.uniqueLang").alias("c_uniqueLang"),
+        F.col("ps.hasValue").alias("c_hasValue"),
         F.col("ps.deactivated").alias("ps_deactivated"),
     ).filter(
         F.col("path_type") == "predicate"  # only predicate paths are executable row-local
@@ -191,6 +193,8 @@ def validate_triples(
     bit_of = {name: 1 << i for i, (name, _c) in enumerate(checks)}
     bit_of["minCount"] = 1 << len(checks)
     bit_of["maxCount"] = 1 << (len(checks) + 1)
+    bit_of["uniqueLang"] = 1 << (len(checks) + 2)
+    bit_of["hasValue"] = 1 << (len(checks) + 3)
     mask = None
     for name, cond in checks:
         piece = F.when(cond, F.lit(bit_of[name])).otherwise(F.lit(0))
@@ -204,6 +208,8 @@ def validate_triples(
         mask.alias("vmask"),
         F.col("r.c_minCount").alias("c_minCount"),
         F.col("r.c_maxCount").alias("c_maxCount"),
+        F.col("r.c_uniqueLang").alias("c_uniqueLang"),
+        F.col("r.c_hasValue").alias("c_hasValue"),
     )
 
     # cardinality via a window over the SAME per_rule stream (count of value
@@ -215,21 +221,49 @@ def validate_triples(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("url", "subject", "predicate", "shape_uri")
-    with_counts = per_rule.withColumn("n_vals", F.count("*").over(w)).withColumn(
-        "vmask",
-        F.col("vmask")
-        + F.when(
-            F.col("shape_uri").isNotNull()
-            & F.col("c_minCount").isNotNull()
-            & (F.col("n_vals") < F.col("c_minCount")),
-            F.lit(bit_of["minCount"]),
-        ).otherwise(F.lit(0))
-        + F.when(
-            F.col("shape_uri").isNotNull()
-            & F.col("c_maxCount").isNotNull()
-            & (F.col("n_vals") > F.col("c_maxCount")),
-            F.lit(bit_of["maxCount"]),
-        ).otherwise(F.lit(0)),
+    # focus-node-set constraints share the one window: value count
+    # (min/maxCount), language-tag multiplicity (uniqueLang: some language
+    # tag on >1 value), and existence of the required value (hasValue)
+    lang_tag = F.when(
+        (F.col("object.kind") == "literal") & (F.col("object.lang") != ""), F.col("object.lang")
+    )
+    # per-language multiplicity via a FINER window sharing the same
+    # partitioning prefix (no extra exchange, no object-based collect_set):
+    # uniqueLang is violated iff some language tag appears on >1 value
+    w_lang = Window.partitionBy("url", "subject", "predicate", "shape_uri", lang_tag)
+    with_counts = (
+        per_rule.withColumn("n_vals", F.count("*").over(w))
+        .withColumn("n_same_lang", F.count(lang_tag).over(w_lang))
+        .withColumn("dup_lang", F.max(F.when(F.col("n_same_lang") > 1, 1)).over(w))
+        .withColumn("has_required", F.max(F.when(F.col("object.value") == F.col("c_hasValue"), 1)).over(w))
+        .withColumn(
+            "vmask",
+            F.col("vmask")
+            + F.when(
+                F.col("shape_uri").isNotNull()
+                & F.col("c_minCount").isNotNull()
+                & (F.col("n_vals") < F.col("c_minCount")),
+                F.lit(bit_of["minCount"]),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("shape_uri").isNotNull()
+                & F.col("c_maxCount").isNotNull()
+                & (F.col("n_vals") > F.col("c_maxCount")),
+                F.lit(bit_of["maxCount"]),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("shape_uri").isNotNull()
+                & F.col("c_uniqueLang").isin("true", "1")
+                & (F.col("dup_lang") == 1),
+                F.lit(bit_of["uniqueLang"]),
+            ).otherwise(F.lit(0))
+            + F.when(
+                F.col("shape_uri").isNotNull()
+                & F.col("c_hasValue").isNotNull()
+                & F.col("has_required").isNull(),
+                F.lit(bit_of["hasValue"]),
+            ).otherwise(F.lit(0)),
+        )
     )
 
     # collapse multiple matching rules / subject classes back to one row per
@@ -242,7 +276,7 @@ def validate_triples(
         F.bit_or("vmask").alias("vmask"),
         F.max(F.when(F.col("vmask") > 0, F.col("severity"))).alias("violation_severity"),
     )
-    names_in_order = [name for name, _c in checks] + ["minCount", "maxCount"]
+    names_in_order = [name for name, _c in checks] + ["minCount", "maxCount", "uniqueLang", "hasValue"]
     violations = F.array_compact(
         F.array(
             *[
