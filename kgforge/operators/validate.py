@@ -345,6 +345,119 @@ def closed_shape_violations(
     )
 
 
+def pair_constraint_violations(
+    triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
+) -> DataFrame:
+    """Focus-node pair constraints (W3C §4.6): sh:equals, sh:disjoint,
+    sh:lessThan, sh:lessThanOrEquals — the extracted-as-metadata parameters
+    (ShaclPropertyAnalyzer.php:27-30) executed as value-set comparisons
+    between two predicates of the same focus node.
+
+    One row per (focus node, constraint) violation:
+    (url, subject, path, other_path, constraint, shape_uri).
+
+    Plan shape: the rule table is exploded to (target_class, path,
+    constraint, other_path); focus values of both predicates join on
+    (url, subject) — two AQE-managed equi-joins, aggregation collapses to
+    per-focus verdicts (full-outer on value for equals so asymmetric
+    differences surface).
+    """
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    pair_rules = None
+    ps = shapes.select(
+        F.col("url").alias("shape_url"),
+        F.col("uri").alias("shape_uri"),
+        F.col("deactivated").alias("shape_deactivated"),
+        F.explode("target_classes").alias("target_class"),
+        F.explode("property_shapes").alias("ps"),
+    ).filter(~F.col("shape_deactivated") & (F.col("ps.path_type") == "predicate"))
+    for cname in ("equals", "disjoint", "lessThan", "lessThanOrEquals"):
+        r = ps.filter(F.col(f"ps.{cname}").isNotNull()).select(
+            "shape_url",
+            "shape_uri",
+            "target_class",
+            F.col("ps.path").alias("path"),
+            F.col(f"ps.{cname}").alias("other_path"),
+            F.lit(cname).alias("constraint"),
+        )
+        pair_rules = r if pair_rules is None else pair_rules.unionByName(r)
+
+    # focus nodes of each rule
+    focus_cond = typed.cls == pair_rules.target_class
+    if same_url_scope:
+        focus_cond = focus_cond & (typed.url == pair_rules.shape_url)
+    focus = typed.join(pair_rules, focus_cond).select(
+        "url", "subject", "shape_uri", "path", "other_path", "constraint"
+    )
+
+    vals = data.select("url", "subject", "predicate", F.col("object.value").alias("val"))
+    lhs_cond = (F.col("fo.subject") == F.col("lv.subject")) & (F.col("fo.path") == F.col("lv.predicate"))
+    rhs_cond = (F.col("fo.subject") == F.col("rv.subject")) & (F.col("fo.other_path") == F.col("rv.predicate"))
+    if same_url_scope:
+        lhs_cond = lhs_cond & (F.col("fo.url") == F.col("lv.url"))
+        rhs_cond = rhs_cond & (F.col("fo.url") == F.col("rv.url"))
+
+    lhs = focus.alias("fo").join(vals.alias("lv"), lhs_cond, "left").select(
+        "fo.*", F.col("lv.val").alias("lval")
+    )
+    both = lhs.alias("fo").join(vals.alias("rv"), rhs_cond, "left").select(
+        "fo.*", F.col("rv.val").alias("rval")
+    )
+
+    def num(c):
+        return F.when(c.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), c.cast("double"))
+
+    agg = both.groupBy("url", "subject", "shape_uri", "path", "other_path", "constraint").agg(
+        # equals: value sets must be identical — any lhs value absent from
+        # rhs (or vice versa) violates; compare via per-side distinct sets
+        F.collect_set("lval").alias("lset"),
+        F.collect_set("rval").alias("rset"),
+        # lessThan(/OrEquals): EVERY (lhs, rhs) cross pair must satisfy;
+        # max lhs vs min rhs decides (numeric when both parse, else string)
+        F.max(num(F.col("lval"))).alias("lmax_n"),
+        F.min(num(F.col("rval"))).alias("rmin_n"),
+        F.max("lval").alias("lmax_s"),
+        F.min("rval").alias("rmin_s"),
+        F.count("lval").alias("n_l"),
+        F.count("rval").alias("n_r"),
+    )
+
+    def _violated():
+        set_eq = (F.size(F.array_except("lset", "rset")) == 0) & (
+            F.size(F.array_except("rset", "lset")) == 0
+        )
+        overlap = F.size(F.array_intersect("lset", "rset")) > 0
+        numeric = F.col("lmax_n").isNotNull() & F.col("rmin_n").isNotNull()
+        lt_ok = F.when(numeric, F.col("lmax_n") < F.col("rmin_n")).otherwise(
+            F.col("lmax_s") < F.col("rmin_s")
+        )
+        lte_ok = F.when(numeric, F.col("lmax_n") <= F.col("rmin_n")).otherwise(
+            F.col("lmax_s") <= F.col("rmin_s")
+        )
+        has_pairs = (F.col("n_l") > 0) & (F.col("n_r") > 0)
+        return (
+            F.when(F.col("constraint") == "equals", ~set_eq)
+            .when(F.col("constraint") == "disjoint", overlap)
+            .when(F.col("constraint") == "lessThan", has_pairs & ~lt_ok)
+            .when(F.col("constraint") == "lessThanOrEquals", has_pairs & ~lte_ok)
+        )
+
+    return (
+        agg.filter(_violated())
+        .select(
+            "url",
+            "subject",
+            "path",
+            "other_path",
+            "constraint",
+            "shape_uri",
+            F.array(F.col("constraint")).alias("violations"),
+        )
+    )
+
+
 def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     accepted = validated.filter(F.size("violations") == 0)
     rejected = validated.filter(F.size("violations") > 0)
