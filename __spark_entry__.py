@@ -105,6 +105,61 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no URGENT-priority orders."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: revenue at (region, nation), per-region, and
+    grand-total levels with grouping ids."""
+    li, o, c, n, r = (_t(spark, sf_dir, x) for x in ("lineitem", "orders", "customer", "nation", "region"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("r_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+            "revenue",
+            "n_rows",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window share-of-total: each nation's fraction of its region's
+    customer account balance (sum over partition window)."""
+    c, n, r = (_t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("c_acctbal").alias("bal"))
+    )
+    w = Window.partitionBy("r_name")
+    return (
+        per_nation.withColumn("share", F.round(F.col("bal") / F.sum("bal").over(w), 6))
+        .select("r_name", "n_name", F.round("bal", 2).alias("bal"), "share")
+        .orderBy("r_name", "n_name")
+    )
+
+
 def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number window: latest event per user (SURVEY §2.5)."""
     ev = _t(spark, sf_dir, "events")
@@ -351,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q03_revenue_topn": q03_revenue_topn,
         "q05_region_revenue": q05_region_revenue,
+        "q_customers_no_orders": q_customers_no_orders,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_nation_share": q_nation_share,
         "q_window_latest_event": q_window_latest_event,
         "q_sessionize": q_sessionize,
         "q_json_props": q_json_props,
@@ -477,6 +535,37 @@ def oracle_sql() -> dict[str, str]:
                           JOIN nation ON c_nationkey = n_nationkey
                           JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "q_customers_no_orders": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "q_rollup_revenue": """
+            SELECT coalesce(r_name, '<all>') AS r_name,
+                   coalesce(n_name, '<all>') AS n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY 1, 2
+        """,
+        "q_nation_share": """
+            SELECT r_name, n_name, round(bal, 2) AS bal,
+                   round(bal / sum(bal) OVER (PARTITION BY r_name), 6) AS share
+            FROM (
+                SELECT r_name, n_name, sum(c_acctbal) AS bal
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                              JOIN region ON n_regionkey = r_regionkey
+                GROUP BY r_name, n_name
+            )
             ORDER BY r_name, n_name
         """,
         "q_window_latest_event": """
