@@ -133,6 +133,33 @@ def extract_shapes_df(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(fn, schema=SHAPES_SCHEMA)
 
 
+def qualified_rules_df(pages: DataFrame) -> DataFrame:
+    """pages -> executable qualified-cardinality rules (doc-confined blank-
+    node dereference happens inside the UDF; see
+    shacl.extractor.extract_qualified_rules)."""
+    from ..shacl.extractor import extract_qualified_rules
+
+    schema = (
+        "url string, shape_uri string, target_class string, path string, "
+        "q_class string, q_datatype string, q_nodeKind string, q_min int, q_max int"
+    )
+    cols = ["url", "shape_uri", "target_class", "path", "q_class", "q_datatype", "q_nodeKind", "q_min", "q_max"]
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                triples, _errs, _fmt, _status = parse_document(url, html, text)
+                if not triples:
+                    continue
+                for r in extract_qualified_rules(triples):
+                    rows.append((url, r["shape_uri"], r["target_class"], r["path"],
+                                 r["q_class"], r["q_datatype"], r["q_nodeKind"], r["q_min"], r["q_max"]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(fn, schema=schema)
+
+
 def extract_text_df(pages: DataFrame) -> DataFrame:
     """pages + extracted_text + text_matches columns (byte-identical
     invariant check, BASELINE.json input_hint)."""

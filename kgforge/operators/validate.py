@@ -458,6 +458,202 @@ def pair_constraint_violations(
     )
 
 
+def qualified_cardinality_violations(
+    triples: DataFrame, qrules: DataFrame, same_url_scope: bool = True
+) -> DataFrame:
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount execution (W3C §4.5.3)
+    for the row-local-checkable value-shape subset (sh:class / sh:datatype /
+    sh:nodeKind — covers the reference fixture pattern).
+
+    Per focus node: count values of ``path`` conforming to the qualified
+    shape; violate when the count falls outside [q_min, q_max]. One output
+    row per (focus node, rule) violation.
+    """
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    focus_cond = (typed.cls == qrules.target_class)
+    if same_url_scope:
+        focus_cond = focus_cond & (typed.url == qrules.url)
+    focus = typed.alias("ty").join(qrules.alias("qr"), focus_cond).select(
+        F.col("ty.url").alias("url"),
+        F.col("ty.subject").alias("subject"),
+        "qr.shape_uri", "qr.path", "qr.q_class", "qr.q_datatype", "qr.q_nodeKind", "qr.q_min", "qr.q_max",
+    )
+
+    vals = data.select(
+        "url", "subject", "predicate",
+        F.col("object.value").alias("val"),
+        F.col("object.kind").alias("val_kind"),
+        F.coalesce(
+            F.when(F.col("object.datatype") != "", F.col("object.datatype")), F.lit(XSD + "string")
+        ).alias("val_dt"),
+    )
+    v_cond = (F.col("fo.subject") == F.col("v.subject")) & (F.col("fo.path") == F.col("v.predicate"))
+    if same_url_scope:
+        v_cond = v_cond & (F.col("fo.url") == F.col("v.url"))
+    with_vals = focus.alias("fo").join(vals.alias("v"), v_cond, "left")
+
+    # value typing for sh:class conformance (value node typed q_class)
+    vt = typed.select(
+        F.col("url").alias("vt_url"), F.col("subject").alias("vt_subject"), F.col("cls").alias("vt_cls")
+    )
+    t_cond = (F.col("v.val") == F.col("vt_subject")) & (F.col("fo.q_class") == F.col("vt_cls"))
+    if same_url_scope:
+        t_cond = t_cond & (F.col("fo.url") == F.col("vt_url"))
+    with_types = with_vals.join(vt, t_cond, "left")
+
+    conforms = (
+        F.col("v.val").isNotNull()
+        & (F.col("fo.q_class").isNull() | F.col("vt_cls").isNotNull())
+        & (F.col("fo.q_datatype").isNull() | ((F.col("v.val_kind") == "literal") & (F.col("v.val_dt") == F.col("fo.q_datatype"))))
+        & (
+            F.col("fo.q_nodeKind").isNull()
+            | ((F.col("fo.q_nodeKind") == SH + "IRI") & (F.col("v.val_kind") == "iri"))
+            | ((F.col("fo.q_nodeKind") == SH + "BlankNode") & (F.col("v.val_kind") == "bnode"))
+            | ((F.col("fo.q_nodeKind") == SH + "Literal") & (F.col("v.val_kind") == "literal"))
+            | ((F.col("fo.q_nodeKind") == SH + "BlankNodeOrIRI") & F.col("v.val_kind").isin("bnode", "iri"))
+        )
+    )
+    agg = with_types.groupBy(
+        "fo.url", "fo.subject", "fo.shape_uri", "fo.path", "fo.q_min", "fo.q_max"
+    ).agg(F.sum(F.when(conforms, 1).otherwise(0)).alias("n_conforming"))
+    return (
+        agg.filter(
+            (F.col("q_min").isNotNull() & (F.col("n_conforming") < F.col("q_min")))
+            | (F.col("q_max").isNotNull() & (F.col("n_conforming") > F.col("q_max")))
+        )
+        .select(
+            "url", "subject", "path", "shape_uri", "n_conforming", "q_min", "q_max",
+            F.array(
+                F.when(
+                    F.col("q_min").isNotNull() & (F.col("n_conforming") < F.col("q_min")),
+                    F.lit("qualifiedMinCount"),
+                ).otherwise(F.lit("qualifiedMaxCount"))
+            ).alias("violations"),
+        )
+    )
+
+
+def node_shape_violations(
+    triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
+) -> DataFrame:
+    """sh:node execution (W3C §4.5.1, one level): values of a property shape
+    carrying ``sh:node <S>`` must conform to shape S — S's predicate-path
+    property constraints (datatype / nodeKind / min/maxCount subset) are
+    applied with the VALUE as focus node.
+
+    One row per (value node, child constraint) violation. The reference
+    extracts sh:node as a URI only (URI_CONSTRAINTS,
+    ShaclPropertyAnalyzer.php:232-237; fixture node-001.ttl).
+    """
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    # (url, parent target_class, parent path, referenced shape)
+    refs = (
+        shapes.select(
+            F.col("url").alias("shape_url"),
+            F.explode("target_classes").alias("target_class"),
+            F.explode("property_shapes").alias("ps"),
+        )
+        .filter(F.col("ps.node").isNotNull() & (F.col("ps.path_type") == "predicate"))
+        .select("shape_url", "target_class", F.col("ps.path").alias("parent_path"), F.col("ps.node").alias("node_shape"))
+    )
+    # the referenced shape's own predicate-path constraints
+    child = (
+        shapes.select(
+            F.col("url").alias("c_url"),
+            F.col("uri").alias("c_shape_uri"),
+            F.explode("property_shapes").alias("cps"),
+        )
+        .filter(F.col("cps.path_type") == "predicate")
+        .select(
+            "c_url",
+            "c_shape_uri",
+            F.col("cps.path").alias("child_path"),
+            F.col("cps.datatype").alias("cc_datatype"),
+            F.col("cps.nodeKind").alias("cc_nodeKind"),
+            F.col("cps.minCount").cast("int").alias("cc_minCount"),
+            F.col("cps.maxCount").cast("int").alias("cc_maxCount"),
+        )
+    )
+    ref_cond = (refs.node_shape == child.c_shape_uri)
+    if same_url_scope:
+        ref_cond = ref_cond & (refs.shape_url == child.c_url)
+    rules = refs.join(child, ref_cond).select(
+        "shape_url", "target_class", "parent_path", "node_shape",
+        "child_path", "cc_datatype", "cc_nodeKind", "cc_minCount", "cc_maxCount",
+    )
+
+    # child focus nodes: values of parent_path on subjects typed target_class
+    f_cond = (typed.cls == rules.target_class)
+    if same_url_scope:
+        f_cond = f_cond & (typed.url == rules.shape_url)
+    focus_parents = typed.alias("ty").join(rules.alias("ru"), f_cond).select(
+        F.col("ty.url").alias("url"), F.col("ty.subject").alias("parent"), "ru.*"
+    )
+    pv_cond = (F.col("fp.parent") == F.col("pv.subject")) & (F.col("fp.parent_path") == F.col("pv.predicate"))
+    if same_url_scope:
+        pv_cond = pv_cond & (F.col("fp.url") == F.col("pv.url"))
+    child_focus = (
+        focus_parents.alias("fp")
+        .join(data.alias("pv"), pv_cond)
+        .filter(F.col("pv.object.kind").isin("iri", "bnode"))
+        .select("fp.*", F.col("pv.object.value").alias("value_node"))
+    )
+
+    # child facts: triples of the value node on child_path (left join keeps
+    # zero-value nodes for minCount)
+    cf_cond = (F.col("cf.value_node") == F.col("cd.subject")) & (F.col("cf.child_path") == F.col("cd.predicate"))
+    if same_url_scope:
+        cf_cond = cf_cond & (F.col("cf.url") == F.col("cd.url"))
+    joined = child_focus.alias("cf").join(data.alias("cd"), cf_cond, "left")
+
+    o_val = F.col("cd.object.value")
+    o_kind = F.col("cd.object.kind")
+    o_dt = F.coalesce(
+        F.when(F.col("cd.object.datatype") != "", F.col("cd.object.datatype")), F.lit(XSD + "string")
+    )
+    row_viol = F.when(
+        o_val.isNotNull()
+        & F.col("cf.cc_datatype").isNotNull()
+        & ((o_kind != "literal") | (o_dt != F.col("cf.cc_datatype"))),
+        F.lit("datatype"),
+    ).when(
+        o_val.isNotNull()
+        & F.col("cf.cc_nodeKind").isNotNull()
+        & ~(
+            ((F.col("cf.cc_nodeKind") == SH + "IRI") & (o_kind == "iri"))
+            | ((F.col("cf.cc_nodeKind") == SH + "BlankNode") & (o_kind == "bnode"))
+            | ((F.col("cf.cc_nodeKind") == SH + "Literal") & (o_kind == "literal"))
+            | ((F.col("cf.cc_nodeKind") == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
+        ),
+        F.lit("nodeKind"),
+    )
+    agg = joined.groupBy(
+        "cf.url", "cf.value_node", "cf.node_shape", "cf.child_path", "cf.cc_minCount", "cf.cc_maxCount"
+    ).agg(
+        F.count(o_val).alias("n_vals"),
+        F.array_compact(F.array_distinct(F.collect_list(row_viol))).alias("row_violations"),
+    )
+    card = F.when(
+        F.col("cc_minCount").isNotNull() & (F.col("n_vals") < F.col("cc_minCount")), F.lit("minCount")
+    ).when(
+        F.col("cc_maxCount").isNotNull() & (F.col("n_vals") > F.col("cc_maxCount")), F.lit("maxCount")
+    )
+    out = agg.withColumn(
+        "violations", F.array_compact(F.concat("row_violations", F.array(card)))
+    ).filter(F.size("violations") > 0)
+    return out.select(
+        "url",
+        F.col("value_node").alias("subject"),
+        F.col("child_path").alias("predicate"),
+        F.col("node_shape").alias("node_shape_uri"),
+        "violations",
+    )
+
+
 def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     accepted = validated.filter(F.size("violations") == 0)
     rejected = validated.filter(F.size("violations") > 0)

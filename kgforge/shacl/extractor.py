@@ -633,3 +633,45 @@ def extract_shapes_from_triples(triples: list[tuple]) -> dict[str, dict]:
     """Convenience: triples -> enriched shape records (full ShaclParser.parse
     shape path, ShaclParser.php:34-43)."""
     return ShaclExtractor(Graph(triples)).extract_shapes()
+
+
+def extract_qualified_rules(triples: list[tuple]) -> list[dict]:
+    """Executable qualified-cardinality descriptors for the validation stage.
+
+    The reference stores ``sh:qualifiedValueShape`` as an opaque (blank-node)
+    id plus qualifiedMin/MaxCount strings (ShaclPropertyAnalyzer.php:232-237,
+    fixture qualifiedValueShape-001.ttl). Qualified shapes are document-
+    confined, so the dereference of the value shape's row-local constraint
+    params (sh:class / sh:datatype / sh:nodeKind — the executable subset)
+    happens here in the per-doc UDF, not as a corpus join.
+    """
+    g = Graph(triples)
+    shapes = ShaclExtractor(g).extract_shapes()
+    rules: list[dict] = []
+    for uri, shape in shapes.items():
+        for ps in shape.get("property_shapes", []):
+            q = ps.get("qualifiedValueShape")
+            path = ps.get("path")
+            if not q or not isinstance(path, str):
+                continue
+            qmin = ps.get("qualifiedMinCount")
+            qmax = ps.get("qualifiedMaxCount")
+            if qmin is None and qmax is None:
+                continue
+            q_class = g.get(q, SH + "class")
+            q_datatype = g.get(q, SH + "datatype")
+            q_nodekind = g.get(q, SH + "nodeKind")
+            for tc in shape.get("target_classes", []):
+                rules.append(
+                    {
+                        "shape_uri": uri,
+                        "target_class": tc,
+                        "path": path,
+                        "q_class": q_class[0] if q_class else None,
+                        "q_datatype": q_datatype[0] if q_datatype else None,
+                        "q_nodeKind": q_nodekind[0] if q_nodekind else None,
+                        "q_min": int(qmin) if qmin is not None else None,
+                        "q_max": int(qmax) if qmax is not None else None,
+                    }
+                )
+    return rules
