@@ -122,8 +122,12 @@ service, so this is a conservative lower bound vs a real multi-executor
 cluster where scan parallelism scales with executors.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # append-only artifacts: BASELINE.md is the curated report (hand-edited
+    # with the full level matrix + platform envelope), don't clobber it
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w") as fh:
         fh.write(md)
+    with open(os.path.join(REPO, "BENCH", "runs.jsonl"), "a") as fh:
+        fh.write(json.dumps(report) + "\n")
 
 
 if __name__ == "__main__":
