@@ -172,6 +172,35 @@ def q_window_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward inclusive): each user's latest event at three
+    fixed checkpoint timestamps (kgforge.operators.asof — an operator Spark
+    lacks natively; DuckDB oracle uses an equivalent ranked formulation)."""
+    from kgforge.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    times = spark.createDataFrame(
+        [("2024-01-08",), ("2024-01-15",), ("2024-01-22",)], "t string"
+    ).select(F.col("t").cast("timestamp").alias("t"))
+    q = users.crossJoin(times)
+    res = asof_join(
+        q,
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        on=["user_id"],
+        left_ts="t",
+        right_ts="ts",
+        value_cols=["event_id", "event_type"],
+        tiebreakers=["event_id"],
+    )
+    return res.select(
+        "user_id",
+        F.date_format("t", "yyyy-MM-dd").alias("t"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("user_id", "t")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + cumulative sum window)."""
     ev = _t(spark, sf_dir, "events")
@@ -410,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_nation_share": q_nation_share,
         "q_window_latest_event": q_window_latest_event,
+        "q_asof_user_state": q_asof_user_state,
         "q_sessionize": q_sessionize,
         "q_json_props": q_json_props,
         "q_hourly_events": q_hourly_events,
@@ -574,6 +604,24 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                 FROM events
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "q_asof_user_state": """
+            WITH q AS (
+                SELECT user_id, t FROM (SELECT DISTINCT user_id FROM events),
+                     (SELECT unnest(['2024-01-08','2024-01-15','2024-01-22'])::TIMESTAMP AS t)
+            ),
+            ranked AS (
+                SELECT q.user_id, q.t, e.event_id, e.event_type,
+                       row_number() OVER (
+                           PARTITION BY q.user_id, q.t
+                           ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST
+                       ) AS rn
+                FROM q LEFT JOIN events e ON e.user_id = q.user_id AND e.ts <= q.t
+            )
+            SELECT user_id, strftime(t, '%Y-%m-%d') AS t,
+                   event_id AS last_event_id, event_type AS last_event_type
+            FROM ranked WHERE rn = 1
+            ORDER BY user_id, t
         """,
         "q_sessionize": """
             SELECT user_id,
