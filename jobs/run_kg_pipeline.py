@@ -1,0 +1,53 @@
+"""spark-submit entry point for the KG-construction pipeline (north rule:
+`spark-submit --py-files kgforge.zip jobs/run_kg_pipeline.py ...`).
+
+Build the archive and run locally:
+
+    cd /root/repo && python -c "import shutil; shutil.make_archive('kgforge', 'zip', '.', 'kgforge')"
+    spark-submit --master 'local[8]' --py-files kgforge.zip \
+        jobs/run_kg_pipeline.py --pages-parquet <dir-or-synth:N> --out /tmp/kg_out
+
+On a cluster, point --master at YARN/K8s and --pages-parquet at the Iceberg/
+parquet pages table; everything else is identical (the pipeline carries its
+own AQE/partitioning configuration).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-parquet", required=True,
+                    help="pages parquet path, or 'synth:N' for an N-page deterministic corpus")
+    ap.add_argument("--out", required=True, help="output work root")
+    ap.add_argument("--run-id", default="run1")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("kgforge-pipeline").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from kgforge.fixtures import pages_df
+    from kgforge.pipeline.run import run_pipeline
+
+    if args.pages_parquet.startswith("synth:"):
+        pages = pages_df(spark, int(args.pages_parquet.split(":", 1)[1]))
+    else:
+        pages = spark.read.parquet(args.pages_parquet)
+
+    out = run_pipeline(pages, args.out, run_id=args.run_id)
+    summary = {
+        "accepted": out["accepted"].count(),
+        "rejected": out["rejected"].count(),
+        "canonical_nodes": out["mapping"].count() if out["mapping"] is not None else 0,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
