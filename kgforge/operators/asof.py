@@ -39,27 +39,44 @@ def asof_join(
     make the pick deterministic among right rows sharing a timestamp —
     the max tiebreaker wins.
     """
+    from pyspark.sql.types import StructField, StructType
+
     tiebreakers = tiebreakers or []
     lcols = left.columns
-    l = left.withColumn("_tag", F.lit(1))
+    clashes = [v for v in value_cols if v in lcols and v not in on]
+    if clashes:
+        raise ValueError(
+            f"value_cols {clashes} collide with left columns — alias them on the right side first"
+        )
+
+    # All value columns (plus tiebreakers, for a deterministic pick among
+    # equal-ts right rows) travel as ONE struct, and ONE last(ignorenulls)
+    # picks it: per-column last() would compose the output from DIFFERENT
+    # right rows whenever the latest row holds a null in some value column —
+    # pd.merge_asof / SQL semantics pick one whole row.
+    vs_type = StructType(
+        [StructField(v, right.schema[v].dataType, True) for v in value_cols]
+    )
+    l = (
+        left.withColumn("_tag", F.lit(1))
+        .withColumn("_ts", F.col(left_ts))
+        .withColumn("_vs", F.lit(None).cast(vs_type))
+    )
     for t in tiebreakers:
         l = l.withColumn(f"_tb_{t}", F.lit(None).cast(right.schema[t].dataType))
-    for v in value_cols:
-        l = l.withColumn(f"_v_{v}", F.lit(None).cast(right.schema[v].dataType))
-    l = l.withColumn("_ts", F.col(left_ts))
 
     r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        *[F.col(v).alias(f"_v_{v}") for v in value_cols],
+        F.struct(*[F.col(v).alias(v) for v in value_cols]).alias("_vs"),
         *[F.col(t).alias(f"_tb_{t}") for t in tiebreakers],
     )
     for c in lcols:
         if c not in on and c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
 
-    carry = ["_ts", "_tag", *[f"_v_{v}" for v in value_cols], *[f"_tb_{t}" for t in tiebreakers]]
+    carry = ["_ts", "_tag", "_vs", *[f"_tb_{t}" for t in tiebreakers]]
     combined = l.select(*lcols, *carry).unionByName(r.select(*lcols, *carry))
 
     w = (
@@ -69,10 +86,8 @@ def asof_join(
         .orderBy("_ts", "_tag", *[f"_tb_{t}" for t in tiebreakers])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = combined
-    for v in value_cols:
-        out = out.withColumn(f"_v_{v}", F.last(f"_v_{v}", ignorenulls=True).over(w))
+    out = combined.withColumn("_vs", F.last("_vs", ignorenulls=True).over(w))
     return (
         out.filter(F.col("_tag") == 1)
-        .select(*lcols, *[F.col(f"_v_{v}").alias(v) for v in value_cols])
+        .select(*lcols, *[F.col(f"_vs.{v}").alias(v) for v in value_cols])
     )

@@ -10,8 +10,19 @@ Connected components is the alternating **large-star / small-star** algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
 expressed as DataFrame ops in a driver loop — converges in O(log^2 n) rounds,
 each round two shuffles. Hot vertices (celebrity entities; fixture guarantees
-one at ~10% of pages) are handled by (a) AQE skew-join splitting and (b) a
-pre-pass that contracts duplicate edges with a salted two-level aggregation.
+one at ~10% of pages) are handled by:
+(a) AQE skew-join splitting on the per-round star joins (mins is one row per
+    vertex, so the hot side is the probe; AQE splits its partition),
+(b) duplicate-edge contraction via ``distinct()`` — which is already a
+    two-level aggregation in Spark: the map-side partial HashAggregate
+    contracts the 10^k copies of a hot (u,v) sameAs edge BEFORE the shuffle,
+    and hash partitioning on the full (u,v) pair spreads distinct edges
+    uniformly (no reduce-side hot key exists for a pair-keyed distinct), and
+(c) explicit pre-capping of pathological LSH buckets by SIZE (a count
+    aggregate, skew-safe under partial agg) before any per-bucket list is
+    materialized — see ``lsh_candidate_pairs``.
+``tests/test_spark_pipeline.py::test_cc_hot_key`` exercises a deliberately
+hot vertex (one entity on 10% of inputs, duplicated edges) end-to-end.
 
 All id arithmetic runs on dense int64 surrogate keys (xxhash64 of the URI),
 not strings — 8-byte shuffles instead of URI-length ones at 10^12 scale.
@@ -56,6 +67,25 @@ def _minhash_params(num_hashes: int):
     return a, b
 
 
+def _mulmod61(x, y):
+    """Exact (x*y) mod 2^61-1 for numpy uint64 arrays with x < 2^61 and
+    y < 2^32, without 128-bit intermediates: split x at 32 bits (both partial
+    products then fit in uint64), and fold the <<32 of the high part through
+    2^61 ≡ 1 (mod p). A naive ``(x*y) % p`` silently wraps mod 2^64 first
+    (x*y can reach ~2^70), so the claimed multiply-add-mod-prime family
+    would not hold as stated."""
+    import numpy as np
+
+    p = np.uint64(_MERSENNE61)
+    x_hi = x >> np.uint64(32)  # < 2^29
+    x_lo = x & np.uint64(0xFFFFFFFF)  # < 2^32
+    hi = (x_hi * y) % p  # x_hi*y < 2^61: no uint64 overflow
+    lo = (x_lo * y) % p  # x_lo*y <= (2^32-1)^2 < 2^64: no overflow
+    # hi * 2^32 mod p via 2^61 ≡ 1: (z << 32) ≡ (z >> 29) + ((z mod 2^29) << 32)
+    shifted = ((hi >> np.uint64(29)) + ((hi & np.uint64((1 << 29) - 1)) << np.uint64(32))) % p
+    return (shifted + lo) % p
+
+
 def minhash_sig_col(text_col, num_hashes: int = 32, shingle: int = 3):
     """MinHash signature (array<bigint>) as a vectorized Arrow UDF.
 
@@ -82,7 +112,7 @@ def minhash_sig_col(text_col, num_hashes: int = 32, shingle: int = 3):
             hs = np.fromiter(
                 (zlib.crc32(s.encode("utf-8")) for s in uniq), dtype=np.uint64, count=len(uniq)
             )
-            prod = (a[:, None] * hs[None, :] + b[:, None]) % np.uint64(_MERSENNE61)
+            prod = (_mulmod61(a[:, None], hs[None, :]) + b[:, None]) % np.uint64(_MERSENNE61)
             out.append(prod.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
@@ -109,6 +139,13 @@ def lsh_candidate_pairs(
     ``max_bucket`` caps pathological buckets (all-identical boilerplate
     names) — a bucket of size B yields B^2/2 pairs, so unbounded buckets are
     the classic LSH skew bomb at corpus scale; the cap is logged by callers.
+
+    Skew design: bucket sizes are computed FIRST with a plain count aggregate
+    (skew-safe — partial aggregation contracts a hot bucket map-side, and the
+    reducer receives one count row per bucket, never the members), oversized
+    buckets are dropped, and only then are surviving (small, bounded) member
+    lists assembled. Collecting members before the size filter would ship a
+    hot bucket's entire membership to a single reducer.
     """
     banded = sigs.select(
         "id",
@@ -124,9 +161,10 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # contract oversized buckets
-    sized = banded.groupBy("band", "bucket").agg(F.collect_list("id").alias("ids"))
-    sized = sized.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    keep = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "bucket")
+    surviving = banded.join(keep, ["band", "bucket"], "left_semi")
+    sized = surviving.groupBy("band", "bucket").agg(F.collect_list("id").alias("ids"))
     pairs = sized.select(
         F.explode(
             F.filter(

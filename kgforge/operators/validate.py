@@ -47,7 +47,7 @@ def property_constraints(shapes: DataFrame) -> DataFrame:
         "shape_deactivated",
         "severity",
         "target_class",
-        F.explode("property_shapes").alias("ps"),
+        F.posexplode("property_shapes").alias("ps_idx", "ps"),
     )
     return ps.select(
         "url",
@@ -55,6 +55,11 @@ def property_constraints(shapes: DataFrame) -> DataFrame:
         "shape_deactivated",
         "severity",
         "target_class",
+        # stable per-rule discriminator: a shape may carry several property
+        # shapes on the SAME sh:path (different minCount/hasValue/...); the
+        # focus-node windows must not mix their rows (one rule's values would
+        # inflate another's n_vals / has_required)
+        F.col("ps_idx"),
         F.col("ps.path_type").alias("path_type"),
         F.col("ps.path").alias("path"),
         F.col("ps.datatype").alias("c_datatype"),
@@ -204,6 +209,8 @@ def validate_triples(
     per_rule = joined.select(
         "f.*",
         F.col("r.shape_uri").alias("shape_uri"),
+        F.col("r.ps_idx").alias("ps_idx"),
+        F.col("r.target_class").alias("rule_target_class"),
         F.col("r.severity").alias("severity"),
         mask.alias("vmask"),
         F.col("r.c_minCount").alias("c_minCount"),
@@ -220,7 +227,13 @@ def validate_triples(
     # wall time.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("url", "subject", "predicate", "shape_uri")
+    # PER-RULE partitioning: (shape_uri, ps_idx, rule_target_class) pins the
+    # exact property-shape rule (two rules on the same sh:path — or one shape
+    # matched via two target classes — must each see only their own rows,
+    # else n_vals counts k*n and has_required/dup_lang mix across rules)
+    w = Window.partitionBy(
+        "url", "subject", "predicate", "shape_uri", "ps_idx", "rule_target_class"
+    )
     # focus-node-set constraints share the one window: value count
     # (min/maxCount), language-tag multiplicity (uniqueLang: some language
     # tag on >1 value), and existence of the required value (hasValue)
@@ -230,7 +243,9 @@ def validate_triples(
     # per-language multiplicity via a FINER window sharing the same
     # partitioning prefix (no extra exchange, no object-based collect_set):
     # uniqueLang is violated iff some language tag appears on >1 value
-    w_lang = Window.partitionBy("url", "subject", "predicate", "shape_uri", lang_tag)
+    w_lang = Window.partitionBy(
+        "url", "subject", "predicate", "shape_uri", "ps_idx", "rule_target_class", lang_tag
+    )
     with_counts = (
         per_rule.withColumn("n_vals", F.count("*").over(w))
         .withColumn("n_same_lang", F.count(lang_tag).over(w_lang))
@@ -268,13 +283,24 @@ def validate_triples(
 
     # collapse multiple matching rules / subject classes back to one row per
     # triple — all-declarative aggregates, stays in whole-stage codegen
+    # severity of the worst violated rule, by EXPLICIT rank (violation >
+    # warning > info) — the strings happen to sort that way lexicographically,
+    # but relying on that is accidental; the struct max compares rank first
+    sev_rank = (
+        F.when(F.col("severity") == "violation", 3)
+        .when(F.col("severity") == "warning", 2)
+        .when(F.col("severity") == "info", 1)
+        .otherwise(0)
+    )
     row = with_counts.groupBy("url", "seq", "subject", "predicate").agg(
         F.first("object").alias("object"),
         F.first("fmt").alias("fmt"),
         F.first("status").alias("status"),
         F.first("error").alias("error"),
         F.bit_or("vmask").alias("vmask"),
-        F.max(F.when(F.col("vmask") > 0, F.col("severity"))).alias("violation_severity"),
+        F.max(
+            F.when(F.col("vmask") > 0, F.struct(sev_rank.alias("r"), F.col("severity").alias("s")))
+        )["s"].alias("violation_severity"),
     )
     names_in_order = [name for name, _c in checks] + ["minCount", "maxCount", "uniqueLang", "hasValue"]
     violations = F.array_compact(

@@ -57,6 +57,16 @@ def run_pipeline(
         F.lit("violation").alias("violation_severity"), "violations",
     )
     rejected = rejected.unionByName(closed_rejects)
+    # accepted/rejected must stay a true PARTITION of the validated stream:
+    # a triple rejected by a closed shape may pass every row-local check, so
+    # subtract the closed rejects from accepted (else the canonical graph
+    # keeps triples the pipeline simultaneously reports as rejected, and
+    # accepted+rejected double-counts)
+    accepted = accepted.join(
+        closed_rejects.select("url", "seq", "subject", "predicate").distinct(),
+        ["url", "seq", "subject", "predicate"],
+        "left_anti",
+    )
     accepted = write_stage(
         accepted, os.path.join(work_root, "accepted"), "validate_accept", run_id, manifests,
         range_cols=["subject", "predicate"],

@@ -51,10 +51,15 @@ def streaming_predicate_counts(
     The watermark on ``warc_ts`` bounds aggregation state; windows older
     than the horizon finalize and can be emitted in append mode.
     """
+    # the watermark is declared AFTER the mapInPandas parse: the UDF emits
+    # fresh output attributes (TRIPLES_WITH_TS_SCHEMA), which would drop a
+    # watermark set on the input's warc_ts — leaving the windowed agg with
+    # unbounded state and failing analysis in append mode (the documented
+    # production mode). Tagging the UDF's own warc_ts keeps state bounded.
     return (
-        pages_stream.withWatermark("warc_ts", watermark)
-        .select("url", "warc_ts", "html", "text", "lang")
+        pages_stream.select("url", "warc_ts", "html", "text", "lang")
         .transform(parse_pages_with_ts)
+        .withWatermark("warc_ts", watermark)
         .filter(F.col("subject").isNotNull())
         .groupBy(F.window("warc_ts", window), "predicate")
         .agg(F.count("*").alias("n"))

@@ -1,0 +1,170 @@
+"""Regression tests for the round-1 review findings (ADVICE.md):
+
+1. validate_triples: two property shapes on the SAME sh:path must not share
+   a focus-node window (n_vals inflation / hasValue cross-talk).
+2. violation_severity ranks violation > warning > info explicitly
+   (lexicographic max would pick 'warning' over 'violation').
+3. asof_join picks ONE whole right row (null in a value column must not
+   splice values from different rows), and rejects colliding value_cols.
+4. minhash multiply-add-mod-(2^61-1) is exact (no silent uint64 wrap).
+5. run_pipeline: accepted/rejected is a true partition even with closed-shape
+   violations (previously double-counted).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.html import extract_text
+from kgforge.operators.parse import extract_shapes_df, parse_pages
+from kgforge.operators.validate import split_validated, validate_triples
+from kgforge.schema import PAGES_SCHEMA
+
+
+def _page(spark, ttl, url="https://ex.example.org/advice"):
+    html = (
+        "<html><head><title>t</title></head><body>"
+        f'<script type="text/turtle">\n{ttl}\n</script>'
+        "</body></html>"
+    ).encode()
+    rows = [(url, dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), html,
+             extract_text(html.decode()), "en")]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+SAME_PATH_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:TagShape a sh:NodeShape ;
+    sh:targetClass ex:Thing ;
+    sh:property [ sh:path ex:tag ; sh:minCount 2 ] ;
+    sh:property [ sh:path ex:tag ; sh:maxCount 3 ; sh:hasValue "x" ] .
+
+ex:good a ex:Thing ;
+    ex:tag "x" ;
+    ex:tag "y" .
+
+ex:bad a ex:Thing ;
+    ex:tag "y" .
+"""
+
+
+def test_same_path_two_rules(spark):
+    """Two rules on ex:tag: with the shared window of the old code, ex:bad's
+    single value was counted once per RULE (n_vals=2), silently satisfying
+    minCount 2; and rule 1 (no hasValue) must not mask rule 2's hasValue."""
+    pages = _page(spark, SAME_PATH_TTL)
+    _acc, rejected = split_validated(validate_triples(parse_pages(pages), extract_shapes_df(pages)))
+    rej = {(r["subject"], r["predicate"]): sorted(r["violations"]) for r in rejected.collect()}
+    assert rej[("http://example.org/bad", "http://example.org/tag")] == ["hasValue", "minCount"]
+    assert ("http://example.org/good", "http://example.org/tag") not in rej
+
+
+SEVERITY_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:WarnShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:severity sh:Warning ;
+    sh:property [ sh:path ex:age ; sh:datatype xsd:integer ] .
+
+ex:HardShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:severity sh:Violation ;
+    sh:property [ sh:path ex:age ; sh:datatype xsd:integer ] .
+
+ex:p a ex:Person ;
+    ex:age "not a number" .
+"""
+
+
+def test_severity_rank_not_lexicographic(spark):
+    """A triple violating a Warning rule AND a Violation rule must report
+    'violation' — lexicographic max picks 'warning' ('w' > 'v')."""
+    pages = _page(spark, SEVERITY_TTL)
+    _acc, rejected = split_validated(validate_triples(parse_pages(pages), extract_shapes_df(pages)))
+    rows = rejected.filter(F.col("subject") == "http://example.org/p").collect()
+    assert len(rows) == 1
+    assert rows[0]["violation_severity"] == "violation"
+
+
+def test_asof_whole_row_null(spark):
+    """Latest right row has a null value column: the output must be that
+    whole row (v1=None, v2=20), not a splice of two rows (v1='a', v2=20)."""
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k1", 3)], "key string, t int")
+    right = spark.createDataFrame(
+        [("k1", 1, "a", 10), ("k1", 2, None, 20)], "key string, ts int, v1 string, v2 int"
+    )
+    out = asof_join(left, right, on=["key"], left_ts="t", right_ts="ts", value_cols=["v1", "v2"])
+    row = out.collect()[0]
+    assert row["v1"] is None and row["v2"] == 20
+
+
+def test_asof_value_col_collision(spark):
+    from kgforge.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k1", 3, "L")], "key string, t int, v1 string")
+    right = spark.createDataFrame([("k1", 1, "a")], "key string, ts int, v1 string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["key"], left_ts="t", right_ts="ts", value_cols=["v1"])
+
+
+def test_mulmod61_exact():
+    """Vectorized split-multiply mod 2^61-1 == Python big-int arithmetic,
+    including operands where the naive product wraps past 2^64."""
+    from kgforge.operators.canonicalize import _MERSENNE61, _mulmod61, _minhash_params
+
+    a, b = _minhash_params(64)
+    rng = np.random.RandomState(7)
+    ys = rng.randint(0, 2**32, size=200, dtype=np.uint64)
+    got = (_mulmod61(a[:, None], ys[None, :]) + b[:, None]) % np.uint64(_MERSENNE61)
+    for i in range(0, 64, 7):
+        for j in range(0, 200, 17):
+            want = (int(a[i]) * int(ys[j]) + int(b[i])) % _MERSENNE61
+            assert int(got[i, j]) == want
+    # explicit wrap case: naive uint64 product of these operands overflows
+    x = np.array([(1 << 60) + 12345], dtype=np.uint64)
+    y = np.array([(1 << 32) - 1], dtype=np.uint64)
+    assert int(_mulmod61(x, y)[0]) == (((1 << 60) + 12345) * ((1 << 32) - 1)) % _MERSENNE61
+
+
+CLOSED_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+
+ex:ClosedShape a sh:NodeShape ;
+    sh:targetClass ex:Box ;
+    sh:closed true ;
+    sh:ignoredProperties ( rdf:type ) ;
+    sh:property [ sh:path ex:allowed ] .
+
+ex:b1 a ex:Box ;
+    ex:allowed "ok" ;
+    ex:rogue "not allowed" .
+"""
+
+
+def test_pipeline_accept_reject_partition(spark, tmp_path):
+    """accepted/rejected must partition the validated stream: the sh:closed
+    reject (ex:rogue passes every row-local check) must NOT also appear in
+    accepted, and no (url,seq,subject,predicate) key lands in both."""
+    from kgforge.pipeline.run import run_pipeline
+
+    pages = _page(spark, CLOSED_TTL, url="https://ex.example.org/closed")
+    out = run_pipeline(pages, str(tmp_path / "w"), gazetteer=[], canonicalize=False)
+    acc = out["accepted"].select("url", "seq", "subject", "predicate")
+    rej = out["rejected"].select("url", "seq", "subject", "predicate")
+    assert acc.intersect(rej).count() == 0
+    rogue = acc.filter(F.col("predicate") == "http://example.org/rogue")
+    assert rogue.count() == 0
+    assert rej.filter(F.col("predicate") == "http://example.org/rogue").count() == 1

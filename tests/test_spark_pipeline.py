@@ -146,3 +146,20 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["feature"]) == 16 for r in rows)
     with pytest.raises(Exception):
         image_features(media, deterministic_fake=False).collect()
+
+
+def test_cc_hot_key(spark):
+    """Deliberately hot vertex: one hub on a large share of edges, every edge
+    duplicated many times (the hot-entity sameAs pattern the fixture corpus
+    produces at ~10% page share). distinct()'s map-side partial aggregation
+    contracts the duplicates before the shuffle and the star joins run under
+    AQE skew handling — components must still be exact."""
+    hub_edges = [(f"n{i:03d}", "hub") for i in range(200)] * 25  # 5000 rows, hot 'hub'
+    other = [("b", "a"), ("c", "b"), ("z", "y")] * 25
+    df = spark.createDataFrame(hub_edges + other, ["src", "dst"])
+    cc = connected_components(df)
+    comp = {r["node"]: r["component"] for r in cc.collect()}
+    assert comp["hub"] == "hub"
+    assert all(comp[f"n{i:03d}"] == "hub" for i in range(200))
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["y"] == comp["z"] == "y"

@@ -49,3 +49,40 @@ def test_streaming_matches_batch(spark, tmp_path):
     want = {(r["predicate"],): r["n"] for r in batch.groupBy("predicate").agg(F.count("*").alias("n")).collect()}
     assert got == want
     assert sum(want.values()) > 0
+
+
+def test_streaming_append_mode_with_watermark(spark, tmp_path):
+    """Append mode is the documented production mode: the watermark must
+    survive the mapInPandas parse (it is declared on the UDF's own warc_ts
+    output), or the windowed agg fails analysis with 'append output mode not
+    supported'. Pages span ~11 hours so early windows finalize and emit."""
+    import pandas as pd
+
+    from kgforge.fixtures import build_page
+
+    landing = str(tmp_path / "landing_append")
+    os.makedirs(landing, exist_ok=True)
+    # warc_ts = base + i seconds -> spread ids to span many 1-hour windows
+    ids = list(range(0, 40000, 800))
+    pages = spark.createDataFrame(
+        pd.DataFrame([build_page(i) for i in ids],
+                     columns=["url", "warc_ts", "html", "text", "lang"])
+    )
+    pages.repartition(4).write.mode("overwrite").parquet(landing)
+
+    stream = stream_pages(spark, landing, max_files_per_trigger=1)
+    counts = streaming_predicate_counts(stream, window="1 hour", watermark="1 hour")
+
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pred_counts_append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT count(*) AS n FROM pred_counts_append").collect()[0]["n"]
+    assert emitted > 0
