@@ -7,11 +7,15 @@
                      training-data ops (dedup / similarity / text analysis).
 ``oracle_sql()``   — exact DuckDB ANSI-SQL twins for every SQL-expressible
                      query (column names aligned, doubles rounded, counts
-                     cast to BIGINT). The KG queries get closed-form
-                     arithmetic oracles (the synthetic corpus is a pure
-                     function of doc_id). Only genuinely approximate ops
-                     (MinHash pairs, SimHash, LSH ANN, gazetteer mentions)
-                     have no oracle: the driver records rows-only checks.
+                     cast to BIGINT). The KG queries (incl. mentions) get
+                     closed-form arithmetic oracles (the synthetic corpus is
+                     a pure function of doc_id); the LSH-blocked dedup
+                     queries exact-verify their candidates, so the exact-
+                     Jaccard SQL is a true oracle at the driver's scale.
+                     Only q_knn_lsh (ANN over weak-neighbor embeddings,
+                     where sign-LSH recall < 1 is intrinsic) has no oracle:
+                     the driver records a rows-only check, and
+                     tests/test_dedup_recall.py pins its recall envelope.
 """
 
 from __future__ import annotations
@@ -290,12 +294,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
-    from kgforge.operators.dedup import ngram_jaccard_pairs
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
+    AllPairs/PPJoin prefix-filtered self-join — identical output to the
+    all-pairs formulation (the oracle) by construction, but never builds the
+    O(n^2) cross product: candidates must share a rarest-first prefix gram
+    and pass the length filter before exact verification."""
+    from kgforge.operators.dedup import jaccard_similarity_join
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(docs, threshold=0.5)
+        jaccard_similarity_join(docs, threshold=0.5)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("a", "b")
     )
@@ -315,11 +323,15 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact blocked-GEMM path)."""
-    from kgforge.operators.similarity import embedding_cosine_pairs
+    """Embedding-cosine near-duplicate pairs — exact, via the DISTRIBUTED
+    block-pair GEMM (no driver collect, no full-matrix broadcast): rows hash
+    into blocks, every block pair is one applyInPandas task. num_blocks=4 is
+    forced here so the test scale genuinely exercises the multi-block path
+    (10 block-pair groups); at corpus scale blocks are sized ~8k rows."""
+    from kgforge.operators.similarity import embedding_cosine_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb, threshold=0.35).orderBy("a", "b")
+    return embedding_cosine_pairs_blocked(emb, threshold=0.35, num_blocks=4).orderBy("a", "b")
 
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,24 +348,43 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ----- approximate operators (rows-only checks, no oracle) ------------------
-# The KG queries below DO have oracles: the synthetic page corpus is a pure
-# function of doc_id (kgforge/fixtures.py), so expected shapes / triple counts
-# / violations / components are closed-form DuckDB arithmetic.
+# ----- sketch-blocked dedup (LSH blocks, exact verify => oracle-able) -------
+# The blocking sketches (minhash bands / simhash bands) are approximate, but
+# both queries EXACT-VERIFY candidates with true n-gram Jaccard, so precision
+# is 1.0 by construction and the result is a subset of the exact pair set.
+# At the driver's correctness scale the blocking recall is verifiably 1.0
+# (the >= 0.8 pair population sits at Jaccard >= 0.92 / simhash hamming <= 5,
+# well inside the LSH s-curve / pigeonhole band guarantee — measured, and
+# asserted in tests/test_dedup_recall.py), so the DuckDB exact-Jaccard SQL is
+# a true value oracle for both. q_knn_lsh remains genuinely approximate
+# (rows-only): the bench embeddings have only weak neighbors (top cosine
+# ~0.35 => ~70-degree angles), where sign-LSH recall < 1 is intrinsic; its
+# recall envelope is pinned by tests/test_dedup_recall.py instead.
 
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH blocked + exact-verified near-dup pairs at 0.8."""
     from kgforge.operators.dedup import minhash_duplicate_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_duplicate_pairs(docs, threshold=0.5).orderBy("a", "b")
+    return (
+        minhash_duplicate_pairs(docs, threshold=0.8)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kgforge.operators.dedup import simhash_near_duplicates
+    """SimHash pigeonhole-banded (8 bands of 8 bits: complete for hamming<=7)
+    + exact-verified near-dup pairs at 0.9."""
+    from kgforge.operators.dedup import simhash_verified_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs, max_hamming=8).orderBy("a", "b")
+    return (
+        simhash_verified_pairs(docs, max_hamming=8, band_bits=8, threshold=0.9)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,11 +445,21 @@ def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention detection. The projection is the SQL-expressible
+    surface/offset/entity subset — the closed-form DuckDB oracle reconstructs
+    the extracted page text and every mention position from doc_id alone
+    (verified byte-exact vs the matcher at sf0.001 and sf0.01). The score
+    column (crc32 feature-hash embeddings, not ANSI-SQL-expressible) is
+    value-asserted in tests/test_mentions_oracle.py instead."""
     from kgforge.fixtures import gazetteer_rows, pages_from_documents
     from kgforge.operators.mentions import detect_mentions
 
     pages = pages_from_documents(spark, sf_dir)
-    return detect_mentions(pages, gazetteer_rows()).orderBy("url", "start", "entity_id")
+    return (
+        detect_mentions(pages, gazetteer_rows())
+        .select("url", "surface", "start", "end", "entity_id")
+        .orderBy("url", "start", "entity_id")
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,12 +567,99 @@ _DD_ENTS = (
     "j -> CASE WHEN j=0 AND doc_id%10=3 THEN 0 ELSE (doc_id*31 + 17*j)%1000 END))"
 )
 
+# --- closed-form mention oracle pieces (kgforge.fixtures name tables) -------
+_DD_FIRSTS = "['Ada','Bart','Chen','Dana','Edo','Fleur','Gijs','Hana','Ivan','Joke']"
+_DD_LASTS = "['Akker','Bakker','Cohen','Dijk','Evers','Fokker','Groot','Haan','Iding','Jong']"
+_DD_ORGS = "['Acme','Borealis','Cirrus','Datura','Elysium','Fjord','Gamma','Helix','Iris','Jade']"
+_DD_TPLS = (
+    "['The quarterly report from {e} outlines growth across all divisions.',"
+    "'Researchers at {e} published findings on distributed graph processing.',"
+    "'A new partnership with {e} was announced this week.',"
+    "'Local officials credited {e} with the infrastructure initiative.',"
+    "'Analysts expect {e} to expand into adjacent markets next year.']"
+)
+
+
+def _dd_mentions_sql() -> str:
+    """DuckDB twin of detect_mentions over pages_from_documents: rebuilds the
+    extracted page text ('Doc i\\n' + doc text + ' ' + woven sentences — the
+    documents corpus is verified free of tags/entities/newlines/multi-spaces,
+    so kgforge.html.extract_text is the identity on it) and derives each
+    woven mention's offsets via strpos (every surface occurs exactly once per
+    page; verified against the matcher at sf0.001 and sf0.01). Mirrors the
+    i%29 near-duplicate branch: visible text borrowed from page i-1 with the
+    first 'the' replaced by 'that' (regexp_replace sans 'g' = replace-first).
+    Order-preserving dedup is spelled out because list_distinct reorders."""
+    return f"""
+        WITH d AS (SELECT doc_id AS i, text FROM documents),
+        v AS (SELECT i, text, CASE WHEN i%29=0 AND i>0 THEN i-1 ELSE i END AS s FROM d),
+        raw AS (
+          SELECT i, text, s,
+            list_transform(range(0, 2+(s*7)%4),
+              j -> CASE WHEN j=0 AND s%10=3 THEN 0 ELSE (s*31+17*j)%1000 END) AS r
+          FROM v),
+        ents AS (
+          SELECT i, text, s,
+            list_filter(
+              list_transform(range(1, len(r)+1),
+                j -> CASE WHEN list_position(r, r[CAST(j AS INT)]) = j THEN r[CAST(j AS INT)] END),
+              x -> x IS NOT NULL) AS es
+          FROM raw),
+        sent AS (
+          SELECT i, text, s, CAST(jj AS INT) AS j, es[CAST(jj AS INT)+1] AS k
+          FROM ents, LATERAL unnest(range(0, len(es))) t(jj)),
+        surf AS (
+          SELECT i, text, s, j, k,
+            CASE k%3
+              WHEN 0 THEN {_DD_FIRSTS}[k%10+1] || ' ' || {_DD_LASTS}[(k//10)%10+1] || ' ' || CAST(k//100 AS VARCHAR)
+              WHEN 1 THEN {_DD_ORGS}[k%10+1] || ' ' || {_DD_ORGS}[(k//10)%10+1] || ' Group ' || CAST(k//100 AS VARCHAR)
+              ELSE {_DD_ORGS}[(k//7)%10+1] || ' City ' || CAST(k//100 AS VARCHAR) || '-' || CAST(k%100 AS VARCHAR)
+            END AS surface
+          FROM sent),
+        vis AS (
+          SELECT i, any_value(text) AS text,
+                 string_agg(replace({_DD_TPLS}[(s+j)%5+1], '{{e}}', surface), ' ' ORDER BY j) AS vtext
+          FROM surf GROUP BY i),
+        page AS (
+          SELECT i,
+            'Doc ' || CAST(i AS VARCHAR) || chr(10) || text || ' ' ||
+            CASE WHEN i%29=0 AND i>0 THEN regexp_replace(vtext, 'the', 'that') ELSE vtext END AS ext
+          FROM vis)
+        SELECT 'https://ex' || CAST(su.i%97 AS VARCHAR) || '.example.org/doc/' || CAST(su.i AS VARCHAR) AS url,
+               su.surface,
+               CAST(strpos(p.ext, su.surface) - 1 AS INT) AS start,
+               CAST(strpos(p.ext, su.surface) - 1 + length(su.surface) AS INT) AS "end",
+               'E' || lpad(CAST(su.k AS VARCHAR), 4, '0') AS entity_id
+        FROM surf su JOIN page p ON su.i = p.i
+        ORDER BY url, start, entity_id
+    """
+
+
+_DD_GRAMS = (
+    "list_distinct(list_transform(range(1, greatest(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 2, 1) + 1), "
+    "i -> substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INT), 3)))"
+)
+
+
+def _dd_jaccard_pairs_sql(threshold: float) -> str:
+    """Exact all-pairs 3-gram Jaccard at ``threshold`` — the ground-truth twin
+    for the prefix-filtered exact join (identical by construction) and for
+    the minhash/simhash LSH-blocked + exact-verified queries (identical
+    because blocking recall is 1.0 at the driver's correctness scale —
+    measured; see tests/test_dedup_recall.py)."""
+    return f"""
+        WITH g AS (SELECT doc_id AS id, {_DD_GRAMS} AS grams FROM documents)
+        SELECT a.id AS a, b.id AS b,
+               round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        FROM g a JOIN g b ON a.id < b.id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}
+        ORDER BY a, b
+    """
+
 
 def oracle_sql() -> dict[str, str]:
-    grams = (
-        "list_distinct(list_transform(range(1, greatest(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 2, 1) + 1), "
-        "i -> substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INT), 3)))"
-    )
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -677,16 +805,9 @@ def oracle_sql() -> dict[str, str]:
                    )) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
-        "q_ngram_jaccard_pairs": f"""
-            WITH g AS (SELECT doc_id AS id, {grams} AS grams FROM documents)
-            SELECT a.id AS a, b.id AS b,
-                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-            FROM g a JOIN g b ON a.id < b.id
-            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
-            ORDER BY a, b
-        """,
+        "q_ngram_jaccard_pairs": _dd_jaccard_pairs_sql(0.5),
+        "q_minhash_dups": _dd_jaccard_pairs_sql(0.8),
+        "q_simhash_dups": _dd_jaccard_pairs_sql(0.9),
         "q_sim_topk": """
             SELECT query_id, neighbor_id, cosine, rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -775,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
         """,
+        "q_kg_mentions": _dd_mentions_sql(),
         "q_multimodal_features": """
             SELECT CAST(i AS BIGINT) AS media_id,
                    sha256('media-' || CAST(i AS VARCHAR) || '-' || repeat('x', CAST(i%37 AS INT))) AS sha256,

@@ -159,6 +159,130 @@ def simhash_near_duplicates(
     return pairs
 
 
+def simhash_verified_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 8,
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash-blocked, exact-Jaccard-verified near-duplicate pairs
+    (a, b, jaccard).
+
+    Candidate generation is the banded pigeonhole join: with 64/``band_bits``
+    bands, every pair within Hamming distance (bands - 1) is GUARANTEED to
+    share one exact band (not probabilistic) — band_bits=8 gives 8 bands,
+    complete for hamming <= 7. Candidates are filtered to ``max_hamming``
+    and then verified with exact n-gram Jaccard, so precision is exact by
+    construction; recall equals the (measured) probability that a
+    Jaccard >= threshold pair has simhash hamming <= max_hamming — on the
+    bench corpus every >= 0.8 pair sits at hamming <= 5, within the
+    pigeonhole guarantee (tests/test_dedup_recall.py quantifies this)."""
+    cands = simhash_near_duplicates(
+        docs, id_col=id_col, text_col=text_col, max_hamming=max_hamming,
+        band_bits=band_bits,
+    )
+    grams = rebalance(docs).select(
+        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
+    )
+    return (
+        cands.join(grams.alias("ga"), cands.a == F.col("ga.id"))
+        .join(grams.alias("gb"), cands.b == F.col("gb.id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ga.grams", "gb.grams"))
+                / F.size(F.array_union("ga.grams", "gb.grams"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_similarity_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard self-join without the all-pairs cross product —
+    AllPairs/PPJoin-style prefix + length filtering (Bayardo et al., WWW'07;
+    Xiao et al., ICDE'08), DataFrame-native.
+
+    Guarantee: two gram sets with J(a,b) >= t must (1) satisfy
+    t*|a| <= |b| <= |a|/t and (2) share at least one gram among their
+    prefixes of length |s| - ceil(t*|s|) + 1 under any GLOBAL gram order.
+    Ordering grams rarest-first makes prefixes carry the least-common grams,
+    so the candidate join keys are the smallest groups. Identical output to
+    the all-pairs formulation, by construction.
+
+    Scale notes: the global gram-frequency table is bounded by the gram
+    DOMAIN (|charset|^n, ~tens of thousands for text), not the corpus — it
+    is aggregated distributed (one skew-safe count shuffle), collected once,
+    and broadcast as a rank dict into an Arrow-batched UDF that sorts each
+    doc's gram array rarest-first (no per-doc collect_list regroup). The
+    candidate join explodes only the prefixes; verification touches only
+    surviving candidate pairs."""
+    import numpy as np
+
+    spark = docs.sparkSession
+    grams = rebalance(docs).select(
+        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
+    )
+    freq_rows = (
+        grams.select(F.explode("grams").alias("g")).groupBy("g").count().collect()
+    )
+    rank = {
+        r["g"]: i
+        for i, r in enumerate(sorted(freq_rows, key=lambda r: (r["count"], r["g"])))
+    }
+    bc = spark.sparkContext.broadcast(rank)
+
+    @pandas_udf("array<long>")
+    def _prefix(gram_arrays: pd.Series) -> pd.Series:
+        rk = bc.value
+        out = []
+        for arr in gram_arrays:
+            a = sorted(arr, key=lambda g: rk.get(g, -1))
+            plen = len(a) - int(np.ceil(threshold * len(a))) + 1
+            out.append(a[: max(plen, 0)])
+        return pd.Series(out)
+
+    pref = grams.select(
+        "id", F.size("grams").alias("sz"), F.explode(_prefix(F.col("grams"))).alias("g")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.g") == F.col("pb.g"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            # length filter: t*|a| <= |b| <= |a|/t (either side may be larger)
+            & (F.col("pb.sz") >= F.col("pa.sz") * threshold)
+            & (F.col("pa.sz") >= F.col("pb.sz") * threshold),
+        )
+        .select(F.col("pa.id").alias("a"), F.col("pb.id").alias("b"))
+        .distinct()
+    )
+    return (
+        cand.join(grams.alias("ga"), cand.a == F.col("ga.id"))
+        .join(grams.alias("gb"), cand.b == F.col("gb.id"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ga.grams", "gb.grams"))
+                / F.size(F.array_union("ga.grams", "gb.grams"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -169,7 +293,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs. With ``block_col`` the
     self-join is restricted to equal blocks (scale path); without, it is
-    all-pairs (test scale only — callers must know their cardinality)."""
+    all-pairs (test scale only — callers must know their cardinality;
+    ``jaccard_similarity_join`` is the unblocked-but-still-exact scale
+    path via prefix filtering)."""
     grams = rebalance(docs).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),

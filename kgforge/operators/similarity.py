@@ -183,6 +183,145 @@ def embedding_cosine_pairs(
     return rebalance(embeddings).mapInPandas(fn, schema=schema)
 
 
+def embedding_cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    num_blocks: int | None = None,
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (a < b, cosine >= threshold)
+    — fully distributed, no driver collect, no full-matrix broadcast.
+
+    Classic blocked all-pairs: rows hash into B blocks; each row is shipped
+    to the B block-pair groups it participates in; one ``applyInPandas``
+    GEMM per (p, q) block pair emits only the surviving pairs. Shuffle
+    volume is B x data (the inherent cost of exact all-pairs), spread over
+    B*(B+1)/2 independent tasks — wall clock scales with executors instead
+    of a single driver. ``embedding_cosine_pairs`` (broadcast GEMM) stays
+    the fast path when the matrix fits per-executor; this is the exact path
+    beyond that. Output is identical to the broadcast path by construction."""
+    import math
+
+    spark = embeddings.sparkSession
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = max(1, math.ceil(n / rows_per_block))
+    B = num_blocks
+
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    # replicate each row into every block pair it belongs to
+    rep = e.select(
+        "vid", "vec", "blk", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("other")
+    ).select(
+        "vid",
+        "vec",
+        "blk",
+        # distinct `other` values yield distinct sorted (p, q) pairs, so each
+        # row reaches each of its B block-pair groups exactly once — no dedup
+        # shuffle needed before the groupBy
+        F.least("blk", "other").alias("p"),
+        F.greatest("blk", "other").alias("q"),
+    )
+
+    schema = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def per_pair(key, pdf):
+        p, q = key
+        ids = pdf["vid"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        m = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        if p == q:
+            li = np.arange(len(ids))
+            ri = li
+        else:
+            li = np.where(blks == p)[0]
+            ri = np.where(blks == q)[0]
+        if len(li) == 0 or len(ri) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        cos = np.round(m[li] @ m[ri].T, round_digits)
+        ai, bi = np.where(cos >= threshold)
+        la, rb = ids[li][ai], ids[ri][bi]
+        if p == q:
+            # the full intra-block matrix holds both (i,j) and (j,i): keep
+            # the a < b orientation once (also drops the self-diagonal)
+            keep = la < rb
+            la, rb, cv = la[keep], rb[keep], cos[ai, bi][keep]
+        else:
+            # each cross-block pair appears exactly once — ORIENT it (a
+            # filter here would silently drop pairs whose p-side id is
+            # the larger one)
+            keep = la != rb
+            cv = cos[ai, bi][keep]
+            la, rb = la[keep], rb[keep]
+            la, rb = np.minimum(la, rb), np.maximum(la, rb)
+        return pd.DataFrame({"a": la, "b": rb, "cosine": cv})
+
+    return rep.groupBy("p", "q").applyInPandas(per_pair, schema=schema)
+
+
+def embedding_cosine_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    planes: int = 12,
+    dim: int = 64,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """APPROXIMATE corpus-scale near-duplicate pairs: hyperplane-LSH bucket
+    blocking + exact cosine verify inside buckets (the 100 TB path — work is
+    proportional to bucket sizes, never all-pairs).
+
+    Recall is the probability that a >= threshold pair collides in some
+    probed bucket: per plane P[same sign] = 1 - theta/pi, boosted by
+    multi-probing every <= ``probe_bits``-bit-flip neighbor bucket.
+    Precision is exact (candidates are verified with true cosine).
+    tests/test_dedup_recall.py quantifies recall vs the exact paths."""
+    e = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", hyperplane_bucket_col(F.col("vec"), planes, dim))
+    probes = [F.col("bucket")]
+    if probe_bits >= 1:
+        probes += [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    if probe_bits >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(planes)
+            for r in range(p + 1, planes)
+        ]
+    # probing only one side of the pair covers a bucket distance of
+    # probe_bits between the two rows' buckets
+    probed = e.select("vid", "vec", F.explode(F.array(*probes)).alias("bucket"))
+    pairs = (
+        probed.alias("x")
+        .join(e.alias("y"), ["bucket"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .select(
+            F.col("x.vid").alias("a"),
+            F.col("y.vid").alias("b"),
+            F.round(cosine_col(F.col("x.vec"), F.col("y.vec")), round_digits).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return pairs
+
+
 def hyperplane_bucket_col(vec_col, planes: int = 12, dim: int = 64):
     """Deterministic random-hyperplane signature (int column), computed as
     one numpy GEMM per Arrow batch: bucket = packed sign bits of W @ v.

@@ -1,0 +1,170 @@
+"""Quantitative correctness for the approximate (sketch-blocked) operators,
+vs their exact, already-oracled twins (VERDICT round-1 item 1).
+
+Precision of every verified path is 1.0 BY CONSTRUCTION (candidates are
+re-checked with exact Jaccard / exact cosine); these tests pin the recall
+side and the exact-path equivalences:
+
+- minhash-LSH @0.8 / simhash-banded @0.9 == exact pair set (recall 1.0 at
+  this corpus: the >=0.8 population sits at Jaccard >=0.92, deep inside the
+  LSH s-curve / pigeonhole band guarantee)
+- prefix-filtered jaccard_similarity_join == all-pairs (exact by theorem;
+  asserted anyway)
+- blocked distributed GEMM == broadcast GEMM (exact all-pairs, two plans)
+- hyperplane-bucketed near-dup: precision 1.0 always; recall ~1 in its
+  design regime (planted high-cosine near-dups), monotone in probe_bits in
+  the out-of-regime low-threshold setting
+- lsh_topk: planted near-dup queries recover their source vector
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _pairs(df):
+    return {(r["a"], r["b"]): round(r["jaccard"], 6) for r in df.collect()}
+
+
+def test_minhash_equals_exact(spark, docs):
+    from kgforge.operators.dedup import minhash_duplicate_pairs, ngram_jaccard_pairs
+
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.8))
+    mh = _pairs(minhash_duplicate_pairs(docs, threshold=0.8))
+    assert mh == exact and len(exact) > 0  # recall 1.0 AND precision 1.0
+
+
+def test_simhash_equals_exact(spark, docs):
+    from kgforge.operators.dedup import ngram_jaccard_pairs, simhash_verified_pairs
+
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.9))
+    sh = _pairs(simhash_verified_pairs(docs, max_hamming=8, band_bits=8, threshold=0.9))
+    assert sh == exact and len(exact) > 0
+
+
+def test_prefix_filter_join_equals_all_pairs(spark, docs):
+    from kgforge.operators.dedup import jaccard_similarity_join, ngram_jaccard_pairs
+
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    pf = _pairs(jaccard_similarity_join(docs, threshold=0.5))
+    assert pf == exact and len(exact) > 1000
+
+
+def test_blocked_gemm_equals_broadcast(spark, emb):
+    from kgforge.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_blocked,
+    )
+
+    bro = {(r["a"], r["b"]): r["cosine"] for r in embedding_cosine_pairs(emb, threshold=0.35).collect()}
+    blk = {(r["a"], r["b"]): r["cosine"]
+           for r in embedding_cosine_pairs_blocked(emb, threshold=0.35, num_blocks=3).collect()}
+    assert blk == bro and len(bro) > 100
+
+
+def _planted(spark, emb, n=40, eps=0.02, id_offset=100_000):
+    """Copies of the first n embeddings with tiny deterministic noise —
+    true near-duplicates (cosine ~0.999) the LSH regime is designed for."""
+    rows = emb.orderBy("vec_id").limit(n).collect()
+    out = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        rng = np.random.RandomState(int(r["vec_id"]))
+        p = v + eps * rng.randn(v.shape[0]) * np.linalg.norm(v) / np.sqrt(v.shape[0])
+        out.append((int(r["vec_id"]) + id_offset, [float(x) for x in p]))
+    return out
+
+
+def test_bucketed_neardup_recall_in_regime(spark, emb):
+    """Planted cosine-~0.999 pairs: the hyperplane-bucketed path must find
+    nearly all of them (design regime), with exact-verified precision."""
+    from kgforge.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_bucketed,
+    )
+
+    planted = _planted(spark, emb)
+    pdf = spark.createDataFrame(planted, "vec_id long, embedding array<double>").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    union = emb.select("vec_id", "embedding").unionByName(pdf)
+    truth = {(p[0] - 100_000, p[0]) for p in planted}
+    exact = {(r["a"], r["b"]) for r in embedding_cosine_pairs(union, threshold=0.99).collect()}
+    assert truth <= exact  # sanity: the plants really are >=0.99 pairs
+    got = {(r["a"], r["b"])
+           for r in embedding_cosine_pairs_bucketed(union, threshold=0.99, probe_bits=1).collect()}
+    assert got <= exact  # precision 1.0 (exact verify)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"in-regime recall {recall}"
+
+
+def test_bucketed_neardup_out_of_regime_envelope(spark, emb):
+    """threshold 0.35 (~70-degree angles) is OUTSIDE the sign-LSH regime:
+    assert the documented envelope — precision stays 1.0, recall is nonzero
+    and monotone in probe_bits (measured 0.15 / 0.28 on this corpus)."""
+    from kgforge.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_bucketed,
+    )
+
+    exact = {(r["a"], r["b"]) for r in embedding_cosine_pairs(emb, threshold=0.35).collect()}
+    r1 = {(r["a"], r["b"]) for r in embedding_cosine_pairs_bucketed(emb, threshold=0.35, probe_bits=1).collect()}
+    r2 = {(r["a"], r["b"]) for r in embedding_cosine_pairs_bucketed(emb, threshold=0.35, probe_bits=2).collect()}
+    assert r1 <= exact and r2 <= exact  # precision 1.0
+    assert len(r1 & exact) / len(exact) >= 0.10
+    assert len(r2 & exact) >= len(r1 & exact)  # multi-probe monotonicity
+    assert len(r2 & exact) / len(exact) >= 0.20
+
+
+def test_lsh_topk_recovers_planted_neighbor(spark, emb):
+    """Each planted query's true nearest neighbor is its source vector
+    (cosine ~0.999): lsh_topk must place the source in the top-5 for nearly
+    every query — the ANN contract in its design regime."""
+    from kgforge.operators.similarity import lsh_topk
+
+    planted = _planted(spark, emb, n=30)
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<double>").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    res = lsh_topk(emb, queries, k=5, dim=64).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(1 for qid, _ in planted if (qid - 100_000) in by_q.get(qid, set()))
+    assert hit / len(planted) >= 0.9, f"planted recall {hit}/{len(planted)}"
+
+
+def test_lsh_topk_weak_neighbor_floor(spark, emb):
+    """Don't-regress floor on the real (weak-neighbor) corpus: recall@5 vs
+    brute force, deterministic hashing => deterministic value (measured 0.20
+    at sf0.001). Pinned loosely so param tweaks surface as test diffs."""
+    from kgforge.operators.similarity import brute_force_topk, lsh_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    ex, ap = {}, {}
+    for r in brute_force_topk(emb, q, k=5, round_digits=4).collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in lsh_topk(emb, q, k=5, dim=64, round_digits=4).collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recs = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
+    assert sum(recs) / len(recs) >= 0.1
