@@ -452,3 +452,101 @@ def test_all_fixture_files_extract_shapes():
         shapes = shapes_from(f)
         assert isinstance(shapes, dict)
         assert shapes, f"no shapes from {f}"
+
+
+def _prefixes_from(path: str) -> dict:
+    with open(path) as fh:
+        _triples, prefixes, _fmt = parse_rdf(fh.read())
+    return prefixes
+
+
+def test_dcat_ap_profile_values():
+    """Content assertions from ShaclApplicationProfileTest.php:20-103 beyond
+    the shape-count smoke above: label, per-shape class constraints, and the
+    extracted prefix map."""
+    path = "/root/reference/tests/Fixtures/Shacl/DcatAp/dcat-ap_2.1.1.ttl"
+    shapes = shapes_from(path)
+    date_shape = shapes["http://data.europa.eu/r5r#DateOrDateTimeDataType"]
+    assert date_shape["label"] == "Date time date disjunction"
+    catalog = shapes["http://www.w3.org/ns/dcat#Catalog"]
+    assert catalog["uri"] == "http://www.w3.org/ns/dcat#Catalog"
+    catalog_class_ps = [ps for ps in catalog["property_shapes"] if ps.get("class")]
+    assert len(catalog_class_ps) >= 3  # hasPart, isPartOf, license, ...
+    prefixes = _prefixes_from(path)
+    for p in ("sh", "dcat", "dct"):
+        assert p in prefixes, p
+
+
+def test_adms_ap_profile():
+    """ShaclApplicationProfileTest.php:113-172 (ADMS-AP 2.0.0)."""
+    shapes = shapes_from("/root/reference/tests/Fixtures/Shacl/AdmsAp/adms-ap_2.0.0.ttl")
+    assert len(shapes) >= 3
+    asset = shapes["http://www.w3.org/ns/adms#Asset"]
+    assert asset["target_class"] == "http://www.w3.org/ns/adms#Asset"
+    assert asset["label"] == "Asset Shape"
+    assert len(asset["property_shapes"]) >= 5
+    dist = shapes["http://www.w3.org/ns/adms#AssetDistribution"]
+    assert dist["target_class"] == "http://www.w3.org/ns/adms#AssetDistribution"
+    assert dist["property_shapes"]
+    issued = next(
+        (ps for ps in asset["property_shapes"]
+         if ps.get("path") == "http://purl.org/dc/terms/issued"),
+        None,
+    )
+    assert issued is not None
+    assert len(issued["sh_or"]) == 2
+
+
+def test_nlsbb_skos_ap_profile():
+    """ShaclApplicationProfileTest.php:182-228 (NL-SBB SKOS-AP-NL)."""
+    shapes = shapes_from("/root/reference/tests/Fixtures/Shacl/NlSbb/skos-ap-nl.ttl")
+    assert len(shapes) == 5
+    concept = shapes["http://nlbegrip.nl/def/skosapnl#Concept"]
+    assert concept["target_class"] == "http://www.w3.org/2004/02/skos/core#Concept"
+    assert concept["label"] == "Begrip"
+    assert concept["labels"]["nl"] == "Begrip"
+    srcdoc = shapes["http://nlbegrip.nl/def/skosapnl#SourceDocument"]
+    assert srcdoc["target_objects_of"] == ["http://purl.org/dc/terms/source"]
+    assert srcdoc["label"] == "Brondocument"
+
+
+def test_topbraid_person_profile():
+    """ShaclApplicationProfileTest.php:238-383 (TopBraid person example):
+    named property shapes surface as top-level shapes AND expand inline,
+    per-property-shape severities, sh:or/in/pattern/flags values."""
+    shapes = shapes_from("/root/reference/tests/Fixtures/Shacl/TopBraid/person.ttl")
+    for uri in ("PersonShape", "AddressShape", "EmployeeShape", "PersonShape-firstName"):
+        assert f"http://example.org/ns#{uri}" in shapes, uri
+
+    person = shapes["http://example.org/ns#PersonShape"]
+    assert person["target_class"] == "http://example.org/ns#Person"
+    assert person["label"] == "Person Shape"
+    assert person["property_shapes"]
+
+    address = shapes["http://example.org/ns#AddressShape"]
+    assert address["target_class"] == "http://example.org/ns#Address"
+    assert len(address["property_shapes"]) >= 4
+
+    employee = shapes["http://example.org/ns#EmployeeShape"]
+    assert employee["target_class"] == "http://example.org/ns#Employee"
+    assert employee["label"] == "Employee Shape"
+    assert employee["property_shapes"]
+
+    by_path = {ps.get("path"): ps for ps in person["property_shapes"]}
+    birth = by_path["http://example.org/ns#birthDate"]
+    assert len(birth["sh_or"]) == 2
+    gender = by_path["http://example.org/ns#gender"]
+    assert "Male" in gender["in"] and "Female" in gender["in"]
+    email = by_path["http://example.org/ns#email"]
+    assert "@" in email["pattern"]
+    assert email["flags"] == "i"
+
+    age_shape = shapes["http://example.org/ns#PersonShape-age"]
+    assert age_shape["severity"] == "warning"
+    assert age_shape["severity_iri"] == "http://www.w3.org/ns/shacl#Warning"
+    fn_shape = shapes["http://example.org/ns#PersonShape-firstName"]
+    assert fn_shape["severity"] == "violation"
+    assert fn_shape["severity_iri"] == "http://www.w3.org/ns/shacl#Violation"
+    addr_shape = shapes["http://example.org/ns#PersonShape-address"]
+    assert addr_shape["severity"] == "info"
+    assert addr_shape["severity_iri"] == "http://www.w3.org/ns/shacl#Info"
