@@ -79,6 +79,10 @@ def property_constraints(shapes: DataFrame) -> DataFrame:
         F.col("ps.maxCount").cast("int").alias("c_maxCount"),
         F.col("ps.uniqueLang").alias("c_uniqueLang"),
         F.col("ps.hasValue").alias("c_hasValue"),
+        F.col("ps.sh_or").alias("c_or"),
+        F.col("ps.sh_and").alias("c_and"),
+        F.col("ps.sh_xone").alias("c_xone"),
+        F.col("ps.sh_not").alias("c_not"),
         F.col("ps.deactivated").alias("ps_deactivated"),
     ).filter(
         F.col("path_type") == "predicate"  # only predicate paths are executable row-local
@@ -142,6 +146,42 @@ def validate_triples(
         (o_kind == "literal") & o_val.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), o_val.cast("double")
     )
 
+    def _inline_conforms(m):
+        """Does the value node conform to one INLINE member shape (the
+        row-local subset of W3C §4.6 logical members: datatype / nodeKind /
+        minLength / maxLength / pattern — the fields the reference extracts
+        into sh_or/sh_and/sh_xone/sh_not, ShaclPropertyAnalyzer.php:
+        extractInlineShape)? Members carrying only non-row-local fields
+        (class/node, needing a typing join) conform vacuously — documented
+        permissive scope, mirroring the executable-subset rule above."""
+        nk = m["nodeKind"]
+        return (
+            F.when(
+                m["datatype"].isNotNull(), (o_kind == "literal") & (o_dt == m["datatype"])
+            ).otherwise(F.lit(True))
+            & F.when(
+                nk.isNotNull(),
+                ((nk == SH + "IRI") & (o_kind == "iri"))
+                | ((nk == SH + "BlankNode") & (o_kind == "bnode"))
+                | ((nk == SH + "Literal") & (o_kind == "literal"))
+                | ((nk == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
+                | ((nk == SH + "BlankNodeOrLiteral") & o_kind.isin("bnode", "literal"))
+                | ((nk == SH + "IRIOrLiteral") & o_kind.isin("iri", "literal")),
+            ).otherwise(F.lit(True))
+            & F.when(
+                m["minLength"].isNotNull(), F.length(o_val) >= m["minLength"].cast("int")
+            ).otherwise(F.lit(True))
+            & F.when(
+                m["maxLength"].isNotNull(), F.length(o_val) <= m["maxLength"].cast("int")
+            ).otherwise(F.lit(True))
+            & F.when(
+                m["pattern"].isNotNull(), F.regexp_like(o_val, m["pattern"])
+            ).otherwise(F.lit(True))
+        )
+
+    def _n_conforming(arr_col):
+        return F.size(F.filter(arr_col, _inline_conforms))
+
     checks = [
         (
             "datatype",
@@ -188,6 +228,17 @@ def validate_triples(
             F.col("r.c_maxExclusive").isNotNull()
             & (num_val.isNull() | (num_val >= F.col("r.c_maxExclusive"))),
         ),
+        # logical combinators over inline member shapes (W3C §4.6), executed
+        # per value node: or = >=1 member conforms, and = all conform,
+        # xone = exactly one conforms, not = the member must NOT conform
+        ("or", F.col("r.c_or").isNotNull() & (_n_conforming(F.col("r.c_or")) < 1)),
+        (
+            "and",
+            F.col("r.c_and").isNotNull()
+            & (_n_conforming(F.col("r.c_and")) < F.size(F.col("r.c_and"))),
+        ),
+        ("xone", F.col("r.c_xone").isNotNull() & (_n_conforming(F.col("r.c_xone")) != 1)),
+        ("not", F.col("r.c_not").isNotNull() & _inline_conforms(F.col("r.c_not"))),
     ]
     # Violations travel as an int BITMASK, not array<string>: the arrays
     # forced ObjectHashAggregate (collect_list is a TypedImperativeAggregate
@@ -678,6 +729,189 @@ def node_shape_violations(
         F.col("node_shape").alias("node_shape_uri"),
         "violations",
     )
+
+
+def path_constraint_violations(
+    triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
+) -> DataFrame:
+    """Execute property shapes with NON-predicate paths — sh:inversePath and
+    sequence paths (W3C §2.3.1) — extending the executable subset beyond
+    ``path_type == 'predicate'`` (the reference extracts these as structured
+    path metadata only, ShaclPropertyAnalyzer.php:326-437; fixtures
+    path-inverse-001.ttl / path-sequence-001.ttl).
+
+    Value-node semantics:
+    - inverse ^p : values(f) = { s | (s, p, f) }   — one reversed equi-join
+    - sequence (p1..pL) : values(f) = { o | f -p1-> x1 ... -pL-> o } — L
+      chained equi-joins, built per distinct L (the rule table is shape
+      METADATA — tiny and bounded — so collecting the length set is O(1);
+      each chain is a static plan, unioned)
+
+    Executed constraints on the value nodes: sh:datatype, sh:nodeKind,
+    sh:class (one typing join), sh:minCount / sh:maxCount (per focus node,
+    counting zero-value focus nodes via the left side of the final join).
+    Returns one row per (focus, rule) violation with a ``violations`` array,
+    composable with validate_triples like the other focus-level executors.
+    """
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    base_rules = (
+        shapes.select(
+            F.col("url").alias("shape_url"),
+            F.col("uri").alias("shape_uri"),
+            F.col("deactivated").alias("shape_deactivated"),
+            F.explode("target_classes").alias("target_class"),
+            F.posexplode("property_shapes").alias("ps_idx", "ps"),
+        )
+        .filter(~F.col("shape_deactivated"))
+        .filter(F.col("ps.path_type").isin("inverse", "sequence"))
+        .select(
+            "shape_url",
+            "shape_uri",
+            "ps_idx",
+            "target_class",
+            F.col("ps.path_type").alias("path_type"),
+            F.col("ps.path").alias("path"),
+            F.col("ps.paths").alias("paths"),
+            F.col("ps.datatype").alias("c_datatype"),
+            F.col("ps.class").alias("c_class"),
+            F.col("ps.nodeKind").alias("c_nodeKind"),
+            F.col("ps.minCount").cast("int").alias("c_minCount"),
+            F.col("ps.maxCount").cast("int").alias("c_maxCount"),
+        )
+    )
+
+    def focus_of(rules):
+        cond = typed.cls == rules.target_class
+        if same_url_scope:
+            cond = cond & (typed.url == rules.shape_url)
+        return typed.alias("ty").join(rules.alias("ru"), cond).select(
+            F.col("ty.url").alias("url"), F.col("ty.subject").alias("focus"), "ru.*"
+        )
+
+    def value_checks(vals):
+        """vals: focus rows left-joined with their value nodes (value struct
+        columns v_value/v_kind/v_dt nullable for zero-value focus nodes)."""
+        vt = typed.select(
+            F.col("url").alias("vt_url"),
+            F.col("subject").alias("vt_subject"),
+            F.col("cls").alias("vt_cls"),
+        )
+        t_cond = (F.col("v_value") == F.col("vt_subject")) & (
+            F.col("c_class") == F.col("vt_cls")
+        )
+        if same_url_scope:
+            t_cond = t_cond & (F.col("url") == F.col("vt_url"))
+        with_types = vals.join(vt, t_cond, "left")
+        row_viol = F.when(
+            F.col("v_value").isNotNull()
+            & F.col("c_datatype").isNotNull()
+            & ((F.col("v_kind") != "literal") | (F.col("v_dt") != F.col("c_datatype"))),
+            F.lit("datatype"),
+        ).when(
+            F.col("v_value").isNotNull()
+            & F.col("c_nodeKind").isNotNull()
+            & ~(
+                ((F.col("c_nodeKind") == SH + "IRI") & (F.col("v_kind") == "iri"))
+                | ((F.col("c_nodeKind") == SH + "BlankNode") & (F.col("v_kind") == "bnode"))
+                | ((F.col("c_nodeKind") == SH + "Literal") & (F.col("v_kind") == "literal"))
+                | ((F.col("c_nodeKind") == SH + "BlankNodeOrIRI") & F.col("v_kind").isin("bnode", "iri"))
+            ),
+            F.lit("nodeKind"),
+        ).when(
+            F.col("v_value").isNotNull()
+            & F.col("c_class").isNotNull()
+            & F.col("vt_cls").isNull(),
+            F.lit("class"),
+        )
+        agg = with_types.groupBy(
+            "url", "focus", "shape_uri", "ps_idx", "target_class", "path_type",
+            "c_minCount", "c_maxCount",
+        ).agg(
+            F.count("v_value").alias("n_vals"),
+            F.array_compact(F.array_distinct(F.collect_list(row_viol))).alias("row_violations"),
+        )
+        card = F.when(
+            F.col("c_minCount").isNotNull() & (F.col("n_vals") < F.col("c_minCount")),
+            F.lit("minCount"),
+        ).when(
+            F.col("c_maxCount").isNotNull() & (F.col("n_vals") > F.col("c_maxCount")),
+            F.lit("maxCount"),
+        )
+        return (
+            agg.withColumn("violations", F.array_compact(F.concat("row_violations", F.array(card))))
+            .filter(F.size("violations") > 0)
+            .select(
+                "url",
+                F.col("focus").alias("subject"),
+                "shape_uri",
+                "ps_idx",
+                "path_type",
+                "violations",
+            )
+        )
+
+    outs = []
+
+    # ---- inverse: value nodes are SUBJECTS pointing at the focus ----------
+    inv_focus = focus_of(base_rules.filter(F.col("path_type") == "inverse"))
+    iv_cond = (F.col("d.object.value") == F.col("fo.focus")) & (
+        F.col("d.predicate") == F.col("fo.path")
+    ) & F.col("d.object.kind").isin("iri", "bnode")
+    if same_url_scope:
+        iv_cond = iv_cond & (F.col("d.url") == F.col("fo.url"))
+    inv_vals = inv_focus.alias("fo").join(data.alias("d"), iv_cond, "left").select(
+        "fo.*",
+        F.col("d.subject").alias("v_value"),
+        # subjects are resources; literal-only constraints can't hold on them
+        F.when(F.col("d.subject").isNotNull(), F.lit("iri")).alias("v_kind"),
+        F.lit(None).cast("string").alias("v_dt"),
+    )
+    outs.append(value_checks(inv_vals))
+
+    # ---- sequence: one static join chain per distinct path length ---------
+    seq_rules = base_rules.filter(
+        (F.col("path_type") == "sequence") & F.col("paths").isNotNull()
+    )
+    lengths = [r["L"] for r in seq_rules.select(F.size("paths").alias("L")).distinct().collect()]
+    for L in sorted(lengths):
+        fo = focus_of(seq_rules.filter(F.size("paths") == L)).alias("fo")
+        cur = fo
+        for i in range(L):
+            # hop source: the focus node for hop 0, else the previous hop's
+            # object — which must be a RESOURCE to be traversable
+            prev = (
+                F.col("fo.focus")
+                if i == 0
+                else F.when(
+                    F.col(f"d{i - 1}.object.kind").isin("iri", "bnode"),
+                    F.col(f"d{i - 1}.object.value"),
+                )
+            )
+            cond = (F.col(f"d{i}.subject") == prev) & (
+                F.col(f"d{i}.predicate") == F.col("fo.paths")[i]
+            )
+            if same_url_scope:
+                cond = cond & (F.col(f"d{i}.url") == F.col("fo.url"))
+            # every hop is LEFT so zero-value focus nodes survive for minCount
+            cur = cur.join(data.alias(f"d{i}"), cond, "left")
+        last = f"d{L - 1}"
+        seq_vals = cur.select(
+            *[F.col(f"fo.{c}") for c in fo.columns],
+            F.col(f"{last}.object.value").alias("v_value"),
+            F.col(f"{last}.object.kind").alias("v_kind"),
+            F.coalesce(
+                F.when(F.col(f"{last}.object.datatype") != "", F.col(f"{last}.object.datatype")),
+                F.lit(XSD + "string"),
+            ).alias("v_dt"),
+        )
+        outs.append(value_checks(seq_vals))
+
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
 
 
 def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,168 @@
+"""Execution of (a) property-level logical combinators sh:or/and/xone/not
+over inline member shapes and (b) non-predicate paths (sh:inversePath,
+sequence paths) — VERDICT round-1 items 5 and 9. The reference extracts both
+as metadata only (fixtures logical-*-001.ttl, path-*-001.ttl); here they run
+as DataFrame plans.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from kgforge.html import extract_text
+from kgforge.operators.parse import extract_shapes_df, parse_pages
+from kgforge.operators.validate import (
+    path_constraint_violations,
+    split_validated,
+    validate_triples,
+)
+from kgforge.schema import PAGES_SCHEMA
+
+EX = "http://example.org/"
+
+PRELUDE = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+"""
+
+
+def _page(spark, ttl, url="https://ex.example.org/logic"):
+    html = (
+        "<html><head><title>t</title></head><body>"
+        f'<script type="text/turtle">\n{PRELUDE + ttl}\n</script>'
+        "</body></html>"
+    ).encode()
+    rows = [(url, dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc), html,
+             extract_text(html.decode()), "en")]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
+
+
+def _rejects(spark, ttl):
+    pages = _page(spark, ttl)
+    _acc, rej = split_validated(validate_triples(parse_pages(pages), extract_shapes_df(pages)))
+    return {(r["subject"], r["predicate"]): sorted(r["violations"]) for r in rej.collect()}
+
+
+def test_or_execution(spark):
+    """logical-or-001.ttl pattern: date must be xsd:date OR xsd:dateTime."""
+    rej = _rejects(spark, """\
+ex:OrShape a sh:NodeShape ;
+    sh:targetClass ex:Event ;
+    sh:property [ sh:path ex:date ;
+        sh:or ( [ sh:datatype xsd:date ; ] [ sh:datatype xsd:dateTime ; ] ) ; ] .
+
+ex:good a ex:Event ; ex:date "2024-01-01"^^xsd:date .
+ex:bad a ex:Event ; ex:date "not a date" .
+""")
+    assert rej[(EX + "bad", EX + "date")] == ["or"]
+    assert (EX + "good", EX + "date") not in rej
+
+
+def test_and_execution(spark):
+    """logical-and-001.ttl pattern: name must be a string AND minLength 1."""
+    rej = _rejects(spark, """\
+ex:AndShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path ex:name ;
+        sh:and ( [ sh:datatype xsd:string ; ] [ sh:minLength 1 ; ] ) ; ] .
+
+ex:good a ex:Person ; ex:name "Ada" .
+ex:empty a ex:Person ; ex:name "" .
+ex:notstr a ex:Person ; ex:name 5 .
+""")
+    assert rej[(EX + "empty", EX + "name")] == ["and"]
+    assert rej[(EX + "notstr", EX + "name")] == ["and"]
+    assert (EX + "good", EX + "name") not in rej
+
+
+def test_xone_execution(spark):
+    """logical-xone-001.ttl pattern + the both-conform case: EXACTLY one
+    member must hold."""
+    rej = _rejects(spark, """\
+ex:XoneShape a sh:NodeShape ;
+    sh:targetClass ex:Contact ;
+    sh:property [ sh:path ex:identifier ;
+        sh:xone ( [ sh:datatype xsd:string ; ] [ sh:datatype xsd:integer ; ] ) ; ] .
+
+ex:LenXone a sh:NodeShape ;
+    sh:targetClass ex:Code ;
+    sh:property [ sh:path ex:val ;
+        sh:xone ( [ sh:minLength 2 ; ] [ sh:maxLength 3 ; ] ) ; ] .
+
+ex:s a ex:Contact ; ex:identifier "abc" .
+ex:i a ex:Contact ; ex:identifier 42 .
+ex:neither a ex:Contact ; ex:identifier "2024-01-01"^^xsd:date .
+ex:both a ex:Code ; ex:val "ab" .
+ex:one a ex:Code ; ex:val "abcd" .
+""")
+    assert rej[(EX + "neither", EX + "identifier")] == ["xone"]  # 0 conform
+    assert rej[(EX + "both", EX + "val")] == ["xone"]  # 2 conform
+    assert (EX + "s", EX + "identifier") not in rej
+    assert (EX + "i", EX + "identifier") not in rej
+    assert (EX + "one", EX + "val") not in rej  # len 4: minLength only
+
+
+def test_not_execution(spark):
+    """logical-not-001.ttl pattern: value must NOT be an xsd:string."""
+    rej = _rejects(spark, """\
+ex:NotStringShape a sh:NodeShape ;
+    sh:targetClass ex:Resource ;
+    sh:property [ sh:path ex:value ; sh:not [ sh:datatype xsd:string ; ] ; ] .
+
+ex:good a ex:Resource ; ex:value 5 .
+ex:bad a ex:Resource ; ex:value "text" .
+""")
+    assert rej[(EX + "bad", EX + "value")] == ["not"]
+    assert (EX + "good", EX + "value") not in rej
+
+
+def _path_viols(spark, ttl):
+    pages = _page(spark, ttl, url="https://ex.example.org/paths")
+    out = path_constraint_violations(parse_pages(pages), extract_shapes_df(pages))
+    return {(r["subject"], r["path_type"]): sorted(r["violations"]) for r in out.collect()}
+
+
+def test_sequence_path_execution(spark):
+    """path-sequence-001.ttl pattern: values reached through
+    (ex:address ex:city) must be xsd:string; plus minCount through a
+    sequence (zero-value focus nodes must violate)."""
+    v = _path_viols(spark, """\
+ex:SequencePathShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path ( ex:address ex:city ) ; sh:datatype xsd:string ; sh:minCount 1 ; ] .
+
+ex:alice a ex:Person ; ex:address ex:a1 .
+ex:a1 ex:city "Amsterdam" .
+ex:bob a ex:Person ; ex:address ex:a2 .
+ex:a2 ex:city ex:NotALiteral .
+ex:carol a ex:Person .
+""")
+    assert (EX + "alice", "sequence") not in v
+    assert v[(EX + "bob", "sequence")] == ["datatype"]
+    assert v[(EX + "carol", "sequence")] == ["minCount"]  # zero values
+
+
+def test_inverse_path_execution(spark):
+    """path-inverse-001.ttl pattern: everything that ex:knows the focus node
+    must itself be an ex:Person (sh:class through ^ex:knows)."""
+    v = _path_viols(spark, """\
+ex:InversePathShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path [ sh:inversePath ex:knows ] ; sh:class ex:Person ; ] .
+
+ex:alice a ex:Person .
+ex:dave a ex:Person .
+ex:alice ex:knows ex:dave .
+ex:frank a ex:Person .
+ex:borg a ex:Organization ; ex:knows ex:frank .
+""")
+    # dave is known only by alice (a Person) -> conforms
+    assert (EX + "dave", "inverse") not in v
+    # frank is known by borg (an Organization) -> sh:class violation
+    assert v[(EX + "frank", "inverse")] == ["class"]
+    # alice is known by nobody; no minCount constraint -> no violation
+    assert (EX + "alice", "inverse") not in v
