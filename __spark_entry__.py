@@ -462,6 +462,22 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-ontology class extraction (ParsedOntology.classes parity,
+    ShaclParser.php:65-74): classes in use per page with distinct-instance
+    counts — closed-form oracle from doc_id."""
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.ontology import extract_classes_df
+    from kgforge.operators.parse import parse_pages
+
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        extract_classes_df(parse_pages(pages))
+        .select("url", "class_uri", "n_instances")
+        .orderBy("url", "class_uri")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.operators.multimodal import fake_media_df, image_features
 
@@ -500,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_validate": q_kg_validate,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
+        "q_kg_classes": q_kg_classes,
         "q_multimodal_features": q_multimodal_features,
     }
 
@@ -897,6 +914,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
         """,
         "q_kg_mentions": _dd_mentions_sql(),
+        "q_kg_classes": f"""
+            WITH d AS (SELECT doc_id AS i, unnest({_DD_ENTS}) AS k FROM documents),
+            per AS (
+              SELECT i, 'http://www.w3.org/ns/shacl#NodeShape' AS class_uri, 1 AS n
+              FROM (SELECT DISTINCT i FROM d)
+              UNION ALL
+              SELECT i,
+                     'http://schema.org/' ||
+                       CASE k%3 WHEN 0 THEN 'Person' WHEN 1 THEN 'Organization' ELSE 'Place' END,
+                     count(*)
+              FROM d GROUP BY 1, 2)
+            SELECT 'https://ex' || CAST(i%97 AS VARCHAR) || '.example.org/doc/' || CAST(i AS VARCHAR) AS url,
+                   class_uri, CAST(n AS BIGINT) AS n_instances
+            FROM per ORDER BY url, class_uri
+        """,
         "q_multimodal_features": """
             SELECT CAST(i AS BIGINT) AS media_id,
                    sha256('media-' || CAST(i AS VARCHAR) || '-' || repeat('x', CAST(i%37 AS INT))) AS sha256,
