@@ -86,3 +86,44 @@ def test_streaming_append_mode_with_watermark(spark, tmp_path):
         q.stop()
     emitted = spark.sql("SELECT count(*) AS n FROM pred_counts_append").collect()[0]["n"]
     assert emitted > 0
+
+
+def test_streaming_stateful_first_seen_dedup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): cross-micro-batch
+    exact dedup emits each distinct text exactly once even when duplicates
+    arrive in later batches."""
+    import pandas as pd
+
+    from kgforge.streaming.stateful import streaming_first_seen
+
+    landing = str(tmp_path / "landing_dedup")
+    os.makedirs(landing, exist_ok=True)
+    # two files -> two micro-batches (maxFilesPerTrigger=1); texts overlap
+    # within AND across the files
+    b1 = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": ["aa", "bb", "aa", "cc"]})
+    b2 = pd.DataFrame({"doc_id": [4, 5, 6], "text": ["bb", "dd", "cc"]})
+    spark.createDataFrame(b1).coalesce(1).write.parquet(landing + "/f1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(landing + "/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing + "/f*")
+    )
+    out = streaming_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT digest, doc_id, text FROM first_seen").collect()
+    # exactly one row per distinct text, no digest emitted twice
+    assert len(rows) == 4
+    assert sorted(r["text"] for r in rows) == ["aa", "bb", "cc", "dd"]
+    assert len({r["digest"] for r in rows}) == 4
