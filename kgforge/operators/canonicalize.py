@@ -161,9 +161,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    keep = sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket)).select("band", "bucket")
-    surviving = banded.join(keep, ["band", "bucket"], "left_semi")
+    # bucket size via a partition-only window, THEN the member-list agg: one
+    # exchange on (band, bucket) serves both (the groupBy reuses the window's
+    # partitioning), the signature UDF runs once (a count-aggregate + semi-
+    # join formulation re-computes the banded stream on both join sides),
+    # and the ObjectHashAggregate collect_list only ever sees buckets already
+    # filtered to <= max_bucket members
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket")
+    surviving = banded.withColumn("n", F.count("*").over(w)).filter(
+        (F.col("n") >= 2) & (F.col("n") <= max_bucket)
+    )
     sized = surviving.groupBy("band", "bucket").agg(F.collect_list("id").alias("ids"))
     pairs = sized.select(
         F.explode(
