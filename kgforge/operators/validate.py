@@ -744,11 +744,11 @@ def node_shape_violations(
 def path_constraint_violations(
     triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
 ) -> DataFrame:
-    """Execute property shapes with NON-predicate paths — sh:inversePath and
-    sequence paths (W3C §2.3.1) — extending the executable subset beyond
-    ``path_type == 'predicate'`` (the reference extracts these as structured
-    path metadata only, ShaclPropertyAnalyzer.php:326-437; fixtures
-    path-inverse-001.ttl / path-sequence-001.ttl).
+    """Execute property shapes with NON-predicate paths — sh:inversePath,
+    sequence, sh:alternativePath, and sh:zeroOrOnePath (W3C §2.3.1) —
+    extending the executable subset beyond ``path_type == 'predicate'``
+    (the reference extracts all seven path types as structured metadata
+    only, ShaclPropertyAnalyzer.php:326-437; fixtures path-*-001.ttl).
 
     Value-node semantics:
     - inverse ^p : values(f) = { s | (s, p, f) }   — one reversed equi-join
@@ -756,6 +756,13 @@ def path_constraint_violations(
       chained equi-joins, built per distinct L (the rule table is shape
       METADATA — tiny and bounded — so collecting the length set is O(1);
       each chain is a static plan, unioned)
+    - alternative (p1|..|pk) : union of the members' one-hop value sets,
+      counted per RULE (explode members, left join, shared aggregate)
+    - zeroOrOne p? : { f } ∪ { o | (f, p, o) } — the focus node itself is
+      always a value (so minCount 1 is vacuous, per spec)
+    The transitive closures zeroOrMore/oneOrMore need an iterative fixpoint
+    per rule (the CC-style driver loop) and stay extraction-only for now —
+    a documented non-goal like SPARQL constraints.
 
     Executed constraints on the value nodes: sh:datatype, sh:nodeKind,
     sh:class (one typing join), sh:minCount / sh:maxCount (per focus node,
@@ -775,7 +782,7 @@ def path_constraint_violations(
             F.posexplode("property_shapes").alias("ps_idx", "ps"),
         )
         .filter(~F.col("shape_deactivated"))
-        .filter(F.col("ps.path_type").isin("inverse", "sequence"))
+        .filter(F.col("ps.path_type").isin("inverse", "sequence", "alternative", "zeroOrOne"))
         .select(
             "shape_url",
             "shape_uri",
@@ -879,6 +886,55 @@ def path_constraint_violations(
         F.lit(None).cast("string").alias("v_dt"),
     )
     outs.append(value_checks(inv_vals))
+
+    # ---- alternative: union of one-hop value sets over the member paths ---
+    # (W3C §2.3.1: values are reachable through ANY member; counts are per
+    # RULE, so the per-member left joins aggregate together in value_checks)
+    alt_focus = focus_of(
+        base_rules.filter((F.col("path_type") == "alternative") & F.col("paths").isNotNull())
+    )
+    alt_m = alt_focus.select("*", F.explode("paths").alias("member")).alias("fo")
+    am_cond = (F.col("d.subject") == F.col("fo.focus")) & (
+        F.col("d.predicate") == F.col("fo.member")
+    )
+    if same_url_scope:
+        am_cond = am_cond & (F.col("d.url") == F.col("fo.url"))
+    alt_vals = alt_m.join(data.alias("d"), am_cond, "left").select(
+        "fo.*",
+        F.col("d.object.value").alias("v_value"),
+        F.col("d.object.kind").alias("v_kind"),
+        F.coalesce(
+            F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
+            F.lit(XSD + "string"),
+        ).alias("v_dt"),
+    ).drop("member")
+    outs.append(value_checks(alt_vals))
+
+    # ---- zeroOrOne: the focus node itself (zero hops) UNION one hop -------
+    zo_focus = focus_of(
+        base_rules.filter((F.col("path_type") == "zeroOrOne") & F.col("path").isNotNull())
+    )
+    zo_cond = (F.col("d.subject") == F.col("fo.focus")) & (
+        F.col("d.predicate") == F.col("fo.path")
+    )
+    if same_url_scope:
+        zo_cond = zo_cond & (F.col("d.url") == F.col("fo.url"))
+    zo_hop = zo_focus.alias("fo").join(data.alias("d"), zo_cond, "inner").select(
+        "fo.*",
+        F.col("d.object.value").alias("v_value"),
+        F.col("d.object.kind").alias("v_kind"),
+        F.coalesce(
+            F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
+            F.lit(XSD + "string"),
+        ).alias("v_dt"),
+    )
+    zo_zero = zo_focus.select(
+        "*",
+        F.col("focus").alias("v_value"),
+        F.lit("iri").alias("v_kind"),  # focus nodes are resources
+        F.lit(None).cast("string").alias("v_dt"),
+    )
+    outs.append(value_checks(zo_hop.unionByName(zo_zero)))
 
     # ---- sequence: one static join chain per distinct path length ---------
     seq_rules = base_rules.filter(

@@ -166,3 +166,44 @@ ex:borg a ex:Organization ; ex:knows ex:frank .
     assert v[(EX + "frank", "inverse")] == ["class"]
     # alice is known by nobody; no minCount constraint -> no violation
     assert (EX + "alice", "inverse") not in v
+
+
+def test_alternative_path_execution(spark):
+    """path-alternative-001.ttl pattern: values reachable through ex:name OR
+    ex:label; minCount 1 counts across the union of members."""
+    v = _path_viols(spark, """\
+ex:AlternativePathShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path [ sh:alternativePath ( ex:name ex:label ) ] ;
+                  sh:datatype xsd:string ; sh:minCount 1 ; ] .
+
+ex:named a ex:Person ; ex:name "Ada" .
+ex:labeled a ex:Person ; ex:label "Bart" .
+ex:badtype a ex:Person ; ex:label ex:NotALiteral .
+ex:neither a ex:Person .
+""")
+    assert (EX + "named", "alternative") not in v
+    assert (EX + "labeled", "alternative") not in v
+    assert v[(EX + "badtype", "alternative")] == ["datatype"]
+    assert v[(EX + "neither", "alternative")] == ["minCount"]
+
+
+def test_zero_or_one_path_execution(spark):
+    """path-zeroOrOne-001.ttl pattern: the focus node itself is always among
+    the values, so sh:class on a zeroOrOne path checks focus AND hop."""
+    v = _path_viols(spark, """\
+ex:ZeroOrOneShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path [ sh:zeroOrOnePath ex:spouse ] ; sh:class ex:Person ; ] .
+
+ex:alice a ex:Person ; ex:spouse ex:bob .
+ex:bob a ex:Person .
+ex:carol a ex:Person ; ex:spouse ex:acme .
+ex:acme a ex:Organization .
+""")
+    # alice: values {alice, bob}, both Persons -> conforms
+    assert (EX + "alice", "zeroOrOne") not in v
+    # bob: values {bob} (zero hops) -> conforms
+    assert (EX + "bob", "zeroOrOne") not in v
+    # carol: values {carol, acme}; acme is an Organization -> class violation
+    assert v[(EX + "carol", "zeroOrOne")] == ["class"]
