@@ -741,6 +741,163 @@ def node_shape_violations(
     )
 
 
+def node_logical_violations(
+    triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
+) -> DataFrame:
+    """Execute NODE-level logical combinators — sh:and / sh:or / sh:xone /
+    sh:not referencing OTHER shapes (W3C §4.6; the reference extracts them
+    as URI lists only, constraints.and/or/xone/not).
+
+    A focus node conforms to a referenced member shape iff it satisfies the
+    member's row-local predicate-path constraints (datatype / nodeKind /
+    min-maxCount — the same executable subset as ``node_shape_violations``);
+    a member with no such constraints conforms vacuously. Then per focus:
+    and = all members conform, or = at least one, xone = exactly one,
+    not = the member must NOT conform.
+
+    Plan shape: combinator rules and member rules are shape METADATA
+    (small); the only corpus-sized work is one join from focus nodes to
+    their candidate values and three layered aggregates (rule -> member ->
+    combinator), all codegen HashAggregates over ints.
+    """
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    base = (
+        shapes.filter(~F.col("deactivated"))
+        .select(
+            F.col("url").alias("shape_url"),
+            F.col("uri").alias("shape_uri"),
+            F.explode("target_classes").alias("target_class"),
+            F.col("constraints"),
+        )
+    )
+    combs = None
+    for name in ("and", "or", "xone"):
+        r = base.filter(F.size(F.col(f"constraints.{name}")) > 0).select(
+            "shape_url",
+            "shape_uri",
+            "target_class",
+            F.lit(name).alias("comb"),
+            F.col(f"constraints.{name}").alias("members"),
+        )
+        combs = r if combs is None else combs.unionByName(r)
+    combs = combs.unionByName(
+        base.filter(F.col("constraints.not").isNotNull()).select(
+            "shape_url",
+            "shape_uri",
+            "target_class",
+            F.lit("not").alias("comb"),
+            F.array(F.col("constraints.not")).alias("members"),
+        )
+    )
+
+    member_rules = (
+        shapes.select(
+            F.col("url").alias("m_url"),
+            F.col("uri").alias("m_uri"),
+            F.posexplode("property_shapes").alias("m_ps_idx", "mps"),
+        )
+        .filter(F.col("mps.path_type") == "predicate")
+        .select(
+            "m_url",
+            "m_uri",
+            "m_ps_idx",
+            F.col("mps.path").alias("m_path"),
+            F.col("mps.datatype").alias("m_datatype"),
+            F.col("mps.nodeKind").alias("m_nodeKind"),
+            F.col("mps.minCount").cast("int").alias("m_minCount"),
+            F.col("mps.maxCount").cast("int").alias("m_maxCount"),
+        )
+    )
+
+    f_cond = typed.cls == combs.target_class
+    if same_url_scope:
+        f_cond = f_cond & (typed.url == combs.shape_url)
+    focus = typed.alias("ty").join(combs.alias("cb"), f_cond).select(
+        F.col("ty.url").alias("url"),
+        F.col("ty.subject").alias("focus"),
+        "cb.shape_uri",
+        "cb.comb",
+        F.size("cb.members").alias("n_members"),
+        F.explode("cb.members").alias("member"),
+    )
+
+    mr_cond = F.col("fm.member") == F.col("mr.m_uri")
+    if same_url_scope:
+        mr_cond = mr_cond & (F.col("fm.url") == F.col("mr.m_url"))
+    # left: members with no executable property constraints conform vacuously
+    with_rules = focus.alias("fm").join(member_rules.alias("mr"), mr_cond, "left")
+
+    v_cond = (F.col("d.subject") == F.col("fm.focus")) & (
+        F.col("d.predicate") == F.col("mr.m_path")
+    )
+    if same_url_scope:
+        v_cond = v_cond & (F.col("d.url") == F.col("fm.url"))
+    with_vals = with_rules.join(data.alias("d"), v_cond, "left")
+
+    o_val = F.col("d.object.value")
+    o_kind = F.col("d.object.kind")
+    o_dt = F.coalesce(
+        F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")), F.lit(XSD + "string")
+    )
+    row_bad = (
+        o_val.isNotNull()
+        & (
+            (
+                F.col("mr.m_datatype").isNotNull()
+                & ((o_kind != "literal") | (o_dt != F.col("mr.m_datatype")))
+            )
+            | (
+                F.col("mr.m_nodeKind").isNotNull()
+                & ~(
+                    ((F.col("mr.m_nodeKind") == SH + "IRI") & (o_kind == "iri"))
+                    | ((F.col("mr.m_nodeKind") == SH + "BlankNode") & (o_kind == "bnode"))
+                    | ((F.col("mr.m_nodeKind") == SH + "Literal") & (o_kind == "literal"))
+                    | ((F.col("mr.m_nodeKind") == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
+                )
+            )
+        )
+    )
+    # layer 1: per (focus, combinator, member, member-rule) -> rule_ok
+    per_rule = with_vals.groupBy(
+        "fm.url", "fm.focus", "fm.shape_uri", "fm.comb", "fm.n_members", "fm.member",
+        "mr.m_ps_idx", "mr.m_minCount", "mr.m_maxCount",
+    ).agg(
+        F.count(o_val).alias("n_vals"),
+        F.max(F.when(row_bad, 1).otherwise(0)).alias("any_row_bad"),
+    ).withColumn(
+        "rule_ok",
+        F.when(
+            (F.col("any_row_bad") == 1)
+            | (F.col("m_minCount").isNotNull() & (F.col("n_vals") < F.col("m_minCount")))
+            | (F.col("m_maxCount").isNotNull() & (F.col("n_vals") > F.col("m_maxCount"))),
+            0,
+        ).otherwise(1),
+    )
+    # layer 2: member conforms iff every rule ok (vacuous when no rules)
+    per_member = per_rule.groupBy(
+        "url", "focus", "shape_uri", "comb", "n_members", "member"
+    ).agg(F.min("rule_ok").alias("member_ok"))
+    # layer 3: combinator verdict
+    agg = per_member.groupBy("url", "focus", "shape_uri", "comb", "n_members").agg(
+        F.sum("member_ok").alias("n_conf")
+    )
+    violated = (
+        F.when(F.col("comb") == "and", F.col("n_conf") < F.col("n_members"))
+        .when(F.col("comb") == "or", F.col("n_conf") < 1)
+        .when(F.col("comb") == "xone", F.col("n_conf") != 1)
+        .when(F.col("comb") == "not", F.col("n_conf") > 0)
+    )
+    return agg.filter(violated).select(
+        "url",
+        F.col("focus").alias("subject"),
+        "shape_uri",
+        F.col("comb").alias("constraint"),
+        F.array(F.col("comb")).alias("violations"),
+    )
+
+
 def path_constraint_violations(
     triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
 ) -> DataFrame:

@@ -207,3 +207,50 @@ ex:acme a ex:Organization .
     assert (EX + "bob", "zeroOrOne") not in v
     # carol: values {carol, acme}; acme is an Organization -> class violation
     assert v[(EX + "carol", "zeroOrOne")] == ["class"]
+
+
+def _node_logical(spark, ttl):
+    from kgforge.operators.validate import node_logical_violations
+
+    pages = _page(spark, ttl, url="https://ex.example.org/nodelogic")
+    out = node_logical_violations(parse_pages(pages), extract_shapes_df(pages))
+    return {(r["subject"], r["constraint"]): r["violations"] for r in out.collect()}
+
+
+NODE_MEMBERS = """\
+ex:HasName a sh:NodeShape ;
+    sh:property [ sh:path ex:name ; sh:datatype xsd:string ; sh:minCount 1 ] .
+ex:HasAge a sh:NodeShape ;
+    sh:property [ sh:path ex:age ; sh:datatype xsd:integer ; sh:minCount 1 ] .
+ex:HasBanned a sh:NodeShape ;
+    sh:property [ sh:path ex:banned ; sh:minCount 1 ] .
+"""
+
+
+def test_node_level_and_or_xone_not_execution(spark):
+    """Node-level combinators referencing other shapes: a focus node's
+    conformance to each member shape is computed from the member's own
+    row-local property constraints, then and/or/xone/not count conformers."""
+    v = _node_logical(spark, NODE_MEMBERS + """\
+ex:AndShape a sh:NodeShape ; sh:targetClass ex:P1 ; sh:and ( ex:HasName ex:HasAge ) .
+ex:OrShape a sh:NodeShape ; sh:targetClass ex:P2 ; sh:or ( ex:HasName ex:HasAge ) .
+ex:XoneShape a sh:NodeShape ; sh:targetClass ex:P3 ; sh:xone ( ex:HasName ex:HasAge ) .
+ex:NotShape a sh:NodeShape ; sh:targetClass ex:P4 ; sh:not ex:HasBanned .
+
+ex:both1 a ex:P1 ; ex:name "Ada" ; ex:age 5 .
+ex:only1 a ex:P1 ; ex:name "Ada" .
+ex:none2 a ex:P2 ; ex:other "x" .
+ex:one2 a ex:P2 ; ex:age 7 .
+ex:both3 a ex:P3 ; ex:name "Ada" ; ex:age 5 .
+ex:one3 a ex:P3 ; ex:name "Ada" .
+ex:clean4 a ex:P4 ; ex:name "Ada" .
+ex:dirty4 a ex:P4 ; ex:banned "yes" .
+""")
+    assert (EX + "both1", "and") not in v
+    assert v[(EX + "only1", "and")] == ["and"]
+    assert v[(EX + "none2", "or")] == ["or"]
+    assert (EX + "one2", "or") not in v
+    assert v[(EX + "both3", "xone")] == ["xone"]  # 2 conform
+    assert (EX + "one3", "xone") not in v
+    assert (EX + "clean4", "not") not in v
+    assert v[(EX + "dirty4", "not")] == ["not"]
