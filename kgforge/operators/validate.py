@@ -899,7 +899,10 @@ def node_logical_violations(
 
 
 def path_constraint_violations(
-    triples: DataFrame, shapes: DataFrame, same_url_scope: bool = True
+    triples: DataFrame,
+    shapes: DataFrame,
+    same_url_scope: bool = True,
+    max_closure_hops: int = 10,
 ) -> DataFrame:
     """Execute property shapes with NON-predicate paths — sh:inversePath,
     sequence, sh:alternativePath, and sh:zeroOrOnePath (W3C §2.3.1) —
@@ -917,9 +920,14 @@ def path_constraint_violations(
       counted per RULE (explode members, left join, shared aggregate)
     - zeroOrOne p? : { f } ∪ { o | (f, p, o) } — the focus node itself is
       always a value (so minCount 1 is vacuous, per spec)
-    The transitive closures zeroOrMore/oneOrMore need an iterative fixpoint
-    per rule (the CC-style driver loop) and stay extraction-only for now —
-    a documented non-goal like SPARQL constraints.
+    - zeroOrMore p* / oneOrMore p+ : transitive closure via a bounded
+      iterative frontier loop (the same driver-loop pattern as
+      connected_components and the reference's own ≤10/≤100 iteration
+      caps): each round one equi-join extends the frontier, an anti-join
+      against the reached set guarantees termination on cycles,
+      ``localCheckpoint`` cuts lineage per round (``max_closure_hops``
+      bounds depth). Traversal continues through resources; literal
+      objects are values but not traversable, per spec.
 
     Executed constraints on the value nodes: sh:datatype, sh:nodeKind,
     sh:class (one typing join), sh:minCount / sh:maxCount (per focus node,
@@ -939,7 +947,11 @@ def path_constraint_violations(
             F.posexplode("property_shapes").alias("ps_idx", "ps"),
         )
         .filter(~F.col("shape_deactivated"))
-        .filter(F.col("ps.path_type").isin("inverse", "sequence", "alternative", "zeroOrOne"))
+        .filter(
+            F.col("ps.path_type").isin(
+                "inverse", "sequence", "alternative", "zeroOrOne", "zeroOrMore", "oneOrMore"
+            )
+        )
         .select(
             "shape_url",
             "shape_uri",
@@ -1092,6 +1104,82 @@ def path_constraint_violations(
         F.lit(None).cast("string").alias("v_dt"),
     )
     outs.append(value_checks(zo_hop.unionByName(zo_zero)))
+
+    # ---- zeroOrMore / oneOrMore: bounded transitive-closure frontier loop -
+    tc_rules = base_rules.filter(
+        F.col("path_type").isin("zeroOrMore", "oneOrMore") & F.col("path").isNotNull()
+    )
+    if tc_rules.limit(1).count() > 0:  # rule table is tiny shape metadata
+        tc_focus = focus_of(tc_rules)
+        group_keys = [
+            "url", "focus", "shape_uri", "ps_idx", "target_class", "path_type", "path",
+            "c_datatype", "c_class", "c_nodeKind", "c_minCount", "c_maxCount",
+        ]
+        # rule identity for equi-joins: ONLY the non-null columns — the c_*
+        # constraint columns are nullable and NULL join keys never match
+        # (which would both break the cycle-guard anti-join and orphan
+        # zero-value focus nodes); they are functionally determined by this
+        # subset anyway
+        rule_keys = ["url", "focus", "shape_uri", "ps_idx", "target_class", "path_type", "path"]
+        # persist (not localCheckpoint) as the per-round materialization
+        # barrier: these plans are fully deterministic (no id-assignment
+        # exprs), so cache-matching is sound — and localCheckpoint trips a
+        # Spark attribute-rewrite bug on this mapInPandas+aliased-join plan
+        # shape ("key not found" in AttributeMap during checkpoint planning)
+        seed = tc_focus.select(
+            *group_keys,
+            F.col("focus").alias("v_value"),
+            F.lit("iri").alias("v_kind"),
+            F.lit(None).cast("string").alias("v_dt"),
+        ).distinct().persist()
+        reached = seed  # depth-0 nodes (the focus itself)
+        plus = None  # depth >= 1 values (the oneOrMore set)
+        frontier = seed
+        for _hop in range(max_closure_hops):
+            h_cond = (F.col("d.subject") == F.col("fr.v_value")) & (
+                F.col("d.predicate") == F.col("fr.path")
+            ) & F.col("fr.v_kind").isin("iri", "bnode")
+            if same_url_scope:
+                h_cond = h_cond & (F.col("d.url") == F.col("fr.url"))
+            nxt = (
+                frontier.alias("fr")
+                .join(data.alias("d"), h_cond, "inner")
+                .select(
+                    *[F.col(f"fr.{c}") for c in group_keys],
+                    F.col("d.object.value").alias("v_value"),
+                    F.col("d.object.kind").alias("v_kind"),
+                    F.coalesce(
+                        F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
+                        F.lit(XSD + "string"),
+                    ).alias("v_dt"),
+                )
+                .distinct()
+                # cycle guard: only genuinely new (rule, focus, value) rows
+                .join(
+                    reached.select(*rule_keys, "v_value"),
+                    rule_keys + ["v_value"],
+                    "left_anti",
+                )
+                .persist()
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            reached = reached.unionByName(nxt).persist()
+            plus = nxt if plus is None else plus.unionByName(nxt)
+            frontier = nxt
+        star_vals = reached.filter(F.col("path_type") == "zeroOrMore")
+        outs.append(value_checks(star_vals))
+        if plus is not None:
+            plus_vals = plus.filter(F.col("path_type") == "oneOrMore")
+        else:
+            plus_vals = seed.filter(F.lit(False))
+        # oneOrMore focus nodes with ZERO reachable values must still appear
+        # (minCount): left-join the focus set against its values
+        plus_focus = tc_focus.filter(F.col("path_type") == "oneOrMore").select(*group_keys).distinct()
+        plus_all = plus_focus.join(
+            plus_vals.select(*rule_keys, "v_value", "v_kind", "v_dt"), rule_keys, "left"
+        )
+        outs.append(value_checks(plus_all))
 
     # ---- sequence: one static join chain per distinct path length ---------
     seq_rules = base_rules.filter(

@@ -254,3 +254,44 @@ ex:dirty4 a ex:P4 ; ex:banned "yes" .
     assert (EX + "one3", "xone") not in v
     assert (EX + "clean4", "not") not in v
     assert v[(EX + "dirty4", "not")] == ["not"]
+
+
+def test_zero_or_more_path_execution(spark):
+    """sh:zeroOrMorePath: transitive closure including the focus node —
+    every node reachable through ex:part* must be an ex:Widget (depth-2
+    reachability exercised)."""
+    v = _path_viols(spark, """\
+ex:WidgetShape a sh:NodeShape ;
+    sh:targetClass ex:Widget ;
+    sh:property [ sh:path [ sh:zeroOrMorePath ex:part ] ; sh:class ex:Widget ; ] .
+
+ex:w1 a ex:Widget ; ex:part ex:w2 .
+ex:w2 a ex:Widget ; ex:part ex:w3 .
+ex:w3 a ex:Widget .
+ex:b1 a ex:Widget ; ex:part ex:b2 .
+ex:b2 a ex:Widget ; ex:part ex:g .
+ex:g a ex:Gadget .
+""")
+    assert (EX + "w1", "zeroOrMore") not in v
+    assert (EX + "w2", "zeroOrMore") not in v
+    # g is reachable at depth 2 from b1 and depth 1 from b2
+    assert v[(EX + "b1", "zeroOrMore")] == ["class"]
+    assert v[(EX + "b2", "zeroOrMore")] == ["class"]
+
+
+def test_one_or_more_path_execution(spark):
+    """sh:oneOrMorePath: at least one hop required; cycles terminate via the
+    reached-set anti-join."""
+    v = _path_viols(spark, """\
+ex:ChainShape a sh:NodeShape ;
+    sh:targetClass ex:Node ;
+    sh:property [ sh:path [ sh:oneOrMorePath ex:next ] ; sh:minCount 1 ; ] .
+
+ex:a a ex:Node ; ex:next ex:b .
+ex:b a ex:Node ; ex:next ex:a .
+ex:lonely a ex:Node .
+""")
+    # a and b sit on a 2-cycle: closure = {b, a} / {a, b}, terminates
+    assert (EX + "a", "oneOrMore") not in v
+    assert (EX + "b", "oneOrMore") not in v
+    assert v[(EX + "lonely", "oneOrMore")] == ["minCount"]
