@@ -16,9 +16,53 @@ from pyspark.sql import functions as F
 from ..fixtures import gazetteer_rows
 from ..operators.canonicalize import canonicalize_entities, rewrite_to_canonical
 from ..operators.mentions import detect_mentions, mention_triples
-from ..operators.parse import extract_shapes_df, parse_pages
-from ..operators.validate import closed_shape_violations, split_validated, validate_triples
+from ..operators.parse import extract_shapes_df, parse_pages, qualified_rules_df
+from ..operators.validate import (
+    closed_shape_violations,
+    node_logical_violations,
+    node_shape_violations,
+    pair_constraint_violations,
+    path_constraint_violations,
+    qualified_cardinality_violations,
+    split_validated,
+    validate_triples,
+)
 from ..sinks.materialize import ManifestStore, materialize_spo, write_stage
+
+
+def constraint_reports(pages: DataFrame, triples: DataFrame, shapes: DataFrame) -> DataFrame:
+    """Focus-node-level verdicts from the extended constraint executors —
+    pair constraints, qualified cardinality, sh:node conformance, node-level
+    logical combinators, and non-predicate paths — normalized to one report
+    row (url, subject, source, shape_uri, violations). These are REPORTS,
+    not a partition of the triple stream: each verdict concerns a focus
+    node's whole value set, so they ride alongside accepted/rejected rather
+    than subtracting triples from them."""
+    reports = [
+        pair_constraint_violations(triples, shapes).select(
+            "url", "subject", F.lit("pair").alias("source"), "shape_uri", "violations"
+        ),
+        qualified_cardinality_violations(triples, qualified_rules_df(pages)).select(
+            "url", "subject", F.lit("qualified").alias("source"), "shape_uri", "violations"
+        ),
+        node_shape_violations(triples, shapes).select(
+            "url",
+            "subject",
+            F.lit("node_shape").alias("source"),
+            F.col("node_shape_uri").alias("shape_uri"),
+            "violations",
+        ),
+        node_logical_violations(triples, shapes).select(
+            "url", "subject", F.lit("node_logical").alias("source"), "shape_uri", "violations"
+        ),
+        path_constraint_violations(triples, shapes).select(
+            "url", "subject", F.lit("path").alias("source"), "shape_uri", "violations"
+        ),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def run_pipeline(
@@ -27,9 +71,12 @@ def run_pipeline(
     run_id: str = "run1",
     gazetteer: list | None = None,
     canonicalize: bool = True,
+    extended_checks: bool = False,
 ) -> dict:
     """Returns dict of stage DataFrames + metrics. All heavy stages write
-    through ``write_stage`` (repartitionByRange + lineage + manifest)."""
+    through ``write_stage`` (repartitionByRange + lineage + manifest).
+    ``extended_checks=True`` additionally materializes the focus-node
+    constraint-report stream (see ``constraint_reports``)."""
     spark = pages.sparkSession
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
     gazetteer = gazetteer if gazetteer is not None else gazetteer_rows()
@@ -76,6 +123,14 @@ def run_pipeline(
         range_cols=["subject", "predicate"],
     )
 
+    reports = None
+    if extended_checks:
+        reports = write_stage(
+            constraint_reports(pages, all_triples, shapes),
+            os.path.join(work_root, "reports"), "constraint_reports", run_id, manifests,
+            range_cols=["subject"],
+        )
+
     if canonicalize:
         mapping = write_stage(
             canonicalize_entities(accepted),
@@ -95,6 +150,7 @@ def run_pipeline(
         "mentions": mentions,
         "accepted": accepted,
         "rejected": rejected,
+        "reports": reports,
         "mapping": mapping,
         "spo": spo,
     }

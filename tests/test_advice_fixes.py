@@ -168,3 +168,37 @@ def test_pipeline_accept_reject_partition(spark, tmp_path):
     rogue = acc.filter(F.col("predicate") == "http://example.org/rogue")
     assert rogue.count() == 0
     assert rej.filter(F.col("predicate") == "http://example.org/rogue").count() == 1
+
+
+REPORTS_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:PairShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path ex:givenName ; sh:equals ex:nickName ] .
+
+ex:InvShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path [ sh:inversePath ex:knows ] ; sh:class ex:Person ] .
+
+ex:p a ex:Person ;
+    ex:givenName "Ada" ;
+    ex:nickName "Adi" .
+ex:q a ex:Person .
+ex:org a ex:Org ; ex:knows ex:q .
+"""
+
+
+def test_pipeline_extended_constraint_reports(spark, tmp_path):
+    """extended_checks=True materializes the focus-node report stream from
+    the pair / qualified / sh:node / node-logical / path executors."""
+    from kgforge.pipeline.run import run_pipeline
+
+    pages = _page(spark, REPORTS_TTL, url="https://ex.example.org/reports")
+    out = run_pipeline(
+        pages, str(tmp_path / "w"), gazetteer=[], canonicalize=False, extended_checks=True
+    )
+    rows = {(r["subject"], r["source"]): r["violations"] for r in out["reports"].collect()}
+    assert rows[("http://example.org/p", "pair")] == ["equals"]
+    assert rows[("http://example.org/q", "path")] == ["class"]
