@@ -395,6 +395,24 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe == n_centroids: probing every cell makes the
+    search exact, so the brute-force SQL is a true oracle for the WHOLE IVF
+    plumbing (distributed k-means training, cell assignment, probe
+    generation, candidate dedup, exact rerank) — any cell-routing bug
+    surfaces as a hash mismatch. The approximate regime (nprobe < cells) is
+    pinned by tests/test_dedup_recall.py::test_ivf_topk_recall."""
+    from kgforge.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=16, round_digits=4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_kg_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.parse import extract_shapes_df
@@ -511,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dups": q_minhash_dups,
         "q_simhash_dups": q_simhash_dups,
         "q_knn_lsh": q_knn_lsh,
+        "q_knn_ivf": q_knn_ivf,
         "q_kg_shapes": q_kg_shapes,
         "q_kg_triples": q_kg_triples,
         "q_kg_validate": q_kg_validate,
@@ -825,6 +844,19 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard_pairs": _dd_jaccard_pairs_sql(0.5),
         "q_minhash_dups": _dd_jaccard_pairs_sql(0.8),
         "q_simhash_dups": _dd_jaccard_pairs_sql(0.9),
+        "q_knn_ivf": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "q_sim_topk": """
             SELECT query_id, neighbor_id, cosine, rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -347,6 +347,155 @@ def hyperplane_bucket_col(vec_col, planes: int = 12, dim: int = 64):
     return _bucket(vec_col)
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 5,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer (the IVF training
+    step): init = the ``n_centroids`` lowest-id vectors (reproducible, no
+    RNG), then Lloyd iterations computed DISTRIBUTED — each Arrow batch
+    GEMMs against the broadcast centroid matrix and emits per-centroid
+    partial sums (n_centroids x dim rows per partition, independent of
+    corpus size); the driver only ever reduces the tiny partial-sum table.
+    Returns the (n_centroids, dim) row-normalized centroid matrix."""
+    spark = embeddings.sparkSession
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    c = np.stack([np.asarray(r[0], dtype=np.float64) for r in seed_rows])
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    dim = c.shape[1]
+
+    schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("n", LongType()),
+            StructField("vsum", ArrayType(DoubleType())),
+        ]
+    )
+    from .util import rebalance
+
+    data = rebalance(embeddings).select(vec_col).persist()
+    data.count()
+    try:
+        for _ in range(iterations):
+            bc = spark.sparkContext.broadcast(c)
+
+            def partial(batches):
+                cm = bc.value
+                acc_n = np.zeros(cm.shape[0], dtype=np.int64)
+                acc_v = np.zeros_like(cm)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    m = np.stack(
+                        pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_list()
+                    )
+                    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                    assign = np.argmax(mn @ cm.T, axis=1)
+                    for cid in np.unique(assign):
+                        sel = assign == cid
+                        acc_n[cid] += int(sel.sum())
+                        acc_v[cid] += mn[sel].sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "cid": np.arange(cm.shape[0], dtype=np.int64),
+                        "n": acc_n,
+                        "vsum": [row.tolist() for row in acc_v],
+                    }
+                )
+
+            partials = data.mapInPandas(partial, schema=schema).collect()
+            n = np.zeros(c.shape[0], dtype=np.int64)
+            v = np.zeros((c.shape[0], dim))
+            for r in partials:
+                n[r["cid"]] += r["n"]
+                v[r["cid"]] += np.asarray(r["vsum"])
+            nz = n > 0
+            c = c.copy()
+            c[nz] = v[nz] / n[nz, None]
+            c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    finally:
+        data.unpersist()
+    return c
+
+
+def ivf_assign_col(vec_col, centroids: np.ndarray):
+    """Nearest-centroid id (int column) via one GEMM per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = centroids
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mn @ cm.T, axis=1).astype(np.int32))
+
+    return _assign(vec_col)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    round_digits: int = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    cells, probe each query's ``nprobe`` nearest cells, exact-rerank the
+    candidates (cosine + deterministic window). The 100 TB path: work per
+    query is proportional to the probed cells' population (~nprobe/n_centroids
+    of the corpus), the centroid table is tiny and broadcast, and cell
+    assignment is one scan. Recall envelope vs brute force is pinned in
+    tests/test_dedup_recall.py."""
+    spark = embeddings.sparkSession
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    from .util import rebalance
+
+    e = rebalance(embeddings).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
+    ).withColumn("cell", ivf_assign_col(F.col("ev"), centroids))
+
+    cm = centroids
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(LongType()))
+    def _probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_list())
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = mn @ cm.T
+        top = np.argsort(-sims, axis=1)[:, : min(nprobe, cm.shape[0])]
+        return pd.Series([row.astype(np.int64).tolist() for row in top])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(_probes(F.col("qv"))))
+
+    cand = q.join(e, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("qv"), F.col("ev")), round_digits).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -85,7 +85,9 @@ def property_constraints(shapes: DataFrame) -> DataFrame:
         F.col("ps.sh_not").alias("c_not"),
         F.col("ps.deactivated").alias("ps_deactivated"),
     ).filter(
-        F.col("path_type") == "predicate"  # only predicate paths are executable row-local
+        # only predicate paths are executable ROW-LOCAL; the other six path
+        # types execute as joins in path_constraint_violations
+        F.col("path_type") == "predicate"
     ).filter(
         ~F.col("shape_deactivated") & (F.col("ps_deactivated").isNull() | ~F.col("ps_deactivated").isin("true", "1"))
     )

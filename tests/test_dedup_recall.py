@@ -168,3 +168,37 @@ def test_lsh_topk_weak_neighbor_floor(spark, emb):
         ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recs = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
     assert sum(recs) / len(recs) >= 0.1
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF coarse-quantizer ANN: with nprobe covering half the cells on the
+    weak-neighbor corpus, recall@5 vs brute force should be substantial;
+    with nprobe = n_centroids it degenerates to exact search (recall 1.0) —
+    both pins, plus determinism of the trained centroids."""
+    from kgforge.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    cents = ivf_train_centroids(emb, n_centroids=16)
+    cents2 = ivf_train_centroids(emb, n_centroids=16)
+    assert np.allclose(cents, cents2)  # deterministic training
+
+    q = emb.filter(F.col("vec_id") < 5)
+    ex = {}
+    for r in brute_force_topk(emb, q, k=5, round_digits=4).collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(nprobe):
+        ap = {}
+        res = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=nprobe,
+                       round_digits=4, centroids=cents).collect()
+        for r in res:
+            ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recs = [len(ex[k_] & ap.get(k_, set())) / len(ex[k_]) for k_ in ex]
+        return sum(recs) / len(recs)
+
+    assert recall(16) == 1.0  # all cells probed == exact
+    r8 = recall(8)
+    assert r8 >= 0.5
