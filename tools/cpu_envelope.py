@@ -10,19 +10,21 @@ pipeline's scaling efficiency should be normalized against.
 Usage: python tools/cpu_envelope.py [n_threads]
 """
 
-from __future__ import annotations
-
 import sys
 import time
 
 sys.path.insert(0, ".")
 
+# module-level so the pandas_udf type hints resolve (with function-local
+# imports + postponed annotations, pyspark's hint resolver can't see `pd`
+# in the module globals and rejects the signature)
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
 
 def main():
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
