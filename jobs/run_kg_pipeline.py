@@ -24,6 +24,9 @@ def main():
                     help="pages parquet path, or 'synth:N' for an N-page deterministic corpus")
     ap.add_argument("--out", required=True, help="output work root")
     ap.add_argument("--run-id", default="run1")
+    ap.add_argument("--extended-checks", action="store_true",
+                    help="also materialize the focus-node constraint-report stream "
+                         "(pair / qualified / sh:node / node-logical / path executors)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,12 +42,14 @@ def main():
     else:
         pages = spark.read.parquet(args.pages_parquet)
 
-    out = run_pipeline(pages, args.out, run_id=args.run_id)
+    out = run_pipeline(pages, args.out, run_id=args.run_id, extended_checks=args.extended_checks)
     summary = {
         "accepted": out["accepted"].count(),
         "rejected": out["rejected"].count(),
         "canonical_nodes": out["mapping"].count() if out["mapping"] is not None else 0,
     }
+    if out["reports"] is not None:
+        summary["constraint_reports"] = out["reports"].count()
     print(json.dumps(summary))
     spark.stop()
 

@@ -1,11 +1,22 @@
 """Stage 05: SHACL-shape-driven validation of emitted triples.
 
-Executes the constraint subset the parser extracts (datatype, nodeKind,
-pattern, in, languageIn, string lengths, value ranges, min/maxCount, closed)
-as *declarative DataFrame filters* over the corpus triples — the reference
-only ever extracts these as metadata (sh:pattern regexes are data there,
-ShaclPropertyAnalyzer.php:34,250-255); executing them is the engine's
-validation stage per the north rule (accepted + reject streams, SURVEY §7.1).
+Executes the constraints the parser extracts as *declarative DataFrame
+plans* over the corpus triples — the reference only ever stores them as
+metadata (sh:pattern regexes are data there, ShaclPropertyAnalyzer.php:34,
+250-255); executing them is the engine's validation stage per the north
+rule (accepted + reject streams, SURVEY §7.1). Coverage:
+
+- row-local: datatype, nodeKind, pattern(+flags), in, languageIn, string
+  lengths, value ranges, plus property-level sh:or/and/xone/not over inline
+  member shapes (``validate_triples``)
+- focus-node set: min/maxCount, uniqueLang, hasValue (same pass, per-rule
+  windows); sh:closed (``closed_shape_violations``); pair constraints
+  (``pair_constraint_violations``); qualified cardinality; one-level
+  sh:node conformance; node-level sh:and/or/xone/not over referenced
+  shapes (``node_logical_violations``)
+- non-predicate paths: inverse / sequence / alternative / zeroOrOne /
+  zeroOrMore / oneOrMore (``path_constraint_violations``)
+Only SPARQL constraints remain extraction-only (documented non-goal).
 
 Scale design:
 - the constraint table (exploded property shapes) joins against the triples
