@@ -12,10 +12,11 @@
                      a pure function of doc_id); the LSH-blocked dedup
                      queries exact-verify their candidates, so the exact-
                      Jaccard SQL is a true oracle at the driver's scale.
-                     Only q_knn_lsh (ANN over weak-neighbor embeddings,
-                     where sign-LSH recall < 1 is intrinsic) has no oracle:
-                     the driver records a rows-only check, and
-                     tests/test_dedup_recall.py pins its recall envelope.
+                     The ANN queries run in provably-exact regimes
+                     (q_knn_ivf: nprobe == n_centroids; q_knn_lsh:
+                     probe_radius == planes) so brute-force SQL is a true
+                     oracle for their plumbing; the approximate regimes are
+                     pinned by tests/test_dedup_recall.py.
 """
 
 from __future__ import annotations
@@ -356,10 +357,12 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the >= 0.8 pair population sits at Jaccard >= 0.92 / simhash hamming <= 5,
 # well inside the LSH s-curve / pigeonhole band guarantee — measured, and
 # asserted in tests/test_dedup_recall.py), so the DuckDB exact-Jaccard SQL is
-# a true value oracle for both. q_knn_lsh remains genuinely approximate
-# (rows-only): the bench embeddings have only weak neighbors (top cosine
-# ~0.35 => ~70-degree angles), where sign-LSH recall < 1 is intrinsic; its
-# recall envelope is pinned by tests/test_dedup_recall.py instead.
+# a true value oracle for both. q_knn_lsh runs its exhaustive-probe regime
+# (probe_radius == planes => candidates == corpus => exact), making the
+# brute-force SQL a true oracle for the bucket/probe/re-rank plumbing; the
+# genuinely approximate regime (radius < planes over the weak-neighbor bench
+# embeddings, top cosine ~0.35 => ~70-degree angles where sign-LSH recall<1
+# is intrinsic) stays pinned by tests/test_dedup_recall.py.
 
 
 def q_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,11 +391,21 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with probe_radius == planes: exhaustive multi-probe
+    covers all 2^planes buckets, so candidates == corpus and the search is
+    exact — the brute-force cosine SQL is then a true value oracle for the
+    whole bucket/probe/dedup/re-rank plumbing (same exactness trick as
+    q_knn_ivf with nprobe == n_centroids). The approximate regime
+    (radius < planes) is pinned by tests/test_dedup_recall.py."""
     from kgforge.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, k=5, dim=64).orderBy("query_id", "rank")
+    return (
+        lsh_topk(emb, queries, k=5, dim=64, planes=4, probe_radius=4, round_digits=4)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,11 +510,17 @@ def q_kg_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (no fake path): the fixture's image rows
+    are genuine PPM/BMP/PNG payloads of solid-color images whose dims and
+    color are closed-form functions of media_id, so the DuckDB oracle
+    reconstructs the DECODED width/height/thumbnail dims/channel means
+    arithmetically — a wrong decoder, filter, or resample hash-mismatches."""
     from kgforge.operators.multimodal import fake_media_df, image_features
 
-    media = fake_media_df(spark, 64)
-    return image_features(media, deterministic_fake=True).select(
-        "media_id", "sha256", "n_bytes", "thumb_w", "thumb_h"
+    media = fake_media_df(spark, 64).filter(F.col("kind") == "image")
+    return image_features(media, deterministic_fake=False).select(
+        "media_id", "fmt", "width", "height", "thumb_w", "thumb_h",
+        "mean_r", "mean_g", "mean_b",
     ).orderBy("media_id")
 
 
@@ -844,6 +863,19 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard_pairs": _dd_jaccard_pairs_sql(0.5),
         "q_minhash_dups": _dd_jaccard_pairs_sql(0.8),
         "q_simhash_dups": _dd_jaccard_pairs_sql(0.9),
+        "q_knn_lsh": """
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                                    e.vec_id ASC
+                       ) AS rank
+                FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "q_knn_ivf": """
             SELECT query_id, neighbor_id, cosine, rank FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -963,9 +995,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_multimodal_features": """
             SELECT CAST(i AS BIGINT) AS media_id,
-                   sha256('media-' || CAST(i AS VARCHAR) || '-' || repeat('x', CAST(i%37 AS INT))) AS sha256,
-                   CAST(length('media-' || CAST(i AS VARCHAR) || '-' || repeat('x', CAST(i%37 AS INT))) AS BIGINT) AS n_bytes,
-                   CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h
-            FROM range(64) t(i) ORDER BY media_id
+                   CASE CAST((i // 3) % 3 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+                   CAST(4 + (i % 7) * 2 AS INT) AS width,
+                   CAST(3 + (i % 5) * 3 AS INT) AS height,
+                   CAST(least(8, 4 + (i % 7) * 2) AS INT) AS thumb_w,
+                   CAST(least(8, 3 + (i % 5) * 3) AS INT) AS thumb_h,
+                   CAST((i * 37) % 256 AS DOUBLE) AS mean_r,
+                   CAST((i * 59) % 256 AS DOUBLE) AS mean_g,
+                   CAST((i * 83) % 256 AS DOUBLE) AS mean_b
+            FROM range(64) t(i) WHERE i % 3 = 0 ORDER BY media_id
         """,
     }

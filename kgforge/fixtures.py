@@ -10,8 +10,9 @@ Page anatomy (i = page id):
 - visible    2-5 gazetteer entity mentions woven into sentences
 - html       head + nav boilerplate + payload + visible text + footer
 - text       extract_text(html)  — the byte-identical golden
-- dupes      i%23==0 pages are exact text duplicates of page i-1;
-             i%29==0 near-duplicates (one word changed)
+- dupes      i%23==0 pages are full MIRRORS of page i-1 (byte-identical
+             html + text at a second url); i%29==0 near-duplicates of
+             page i-1's body (one word changed, own title/payload)
 - skew       entity E0000 appears on ~10% of pages (hot key for CC salting)
 - sameAs     alias URIs per site link to a canonical entity URI -> CC work
 """
@@ -177,6 +178,13 @@ def visible_text(i: int, ents: list[int]) -> str:
 
 
 def build_page(i: int) -> tuple:
+    if i % 23 == 0 and i > 0:
+        # full MIRROR of page i-1 (byte-identical html served at a second
+        # url — the crawl-mirror shape exact text-dedup must collapse)
+        url = f"https://ex{i % 97}.example.org/page/{i}"
+        ts = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(seconds=int(i) % 2592000)
+        prev = build_page(i - 1)
+        return (url, ts, prev[2], prev[3], prev[4])
     ents = page_entities(i)
     mode = i % 3
     if mode == 0:
@@ -185,10 +193,7 @@ def build_page(i: int) -> tuple:
         payload = f'<script type="application/ld+json">\n{_jsonld_payload(i, ents)}\n</script>'
     else:
         payload = _rdfa_payload(i, ents)
-    if i % 23 == 0 and i > 0:
-        body_text = visible_text(i - 1, page_entities(i - 1))  # exact dup of i-1
-    else:
-        body_text = visible_text(i, ents)
+    body_text = visible_text(i, ents)
     html = (
         "<html><head><title>Page %d</title><style>body{margin:0}</style></head>"
         "<body><nav><a href='/'>Home</a> | <a href='/about'>About</a></nav>"

@@ -140,12 +140,21 @@ def lsh_candidate_pairs(
     names) — a bucket of size B yields B^2/2 pairs, so unbounded buckets are
     the classic LSH skew bomb at corpus scale; the cap is logged by callers.
 
-    Skew design: bucket sizes are computed FIRST with a plain count aggregate
-    (skew-safe — partial aggregation contracts a hot bucket map-side, and the
-    reducer receives one count row per bucket, never the members), oversized
-    buckets are dropped, and only then are surviving (small, bounded) member
-    lists assembled. Collecting members before the size filter would ship a
-    hot bucket's entire membership to a single reducer.
+    Skew design — the deliberate trade here: bucket size is computed with a
+    ``count() over (partition by band, bucket)`` window, which DOES route a
+    hot bucket's rows to one task — but as O(B) flat 16-byte (id, band,
+    bucket) rows with sort-spill to disk, never the O(B^2) pair blow-up and
+    never a single collect_list cell (the ObjectHashAggregate member-list
+    agg below only ever sees buckets already filtered to <= max_bucket).
+    A 10^8-member degenerate bucket is ~2 GB on that task — spillable and
+    survivable, and it is DROPPED by the filter before any quadratic work.
+    In exchange, the expensive minhash-signature UDF runs ONCE: the window
+    and the groupBy reuse one (band, bucket) exchange, where the earlier
+    two-pass count-aggregate + semi-join formulation re-computed the banded
+    stream (and the signature UDF) on both join sides unless the banded DF
+    was persisted — at 100 TB, persisting that stream is a bigger cost than
+    the window's bounded linear skew. test_lsh_hot_bucket_window_path
+    exercises the path with a ~99% hot bucket (dropped; small buckets pair).
     """
     banded = sigs.select(
         "id",

@@ -208,6 +208,7 @@ def jaccard_similarity_join(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    gram_rank_cap: int = 1_000_000,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard self-join without the all-pairs cross product —
     AllPairs/PPJoin-style prefix + length filtering (Bayardo et al., WWW'07;
@@ -220,13 +221,21 @@ def jaccard_similarity_join(
     so the candidate join keys are the smallest groups. Identical output to
     the all-pairs formulation, by construction.
 
-    Scale notes: the global gram-frequency table is bounded by the gram
-    DOMAIN (|charset|^n, ~tens of thousands for text), not the corpus — it
-    is aggregated distributed (one skew-safe count shuffle), collected once,
-    and broadcast as a rank dict into an Arrow-batched UDF that sorts each
-    doc's gram array rarest-first (no per-doc collect_list regroup). The
-    candidate join explodes only the prefixes; verification touches only
-    surviving candidate pairs."""
+    Scale notes: the driver-side rank dict is BOUNDED at ``gram_rank_cap``
+    entries regardless of gram-domain cardinality (a 100 TB multilingual
+    corpus can reach 10^7-10^8 distinct unicode 3-grams): only the top-K
+    most FREQUENT grams get explicit ranks; every unseen gram defaults to
+    rank -1 with a deterministic tie-break on the gram hash itself, so the
+    order (rank, gram) is still a TOTAL global order and the prefix-filter
+    guarantee — which holds under ANY global total order — is preserved
+    exactly. Rank precision only matters for common grams anyway: it's the
+    frequent grams whose position in the prefix drives candidate-set size,
+    while all long-tail grams are equally good prefix members. The
+    frequency table is aggregated distributed (one skew-safe count
+    shuffle), top-K'd BEFORE collect, and broadcast into an Arrow-batched
+    UDF that sorts each doc's gram array rarest-first (no per-doc
+    collect_list regroup). The candidate join explodes only the prefixes;
+    verification touches only surviving candidate pairs."""
     import numpy as np
 
     spark = docs.sparkSession
@@ -234,7 +243,12 @@ def jaccard_similarity_join(
         F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
     )
     freq_rows = (
-        grams.select(F.explode("grams").alias("g")).groupBy("g").count().collect()
+        grams.select(F.explode("grams").alias("g"))
+        .groupBy("g")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("g"))
+        .limit(gram_rank_cap)
+        .collect()
     )
     rank = {
         r["g"]: i
@@ -247,7 +261,9 @@ def jaccard_similarity_join(
         rk = bc.value
         out = []
         for arr in gram_arrays:
-            a = sorted(arr, key=lambda g: rk.get(g, -1))
+            # (rank, gram) = deterministic TOTAL global order even when many
+            # grams share the default rank -1 (outside the top-K cap)
+            a = sorted(arr, key=lambda g: (rk.get(g, -1), g))
             plen = len(a) - int(np.ceil(threshold * len(a))) + 1
             out.append(a[: max(plen, 0)])
         return pd.Series(out)

@@ -5,9 +5,14 @@ entity-link scoring in pandas UDFs"):
 
 - The gazetteer (entity_id, surface, type_uri, prior) is a small dim table.
   It is *broadcast once per executor* via ``SparkContext.broadcast`` of a
-  compiled matcher — NOT re-pickled per batch. For ~10^3-10^5 surfaces a
-  single alternation regex (longest-first) is fine; beyond that swap in an
-  Aho-Corasick automaton behind the same interface.
+  compiled matcher — NOT re-pickled per batch. Two backends behind one
+  interface, chosen automatically by gazetteer size: a trie-structured
+  alternation regex (C-speed scan, fine to ~10^4 surfaces — pattern size
+  and compile time grow with the vocabulary) and an Aho-Corasick automaton
+  (single O(len) pass independent of vocabulary size, the ≥10^5-surface
+  path). Both produce IDENTICAL matches: leftmost-longest non-overlapping,
+  case-insensitive, word-boundary-guarded
+  (tests/test_mentions_oracle.py::test_ac_backend_identical_100k).
 - Matching + scoring run vectorized inside one ``mapInPandas`` over pages:
   per batch, numpy does (mentions x dim) · (entities x dim)^T in one GEMM.
 - Embeddings here are deterministic hash-projection vectors (feature
@@ -82,23 +87,130 @@ def _trie_pattern(surfaces: list[str]) -> str:
     return emit(root)
 
 
-class GazetteerMatcher:
-    """Compiled surface matcher + entity embedding matrix (broadcast payload)."""
+_WORD_RE = re.compile(r"\w")
 
-    def __init__(self, entries: list[tuple[str, str, str, float]]):
+# above this many distinct surfaces the trie-regex pattern's compile time
+# and size stop paying for its faster scan loop — switch to Aho-Corasick
+AC_SURFACE_THRESHOLD = 8192
+
+
+def _lower1(text: str) -> str:
+    """Per-char 1:1 lowercasing (offset-stable). The rare code points whose
+    lowercase expands (e.g. U+0130) are left as-is — they then simply don't
+    match, the same effective behavior as re.IGNORECASE's simple fold."""
+    lowered = text.lower()
+    if len(lowered) == len(text):
+        return lowered
+    return "".join(lc if len(lc := c.lower()) == 1 else c for c in text)
+
+
+class _AhoCorasick:
+    """Dict-based Aho-Corasick automaton over lowercased surfaces.
+
+    Classic goto/fail/output construction (Aho & Corasick 1975, public
+    algorithm); ``scan`` yields EVERY occurrence (start, end) — the caller
+    applies word-boundary guards and leftmost-longest selection so the
+    result is match-for-match identical to the trie-regex backend."""
+
+    def __init__(self, words: list[str]):
+        self.goto: list[dict] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[list[int]] = [[]]
+        for w in words:
+            node = 0
+            for ch in w:
+                nxt = self.goto[node].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    self.out.append([])
+                    nxt = len(self.goto) - 1
+                    self.goto[node][ch] = nxt
+                node = nxt
+            self.out[node].append(len(w))
+        from collections import deque
+
+        q = deque(self.goto[0].values())  # depth-1: fail stays at root
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[s] = self.goto[f].get(ch, 0)
+                self.out[s] = self.out[s] + self.out[self.fail[s]]
+
+    def scan(self, text: str):
+        node, goto, fail, out = 0, self.goto, self.fail, self.out
+        for i, ch in enumerate(text):
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            if out[node]:
+                for length in out[node]:
+                    yield i + 1 - length, i + 1
+
+
+class GazetteerMatcher:
+    """Compiled surface matcher + entity embedding matrix (broadcast payload).
+
+    ``backend``: 'regex' (trie-structured alternation), 'ac' (Aho-Corasick),
+    or 'auto' (default — 'ac' at ≥ AC_SURFACE_THRESHOLD distinct surfaces)."""
+
+    def __init__(self, entries: list[tuple[str, str, str, float]], backend: str = "auto"):
         # longest-first so overlapping surfaces resolve deterministically
         self.entries = sorted(entries, key=lambda e: (-len(e[1]), e[0]))
         self.by_surface: dict[str, tuple[str, str, float]] = {}
         for eid, surface, type_uri, prior in self.entries:
             self.by_surface.setdefault(surface.lower(), (eid, type_uri, prior))
-        pattern = _trie_pattern([e[1].lower() for e in self.entries])
-        self.regex = re.compile(rf"(?<![\w]){pattern}(?![\w])", re.I) if pattern else None
+        surfaces = [e[1].lower() for e in self.entries]
+        if backend == "auto":
+            backend = "ac" if len(self.by_surface) >= AC_SURFACE_THRESHOLD else "regex"
+        self.backend = backend
+        self.regex = None
+        self.ac = None
+        if backend == "ac":
+            self.ac = _AhoCorasick(sorted(self.by_surface)) if surfaces else None
+        else:
+            pattern = _trie_pattern(surfaces)
+            self.regex = re.compile(rf"(?<![\w]){pattern}(?![\w])", re.I) if pattern else None
         self.entity_ids = [e[0] for e in self.entries]
         self.emb = np.stack([hash_embedding(e[1]) for e in self.entries]) if self.entries else np.zeros((0, EMB_DIM))
         self.eid_to_row = {eid: i for i, eid in enumerate(self.entity_ids)}
 
+    def _find_ac(self, text: str) -> list[tuple[str, int, int, str, str, float]]:
+        lowered = _lower1(text)
+        n = len(text)
+        hits = set()
+        for s, e in self.ac.scan(lowered):
+            # same guards as the regex's (?<![\w]) ... (?![\w])
+            if s > 0 and _WORD_RE.match(text[s - 1]):
+                continue
+            if e < n and _WORD_RE.match(text[e]):
+                continue
+            hits.add((s, e))
+        out = []
+        last_end = 0
+        # leftmost-longest non-overlapping == finditer over the greedy trie
+        # pattern: scan positions left to right, prefer the longest
+        # boundary-valid match, resume after its end
+        for s, e in sorted(hits, key=lambda x: (x[0], -x[1])):
+            if s < last_end:
+                continue
+            hit = self.by_surface.get(lowered[s:e])
+            if hit is None:
+                continue
+            out.append((text[s:e], s, e, hit[0], hit[1], hit[2]))
+            last_end = e
+        return out
+
     def find(self, text: str) -> list[tuple[str, int, int, str, str, float]]:
-        if not text or self.regex is None:
+        if not text:
+            return []
+        if self.ac is not None:
+            return self._find_ac(text)
+        if self.regex is None:
             return []
         out = []
         for m in self.regex.finditer(text):

@@ -1,12 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The decode step is STUBBED (no image/audio libraries exist in this runtime):
-``decode_image``/``extract_audio_features``/``sample_video_frames`` raise
-NotImplementedError unless ``deterministic_fake=True``, which produces
-seeded, shape-correct fake outputs so the Spark-side plumbing — schemas,
-mapInPandas batch shapes, partition sizing, metadata propagation — is real
-and tested end-to-end. Swapping in PIL/ffmpeg later changes only the inner
-``_decode_*`` functions, nothing at the DataFrame layer.
+Image decode is REAL for three formats, implemented dependency-free on the
+stdlib (this runtime has no PIL/ffmpeg):
+
+- PPM  (P6 binary and P3 ascii, 8-bit RGB)
+- BMP  (uncompressed BI_RGB, 24/32-bit, bottom-up or top-down)
+- PNG  (8-bit gray / RGB / RGBA, non-interlaced — zlib inflate + all five
+  scanline filters: None/Sub/Up/Average/Paeth, per the PNG spec)
+
+``decode_image`` dispatches on magic bytes; unknown formats (e.g. JPEG,
+whose entropy coding has no stdlib inflate) raise NotImplementedError
+unless ``deterministic_fake=True``, which produces a seeded, shape-correct
+fake so plumbing tests can still cover arbitrary payloads. Thumbnails are
+real nearest-neighbor downsamples of the decoded pixels; the pooled
+feature vector is computed from the thumbnail.
 
 Scale notes: binary columns dominate partition bytes — callers should size
 ``spark.sql.files.maxPartitionBytes`` down (64 MB) for media tables, and
@@ -17,6 +24,7 @@ column pruning keeps the payload unread.
 from __future__ import annotations
 
 import hashlib
+import struct
 import zlib
 
 import numpy as np
@@ -26,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -49,51 +58,254 @@ MEDIA_SCHEMA = StructType(
 IMAGE_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
+        StructField("fmt", StringType(), True),  # ppm | bmp | png | fake
         StructField("sha256", StringType(), True),
         StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),  # DECODED dims
+        StructField("height", IntegerType(), True),
         StructField("feature", ArrayType(FloatType()), True),  # pooled embedding
         StructField("thumb_w", IntegerType(), True),
         StructField("thumb_h", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),  # decoded-pixel channel means
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
     ]
 )
 
 
-def _decode_image(payload: bytes, deterministic_fake: bool):
+# --------------------------- real decoders (stdlib) -------------------------
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """P6 (binary) / P3 (ascii) 8-bit RGB."""
+    if b[:2] not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    # header tokens: magic, width, height, maxval — '#' comments allowed
+    tokens, i, n = [], 2, len(b)
+    while len(tokens) < 3 and i < n:
+        c = b[i : i + 1]
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while i < n and b[i : i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    i += 1  # single whitespace after maxval
+    if b[:2] == b"P6":
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+    else:
+        px = np.array(b[i:].split(), dtype=np.uint8)[: w * h * 3]
+    return px.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP; handles bottom-up and top-down."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h_signed = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3  # rows padded to 4 bytes
+    rows = []
+    for r in range(h):
+        off = data_off + r * stride
+        row = np.frombuffer(b, dtype=np.uint8, count=w * nch, offset=off).reshape(w, nch)
+        rows.append(row[:, 2::-1])  # BGR(A) -> RGB
+    img = np.stack(rows)
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up storage
+    return img.copy()
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (spec §9): raw is h*(1+stride) bytes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + (a + bb) // 2) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """8-bit gray / RGB / RGBA, non-interlaced, via stdlib zlib."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+                )
+            meta = (w, h, {0: 1, 2: 3, 6: 4}[color])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, nch = meta
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    px = _png_unfilter(raw, h, w * nch, nch).reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()  # drop alpha
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False):
+    """Magic-byte dispatch -> (fmt, HxWx3 uint8 array). Real decode for
+    PPM/BMP/PNG; unknown formats raise unless ``deterministic_fake``."""
+    b = payload or b""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", _decode_png(b)
+    if b[:2] == b"BM":
+        return "bmp", _decode_bmp(b)
+    if b[:2] in (b"P6", b"P3"):
+        return "ppm", _decode_ppm(b)
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "runtime; run with deterministic_fake=True for plumbing tests"
+            "unrecognized image format (only PPM/BMP/PNG have stdlib "
+            "decoders in this runtime); run with deterministic_fake=True "
+            "for plumbing tests over arbitrary payloads"
         )
     # seeded fake: pixels derived from payload bytes, fixed 8x8 RGB
-    h = zlib.crc32(payload or b"")
-    rng = np.random.default_rng(h)
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rng = np.random.default_rng(zlib.crc32(b))
+    return "fake", rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def thumbnail(img: np.ndarray, max_side: int = 8) -> np.ndarray:
+    """Nearest-neighbor downsample so max(h, w) <= max_side (no upscale)."""
+    h, w = img.shape[:2]
+    th, tw = min(max_side, h), min(max_side, w)
+    ys = np.arange(th) * h // th
+    xs = np.arange(tw) * w // tw
+    return img[ys][:, xs]
+
+
+# --------------------------- stdlib encoders (fixtures) ---------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = img[r][:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+# --------------------------- DataFrame operators ----------------------------
 
 
 def image_features(
     media: DataFrame, feature_dim: int = 16, deterministic_fake: bool = False
 ) -> DataFrame:
-    """Decode -> resize(thumbnail) -> pooled feature vector, one mapInPandas
-    pass; Arrow carries binary in, float arrays out."""
+    """Decode -> thumbnail(nearest-neighbor, <=8x8) -> pooled feature vector,
+    one mapInPandas pass; Arrow carries binary in, float arrays out."""
 
     def fn(batches):
+        cols = (
+            "media_id", "fmt", "sha256", "n_bytes", "width", "height",
+            "feature", "thumb_w", "thumb_h", "mean_r", "mean_g", "mean_b",
+        )
         for pdf in batches:
-            rows = {k: [] for k in ("media_id", "sha256", "n_bytes", "feature", "thumb_w", "thumb_h")}
+            rows = {k: [] for k in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                img = _decode_image(b, deterministic_fake)
-                pooled = img.astype(np.float64).mean(axis=(0, 1))  # (3,)
+                fmt, img = decode_image(b, deterministic_fake)
+                th = thumbnail(img)
+                pooled = th.astype(np.float64).mean(axis=(0, 1))  # (3,)
                 # project 3 -> feature_dim deterministically
                 feat = np.array(
                     [pooled[d % 3] * ((d * 2654435761 % 1000) / 1000.0 + 0.5) for d in range(feature_dim)],
                     dtype=np.float32,
                 )
+                means = img.astype(np.float64).mean(axis=(0, 1))
                 rows["media_id"].append(mid)
+                rows["fmt"].append(fmt)
                 rows["sha256"].append(hashlib.sha256(b).hexdigest())
                 rows["n_bytes"].append(len(b))
+                rows["width"].append(img.shape[1])
+                rows["height"].append(img.shape[0])
                 rows["feature"].append(feat / 255.0)
-                rows["thumb_w"].append(img.shape[1])
-                rows["thumb_h"].append(img.shape[0])
+                rows["thumb_w"].append(th.shape[1])
+                rows["thumb_h"].append(th.shape[0])
+                rows["mean_r"].append(round(float(means[0]), 6))
+                rows["mean_g"].append(round(float(means[1]), 6))
+                rows["mean_b"].append(round(float(means[2]), 6))
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
@@ -107,10 +319,38 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+def media_color(i: int) -> tuple[int, int, int]:
+    """Deterministic solid color for fixture image i (closed-form, so the
+    DuckDB oracle can reconstruct decoded channel means arithmetically)."""
+    return ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+
+
+def media_dims(i: int) -> tuple[int, int]:
+    """Deterministic (width, height) for fixture image i — spans both sides
+    of the 8px thumbnail bound so the downsample path is exercised."""
+    return (4 + (i % 7) * 2, 3 + (i % 5) * 3)
+
+
 def fake_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media fixture. IMAGE rows carry REAL encoded payloads
+    (PPM/BMP/PNG rotating by row) of solid-color images whose dims and
+    color are closed-form functions of media_id — so decoded width/height/
+    channel means are DuckDB-oracle-able end-to-end. Audio/video rows keep
+    opaque payloads (decode for those is out of scope)."""
     rows = []
+    encoders = [("ppm", encode_ppm, "image/x-portable-pixmap"),
+                ("bmp", encode_bmp, "image/bmp"),
+                ("png", encode_png, "image/png")]
     for i in range(n):
-        payload = (f"media-{i}-" + "x" * (i % 37)).encode()
-        rows.append((i, ["image", "audio", "video"][i % 3], payload, "application/octet-stream", 640 + i % 3, 480, 1000 + i))
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = media_dims(i)
+            r, g, b = media_color(i)
+            img = np.tile(np.array([r, g, b], dtype=np.uint8), (h, w, 1))
+            _, enc, mime = encoders[(i // 3) % 3]
+            payload = enc(img)
+            rows.append((i, kind, payload, mime, w, h, None))
+        else:
+            payload = (f"media-{i}-" + "x" * (i % 37)).encode()
+            rows.append((i, kind, payload, "application/octet-stream", None, None, 1000 + i))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -140,10 +140,13 @@ def qualified_rules_df(pages: DataFrame) -> DataFrame:
     from ..shacl.extractor import extract_qualified_rules
 
     schema = (
-        "url string, shape_uri string, target_class string, path string, "
-        "q_class string, q_datatype string, q_nodeKind string, q_min int, q_max int"
+        "url string, shape_uri string, ps_idx int, target_class string, path string, "
+        "q_class string, q_datatype string, q_nodeKind string, q_min int, q_max int, "
+        "disjoint boolean, "
+        "siblings array<struct<q_class:string,q_datatype:string,q_nodeKind:string>>"
     )
-    cols = ["url", "shape_uri", "target_class", "path", "q_class", "q_datatype", "q_nodeKind", "q_min", "q_max"]
+    cols = ["url", "shape_uri", "ps_idx", "target_class", "path", "q_class", "q_datatype",
+            "q_nodeKind", "q_min", "q_max", "disjoint", "siblings"]
 
     def fn(batches):
         for pdf in batches:
@@ -153,8 +156,12 @@ def qualified_rules_df(pages: DataFrame) -> DataFrame:
                 if not triples:
                     continue
                 for r in extract_qualified_rules(triples):
-                    rows.append((url, r["shape_uri"], r["target_class"], r["path"],
-                                 r["q_class"], r["q_datatype"], r["q_nodeKind"], r["q_min"], r["q_max"]))
+                    sibs = [
+                        (s["q_class"], s["q_datatype"], s["q_nodeKind"]) for s in r["siblings"]
+                    ]
+                    rows.append((url, r["shape_uri"], r["ps_idx"], r["target_class"], r["path"],
+                                 r["q_class"], r["q_datatype"], r["q_nodeKind"], r["q_min"],
+                                 r["q_max"], r["disjoint"], sibs))
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.mapInPandas(fn, schema=schema)

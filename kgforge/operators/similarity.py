@@ -505,9 +505,22 @@ def lsh_topk(
     planes: int = 10,
     dim: int = 64,
     round_digits: int = 6,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the hyperplane bucket (multi-probe:
-    exact bucket + 1-bit flips), exact cosine re-rank inside candidates."""
+    exact bucket + all buckets within hamming distance ``probe_radius`` of
+    it), exact cosine re-rank inside candidates.
+
+    ``probe_radius`` generalizes the probe set: radius 1 (default) probes
+    the query bucket plus its 1-bit flips; radius == ``planes`` probes ALL
+    2^planes buckets, which makes the candidate set the whole corpus and
+    the search EXACT — under that regime the brute-force cosine SQL is a
+    true value oracle for the entire bucket/probe/dedup/re-rank plumbing
+    (the same exactness trick as ``ivf_topk`` with nprobe == n_centroids).
+    The XOR-mask set is enumerated driver-side — it is pure plane metadata
+    (sum of C(planes, i) masks, independent of corpus size)."""
+    from itertools import combinations
+
     from .util import rebalance
 
     e = rebalance(embeddings).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")).withColumn(
@@ -516,14 +529,18 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
         "qbucket", hyperplane_bucket_col(F.col("qv"), planes, dim)
     )
-    # multi-probe: query bucket plus all 1-bit neighbors
+    radius = min(probe_radius, planes)
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, radius + 1)
+        for bits in combinations(range(planes), r)
+    ]
     probes = q.select(
         "query_id",
         "qv",
         F.explode(
-            F.array_union(
-                F.array(F.col("qbucket")),
-                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]),
+            F.array_distinct(
+                F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])
             )
         ).alias("bucket"),
     )

@@ -1,0 +1,364 @@
+"""SHACL-SPARQL constraint EXECUTION over the corpus triples.
+
+The reference parser extracts sh:sparql constraints as metadata only —
+query text, sh:prefixes declarations, messages, deactivated
+(/root/reference/src/Extractors/ShaclShapeProcessor.php:606-741) — and
+never executes them. This module executes the fixture-shaped subset as
+declarative DataFrame plans, completing the last extraction-only
+constraint family (SURVEY §2.10; W3C SHACL §5).
+
+Executable grammar (the shapes the reference's own fixtures use —
+ShaclSparqlParserTest.php):
+
+    SELECT $this [?vars...] WHERE { <BGP> [FILTER (expr)] ... }
+    ASK { <BGP> [FILTER (expr)] ... }
+
+where <BGP> is one or more dot-terminated statements
+
+    $this <pred> ?var | $this <pred> <iri>/"lit" | ?var <pred> ?var2/term
+
+(statements join on shared variables; the first subject must be ``$this``
+or an already-bound variable — no cartesian patterns), predicates are
+IRIs, ``a``, or ``prefix:local`` names expanded through the constraint's
+own sh:prefixes declarations, and FILTER expressions cover
+
+    ?v < <= > >= = != <number|"string">   CONTAINS(?v, "s")
+    REGEX(?v, "pat")                      STRLEN(?v) <op> <n>
+
+Semantics (W3C SHACL-SPARQL): a SELECT solution IS a violation — every
+focus node the query returns fails the constraint; an ASK query must
+return true for the focus node to conform (no solution = violation).
+
+Scale design: query TEXTS are schema-level metadata — the distinct set is
+collected once driver-side (bounded by ``max_distinct_queries``; the tail
+beyond the cap is skipped and counted, never silently ignored), each
+distinct query compiles to ONE static join plan over the triples fact
+table, and all plans union. Focus-node sets ride the same typed-subjects
+join as every other executor; nothing per-row ever runs in Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rdf.terms import RDF_TYPE
+
+_STMT_RE = re.compile(
+    r"(\$this|\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>)\s+"
+    r"(a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)\s+"
+    r"(\$this|\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|\"(?:[^\"\\]|\\.)*\"|[+-]?\d+(?:\.\d+)?)"
+)
+_FILTER_RE = re.compile(r"FILTER\s*\(", re.IGNORECASE)
+_CMP_RE = re.compile(
+    r"^\?([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|!=|=|<|>)\s*(.+)$"
+)
+_CONTAINS_RE = re.compile(
+    r"^CONTAINS\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\"((?:[^\"\\]|\\.)*)\"\s*\)$",
+    re.IGNORECASE,
+)
+_REGEX_RE = re.compile(
+    r"^REGEX\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*,\s*\"((?:[^\"\\]|\\.)*)\"\s*\)$",
+    re.IGNORECASE,
+)
+_STRLEN_RE = re.compile(
+    r"^STRLEN\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(<=|>=|!=|=|<|>)\s*(\d+)$",
+    re.IGNORECASE,
+)
+
+
+class SparqlUnsupported(ValueError):
+    """Query text outside the executable subset."""
+
+
+def _expand_term(tok: str, prefixes: dict) -> tuple[str, str]:
+    """-> (kind, value): kind in {'this', 'var', 'iri', 'str', 'num'}."""
+    if tok == "$this":
+        return "this", tok
+    if tok.startswith("?"):
+        return "var", tok
+    if tok.startswith("<") and tok.endswith(">"):
+        return "iri", tok[1:-1]
+    if tok == "a":
+        return "iri", RDF_TYPE
+    if tok.startswith('"'):
+        return "str", tok[1:-1].replace('\\"', '"')
+    if re.match(r"^[+-]?\d", tok):
+        return "num", tok
+    if ":" in tok:
+        pfx, local = tok.split(":", 1)
+        if pfx in (prefixes or {}):
+            return "iri", prefixes[pfx] + local
+    raise SparqlUnsupported(f"unresolvable term {tok!r}")
+
+
+def _extract_filters(body: str) -> tuple[str, list[str]]:
+    """Strip FILTER(...) clauses (balanced parens) out of the WHERE body."""
+    filters = []
+    while True:
+        m = _FILTER_RE.search(body)
+        if not m:
+            return body, filters
+        depth, i = 1, m.end()
+        while i < len(body) and depth > 0:
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise SparqlUnsupported("unbalanced FILTER parens")
+        filters.append(body[m.end() : i - 1].strip())
+        body = body[: m.start()] + body[i:]
+
+
+def parse_sparql_constraint(text: str, prefixes: dict | None) -> dict:
+    """Compile one SELECT/ASK text into {kind, patterns, filters}.
+    Raises SparqlUnsupported outside the subset."""
+    t = text.strip()
+    m = re.match(r"^SELECT\s+.*?\s*WHERE\s*\{(.*)\}\s*$", t, re.IGNORECASE | re.DOTALL)
+    kind = "select"
+    if m is None:
+        m = re.match(r"^ASK\s*\{(.*)\}\s*$", t, re.IGNORECASE | re.DOTALL)
+        kind = "ask"
+    if m is None:
+        raise SparqlUnsupported(f"not a SELECT/ASK query: {text[:60]!r}")
+    body, raw_filters = _extract_filters(m.group(1))
+    if "{" in body or "OPTIONAL" in body.upper() or "UNION" in body.upper():
+        raise SparqlUnsupported("nested group patterns are outside the subset")
+    patterns = []
+    for sm in _STMT_RE.finditer(body):
+        s = _expand_term(sm.group(1), prefixes)
+        p = _expand_term(sm.group(2), prefixes)
+        o = _expand_term(sm.group(3), prefixes)
+        if p[0] != "iri":
+            raise SparqlUnsupported(f"predicate must be an IRI: {sm.group(2)!r}")
+        patterns.append((s, p[1], o))
+    if not patterns:
+        raise SparqlUnsupported("no basic graph patterns found")
+    filters = []
+    for fx in raw_filters:
+        fx = fx.strip()
+        if (cm := _CONTAINS_RE.match(fx)) is not None:
+            filters.append(("contains", cm.group(1), cm.group(2)))
+        elif (rm := _REGEX_RE.match(fx)) is not None:
+            filters.append(("regex", rm.group(1), rm.group(2)))
+        elif (lm := _STRLEN_RE.match(fx)) is not None:
+            filters.append(("strlen", lm.group(1), lm.group(2), int(lm.group(3))))
+        elif (km := _CMP_RE.match(fx)) is not None:
+            rhs = km.group(3).strip()
+            rk, rv = _expand_term(rhs, prefixes)
+            if rk not in ("num", "str", "iri"):
+                raise SparqlUnsupported(f"unsupported FILTER rhs {rhs!r}")
+            filters.append(("cmp", km.group(1), km.group(2), rk, rv))
+        else:
+            raise SparqlUnsupported(f"unsupported FILTER expression {fx!r}")
+    return {"kind": kind, "patterns": patterns, "filters": filters}
+
+
+_OPS = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def _filter_cond(flt, bind):
+    def col(var):
+        if var not in bind:
+            raise SparqlUnsupported(f"FILTER over unbound var ?{var}")
+        return F.col(bind[var])
+
+    if flt[0] == "contains":
+        return F.col(bind[flt[1]]).contains(flt[2]) if flt[1] in bind else F.lit(False)
+    if flt[0] == "regex":
+        return F.regexp_like(col(flt[1]), F.lit(flt[2]))
+    if flt[0] == "strlen":
+        return _OPS[flt[2]](F.length(col(flt[1])), F.lit(flt[3]))
+    _, var, op, rk, rv = flt
+    if rk == "num":
+        # try_cast, not cast: Catalyst pushes this filter below the
+        # predicate-equality join condition, where object.value still holds
+        # arbitrary (non-numeric) terms — ANSI cast would throw there.
+        return _OPS[op](col(var).try_cast("double"), F.lit(float(rv)))
+    return _OPS[op](col(var), F.lit(rv))
+
+
+def _compile_query(focus: DataFrame, data: DataFrame, q: dict, same_url_scope: bool) -> DataFrame:
+    """focus(f_url, focus, shape_uri) x patterns -> matched focus rows."""
+    cur = focus
+    bind: dict[str, str] = {}
+    kept = ["f_url", "focus", "shape_uri"]
+    for i, ((sk, sv), pred, (ok, ov)) in enumerate(q["patterns"]):
+        a = f"t{i}"
+        cond = F.col(f"{a}.predicate") == F.lit(pred)
+        if same_url_scope:
+            cond = cond & (F.col(f"{a}.url") == F.col("f_url"))
+        if sk == "this":
+            cond = cond & (F.col(f"{a}.subject") == F.col("focus"))
+        elif sk == "var":
+            if sv[1:] not in bind:
+                raise SparqlUnsupported(f"unbound subject var {sv} (cartesian pattern)")
+            cond = cond & (F.col(f"{a}.subject") == F.col(bind[sv[1:]]))
+        else:
+            cond = cond & (F.col(f"{a}.subject") == F.lit(sv))
+        proj = [F.col(c) for c in kept]
+        if ok == "this":
+            cond = cond & (F.col(f"{a}.object.value") == F.col("focus"))
+        elif ok == "var":
+            if ov[1:] in bind:
+                cond = cond & (F.col(f"{a}.object.value") == F.col(bind[ov[1:]]))
+            else:
+                vcol = f"v_{ov[1:]}"
+                bind[ov[1:]] = vcol
+                kept = kept + [vcol]
+                proj = proj + [F.col(f"{a}.object.value").alias(vcol)]
+        else:  # iri / str / num literal object
+            cond = cond & (F.col(f"{a}.object.value") == F.lit(ov))
+        cur = cur.join(data.alias(a), cond, "inner").select(*proj)
+    for flt in q["filters"]:
+        cur = cur.filter(_filter_cond(flt, bind))
+    return cur.select("f_url", "focus", "shape_uri").distinct()
+
+
+def sparql_constraint_violations(
+    triples: DataFrame,
+    shapes: DataFrame,
+    same_url_scope: bool = True,
+    max_distinct_queries: int = 1000,
+    strict: bool = False,
+) -> DataFrame:
+    """Execute shape-level sh:sparql constraints; one report row per
+    (focus, constraint) violation, same shape as the other focus-level
+    executors (url, subject, shape_uri, constraint, violations).
+
+    No silent caps: queries outside the executable subset (or beyond
+    ``max_distinct_queries``) are SKIPPED permissively by default —
+    ``strict=True`` raises ``SparqlUnsupported`` instead so callers can
+    surface exactly which constraint text was not executed."""
+    from .validate import _typed_subjects
+
+    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
+    typed = _typed_subjects(data)
+
+    sc = (
+        shapes.filter(~F.col("deactivated"))
+        .filter(F.size(F.coalesce(F.col("sparql_constraints"), F.array())) > 0)
+        .select(
+            F.col("url").alias("shape_url"),
+            F.col("uri").alias("shape_uri"),
+            F.explode("target_classes").alias("target_class"),
+            F.explode("sparql_constraints").alias("sc"),
+        )
+        .filter(~F.coalesce(F.col("sc.deactivated"), F.lit(False)))
+        .select(
+            "shape_url", "shape_uri", "target_class",
+            F.col("sc.select").alias("q_select"),
+            F.col("sc.ask").alias("q_ask"),
+            F.col("sc.prefixes").alias("q_prefixes"),
+        )
+        # MAP columns can't participate in set ops / dedup keys: derive a
+        # canonical scalar key (sorted entries as JSON) for grouping — two
+        # constraints are the same query iff text AND prefix declarations
+        # match
+        .withColumn(
+            "pfx_key",
+            F.coalesce(
+                F.to_json(F.sort_array(F.map_entries("q_prefixes"))), F.lit("[]")
+            ),
+        )
+    )
+    sc = sc.drop("q_prefixes")  # the scalar pfx_key fully encodes it
+    distinct_q = (
+        sc.select("q_select", "q_ask", "pfx_key")
+        .distinct()
+        .limit(max_distinct_queries + 1)
+        .collect()
+    )
+    skipped = max(0, len(distinct_q) - max_distinct_queries)
+    if strict and skipped:
+        raise SparqlUnsupported(
+            f"distinct sh:sparql query texts exceed max_distinct_queries={max_distinct_queries}"
+        )
+    distinct_q = distinct_q[:max_distinct_queries]
+
+    outs = []
+    for row in distinct_q:
+        text = row["q_select"] or row["q_ask"]
+        if not text:
+            continue
+        import json
+
+        prefixes = {e["key"]: e["value"] for e in json.loads(row["pfx_key"])}
+        try:
+            q = parse_sparql_constraint(text, prefixes)
+        except SparqlUnsupported:
+            if strict:
+                raise
+            skipped += 1  # outside the subset: disclosed, not silently green
+            continue
+        carriers = sc.filter(
+            (F.col("q_select").eqNullSafe(row["q_select"]))
+            & (F.col("q_ask").eqNullSafe(row["q_ask"]))
+            & (F.col("pfx_key") == row["pfx_key"])
+        )
+        f_cond = typed.cls == carriers.target_class
+        if same_url_scope:
+            f_cond = f_cond & (typed.url == carriers.shape_url)
+        focus = (
+            typed.alias("ty")
+            .join(carriers.alias("cb"), f_cond)
+            .select(
+                F.col("ty.url").alias("f_url"),
+                F.col("ty.subject").alias("focus"),
+                "cb.shape_uri",
+            )
+            .distinct()
+        )
+        try:
+            matched = _compile_query(focus, data, q, same_url_scope)
+        except SparqlUnsupported:
+            if strict:
+                raise
+            skipped += 1
+            continue
+        if q["kind"] == "select":
+            viol = matched  # every solution is a violation
+            tag = "sparql_select"
+        else:
+            viol = focus.join(matched, ["f_url", "focus", "shape_uri"], "left_anti")
+            tag = "sparql_ask"  # ask must hold; no solution = violation
+        outs.append(
+            viol.select(
+                F.col("f_url").alias("url"),
+                F.col("focus").alias("subject"),
+                "shape_uri",
+                F.lit(tag).alias("constraint"),
+                F.array(F.lit(tag)).alias("violations"),
+            )
+        )
+
+    if not outs:
+        from pyspark.sql import types as T
+
+        return triples.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("subject", T.StringType()),
+                    T.StructField("shape_uri", T.StringType()),
+                    T.StructField("constraint", T.StringType()),
+                    T.StructField("violations", T.ArrayType(T.StringType(), False)),
+                ]
+            ),
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -42,6 +42,34 @@ XSD = "http://www.w3.org/2001/XMLSchema#"
 _NUMERIC_DTS = [XSD + t for t in ("integer", "decimal", "double", "float", "int", "long", "short", "byte")]
 
 
+def _nodekind_conforms(nk, kind):
+    """One shared sh:nodeKind conformance expression covering ALL SIX W3C
+    kinds (sh:IRI / sh:BlankNode / sh:Literal and the three unions) — every
+    executor uses this so no copy can drop an arm. ``kind`` is the parse
+    schema's term kind ('iri' | 'bnode' | 'literal')."""
+    return (
+        ((nk == SH + "IRI") & (kind == "iri"))
+        | ((nk == SH + "BlankNode") & (kind == "bnode"))
+        | ((nk == SH + "Literal") & (kind == "literal"))
+        | ((nk == SH + "BlankNodeOrIRI") & kind.isin("bnode", "iri"))
+        | ((nk == SH + "BlankNodeOrLiteral") & kind.isin("bnode", "literal"))
+        | ((nk == SH + "IRIOrLiteral") & kind.isin("iri", "literal"))
+    )
+
+
+def _resource_kind(col):
+    """Term kind for a resource-position term (subject / focus node):
+    blank-node labels are ``_:``-prefixed in the parse schema
+    (rdf/terms.py), everything else is an IRI; NULL stays NULL (no value
+    row). Needed so sh:nodeKind sh:BlankNode on inverse-path values and
+    closure focus nodes doesn't falsely violate (and sh:IRI falsely pass)
+    for blank nodes."""
+    return F.when(
+        col.isNotNull(),
+        F.when(col.startswith("_:"), F.lit("bnode")).otherwise(F.lit("iri")),
+    )
+
+
 def property_constraints(shapes: DataFrame) -> DataFrame:
     """Explode shape records into one row per (target_class, property
     constraint) — the broadcastable rule table."""
@@ -166,20 +194,17 @@ def validate_triples(
         into sh_or/sh_and/sh_xone/sh_not, ShaclPropertyAnalyzer.php:
         extractInlineShape)? Members carrying only non-row-local fields
         (class/node, needing a typing join) conform vacuously — documented
-        permissive scope, mirroring the executable-subset rule above."""
+        permissive scope for or/and/xone, mirroring the executable-subset
+        rule above. For sh:not, vacuous conformance would INVERT into
+        flagging every value, so the 'not' check below additionally
+        requires ``_inline_executable``."""
         nk = m["nodeKind"]
         return (
             F.when(
                 m["datatype"].isNotNull(), (o_kind == "literal") & (o_dt == m["datatype"])
             ).otherwise(F.lit(True))
             & F.when(
-                nk.isNotNull(),
-                ((nk == SH + "IRI") & (o_kind == "iri"))
-                | ((nk == SH + "BlankNode") & (o_kind == "bnode"))
-                | ((nk == SH + "Literal") & (o_kind == "literal"))
-                | ((nk == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
-                | ((nk == SH + "BlankNodeOrLiteral") & o_kind.isin("bnode", "literal"))
-                | ((nk == SH + "IRIOrLiteral") & o_kind.isin("iri", "literal")),
+                nk.isNotNull(), _nodekind_conforms(nk, o_kind)
             ).otherwise(F.lit(True))
             & F.when(
                 m["minLength"].isNotNull(), F.length(o_val) >= m["minLength"].cast("int")
@@ -195,6 +220,18 @@ def validate_triples(
     def _n_conforming(arr_col):
         return F.size(F.filter(arr_col, _inline_conforms))
 
+    def _inline_executable(m):
+        """At least one ROW-LOCAL field is set, i.e. _inline_conforms
+        actually evaluates something. A member carrying only class/node/
+        min-maxCount (join-needing fields) is non-executable here."""
+        return (
+            m["datatype"].isNotNull()
+            | m["nodeKind"].isNotNull()
+            | m["minLength"].isNotNull()
+            | m["maxLength"].isNotNull()
+            | m["pattern"].isNotNull()
+        )
+
     checks = [
         (
             "datatype",
@@ -203,15 +240,7 @@ def validate_triples(
         ),
         (
             "nodeKind",
-            F.col("r.c_nodeKind").isNotNull()
-            & ~(
-                ((F.col("r.c_nodeKind") == SH + "IRI") & (o_kind == "iri"))
-                | ((F.col("r.c_nodeKind") == SH + "BlankNode") & (o_kind == "bnode"))
-                | ((F.col("r.c_nodeKind") == SH + "Literal") & (o_kind == "literal"))
-                | ((F.col("r.c_nodeKind") == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
-                | ((F.col("r.c_nodeKind") == SH + "BlankNodeOrLiteral") & o_kind.isin("bnode", "literal"))
-                | ((F.col("r.c_nodeKind") == SH + "IRIOrLiteral") & o_kind.isin("iri", "literal"))
-            ),
+            F.col("r.c_nodeKind").isNotNull() & ~_nodekind_conforms(F.col("r.c_nodeKind"), o_kind),
         ),
         ("pattern", F.col("r.c_pattern").isNotNull() & ~F.regexp_like(o_val, F.col("r.c_pattern"))),
         ("in", F.col("r.c_in").isNotNull() & ~F.array_contains(F.col("r.c_in"), o_val)),
@@ -251,7 +280,16 @@ def validate_triples(
             & (_n_conforming(F.col("r.c_and")) < F.size(F.col("r.c_and"))),
         ),
         ("xone", F.col("r.c_xone").isNotNull() & (_n_conforming(F.col("r.c_xone")) != 1)),
-        ("not", F.col("r.c_not").isNotNull() & _inline_conforms(F.col("r.c_not"))),
+        # sh:not is only executable when the member has >=1 row-local field:
+        # a member whose only fields are class/node/min-maxCount conforms
+        # vacuously in _inline_conforms, which for 'not' would invert into
+        # rejecting EVERY value — skip the check instead (ADVICE r2)
+        (
+            "not",
+            F.col("r.c_not").isNotNull()
+            & _inline_executable(F.col("r.c_not"))
+            & _inline_conforms(F.col("r.c_not")),
+        ),
     ]
     # Violations travel as an int BITMASK, not array<string>: the arrays
     # forced ObjectHashAggregate (collect_list is a TypedImperativeAggregate
@@ -568,7 +606,12 @@ def qualified_cardinality_violations(
     Per focus node: count values of ``path`` conforming to the qualified
     shape; violate when the count falls outside [q_min, q_max]. One output
     row per (focus node, rule) violation.
-    """
+
+    sh:qualifiedValueShapesDisjoint (W3C §4.5.3; the reference extracts the
+    flag at ShaclPropertyAnalyzer.php:33-38): when set, a value only counts
+    if it conforms to THIS qualified shape and to NO sibling qualified
+    shape (the rule rows carry their executable siblings' row-local fields
+    as an array, dereferenced doc-confined at extraction time)."""
     data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
     typed = _typed_subjects(data)
 
@@ -578,7 +621,8 @@ def qualified_cardinality_violations(
     focus = typed.alias("ty").join(qrules.alias("qr"), focus_cond).select(
         F.col("ty.url").alias("url"),
         F.col("ty.subject").alias("subject"),
-        "qr.shape_uri", "qr.path", "qr.q_class", "qr.q_datatype", "qr.q_nodeKind", "qr.q_min", "qr.q_max",
+        "qr.shape_uri", "qr.ps_idx", "qr.path", "qr.q_class", "qr.q_datatype", "qr.q_nodeKind",
+        "qr.q_min", "qr.q_max", "qr.siblings",
     )
 
     vals = data.select(
@@ -594,29 +638,39 @@ def qualified_cardinality_violations(
         v_cond = v_cond & (F.col("fo.url") == F.col("v.url"))
     with_vals = focus.alias("fo").join(vals.alias("v"), v_cond, "left")
 
-    # value typing for sh:class conformance (value node typed q_class)
-    vt = typed.select(
-        F.col("url").alias("vt_url"), F.col("subject").alias("vt_subject"), F.col("cls").alias("vt_cls")
+    # per-value class SET (one small agg over rdf:type triples) — serves
+    # both this rule's sh:class conformance and every sibling's
+    vt = typed.groupBy("url", "subject").agg(F.collect_set("cls").alias("val_classes"))
+    vt = vt.select(
+        F.col("url").alias("vt_url"), F.col("subject").alias("vt_subject"), "val_classes"
     )
-    t_cond = (F.col("v.val") == F.col("vt_subject")) & (F.col("fo.q_class") == F.col("vt_cls"))
+    t_cond = F.col("v.val") == F.col("vt_subject")
     if same_url_scope:
         t_cond = t_cond & (F.col("fo.url") == F.col("vt_url"))
     with_types = with_vals.join(vt, t_cond, "left")
+    classes = F.coalesce(F.col("val_classes"), F.array())
 
+    def _qvs_conforms(q_class, q_datatype, q_nodeKind):
+        return (
+            (q_class.isNull() | F.array_contains(classes, q_class))
+            & (
+                q_datatype.isNull()
+                | ((F.col("v.val_kind") == "literal") & (F.col("v.val_dt") == q_datatype))
+            )
+            & (q_nodeKind.isNull() | _nodekind_conforms(q_nodeKind, F.col("v.val_kind")))
+        )
+
+    sib_conforms = F.exists(
+        F.coalesce(F.col("fo.siblings"), F.array()),
+        lambda s: _qvs_conforms(s["q_class"], s["q_datatype"], s["q_nodeKind"]),
+    )
     conforms = (
         F.col("v.val").isNotNull()
-        & (F.col("fo.q_class").isNull() | F.col("vt_cls").isNotNull())
-        & (F.col("fo.q_datatype").isNull() | ((F.col("v.val_kind") == "literal") & (F.col("v.val_dt") == F.col("fo.q_datatype"))))
-        & (
-            F.col("fo.q_nodeKind").isNull()
-            | ((F.col("fo.q_nodeKind") == SH + "IRI") & (F.col("v.val_kind") == "iri"))
-            | ((F.col("fo.q_nodeKind") == SH + "BlankNode") & (F.col("v.val_kind") == "bnode"))
-            | ((F.col("fo.q_nodeKind") == SH + "Literal") & (F.col("v.val_kind") == "literal"))
-            | ((F.col("fo.q_nodeKind") == SH + "BlankNodeOrIRI") & F.col("v.val_kind").isin("bnode", "iri"))
-        )
+        & _qvs_conforms(F.col("fo.q_class"), F.col("fo.q_datatype"), F.col("fo.q_nodeKind"))
+        & ~sib_conforms  # siblings array is empty unless disjoint is set
     )
     agg = with_types.groupBy(
-        "fo.url", "fo.subject", "fo.shape_uri", "fo.path", "fo.q_min", "fo.q_max"
+        "fo.url", "fo.subject", "fo.shape_uri", "fo.ps_idx", "fo.path", "fo.q_min", "fo.q_max"
     ).agg(F.sum(F.when(conforms, 1).otherwise(0)).alias("n_conforming"))
     return (
         agg.filter(
@@ -624,7 +678,7 @@ def qualified_cardinality_violations(
             | (F.col("q_max").isNotNull() & (F.col("n_conforming") > F.col("q_max")))
         )
         .select(
-            "url", "subject", "path", "shape_uri", "n_conforming", "q_min", "q_max",
+            "url", "subject", "path", "shape_uri", "ps_idx", "n_conforming", "q_min", "q_max",
             F.array(
                 F.when(
                     F.col("q_min").isNotNull() & (F.col("n_conforming") < F.col("q_min")),
@@ -723,12 +777,7 @@ def node_shape_violations(
     ).when(
         o_val.isNotNull()
         & F.col("cf.cc_nodeKind").isNotNull()
-        & ~(
-            ((F.col("cf.cc_nodeKind") == SH + "IRI") & (o_kind == "iri"))
-            | ((F.col("cf.cc_nodeKind") == SH + "BlankNode") & (o_kind == "bnode"))
-            | ((F.col("cf.cc_nodeKind") == SH + "Literal") & (o_kind == "literal"))
-            | ((F.col("cf.cc_nodeKind") == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
-        ),
+        & ~_nodekind_conforms(F.col("cf.cc_nodeKind"), o_kind),
         F.lit("nodeKind"),
     )
     agg = joined.groupBy(
@@ -863,14 +912,20 @@ def node_logical_violations(
             )
             | (
                 F.col("mr.m_nodeKind").isNotNull()
-                & ~(
-                    ((F.col("mr.m_nodeKind") == SH + "IRI") & (o_kind == "iri"))
-                    | ((F.col("mr.m_nodeKind") == SH + "BlankNode") & (o_kind == "bnode"))
-                    | ((F.col("mr.m_nodeKind") == SH + "Literal") & (o_kind == "literal"))
-                    | ((F.col("mr.m_nodeKind") == SH + "BlankNodeOrIRI") & o_kind.isin("bnode", "iri"))
-                )
+                & ~_nodekind_conforms(F.col("mr.m_nodeKind"), o_kind)
             )
         )
+    )
+    # a member rule is EXECUTABLE when it carries at least one enforced
+    # field; a member with no executable rules conforms vacuously, which is
+    # fine for and/or/xone (documented permissive scope) but would invert
+    # for sh:not — 'not' over such a member must be SKIPPED, not fired on
+    # every focus node (ADVICE r2)
+    rule_exec = (
+        F.col("mr.m_datatype").isNotNull()
+        | F.col("mr.m_nodeKind").isNotNull()
+        | F.col("mr.m_minCount").isNotNull()
+        | F.col("mr.m_maxCount").isNotNull()
     )
     # layer 1: per (focus, combinator, member, member-rule) -> rule_ok
     per_rule = with_vals.groupBy(
@@ -879,6 +934,7 @@ def node_logical_violations(
     ).agg(
         F.count(o_val).alias("n_vals"),
         F.max(F.when(row_bad, 1).otherwise(0)).alias("any_row_bad"),
+        F.max(F.when(rule_exec, 1).otherwise(0)).alias("rule_exec"),
     ).withColumn(
         "rule_ok",
         F.when(
@@ -888,19 +944,27 @@ def node_logical_violations(
             0,
         ).otherwise(1),
     )
-    # layer 2: member conforms iff every rule ok (vacuous when no rules)
+    # layer 2: member conforms iff every rule ok (vacuous when no rules);
+    # member_exec tracks whether ANY of its rules is executable
     per_member = per_rule.groupBy(
         "url", "focus", "shape_uri", "comb", "n_members", "member"
-    ).agg(F.min("rule_ok").alias("member_ok"))
+    ).agg(
+        F.min("rule_ok").alias("member_ok"),
+        F.max("rule_exec").alias("member_exec"),
+    )
     # layer 3: combinator verdict
     agg = per_member.groupBy("url", "focus", "shape_uri", "comb", "n_members").agg(
-        F.sum("member_ok").alias("n_conf")
+        F.sum("member_ok").alias("n_conf"),
+        F.min("member_exec").alias("min_exec"),
     )
     violated = (
         F.when(F.col("comb") == "and", F.col("n_conf") < F.col("n_members"))
         .when(F.col("comb") == "or", F.col("n_conf") < 1)
         .when(F.col("comb") == "xone", F.col("n_conf") != 1)
-        .when(F.col("comb") == "not", F.col("n_conf") > 0)
+        # 'not' has exactly one member: only fire when that member has
+        # executable rules — otherwise its vacuous conformance would reject
+        # every focus node (ADVICE r2)
+        .when(F.col("comb") == "not", (F.col("n_conf") > 0) & (F.col("min_exec") == 1))
     )
     return agg.filter(violated).select(
         "url",
@@ -1011,12 +1075,7 @@ def path_constraint_violations(
         ).when(
             F.col("v_value").isNotNull()
             & F.col("c_nodeKind").isNotNull()
-            & ~(
-                ((F.col("c_nodeKind") == SH + "IRI") & (F.col("v_kind") == "iri"))
-                | ((F.col("c_nodeKind") == SH + "BlankNode") & (F.col("v_kind") == "bnode"))
-                | ((F.col("c_nodeKind") == SH + "Literal") & (F.col("v_kind") == "literal"))
-                | ((F.col("c_nodeKind") == SH + "BlankNodeOrIRI") & F.col("v_kind").isin("bnode", "iri"))
-            ),
+            & ~_nodekind_conforms(F.col("c_nodeKind"), F.col("v_kind")),
             F.lit("nodeKind"),
         ).when(
             F.col("v_value").isNotNull()
@@ -1051,78 +1110,94 @@ def path_constraint_violations(
             )
         )
 
+    # ONE driver-side probe of the tiny rule-metadata table, persisted so
+    # the shape-extraction plan executes once — not once per branch probe.
+    # (ADVICE r2: the old tc limit(1).count() + sequence-lengths collect()
+    # ran 2+ eager jobs at plan-construction time even when no such rules
+    # existed, re-executing an unmaterialized shapes plan each time.)
+    # Branches below are only CONSTRUCTED for path types actually present,
+    # so a corpus with plain predicate paths pays zero plan overhead here.
+    base_rules = base_rules.persist()
+    meta = base_rules.select("path_type", F.size("paths").alias("L")).distinct().collect()
+    types_present = {r["path_type"] for r in meta}
+
     outs = []
 
     # ---- inverse: value nodes are SUBJECTS pointing at the focus ----------
-    inv_focus = focus_of(base_rules.filter(F.col("path_type") == "inverse"))
-    iv_cond = (F.col("d.object.value") == F.col("fo.focus")) & (
-        F.col("d.predicate") == F.col("fo.path")
-    ) & F.col("d.object.kind").isin("iri", "bnode")
-    if same_url_scope:
-        iv_cond = iv_cond & (F.col("d.url") == F.col("fo.url"))
-    inv_vals = inv_focus.alias("fo").join(data.alias("d"), iv_cond, "left").select(
-        "fo.*",
-        F.col("d.subject").alias("v_value"),
-        # subjects are resources; literal-only constraints can't hold on them
-        F.when(F.col("d.subject").isNotNull(), F.lit("iri")).alias("v_kind"),
-        F.lit(None).cast("string").alias("v_dt"),
-    )
-    outs.append(value_checks(inv_vals))
+    if "inverse" in types_present:
+        inv_focus = focus_of(base_rules.filter(F.col("path_type") == "inverse"))
+        iv_cond = (F.col("d.object.value") == F.col("fo.focus")) & (
+            F.col("d.predicate") == F.col("fo.path")
+        ) & F.col("d.object.kind").isin("iri", "bnode")
+        if same_url_scope:
+            iv_cond = iv_cond & (F.col("d.url") == F.col("fo.url"))
+        inv_vals = inv_focus.alias("fo").join(data.alias("d"), iv_cond, "left").select(
+            "fo.*",
+            F.col("d.subject").alias("v_value"),
+            # subjects are resources (iri OR bnode — '_:'-prefixed labels);
+            # literal-only constraints can't hold on them
+            _resource_kind(F.col("d.subject")).alias("v_kind"),
+            F.lit(None).cast("string").alias("v_dt"),
+        )
+        outs.append(value_checks(inv_vals))
 
     # ---- alternative: union of one-hop value sets over the member paths ---
     # (W3C §2.3.1: values are reachable through ANY member; counts are per
     # RULE, so the per-member left joins aggregate together in value_checks)
-    alt_focus = focus_of(
-        base_rules.filter((F.col("path_type") == "alternative") & F.col("paths").isNotNull())
-    )
-    alt_m = alt_focus.select("*", F.explode("paths").alias("member")).alias("fo")
-    am_cond = (F.col("d.subject") == F.col("fo.focus")) & (
-        F.col("d.predicate") == F.col("fo.member")
-    )
-    if same_url_scope:
-        am_cond = am_cond & (F.col("d.url") == F.col("fo.url"))
-    alt_vals = alt_m.join(data.alias("d"), am_cond, "left").select(
-        "fo.*",
-        F.col("d.object.value").alias("v_value"),
-        F.col("d.object.kind").alias("v_kind"),
-        F.coalesce(
-            F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
-            F.lit(XSD + "string"),
-        ).alias("v_dt"),
-    ).drop("member")
-    outs.append(value_checks(alt_vals))
+    if "alternative" in types_present:
+        alt_focus = focus_of(
+            base_rules.filter((F.col("path_type") == "alternative") & F.col("paths").isNotNull())
+        )
+        alt_m = alt_focus.select("*", F.explode("paths").alias("member")).alias("fo")
+        am_cond = (F.col("d.subject") == F.col("fo.focus")) & (
+            F.col("d.predicate") == F.col("fo.member")
+        )
+        if same_url_scope:
+            am_cond = am_cond & (F.col("d.url") == F.col("fo.url"))
+        alt_vals = alt_m.join(data.alias("d"), am_cond, "left").select(
+            "fo.*",
+            F.col("d.object.value").alias("v_value"),
+            F.col("d.object.kind").alias("v_kind"),
+            F.coalesce(
+                F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
+                F.lit(XSD + "string"),
+            ).alias("v_dt"),
+        ).drop("member")
+        outs.append(value_checks(alt_vals))
 
     # ---- zeroOrOne: the focus node itself (zero hops) UNION one hop -------
-    zo_focus = focus_of(
-        base_rules.filter((F.col("path_type") == "zeroOrOne") & F.col("path").isNotNull())
-    )
-    zo_cond = (F.col("d.subject") == F.col("fo.focus")) & (
-        F.col("d.predicate") == F.col("fo.path")
-    )
-    if same_url_scope:
-        zo_cond = zo_cond & (F.col("d.url") == F.col("fo.url"))
-    zo_hop = zo_focus.alias("fo").join(data.alias("d"), zo_cond, "inner").select(
-        "fo.*",
-        F.col("d.object.value").alias("v_value"),
-        F.col("d.object.kind").alias("v_kind"),
-        F.coalesce(
-            F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
-            F.lit(XSD + "string"),
-        ).alias("v_dt"),
-    )
-    zo_zero = zo_focus.select(
-        "*",
-        F.col("focus").alias("v_value"),
-        F.lit("iri").alias("v_kind"),  # focus nodes are resources
-        F.lit(None).cast("string").alias("v_dt"),
-    )
-    outs.append(value_checks(zo_hop.unionByName(zo_zero)))
+    if "zeroOrOne" in types_present:
+        zo_focus = focus_of(
+            base_rules.filter((F.col("path_type") == "zeroOrOne") & F.col("path").isNotNull())
+        )
+        zo_cond = (F.col("d.subject") == F.col("fo.focus")) & (
+            F.col("d.predicate") == F.col("fo.path")
+        )
+        if same_url_scope:
+            zo_cond = zo_cond & (F.col("d.url") == F.col("fo.url"))
+        zo_hop = zo_focus.alias("fo").join(data.alias("d"), zo_cond, "inner").select(
+            "fo.*",
+            F.col("d.object.value").alias("v_value"),
+            F.col("d.object.kind").alias("v_kind"),
+            F.coalesce(
+                F.when(F.col("d.object.datatype") != "", F.col("d.object.datatype")),
+                F.lit(XSD + "string"),
+            ).alias("v_dt"),
+        )
+        zo_zero = zo_focus.select(
+            "*",
+            F.col("focus").alias("v_value"),
+            # focus nodes are resources (iri or '_:'-prefixed bnode)
+            _resource_kind(F.col("focus")).alias("v_kind"),
+            F.lit(None).cast("string").alias("v_dt"),
+        )
+        outs.append(value_checks(zo_hop.unionByName(zo_zero)))
 
     # ---- zeroOrMore / oneOrMore: bounded transitive-closure frontier loop -
     tc_rules = base_rules.filter(
         F.col("path_type").isin("zeroOrMore", "oneOrMore") & F.col("path").isNotNull()
     )
-    if tc_rules.limit(1).count() > 0:  # rule table is tiny shape metadata
+    if types_present & {"zeroOrMore", "oneOrMore"}:  # branch on collected metadata, no extra job
         tc_focus = focus_of(tc_rules)
         group_keys = [
             "url", "focus", "shape_uri", "ps_idx", "target_class", "path_type", "path",
@@ -1142,7 +1217,7 @@ def path_constraint_violations(
         seed = tc_focus.select(
             *group_keys,
             F.col("focus").alias("v_value"),
-            F.lit("iri").alias("v_kind"),
+            _resource_kind(F.col("focus")).alias("v_kind"),
             F.lit(None).cast("string").alias("v_dt"),
         ).distinct().persist()
         reached = seed  # depth-0 nodes (the focus itself)
@@ -1198,8 +1273,10 @@ def path_constraint_violations(
     seq_rules = base_rules.filter(
         (F.col("path_type") == "sequence") & F.col("paths").isNotNull()
     )
-    lengths = [r["L"] for r in seq_rules.select(F.size("paths").alias("L")).distinct().collect()]
-    for L in sorted(lengths):
+    lengths = sorted(
+        {r["L"] for r in meta if r["path_type"] == "sequence" and r["L"] is not None and r["L"] > 0}
+    )
+    for L in lengths:
         fo = focus_of(seq_rules.filter(F.size("paths") == L)).alias("fo")
         cur = fo
         for i in range(L):
@@ -1232,6 +1309,25 @@ def path_constraint_violations(
         )
         outs.append(value_checks(seq_vals))
 
+    if not outs:
+        # no non-predicate path rules anywhere in the shape catalog: return
+        # a schema-stable empty report (the common web-corpus case — the
+        # whole function then contributes nothing to the reports plan)
+        from pyspark.sql import types as T
+
+        return triples.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType()),
+                    T.StructField("subject", T.StringType()),
+                    T.StructField("shape_uri", T.StringType()),
+                    T.StructField("ps_idx", T.IntegerType()),
+                    T.StructField("path_type", T.StringType()),
+                    T.StructField("violations", T.ArrayType(T.StringType(), False)),
+                ]
+            ),
+        )
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

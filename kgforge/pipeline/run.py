@@ -17,6 +17,7 @@ from ..fixtures import gazetteer_rows
 from ..operators.canonicalize import canonicalize_entities, rewrite_to_canonical
 from ..operators.mentions import detect_mentions, mention_triples
 from ..operators.parse import extract_shapes_df, parse_pages, qualified_rules_df
+from ..operators.sparql import sparql_constraint_violations
 from ..operators.validate import (
     closed_shape_violations,
     node_logical_violations,
@@ -58,11 +59,43 @@ def constraint_reports(pages: DataFrame, triples: DataFrame, shapes: DataFrame) 
         path_constraint_violations(triples, shapes).select(
             "url", "subject", F.lit("path").alias("source"), "shape_uri", "violations"
         ),
+        sparql_constraint_violations(triples, shapes).select(
+            "url", "subject", F.lit("sparql").alias("source"), "shape_uri", "violations"
+        ),
     ]
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def dedup_pages(pages: DataFrame, mode: str = "near", threshold: float = 0.9) -> DataFrame:
+    """Page-level deduplication BEFORE parsing — the fixture corpus plants
+    exact (i%23) and near (i%29) duplicate pages, and a web-scale crawl is
+    30-60% duplicate: parsing/validating dupes is pure wasted compute, so
+    the dedup stage runs FIRST and every downstream stage shrinks.
+
+    - ``exact``: keep the min-url page per distinct text (one hash
+      aggregate + left-semi join; scale-safe by construction).
+    - ``near`` (default): exact dedup, then MinHash-LSH blocked + exact
+      Jaccard-verified near-dup pairs at ``threshold``, collapsed with the
+      same large-star/small-star connected-components used for entity
+      canonicalization; each component keeps its min-url representative.
+      All blocking/skew caps of ``minhash_duplicate_pairs`` apply.
+    """
+    from ..operators.canonicalize import connected_components
+    from ..operators.dedup import exact_dedup, minhash_duplicate_pairs
+
+    exact = exact_dedup(pages, id_col="url", text_col="text")
+    if mode == "exact":
+        return exact
+    pairs = minhash_duplicate_pairs(exact, id_col="url", text_col="text", threshold=threshold)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    # component = min(node): non-representatives are dropped; pages in no
+    # duplicate component never appear in comp and survive the anti-join
+    drop = comp.filter(F.col("node") != F.col("component")).select(F.col("node").alias("url"))
+    return exact.join(drop, "url", "left_anti")
 
 
 def run_pipeline(
@@ -72,14 +105,23 @@ def run_pipeline(
     gazetteer: list | None = None,
     canonicalize: bool = True,
     extended_checks: bool = False,
+    dedup: str | None = None,
 ) -> dict:
     """Returns dict of stage DataFrames + metrics. All heavy stages write
     through ``write_stage`` (repartitionByRange + lineage + manifest).
     ``extended_checks=True`` additionally materializes the focus-node
-    constraint-report stream (see ``constraint_reports``)."""
+    constraint-report stream (see ``constraint_reports``); ``dedup`` in
+    {'exact', 'near'} inserts a page-dedup stage before parsing (manifest
+    row counts record kept pages; input minus kept = collapsed dupes)."""
     spark = pages.sparkSession
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
     gazetteer = gazetteer if gazetteer is not None else gazetteer_rows()
+
+    if dedup is not None:
+        pages = write_stage(
+            dedup_pages(pages, mode=dedup), os.path.join(work_root, "pages_dedup"),
+            "dedup", run_id, manifests, range_cols=["url"],
+        )
 
     triples = write_stage(
         parse_pages(pages), os.path.join(work_root, "triples"), "parse", run_id, manifests,
@@ -145,6 +187,7 @@ def run_pipeline(
     spo = materialize_spo(canonical, os.path.join(work_root, "graph"), run_id, manifests)
 
     return {
+        "pages": pages,
         "triples": triples,
         "shapes": shapes,
         "mentions": mentions,

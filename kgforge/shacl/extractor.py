@@ -647,9 +647,29 @@ def extract_qualified_rules(triples: list[tuple]) -> list[dict]:
     """
     g = Graph(triples)
     shapes = ShaclExtractor(g).extract_shapes()
+
+    def _qvs_fields(q: str) -> dict:
+        q_class = g.get(q, SH + "class")
+        q_datatype = g.get(q, SH + "datatype")
+        q_nodekind = g.get(q, SH + "nodeKind")
+        return {
+            "q_class": q_class[0] if q_class else None,
+            "q_datatype": q_datatype[0] if q_datatype else None,
+            "q_nodeKind": q_nodekind[0] if q_nodekind else None,
+        }
+
     rules: list[dict] = []
     for uri, shape in shapes.items():
-        for ps in shape.get("property_shapes", []):
+        # all qualified value shapes of this node shape — the SIBLING set
+        # for sh:qualifiedValueShapesDisjoint (W3C §4.5.3: when the flag is
+        # set, values conforming to any sibling's qualified shape do not
+        # count; reference extraction at ShaclPropertyAnalyzer.php:33-38)
+        qvs_all = []
+        for idx, ps in enumerate(shape.get("property_shapes", [])):
+            q = ps.get("qualifiedValueShape")
+            if q:
+                qvs_all.append((idx, _qvs_fields(q)))
+        for idx, ps in enumerate(shape.get("property_shapes", [])):
             q = ps.get("qualifiedValueShape")
             path = ps.get("path")
             if not q or not isinstance(path, str):
@@ -658,20 +678,26 @@ def extract_qualified_rules(triples: list[tuple]) -> list[dict]:
             qmax = ps.get("qualifiedMaxCount")
             if qmin is None and qmax is None:
                 continue
-            q_class = g.get(q, SH + "class")
-            q_datatype = g.get(q, SH + "datatype")
-            q_nodekind = g.get(q, SH + "nodeKind")
+            disjoint = str(ps.get("qualifiedValueShapesDisjoint", "")).lower() in ("true", "1")
+            # executable siblings only: a sibling with no row-checkable
+            # field would vacuously exclude everything (same skip rule as
+            # non-executable sh:not members)
+            siblings = [
+                f for sidx, f in qvs_all
+                if sidx != idx and any(v is not None for v in f.values())
+            ] if disjoint else []
             for tc in shape.get("target_classes", []):
                 rules.append(
                     {
                         "shape_uri": uri,
+                        "ps_idx": idx,
                         "target_class": tc,
                         "path": path,
-                        "q_class": q_class[0] if q_class else None,
-                        "q_datatype": q_datatype[0] if q_datatype else None,
-                        "q_nodeKind": q_nodekind[0] if q_nodekind else None,
+                        **_qvs_fields(q),
                         "q_min": int(qmin) if qmin is not None else None,
                         "q_max": int(qmax) if qmax is not None else None,
+                        "disjoint": disjoint,
+                        "siblings": siblings,
                     }
                 )
     return rules

@@ -202,3 +202,140 @@ def test_pipeline_extended_constraint_reports(spark, tmp_path):
     rows = {(r["subject"], r["source"]): r["violations"] for r in out["reports"].collect()}
     assert rows[("http://example.org/p", "pair")] == ["equals"]
     assert rows[("http://example.org/q", "path")] == ["class"]
+
+
+# --- round-3 ADVICE fixes -----------------------------------------------------
+
+NOT_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:NotClassShape a sh:NodeShape ;
+    sh:targetClass ex:Thing ;
+    sh:property [ sh:path ex:ref ; sh:not [ sh:class ex:Forbidden ] ] .
+
+ex:NotDtShape a sh:NodeShape ;
+    sh:targetClass ex:Item ;
+    sh:property [ sh:path ex:val ; sh:not [ sh:datatype xsd:string ] ] .
+
+ex:t1 a ex:Thing ; ex:ref ex:other .
+ex:i1 a ex:Item ; ex:val "stringy" .
+ex:i2 a ex:Item ; ex:val "5"^^xsd:integer .
+"""
+
+
+def test_not_nonexecutable_member_skipped(spark):
+    """ADVICE r2 (medium): sh:not over a member whose only field is
+    NON-row-local (sh:class) used to conform vacuously and therefore flag
+    EVERY value as a 'not' violation. It must be skipped; a row-local
+    member (sh:datatype) still executes."""
+    pages = _page(spark, NOT_TTL)
+    _acc, rej = split_validated(validate_triples(parse_pages(pages), extract_shapes_df(pages)))
+    got = {(r["subject"], r["predicate"]): sorted(r["violations"]) for r in rej.collect()}
+    # ex:t1's ref must NOT be rejected (class-only member is non-executable)
+    assert ("http://example.org/t1", "http://example.org/ref") not in got
+    # the datatype member still fires: the string value conforms => 'not' violated
+    assert got[("http://example.org/i1", "http://example.org/val")] == ["not"]
+    assert ("http://example.org/i2", "http://example.org/val") not in got
+
+
+NODE_NOT_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:OpaqueMember a sh:NodeShape ;
+    sh:targetClass ex:Unused .
+
+ex:StringName a sh:NodeShape ;
+    sh:property [ sh:path ex:name ; sh:datatype xsd:string ] .
+
+ex:SkipShape a sh:NodeShape ;
+    sh:targetClass ex:A ;
+    sh:not ex:OpaqueMember .
+
+ex:FireShape a sh:NodeShape ;
+    sh:targetClass ex:B ;
+    sh:not ex:StringName .
+
+ex:a1 a ex:A ; ex:name "anything" .
+ex:b1 a ex:B ; ex:name "conforms-to-member" .
+ex:b2 a ex:B ; ex:name "5"^^xsd:integer .
+"""
+
+
+def test_node_not_nonexecutable_member_skipped(spark):
+    """ADVICE r2: node-level sh:not over a member shape with NO executable
+    predicate-path rules must be skipped (it used to flag every focus
+    node); a member WITH executable rules still fires when the focus
+    conforms to it."""
+    from kgforge.operators.validate import node_logical_violations
+
+    pages = _page(spark, NODE_NOT_TTL)
+    out = node_logical_violations(parse_pages(pages), extract_shapes_df(pages))
+    got = {(r["subject"], r["constraint"]) for r in out.collect()}
+    assert ("http://example.org/a1", "not") not in got  # opaque member: skipped
+    assert ("http://example.org/b1", "not") in got      # conforms => 'not' violated
+    assert ("http://example.org/b2", "not") not in got  # int value breaks conformance
+
+
+BNODE_KIND_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:InvBnodeShape a sh:NodeShape ;
+    sh:targetClass ex:Target ;
+    sh:property [ sh:path [ sh:inversePath ex:points ] ;
+                  sh:nodeKind sh:BlankNode ; sh:minCount 1 ] .
+
+ex:InvIriShape a sh:NodeShape ;
+    sh:targetClass ex:Other ;
+    sh:property [ sh:path [ sh:inversePath ex:refs ] ;
+                  sh:nodeKind sh:IRI ; sh:minCount 1 ] .
+
+ex:t a ex:Target .
+ex:o a ex:Other .
+[] ex:points ex:t .
+[] ex:refs ex:o .
+"""
+
+
+def test_inverse_path_bnode_nodekind(spark):
+    """ADVICE r2: inverse-path value nodes were hardcoded v_kind='iri', so
+    sh:nodeKind sh:BlankNode on a blank-node subject always violated and
+    sh:IRI never did. Kind now derives from the '_:' label."""
+    from kgforge.operators.validate import path_constraint_violations
+
+    pages = _page(spark, BNODE_KIND_TTL)
+    out = path_constraint_violations(parse_pages(pages), extract_shapes_df(pages))
+    got = {(r["subject"], tuple(sorted(r["violations"]))) for r in out.collect()}
+    # bnode subject satisfies sh:BlankNode: no violation for ex:t
+    assert not any(s == "http://example.org/t" for s, _v in got)
+    # bnode subject VIOLATES sh:IRI for ex:o
+    assert ("http://example.org/o", ("nodeKind",)) in got
+
+
+UNION_KIND_TTL = """\
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+
+ex:AltShape a sh:NodeShape ;
+    sh:targetClass ex:Doc ;
+    sh:property [ sh:path [ sh:alternativePath ( ex:title ex:label ) ] ;
+                  sh:nodeKind sh:IRIOrLiteral ] .
+
+ex:d1 a ex:Doc ; ex:title "A literal title" .
+ex:d2 a ex:Doc ; ex:label ex:SomeIri .
+"""
+
+
+def test_union_nodekinds_in_path_executor(spark):
+    """ADVICE r2: the path/node-logical executors enumerated only 4 of 6
+    sh:nodeKind values — sh:IRIOrLiteral (and BlankNodeOrLiteral) always
+    violated. Literal and IRI values must both now conform."""
+    from kgforge.operators.validate import path_constraint_violations
+
+    pages = _page(spark, UNION_KIND_TTL)
+    out = path_constraint_violations(parse_pages(pages), extract_shapes_df(pages))
+    assert not any("nodeKind" in r["violations"] for r in out.collect())

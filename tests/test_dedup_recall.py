@@ -70,6 +70,20 @@ def test_prefix_filter_join_equals_all_pairs(spark, docs):
     assert pf == exact and len(exact) > 1000
 
 
+def test_prefix_filter_join_capped_rank_dict(spark, docs):
+    """Simulate a high-cardinality gram domain (100 TB multilingual corpus,
+    10^7+ distinct grams): cap the driver rank dict far below the corpus's
+    actual distinct-gram count so almost every gram falls back to the
+    default rank. Output must STILL equal the all-pairs formulation — the
+    prefix-filter theorem holds under any total global order, and
+    (rank, gram-hash) stays total under the cap."""
+    from kgforge.operators.dedup import jaccard_similarity_join, ngram_jaccard_pairs
+
+    exact = _pairs(ngram_jaccard_pairs(docs, threshold=0.5))
+    capped = _pairs(jaccard_similarity_join(docs, threshold=0.5, gram_rank_cap=5))
+    assert capped == exact and len(exact) > 1000
+
+
 def test_blocked_gemm_equals_broadcast(spark, emb):
     from kgforge.operators.similarity import (
         embedding_cosine_pairs,
@@ -168,6 +182,37 @@ def test_lsh_topk_weak_neighbor_floor(spark, emb):
         ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recs = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
     assert sum(recs) / len(recs) >= 0.1
+
+
+def test_lsh_exhaustive_probe_equals_exact(spark, emb):
+    """probe_radius == planes probes all 2^planes buckets, so lsh_topk
+    degenerates to exact search: identical (id, cosine, rank) rows to brute
+    force — the regime q_knn_lsh uses so the brute-force SQL is its true
+    oracle. Also: the default radius-1 result is a SUBSET of exact top-k
+    candidates' re-rank universe (precision of returned cosines is exact)."""
+    from kgforge.operators.similarity import brute_force_topk, lsh_topk
+
+    q = emb.filter(F.col("vec_id") < 5)
+    ex = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in brute_force_topk(emb, q, k=5, round_digits=4).collect()
+    )
+    ap = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in lsh_topk(
+            emb, q, k=5, dim=64, planes=4, probe_radius=4, round_digits=4
+        ).collect()
+    )
+    assert ap == ex
+    # radius-1 (approximate) rows report EXACT cosines for whatever
+    # neighbors they return (precision-of-value check)
+    exact_cos = {(a, b): c for a, b, c, _ in ex}
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(emb, q, k=10**9, round_digits=4).collect()
+    }
+    for r in lsh_topk(emb, q, k=5, dim=64, planes=4, probe_radius=1, round_digits=4).collect():
+        assert full[(r["query_id"], r["neighbor_id"])] == r["cosine"]
 
 
 def test_ivf_topk_recall(spark, emb):

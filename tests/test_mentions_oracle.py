@@ -71,3 +71,83 @@ def test_mention_scores_match_spec(spark):
         cos = float(np.dot(_spec_embedding(ctx), _spec_embedding(surface)))
         want = round(prior * (0.5 + 0.5 * max(-1.0, min(1.0, cos))), 6)
         assert abs(m["score"] - want) < 1e-6, (m["url"], m["surface"], m["score"], want)
+
+
+# ------------------- Aho-Corasick backend (VERDICT r2 #10) -------------------
+
+
+def _big_gazetteer(n: int) -> list[tuple[str, str, str, float]]:
+    """n deterministic surfaces incl. shared-prefix families and multi-word
+    phrases, so longest-vs-shorter overlap resolution is exercised."""
+    first = ["Acme", "Borealis", "Cirrus", "Datura", "Iris", "Gamma", "Joke", "Fleur"]
+    second = ["Group", "Systems", "Labs", "Holding", "City", "Works"]
+    out = []
+    for i in range(n):
+        base = f"{first[i % 8]} {second[(i // 8) % 6]} {i}"
+        if i % 5 == 0:
+            base = f"{base} International"  # superstring of the i-4 family shape
+        out.append((f"E{i:06d}", base, "http://schema.org/Organization", 0.5 + (i % 50) / 100.0))
+    return out
+
+
+def test_ac_backend_identical_100k():
+    """100k-surface gazetteer: the Aho-Corasick matcher must produce
+    match-for-match identical output to the trie-regex backend, and scan
+    text in time independent of the vocabulary size."""
+    import time
+
+    from kgforge.operators.mentions import GazetteerMatcher
+
+    gaz = _big_gazetteer(100_000)
+    texts = [
+        f"The report from {gaz[i][1]} cited {gaz[(i * 7 + 3) % len(gaz)][1]} and "
+        f"also {gaz[(i * 13 + 1) % len(gaz)][1]}x (boundary-blocked) plus plain prose."
+        for i in range(0, 4000, 7)
+    ]
+    t0 = time.monotonic()
+    ac = GazetteerMatcher(gaz, backend="ac")
+    build_s = time.monotonic() - t0
+    rx = GazetteerMatcher(gaz, backend="regex")
+    t0 = time.monotonic()
+    got_ac = [ac.find(t) for t in texts]
+    scan_s = time.monotonic() - t0
+    got_rx = [rx.find(t) for t in texts]
+    assert got_ac == got_rx
+    # every text has its two boundary-valid mentions, none from the "x"-glued one
+    assert all(len(m) >= 2 for m in got_ac)
+    # AC is the scale path: build is one-time/broadcast, scan must stay fast
+    assert build_s < 60 and scan_s < 10, (build_s, scan_s)
+
+
+def test_auto_backend_threshold():
+    from kgforge.operators.mentions import AC_SURFACE_THRESHOLD, GazetteerMatcher
+
+    small = GazetteerMatcher(_big_gazetteer(100))
+    assert small.backend == "regex" and small.ac is None
+    big = GazetteerMatcher(_big_gazetteer(AC_SURFACE_THRESHOLD + 10))
+    assert big.backend == "ac" and big.regex is None
+    text = "Acme Group 0 partnered with Borealis Systems 9."
+    assert small.find(text) == big.find(text)
+
+
+def test_ac_overlap_and_boundary_semantics():
+    """Leftmost-longest non-overlapping with word-boundary guards: the AC
+    path must reproduce the regex engine's backtracking behavior when the
+    longest candidate fails a boundary."""
+    from kgforge.operators.mentions import GazetteerMatcher
+
+    gaz = [
+        ("E1", "New York", "t", 0.9),
+        ("E2", "New York City", "t", 0.9),
+        ("E3", "York", "t", 0.9),
+    ]
+    ac = GazetteerMatcher(gaz, backend="ac")
+    rx = GazetteerMatcher(gaz, backend="regex")
+    for text in [
+        "New York City is large",      # longest wins
+        "New York Cityx is glued",     # longest fails boundary -> New York
+        "I saw New York and York too", # non-overlap after a match
+        "newyork city",                # no boundary-valid hit at all
+        "NEW YORK CITY!",              # case-insensitive
+    ]:
+        assert ac.find(text) == rx.find(text), text

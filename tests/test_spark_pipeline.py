@@ -136,16 +136,56 @@ def test_materialize_resume(spark, pages, tmp_path):
     assert out2.count() == n1
 
 
-def test_multimodal_plumbing(spark):
-    from kgforge.operators.multimodal import fake_media_df, image_features
+def test_multimodal_real_decode(spark):
+    """Image rows carry REAL PPM/BMP/PNG payloads: decode without any fake
+    path must recover exact dims, format, thumbnail dims, and solid-color
+    channel means; audio/video payloads (opaque bytes) must still raise
+    without the fake fallback and succeed with it."""
+    from kgforge.operators.multimodal import (
+        fake_media_df,
+        image_features,
+        media_color,
+        media_dims,
+    )
 
-    media = fake_media_df(spark, 16)
-    feats = image_features(media, deterministic_fake=True)
-    rows = feats.collect()
-    assert len(rows) == 16
-    assert all(len(r["feature"]) == 16 for r in rows)
+    media = fake_media_df(spark, 18)
+    images = media.filter(F.col("kind") == "image")
+    rows = {r["media_id"]: r for r in image_features(images, deterministic_fake=False).collect()}
+    assert len(rows) == 6
+    for i, r in rows.items():
+        w, h = media_dims(i)
+        cr, cg, cb = media_color(i)
+        assert r["fmt"] == ["ppm", "bmp", "png"][(i // 3) % 3]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["thumb_w"], r["thumb_h"]) == (min(8, w), min(8, h))
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (float(cr), float(cg), float(cb))
+        assert len(r["feature"]) == 16
+    # non-image payloads: honest failure without the fake fallback
     with pytest.raises(Exception):
-        image_features(media, deterministic_fake=False).collect()
+        image_features(media.filter(F.col("kind") != "image"), deterministic_fake=False).collect()
+    fallback = image_features(media, deterministic_fake=True).collect()
+    assert len(fallback) == 18 and all(len(r["feature"]) == 16 for r in fallback)
+
+
+def test_lsh_hot_bucket_window_path(spark):
+    """~99% hot LSH bucket: 300 identical-text docs collapse into ONE
+    degenerate bucket per band (the boilerplate skew bomb). The windowed
+    size filter must DROP that bucket before any pair blow-up — no hot-doc
+    pairs in the output — while a small 2-member bucket (an exact-dup pair
+    with distinct text) still survives and pairs. Exercises the
+    O(B)-rows-on-one-task window trade documented in lsh_candidate_pairs."""
+    from kgforge.operators.canonicalize import lsh_candidate_pairs, minhash_signatures
+
+    rows = [(i, "the same boilerplate navigation text repeated on every page") for i in range(300)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(df, "doc_id", "text")
+    got = {(r["a"], r["b"]) for r in lsh_candidate_pairs(sigs, max_bucket=64).collect()}
+    assert (1000, 1001) in got
+    assert not any(a < 300 and b < 300 for a, b in got)
 
 
 def test_cc_hot_key(spark):
@@ -163,3 +203,27 @@ def test_cc_hot_key(spark):
     assert all(comp[f"n{i:03d}"] == "hub" for i in range(200))
     assert comp["a"] == comp["b"] == comp["c"] == "a"
     assert comp["y"] == comp["z"] == "y"
+
+
+def test_pipeline_dedup_stage(spark, tmp_path):
+    """dedup='near' collapses the fixture's planted exact (i%23) and near
+    (i%29) duplicate pages BEFORE parsing; every downstream stage shrinks
+    and the manifest records the kept-page count."""
+    from kgforge.fixtures import pages_df
+    from kgforge.pipeline.run import dedup_pages, run_pipeline
+
+    pages = pages_df(spark, 120)
+    n_in = pages.count()
+    n_exact = dedup_pages(pages, mode="exact").count()
+    n_near = dedup_pages(pages, mode="near").count()
+    # planted dupes exist at this size: 23,46,69,92,115 exact; 29,58,87,116 near
+    assert n_exact < n_in
+    assert n_near < n_exact
+
+    out = run_pipeline(
+        pages, str(tmp_path / "w"), gazetteer=[], canonicalize=False, dedup="near"
+    )
+    assert out["pages"].count() == n_near
+    # deduped pages flow downstream: triples only from kept urls
+    kept = {r["url"] for r in out["pages"].select("url").collect()}
+    assert {r["url"] for r in out["triples"].select("url").distinct().collect()} <= kept

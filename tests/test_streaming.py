@@ -127,3 +127,59 @@ def test_streaming_stateful_first_seen_dedup(spark, tmp_path):
     assert len(rows) == 4
     assert sorted(r["text"] for r in rows) == ["aa", "bb", "cc", "dd"]
     assert len({r["digest"] for r in rows}) == 4
+
+
+def test_streaming_mentions_matches_batch(spark, tmp_path):
+    """Streaming mention detection (broadcast trie matcher + GEMM scoring
+    inside a stateless mapInPandas) must emit exactly the batch operator's
+    mentions over the same pages, and the watermarked per-entity windowed
+    count must be APPEND-mode legal (the production trend-feed shape)."""
+    import os
+
+    from kgforge.fixtures import gazetteer_rows
+    from kgforge.operators.mentions import detect_mentions
+    from kgforge.streaming.pipeline import streaming_mention_counts, streaming_mentions
+
+    landing = str(tmp_path / "landing_mentions")
+    os.makedirs(landing, exist_ok=True)
+    pages = spark.createDataFrame(pages_pdf(range(60)))
+    pages.coalesce(2).write.mode("overwrite").parquet(landing)
+    gaz = gazetteer_rows()
+
+    stream = stream_pages(spark, landing, max_files_per_trigger=1)
+    q = (
+        streaming_mentions(stream, gaz)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_mentions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["url"], r["start"], r["end"], r["entity_id"], r["score"])
+        for r in spark.sql("SELECT * FROM stream_mentions").collect()
+    }
+    want = {
+        (r["url"], r["start"], r["end"], r["entity_id"], r["score"])
+        for r in detect_mentions(pages, gaz).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # watermarked windowed counts: append mode must pass analysis and emit
+    q2 = (
+        streaming_mention_counts(stream, gaz, window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mention_counts_append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.sql("SELECT count(*) AS n FROM mention_counts_append").collect()[0]["n"] >= 0
