@@ -34,7 +34,7 @@ def main():
     from kgforge.fixtures import gazetteer_rows, pages_df
     from kgforge.operators.canonicalize import canonicalize_entities
     from kgforge.operators.mentions import detect_mentions, mention_triples
-    from kgforge.operators.parse import extract_shapes_df, parse_pages
+    from kgforge.operators.parse import parse_combined, split_parsed
     from kgforge.operators.validate import split_validated, validate_triples
     from kgforge.session import get_spark
 
@@ -63,8 +63,12 @@ def main():
 
     def run_pipeline_once(src=None):
         src = pages if src is None else src
-        triples = parse_pages(src)
-        shapes = extract_shapes_df(src)
+        # fused scan: triples + shapes from ONE parse of each page's HTML
+        # (parse_pages + extract_shapes_df each re-parse; the combined
+        # stream is materialized once and both tables are filters over it)
+        combined = parse_combined(src).persist()
+        combined.count()  # materialize: exactly one parse pass, no branch race
+        triples, shapes = split_parsed(combined)
         mentions = detect_mentions(src, gazetteer_rows())
         # stage boundary: the real pipeline (kgforge.pipeline.run)
         # materializes parse output via write_stage; persist() is the
@@ -80,6 +84,7 @@ def main():
         n_counts["n_mapped"] = mapping.count()
         validated.unpersist()
         all_triples.unpersist()
+        combined.unpersist()
 
     timed("kg_pipeline", run_pipeline_once)
     n_triples, n_mapped = n_counts["n_triples"], n_counts["n_mapped"]

@@ -165,16 +165,56 @@ _SENTENCES = [
 ]
 
 
+_PSEUDO_CONS = "bdfgklmnprsvz"
+_PSEUDO_VOW = "aeiou"
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_U64 = (1 << 64) - 1
+
+
+def _pseudo_paragraph(i: int, n_words: int = 50) -> str:
+    """~350 chars of page-unique deterministic pseudo-prose (LCG-driven
+    consonant-vowel syllables; the alphabet excludes 't'/'h' so the token
+    'the' — which the i%29 near-dup branch rewrites — can never appear, and
+    lowercase gibberish can never collide with a capitalized gazetteer
+    surface).
+
+    Why it exists: the 5-sentence template pool alone gives the corpus a
+    period-1000 visible-text cycle — at 20k pages every page had ~19 twins
+    whose 3-gram sets matched almost exactly, so near-dup dedup saw one
+    giant clique (87%% of pages in >=0.9-Jaccard pairs) instead of a
+    crawl-shaped corpus with planted mirrors (i%%23) and near-dups (i%%29).
+    Each page's private gram mass from this paragraph pushes unrelated-page
+    Jaccard to ~0.2, which also keeps MinHash-LSH band buckets far below
+    the skew cap (expected bucket size ~ n * j^rows)."""
+    h = (i * 1_000_003 + 0x9E3779B9) & _U64
+    words = []
+    for _ in range(n_words):
+        h = (h * _LCG_A + _LCG_C) & _U64
+        r = h >> 16
+        n_syll = 2 + r % 3
+        r >>= 2
+        syls = []
+        for _s in range(n_syll):
+            syls.append(_PSEUDO_CONS[r % 13] + _PSEUDO_VOW[(r >> 4) % 5])
+            r >>= 7
+        words.append("".join(syls))
+    return " ".join(words) + "."
+
+
 def visible_text(i: int, ents: list[int]) -> str:
-    sents = [
-        _SENTENCES[(i + j) % len(_SENTENCES)].format(e=entity_surface(k))
-        for j, k in enumerate(ents)
-    ]
     if i % 29 == 0 and i > 0:
         # near-duplicate of page i-1 (one token changed)
         prev = visible_text(i - 1, page_entities(i - 1))
         return prev.replace("the", "that", 1)
-    return " ".join(sents)
+    sents = [
+        _SENTENCES[(i + j) % len(_SENTENCES)].format(e=entity_surface(k))
+        for j, k in enumerate(ents)
+    ]
+    # mention sentences FIRST, page-unique filler AFTER: every q_kg mention
+    # oracle derives offsets via first-occurrence strpos on the sentence
+    # prefix, which an appended suffix cannot shift
+    return " ".join(sents) + " " + _pseudo_paragraph(i)
 
 
 def build_page(i: int) -> tuple:

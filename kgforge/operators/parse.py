@@ -111,6 +111,74 @@ def parse_pages(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(fn, schema=TRIPLES_SCHEMA)
 
 
+def _combined_schema():
+    """TRIPLES_SCHEMA columns + a ``rec`` discriminator + the whole shape
+    record as ONE nullable struct column (SHAPES_SCHEMA minus url)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    shape_struct = StructType([f for f in SHAPES_SCHEMA.fields if f.name != "url"])
+    return StructType(
+        [StructField("rec", StringType(), False)]
+        + list(TRIPLES_SCHEMA.fields)
+        + [StructField("shape", shape_struct, True)]
+    )
+
+
+PARSE_COMBINED_SCHEMA = _combined_schema()
+
+_COMBINED_COLS = ["rec"] + _TRIPLE_COLS + ["shape"]
+
+
+def parse_combined(pages: DataFrame) -> DataFrame:
+    """pages -> one row stream carrying BOTH triples and shape records,
+    discriminated by ``rec`` in {'triple', 'shape'}.
+
+    The expensive per-page work — HTML payload scan + RDF tokenizer/parser —
+    runs ONCE per page here, where ``parse_pages`` + ``extract_shapes_df``
+    each re-parse the same HTML (shape extraction itself is cheap; the parse
+    dominates). At 100 TB that halves the scan-stage CPU: the combined
+    stream is written once and both logical tables are derived by a
+    ``rec`` filter that parquet pushes down, with the wide ``shape`` struct
+    column pruned away from triple reads entirely.
+
+    Use ``split_parsed`` to recover (triples, shapes) with the exact
+    TRIPLES_SCHEMA / SHAPES_SCHEMA shapes of the unfused operators.
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for url, html, text in zip(pdf["url"], pdf["html"], pdf["text"]):
+                triples, _errs, fmt, status = parse_document(url, html, text)
+                if not triples:
+                    rows.append(("triple", url, 0, None, None, None, fmt, status, None, None))
+                    continue
+                for seq, (s, p, o) in enumerate(triples):
+                    rows.append(
+                        ("triple", url, seq, s[0], p[0], _term_struct(o), fmt, "ok", None, None)
+                    )
+                for shape in extract_shapes_from_triples(triples).values():
+                    srow = shape_to_row(url, shape)
+                    shape_struct = {k: v for k, v in srow.items() if k != "url"}
+                    rows.append(
+                        ("shape", url, None, None, None, None, None, None, None, shape_struct)
+                    )
+            yield pd.DataFrame(rows, columns=_COMBINED_COLS)
+
+    return pages.mapInPandas(fn, schema=PARSE_COMBINED_SCHEMA)
+
+
+def split_parsed(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """combined (PARSE_COMBINED_SCHEMA) -> (triples, shapes) with the same
+    schemas as ``parse_pages`` / ``extract_shapes_df``. Callers should
+    persist or write ``combined`` first so the parse UDF runs once."""
+    from pyspark.sql import functions as F
+
+    triples = combined.filter(F.col("rec") == "triple").select(*_TRIPLE_COLS)
+    shapes = combined.filter(F.col("rec") == "shape").select("url", "shape.*")
+    return triples, shapes
+
+
 def extract_shapes_df(pages: DataFrame) -> DataFrame:
     """pages -> shape records DF (SHAPES_SCHEMA). Parse + SHACL extraction in
     ONE UDF pass per page: shape semantics are document-confined (the

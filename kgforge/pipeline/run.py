@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..fixtures import gazetteer_rows
 from ..operators.canonicalize import canonicalize_entities, rewrite_to_canonical
 from ..operators.mentions import detect_mentions, mention_triples
-from ..operators.parse import extract_shapes_df, parse_pages, qualified_rules_df
+from ..operators.parse import parse_combined, qualified_rules_df, split_parsed
 from ..operators.sparql import sparql_constraint_violations
 from ..operators.validate import (
     closed_shape_violations,
@@ -123,14 +123,17 @@ def run_pipeline(
             "dedup", run_id, manifests, range_cols=["url"],
         )
 
-    triples = write_stage(
-        parse_pages(pages), os.path.join(work_root, "triples"), "parse", run_id, manifests,
+    # fused scan stage: triples AND shape records come out of ONE parse of
+    # each page (parse_pages + extract_shapes_df would each re-parse the
+    # HTML). The combined stream is written once; the two logical tables are
+    # ``rec`` filters over the written parquet — the filter pushes down to
+    # the scan and the wide ``shape`` struct column is pruned from triple
+    # reads, so downstream stages pay only for the columns they touch.
+    combined = write_stage(
+        parse_combined(pages), os.path.join(work_root, "parsed"), "parse", run_id, manifests,
         range_cols=["url", "seq"],
     )
-    shapes = write_stage(
-        extract_shapes_df(pages), os.path.join(work_root, "shapes"), "shapes", run_id, manifests,
-        range_cols=["url", "uri"],
-    )
+    triples, shapes = split_parsed(combined)
     mentions = write_stage(
         detect_mentions(pages, gazetteer), os.path.join(work_root, "mentions"), "mentions",
         run_id, manifests, range_cols=["url", "start"],

@@ -39,6 +39,30 @@ def test_parse_pages_triples(spark, pages):
     assert mx == 0
 
 
+def test_parse_combined_equals_unfused(spark, pages):
+    """The fused scan (parse_combined -> split_parsed) must reproduce the
+    unfused operators' outputs EXACTLY — same triples (incl. error rows for
+    empty pages), same shape records — since the pipeline/bench now run the
+    fused path while the goldens pin the unfused ones."""
+    from kgforge.operators.parse import parse_combined, split_parsed
+
+    combined = parse_combined(pages).persist()
+    t_f, s_f = split_parsed(combined)
+    t_u = parse_pages(pages)
+    s_u = extract_shapes_df(pages)
+    assert t_f.exceptAll(t_u).count() == 0 and t_u.exceptAll(t_f).count() == 0
+    # shapes carry nested array/map columns (not comparable with exceptAll);
+    # compare canonical JSON per (url, uri)
+    def canon(df):
+        return {
+            (r["url"], r["uri"]): row_to_shape_dict(r.asDict(recursive=True))
+            for r in df.collect()
+        }
+
+    assert canon(s_f) == canon(s_u)
+    combined.unpersist()
+
+
 def test_shapes_df_matches_pure_python(spark, pages):
     """Spark row output == pure-Python extractor output, via round-trip."""
     from kgforge.html import find_rdf_payloads

@@ -26,7 +26,7 @@ sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from kgforge.session import get_spark
 from kgforge.fixtures import pages_df, gazetteer_rows
-from kgforge.operators.parse import parse_pages, extract_shapes_df
+from kgforge.operators.parse import parse_combined, split_parsed
 from kgforge.operators.mentions import detect_mentions, mention_triples
 from kgforge.operators.validate import validate_triples, split_validated
 from kgforge.operators.canonicalize import canonicalize_entities
@@ -37,8 +37,9 @@ spark = get_spark(app_name=f"kgforge-scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=2*cpus)
 
 def run_once(pages):
-    triples = parse_pages(pages)
-    shapes = extract_shapes_df(pages)
+    combined = parse_combined(pages).persist()
+    combined.count()  # one fused parse pass feeds both triples and shapes
+    triples, shapes = split_parsed(combined)
     mentions = detect_mentions(pages, gazetteer_rows())
     all_triples = triples.filter(F.col("subject").isNotNull()).unionByName(mention_triples(mentions)).persist()
     validated = validate_triples(all_triples, shapes).persist()
@@ -47,7 +48,7 @@ def run_once(pages):
     accepted.count()
     mapping = canonicalize_entities(accepted)
     mapping.count()
-    validated.unpersist(); all_triples.unpersist()
+    validated.unpersist(); all_triples.unpersist(); combined.unpersist()
     return n
 
 # warmup: full pipeline on a small slice — JIT/codegen compilation, python
