@@ -524,6 +524,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 embedding quantization (pure codegen
+    expressions; floor(+0.5) rounding is engine-identical, so scale and the
+    integer code digests verify exactly against the SQL twin)."""
+    from kgforge.operators.quantize import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        quantize_embeddings(emb)
+        .select(
+            "vec_id",
+            F.round(F.col("scale").cast("double"), 6).alias("scale"),
+            "q_sum", "q_l1", "q_l2", "q_min", "q_max",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join: events inside any [error_ts, error_ts+5min]
+    window, counted per event_type. The band trick turns Spark's
+    BroadcastNestedLoopJoin (O(n*m) compared pairs) into a bucketed equi
+    join; output is provably identical to the naive BETWEEN join (oracle)."""
+    from kgforge.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    hits = interval_join(ev, windows, "ts", "w_start", "w_end", bucket_seconds=300)
+    return (
+        hits.select("event_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events_in_error_window"))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -556,6 +596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_mentions": q_kg_mentions,
         "q_kg_classes": q_kg_classes,
         "q_multimodal_features": q_multimodal_features,
+        "q_emb_quantize": q_emb_quantize,
+        "q_range_join": q_range_join,
     }
 
 
@@ -569,16 +611,14 @@ _STOPWORDS = {
 }
 
 
-def _dd_count_occ(word: str) -> str:
-    needle = f" {word} "
-    return (
-        f"CAST((length(' ' || lower(text) || ' ') - "
-        f"length(replace(' ' || lower(text) || ' ', '{needle}', ' '))) / {len(needle) - 1} AS INT)"
-    )
-
-
 def _dd_stopword_hits(lang: str) -> str:
-    return " + ".join(_dd_count_occ(w) for w in _STOPWORDS[lang])
+    # token semantics, mirroring stopword_hits_col: one tokenize + one
+    # array filter per language (adjacent repeats each count)
+    words = ",".join(f"'{w}'" for w in _STOPWORDS[lang])
+    return (
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"t -> t IN ({words})))"
+    )
 
 
 def _dd_lang_id() -> str:
@@ -1004,5 +1044,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST((i * 59) % 256 AS DOUBLE) AS mean_g,
                    CAST((i * 83) % 256 AS DOUBLE) AS mean_b
             FROM range(64) t(i) WHERE i % 3 = 0 ORDER BY media_id
+        """,
+        "q_emb_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings),
+            q AS (
+              SELECT vec_id, scale,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)
+                              / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                              * 127 + 0.5) AS INT)) AS qv
+              FROM s)
+            SELECT vec_id,
+                   round(scale, 6) AS scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+                   CAST(list_sum(list_transform(qv, v -> CAST(v AS BIGINT) * v)) AS BIGINT) AS q_l2,
+                   CAST(list_min(qv) AS INT) AS q_min,
+                   CAST(list_max(qv) AS INT) AS q_max
+            FROM q ORDER BY vec_id
+        """,
+        "q_range_join": """
+            WITH w AS (
+              SELECT ts AS w_start, ts + INTERVAL 5 MINUTE AS w_end
+              FROM events WHERE event_type = 'error')
+            SELECT e.event_type,
+                   CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_events_in_error_window
+            FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
     }

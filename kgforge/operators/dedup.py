@@ -51,11 +51,48 @@ def minhash_duplicate_pairs(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 8,
+    sig_prefilter: bool = False,
 ) -> DataFrame:
-    """(a, b, jaccard) near-duplicate pairs via MinHash-LSH + exact verify."""
+    """(a, b, jaccard) near-duplicate pairs via MinHash-LSH + exact verify.
+
+    ``sig_prefilter=True`` inserts a signature-agreement filter between
+    candidate generation and the exact gram verify: the estimated Jaccard
+    (fraction of agreeing minhash slots, an unbiased estimator) must reach
+    ``threshold - 3*sqrt(t(1-t)/num_hashes)``. Why: the verify join ships
+    each candidate's full hashed-gram array (~KBs/row); on corpora with a
+    mid-similarity crowd (boilerplate at j≈0.5-0.7) LSH emits orders of
+    magnitude more candidates than survivors, and the gram shuffle dominates
+    the whole stage. The signature is 8*num_hashes bytes and already
+    computed, so the estimate costs a narrow join. The 3-sigma margin bounds
+    the drop probability for a TRUE >=threshold pair at ~0.1%% (normal
+    tail); exact-recall callers (the q_minhash oracle path) leave it off.
+    Prefiltering persists the signature table (at cluster scale, write it
+    to a stage table instead) so the UDF is not re-run per join side.
+    """
     docs = rebalance(docs)
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes=num_hashes)
+    if sig_prefilter:
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
+    if sig_prefilter:
+        import math
+
+        cutoff = max(
+            0.0, threshold - 3.0 * math.sqrt(threshold * (1.0 - threshold) / num_hashes)
+        )
+        sa = sigs.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+        agree = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        cands = (
+            cands.join(sa, "a")
+            .join(sb, "b")
+            .filter(agree / F.lit(num_hashes) >= F.lit(cutoff))
+            .select("a", "b")
+        )
     grams = docs.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), 3).alias("grams"))
     return (
         cands.join(grams.alias("ga"), cands.a == F.col("ga.id"))

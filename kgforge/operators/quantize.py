@@ -1,0 +1,51 @@
+"""Embedding quantization: symmetric per-vector int8 compression.
+
+A 100 TB embedding corpus (10^12 x 64 float32 = ~256 TB raw) is routinely
+stored and searched quantized: per-vector symmetric int8 cuts storage 4x and
+makes ANN candidate scans integer-SIMD-friendly, at ~1e-2 relative error.
+This operator is a pure built-in column expression (WholeStageCodegen, no
+Python, no shuffle) so it composes with any scan at full codegen speed.
+
+Determinism note: rounding is spelled ``floor(x/scale*127 + 0.5)`` rather
+than ``round()`` because round()'s half-even/half-up behavior differs
+between engines, while floor(+0.5) is bit-identical everywhere IEEE doubles
+are — that keeps the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Q_MAX = 127
+
+
+def quantize_col(vec_col):
+    """array<float> -> (scale float, q array<int>): symmetric int8.
+    Zero vectors quantize to all-zero with scale 0 (guarded divide)."""
+    scale = F.array_max(F.transform(vec_col, lambda x: F.abs(x)))
+    safe = F.when(scale == 0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(
+        vec_col, lambda x: F.floor(x / safe * F.lit(Q_MAX) + F.lit(0.5)).cast("int")
+    )
+    return scale, q
+
+
+def quantize_embeddings(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """One row per vector: id, scale, quantized codes, and integer digests
+    (sum / L1 / L2 / min / max of the codes) — the digests are exact
+    integers, so they double as a cross-engine verification surface."""
+    scale, q = quantize_col(F.col(vec_col))
+    zero = F.lit(0).cast("long")
+    return embs.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.aggregate(q, zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.aggregate(q, zero, lambda a, x: a + x.cast("long") * x).alias("q_l2"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )

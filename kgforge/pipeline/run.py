@@ -89,7 +89,9 @@ def dedup_pages(pages: DataFrame, mode: str = "near", threshold: float = 0.9) ->
     exact = exact_dedup(pages, id_col="url", text_col="text")
     if mode == "exact":
         return exact
-    pairs = minhash_duplicate_pairs(exact, id_col="url", text_col="text", threshold=threshold)
+    pairs = minhash_duplicate_pairs(
+        exact, id_col="url", text_col="text", threshold=threshold, sig_prefilter=True
+    )
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comp = connected_components(edges)
     # component = min(node): non-representatives are dropped; pages in no

@@ -229,6 +229,32 @@ def test_cc_hot_key(spark):
     assert comp["y"] == comp["z"] == "y"
 
 
+def test_sig_prefilter_subset_and_keeps_high_pairs(spark):
+    """sig_prefilter candidates are a subset of the unfiltered path's (it
+    can only drop), and every pair at jaccard >= 0.95 survives the 3-sigma
+    agreement cutoff (deterministic hash family — no flake)."""
+    from kgforge.fixtures import pages_df
+    from kgforge.operators.dedup import exact_dedup, minhash_duplicate_pairs
+
+    pages = pages_df(spark, 600, partitions=8)
+    exact = exact_dedup(pages, id_col="url", text_col="text").persist()
+    ref_rows = minhash_duplicate_pairs(
+        exact, id_col="url", text_col="text", threshold=0.9
+    ).collect()
+    fast_pairs = {
+        (r["a"], r["b"])
+        for r in minhash_duplicate_pairs(
+            exact, id_col="url", text_col="text", threshold=0.9, sig_prefilter=True
+        ).collect()
+    }
+    exact.unpersist()
+    ref_pairs = {(r["a"], r["b"]) for r in ref_rows}
+    assert ref_pairs, "fixture must plant near-dup pairs"
+    assert fast_pairs <= ref_pairs
+    high = {(r["a"], r["b"]) for r in ref_rows if r["jaccard"] >= 0.95}
+    assert high and high <= fast_pairs
+
+
 def test_pipeline_dedup_stage(spark, tmp_path):
     """dedup='near' collapses the fixture's planted exact (i%23) and near
     (i%29) duplicate pages BEFORE parsing; every downstream stage shrinks
