@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--extended-checks", action="store_true",
                     help="also materialize the focus-node constraint-report stream "
                          "(pair / qualified / sh:node / node-logical / path executors)")
+    ap.add_argument("--dedup", choices=["exact", "near"], default=None,
+                    help="insert a page-dedup stage before parsing (exact text hash, "
+                         "or MinHash-LSH near-dup collapse with sig-prefiltered verify)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after materializing, compact the S/P/O stage directories to "
+                         "~128MB range-clustered files (fingerprint-verified rewrite)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,7 +48,10 @@ def main():
     else:
         pages = spark.read.parquet(args.pages_parquet)
 
-    out = run_pipeline(pages, args.out, run_id=args.run_id, extended_checks=args.extended_checks)
+    out = run_pipeline(
+        pages, args.out, run_id=args.run_id,
+        extended_checks=args.extended_checks, dedup=args.dedup,
+    )
     summary = {
         "accepted": out["accepted"].count(),
         "rejected": out["rejected"].count(),
@@ -50,6 +59,18 @@ def main():
     }
     if out["reports"] is not None:
         summary["constraint_reports"] = out["reports"].count()
+    if args.compact:
+        import os
+
+        from kgforge.sinks.materialize import ManifestStore, compact_stage
+
+        manifests = ManifestStore(os.path.join(args.out, "_manifests"))
+        for name, cols in (("s", ["subject"]), ("p", ["predicate"]), ("o", ["obj_value"])):
+            compact_stage(
+                spark, os.path.join(args.out, "graph", f"spo_{name}"),
+                f"materialize_{name}", args.run_id, manifests, range_cols=cols,
+            )
+        summary["compacted"] = True
     print(json.dumps(summary))
     spark.stop()
 

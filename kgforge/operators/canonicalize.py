@@ -269,7 +269,12 @@ def connected_components(
     # num_partitions untouched. (Callers pass persisted/materialized edges,
     # so the sizing count is cheap.)
     n_edges_in = edges.count()
-    parts = min(num_partitions, max(spark.sparkContext.defaultParallelism, n_edges_in // 50_000 + 1))
+    # floor of 8, NOT defaultParallelism: each CC iteration is ~8 serial
+    # shuffle stages, so a 50k-edge graph on 32 partitions pays 32-task
+    # scheduling latency per stage for ~1.5k rows/task; 8 partitions keeps
+    # tasks meaningful and halves the loop's fixed latency, while big
+    # graphs still scale up via the edge-count term
+    parts = min(num_partitions, max(8, n_edges_in // 50_000 + 1))
 
     nodes = (
         edges.select(F.col("src").alias("uri"))

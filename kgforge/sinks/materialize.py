@@ -164,3 +164,75 @@ def materialize_spo(
             num_partitions=num_partitions,
         )
     return out
+
+
+def compact_stage(
+    spark: SparkSession,
+    path: str,
+    stage: str,
+    run_id: str,
+    manifests: ManifestStore,
+    range_cols: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction for a written stage directory.
+
+    Long-running ingestion produces many small parquet files per stage
+    (every incremental run appends its own task outputs); at cluster scale
+    the resulting file-listing and scan-task explosion dominates query
+    latency long before data volume does (the classic Iceberg/Hive
+    small-file problem — Iceberg's ``rewrite_data_files`` is the managed
+    equivalent of this operator). Compaction:
+
+    1. sizes the target partition count from the stage's actual on-disk
+       bytes (never from a guess),
+    2. rewrites with ``repartitionByRange`` on the stage's cluster columns
+       (preserves range clustering so downstream range pruning still works),
+    3. verifies the rewrite with an order-insensitive content fingerprint
+       BEFORE swapping it in (a failed verify leaves the original intact),
+    4. refreshes the stage manifest + lineage rows.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    on_disk = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fns in os.walk(path)
+        for f in fns
+        if f.endswith(".parquet")
+    )
+    n_files_before = sum(
+        1 for _dp, _dn, fns in os.walk(path) for f in fns if f.endswith(".parquet")
+    )
+    n_parts = max(1, (on_disk + target_file_bytes - 1) // target_file_bytes)
+    before_fp = content_fingerprint(df)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartitionByRange(int(n_parts), *[F.col(c) for c in range_cols]).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    out = spark.read.parquet(tmp)
+    after_fp = content_fingerprint(out)
+    if after_fp != before_fp:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction fingerprint mismatch for {stage}: {before_fp} != {after_fp}"
+        )
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    out = spark.read.parquet(path)
+    lineage = partition_lineage(out, stage, run_id)
+    lineage.write.mode("overwrite").parquet(os.path.join(path.rstrip("/") + "_lineage"))
+    rec = manifests.load(run_id, stage) or {"status": "complete", "stage": stage, "run_id": run_id}
+    rec.update(
+        {
+            "path": path,
+            "rows": out.count(),
+            "compacted": True,
+            "files_before": int(n_files_before),
+            "files_after": int(n_parts),
+            "bytes": int(on_disk),
+        }
+    )
+    manifests.save(run_id, stage, rec)
+    return out

@@ -277,3 +277,32 @@ def test_pipeline_dedup_stage(spark, tmp_path):
     # deduped pages flow downstream: triples only from kept urls
     kept = {r["url"] for r in out["pages"].select("url").collect()}
     assert {r["url"] for r in out["triples"].select("url").distinct().collect()} <= kept
+
+
+def test_compact_stage(spark, tmp_path):
+    """Compaction collapses a many-file stage to size-targeted files,
+    preserves content exactly (fingerprint-verified swap), keeps range
+    clustering, and refreshes the manifest."""
+    import glob
+
+    from kgforge.operators.parse import parse_pages
+    from kgforge.sinks.materialize import ManifestStore, compact_stage, write_stage
+
+    from kgforge.fixtures import pages_df
+
+    t = parse_pages(pages_df(spark, 40, partitions=4))
+    work = str(tmp_path / "w")
+    ms = ManifestStore(work + "/_manifests")
+    out = write_stage(
+        t, work + "/t", "parse", "r1", ms, range_cols=["url", "seq"], num_partitions=16
+    )
+    before = {(r["url"], r["seq"]) for r in out.select("url", "seq").collect()}
+    assert len(glob.glob(work + "/t/*.parquet")) > 1
+
+    compacted = compact_stage(spark, work + "/t", "parse", "r1", ms, range_cols=["url", "seq"])
+    after = {(r["url"], r["seq"]) for r in compacted.select("url", "seq").collect()}
+    assert after == before
+    assert len(glob.glob(work + "/t/*.parquet")) == 1  # tiny stage -> one file
+    rec = ms.load("r1", "parse")
+    assert rec["compacted"] is True and rec["files_after"] == 1
+    assert rec["files_before"] > 1
