@@ -1,3 +1,13 @@
-from .pipeline import stream_pages, streaming_predicate_counts, streaming_triples
+from .pipeline import (
+    stream_pages,
+    streaming_predicate_counts,
+    streaming_triples,
+    validate_each_batch,
+)
 
-__all__ = ["stream_pages", "streaming_triples", "streaming_predicate_counts"]
+__all__ = [
+    "stream_pages",
+    "streaming_triples",
+    "streaming_predicate_counts",
+    "validate_each_batch",
+]

@@ -183,3 +183,41 @@ def test_streaming_mentions_matches_batch(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.sql("SELECT count(*) AS n FROM mention_counts_append").collect()[0]["n"] >= 0
+
+
+def test_streaming_validation_matches_batch(spark, tmp_path):
+    """foreachBatch incremental validation == batch validation over the same
+    pages: accepted/rejected row sets identical regardless of how the corpus
+    was split into micro-batches."""
+    from kgforge.operators.parse import parse_combined, split_parsed
+    from kgforge.operators.validate import split_validated, validate_triples
+    from kgforge.streaming import stream_pages, validate_each_batch
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    pages = spark.createDataFrame(pages_pdf(range(60)))
+    pages.coalesce(3).write.mode("overwrite").parquet(landing)
+
+    out_root = str(tmp_path / "out")
+    q = (
+        validate_each_batch(stream_pages(spark, landing, max_files_per_trigger=1), out_root)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    combined = parse_combined(pages).persist()
+    triples, shapes = split_parsed(combined)
+    b_acc, b_rej = split_validated(validate_triples(triples, shapes))
+    key = ["url", "seq", "subject", "predicate"]
+    s_acc = spark.read.parquet(f"{out_root}/accepted").select(key)
+    s_rej = spark.read.parquet(f"{out_root}/rejected").select(key)
+    assert s_acc.exceptAll(b_acc.select(key)).count() == 0
+    assert b_acc.select(key).exceptAll(s_acc).count() == 0
+    assert s_rej.exceptAll(b_rej.select(key)).count() == 0
+    assert b_rej.select(key).exceptAll(s_rej).count() == 0
+    assert s_rej.count() > 0 and s_acc.count() > 0
+    combined.unpersist()
