@@ -564,6 +564,31 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus filter composition: exact dedup -> language
+    agreement (predicted == labeled, or undetermined) -> quality floor.
+    The shape of a real pretraining-data keep/drop stage, built entirely
+    from the already-oracled operators so the composition itself verifies."""
+    from kgforge.operators.dedup import exact_dedup
+    from kgforge.operators.text_stats import lang_id_col, quality_score_col
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = exact_dedup(docs).select(
+        "doc_id",
+        "lang",
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("quality"),
+    )
+    return (
+        prof.filter(
+            (F.col("quality") >= 0.7)
+            & ((F.col("lang_pred") == F.col("lang")) | (F.col("lang_pred") == "und"))
+        )
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -598,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": q_multimodal_features,
         "q_emb_quantize": q_emb_quantize,
         "q_range_join": q_range_join,
+        "q_corpus_filter": q_corpus_filter,
     }
 
 
@@ -1074,5 +1100,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_events_in_error_window
             FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
             GROUP BY e.event_type ORDER BY e.event_type
+        """,
+        "q_corpus_filter": f"""
+            WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+            kept AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+            prof AS (
+              SELECT doc_id, lang, {_dd_lang_id()} AS lang_pred, {_dd_quality()} AS quality
+              FROM kept)
+            SELECT doc_id, lang, quality FROM prof
+            WHERE quality >= 0.7 AND (lang_pred = lang OR lang_pred = 'und')
+            ORDER BY doc_id
         """,
     }
