@@ -122,6 +122,9 @@ def main():
         "q_sim_topk",
         "q_emb_neardup",
         "q_knn_lsh",
+        "q_emb_quantize",
+        "q_range_join",
+        "q_corpus_filter",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
