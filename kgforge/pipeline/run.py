@@ -81,7 +81,9 @@ def dedup_pages(pages: DataFrame, mode: str = "near", threshold: float = 0.9) ->
       Jaccard-verified near-dup pairs at ``threshold``, collapsed with the
       same large-star/small-star connected-components used for entity
       canonicalization; each component keeps its min-url representative.
-      All blocking/skew caps of ``minhash_duplicate_pairs`` apply.
+      All blocking/skew caps of ``minhash_duplicate_pairs`` apply, plus the
+      signature-agreement prefilter (3-sigma margin) so the exact gram
+      verify never ships the mid-similarity candidate crowd.
     """
     from ..operators.canonicalize import connected_components
     from ..operators.dedup import exact_dedup, minhash_duplicate_pairs
