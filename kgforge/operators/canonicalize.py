@@ -268,6 +268,10 @@ def connected_components(
     # 16-byte edge rows per task keeps tasks meaningful; large graphs keep
     # num_partitions untouched. (Callers pass persisted/materialized edges,
     # so the sizing count is cheap.)
+    # pin the edge input: the sizing count, the nodes build, and the e build
+    # each traverse the edges lineage (often a filter over a cached-but-wide
+    # upstream), so without a persist the same scan runs 3x serially
+    edges = edges.persist()
     n_edges_in = edges.count()
     # floor of 8, NOT defaultParallelism: each CC iteration is ~8 serial
     # shuffle stages, so a 50k-edge graph on 32 partitions pays 32-task
@@ -302,10 +306,14 @@ def connected_components(
         .join(nodes.withColumnRenamed("uri", "dst").withColumnRenamed("nid", "dst_id"), "dst")
         .select(F.col("src_id").alias("u"), F.col("dst_id").alias("v"))
         .filter(F.col("u") != F.col("v"))
+        # no repartition after the distinct: the loop's first op is a
+        # groupBy that reshuffles anyway (same reasoning as the in-loop
+        # comment below), so forcing a parts-keyed exchange here is one
+        # whole extra shuffle of the full edge set per CC call
         .distinct()
-        .repartition(parts, "u")
         .localCheckpoint()
     )
+    edges.unpersist()
 
     def large_star(df: DataFrame) -> DataFrame:
         # Kiveris et al. §3: for each u over the symmetrized neighborhood,
@@ -337,7 +345,6 @@ def connected_components(
         )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    prev_hash = None
     for it in range(max_iterations):
         import time as _time
 
@@ -347,17 +354,30 @@ def connected_components(
         # a groupBy that reshuffles anyway, so co-locating here is a wasted
         # full shuffle per iteration
         e2 = small_star(e2).localCheckpoint()
-        # convergence: stable edge-set fingerprint (order-insensitive)
-        h = e2.select(
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"), F.count("*").alias("c")
-        ).collect()[0]
-        cur_hash = (str(h["h"]), h["c"])
         e = e2
+        # Convergence: the large/small-star fixpoint is exactly a star
+        # forest (Kiveris et al. §4) — every edge points leaf -> center,
+        # no center is itself a leaf, and every leaf has ONE center. The
+        # old stable-fingerprint test had to run one full EXTRA iteration
+        # (~8 shuffle stages) just to observe the hash not changing; the
+        # star-forest property is instead testable directly on the fresh
+        # checkpoint with a single small aggregation job: tag each edge
+        # endpoint with src=1/dst=0, then a node violates the property iff
+        # it has >1 outgoing edge (multi-target leaf) or it appears as
+        # both a src and a dst (chain). Verified as a fixpoint both ways
+        # by t:test_cc_star_forest_probe.
+        not_star = (
+            e2.select(F.col("u"), F.lit(1).alias("s"))
+            .unionAll(e2.select(F.col("v").alias("u"), F.lit(0).alias("s")))
+            .groupBy("u")
+            .agg(F.sum("s").alias("ns"), F.min("s").alias("mn"))
+            .filter((F.col("ns") > 1) | ((F.col("ns") >= 1) & (F.col("mn") == 0)))
+        )
+        converged = not_star.isEmpty()
         if verbose:
-            print(f"CC iter {it}: edges={h['c']} {_time.time() - t0:.1f}s", flush=True)
-        if cur_hash == prev_hash:
+            print(f"CC iter {it}: {_time.time() - t0:.1f}s converged={converged}", flush=True)
+        if converged:
             break
-        prev_hash = cur_hash
 
     # converged edge set is a star per component: (member u -> center v=min)
     comp = (

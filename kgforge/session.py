@@ -36,6 +36,13 @@ def get_spark(
         # them to 1 task when the bytes are tiny even though the CPU isn't
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # DataFrame-debugging call-site capture costs ~4.5 ms of py4j
+        # round-trips PER Column/DataFrame API call (getActiveSession +
+        # conf.get + origin set/clear); a large plan like the validator's
+        # bitmask tree makes thousands of such calls, turning plan
+        # CONSTRUCTION into multi-second, purely-serial driver time that
+        # caps scaling efficiency. Production posture is off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

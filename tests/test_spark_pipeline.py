@@ -114,6 +114,45 @@ def test_mentions_detected(spark, pages):
     assert row["start"] < row["end"]
 
 
+def test_cc_star_forest_probe(spark):
+    """The convergence probe (star-forest test) must stop the loop at the
+    true fixpoint: a 64-node path graph is the iteration-count worst case
+    (diameter halves per round), and a pseudo-random multi-component graph
+    is cross-checked against a driver-side union-find."""
+    # worst case: one long path 0-1-2-...-63
+    path = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(63)]
+    cc = connected_components(spark.createDataFrame(path, ["src", "dst"]))
+    comp = {r["node"]: r["component"] for r in cc.collect()}
+    assert len(comp) == 64 and set(comp.values()) == {"p000"}
+
+    # pseudo-random graph (deterministic LCG), compare to union-find
+    edges, x = [], 7
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 120
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 120
+        if a != b:
+            edges.append((f"r{a:03d}", f"r{b:03d}"))
+    parent = {}
+
+    def find(n):
+        parent.setdefault(n, n)
+        while parent[n] != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    cc2 = connected_components(spark.createDataFrame(edges, ["src", "dst"]))
+    got = {r["node"]: r["component"] for r in cc2.collect()}
+    assert got == want
+
+
 def test_connected_components_correctness(spark):
     edges = [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")]
     edges += [(f"n{i:02d}", "hub") for i in range(20)]

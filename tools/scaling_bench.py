@@ -45,7 +45,9 @@ def run_once(pages):
     validated = validate_triples(all_triples, shapes).persist()
     accepted, rejected = split_validated(validated)
     n = validated.count()
-    accepted.count()
+    # no accepted.count() barrier: accepted is a filter over the cached
+    # validated table, and canonicalize's own edge-sizing count is the next
+    # action through it — a separate count is one whole serial job for nothing
     mapping = canonicalize_entities(accepted)
     mapping.count()
     validated.unpersist(); all_triples.unpersist(); combined.unpersist()
