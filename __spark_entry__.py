@@ -589,6 +589,45 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: 3 power iterations of weighted PageRank
+    over the symmetrized user<->event_type interaction graph. One shuffle
+    join + one aggregation per iteration, no per-iteration driver
+    reduction (symmetric graph => no dangling mass; see operators/graph.py)."""
+    from kgforge.operators.graph import normalize_edges, pagerank, user_event_graph
+
+    ev = _t(spark, sf_dir, "events")
+    t = normalize_edges(user_event_graph(ev), symmetrize=True)
+    return (
+        pagerank(t, iterations=3, damping=0.85)
+        .select("node", F.round("pr", 9).alias("pr"))
+        .orderBy("node")
+    )
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF; ranks
+    computed over the rounded score so they are engine-independent."""
+    from kgforge.operators.ranking import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3, min_len=3).orderBy("doc_id", "rank")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-count stratified sample: 10% per language,
+    selected by a Knuth multiplicative key-hash (partition-layout-free,
+    so the sample is identical at any cluster size)."""
+    from kgforge.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, strata="lang", fraction=0.10, key="doc_id")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -624,6 +663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_quantize": q_emb_quantize,
         "q_range_join": q_range_join,
         "q_corpus_filter": q_corpus_filter,
+        "q_event_pagerank": q_event_pagerank,
+        "q_tfidf_terms": q_tfidf_terms,
+        "q_stratified_sample": q_stratified_sample,
     }
 
 
@@ -1110,5 +1152,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, quality FROM prof
             WHERE quality >= 0.7 AND (lang_pred = lang OR lang_pred = 'und')
             ORDER BY doc_id
+        """,
+        # 3 unrolled power iterations; literals forced to DOUBLE (DuckDB
+        # numeric literals are DECIMAL, whose exact 0.15/0.85 would diverge
+        # from Spark's IEEE (1.0 - 0.85) at the 1e-17 level -- kept benign
+        # by ROUND(,9), but the cast makes the arithmetic identical anyway)
+        "q_event_pagerank": """
+            WITH eg AS (
+                SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+                       't:' || event_type AS dst,
+                       CAST(COUNT(*) AS DOUBLE) AS w
+                FROM events GROUP BY 1, 2
+            ),
+            sym AS (
+                SELECT src, dst, w FROM eg
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM eg
+            ),
+            agg AS (SELECT src, dst, SUM(w) AS w FROM sym GROUP BY 1, 2),
+            outw AS (SELECT src, SUM(w) AS wout FROM agg GROUP BY 1),
+            e AS (SELECT a.src, a.dst, a.w / o.wout AS p
+                  FROM agg a JOIN outw o USING (src)),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS pr FROM nodes),
+            r1 AS (
+                SELECT nd.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                FROM nodes nd
+                LEFT JOIN e ON e.dst = nd.node
+                LEFT JOIN r0 r ON r.node = e.src
+                GROUP BY nd.node
+            ),
+            r2 AS (
+                SELECT nd.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                FROM nodes nd
+                LEFT JOIN e ON e.dst = nd.node
+                LEFT JOIN r1 r ON r.node = e.src
+                GROUP BY nd.node
+            ),
+            r3 AS (
+                SELECT nd.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                FROM nodes nd
+                LEFT JOIN e ON e.dst = nd.node
+                LEFT JOIN r2 r ON r.node = e.src
+                GROUP BY nd.node
+            )
+            SELECT node, ROUND(pr, 9) AS pr FROM r3 ORDER BY node
+        """,
+        # rank is computed over the ROUNDED score in both engines so a
+        # 1-ulp ln() difference can't flip an ordering
+        "q_tfidf_terms": """
+            WITH terms AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                    FROM documents
+                ) WHERE LENGTH(term) >= 3
+                GROUP BY doc_id, term
+            ),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+            scored AS (
+                SELECT t.doc_id, t.term,
+                       ROUND(t.tf * LN(((SELECT n FROM nd) + 1) / (df + 1)), 6) AS score
+                FROM terms t JOIN dfq USING (term)
+            ),
+            ranked AS (
+                SELECT doc_id, term, score,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term ASC
+                       ) AS INTEGER) AS "rank"
+                FROM scored
+            )
+            SELECT doc_id, term, score, "rank" FROM ranked
+            WHERE "rank" <= 3 ORDER BY doc_id, "rank"
+        """,
+        # CAST(0.10 AS DOUBLE): as a DECIMAL literal, n * 0.10 would be
+        # exact decimal arithmetic while Spark computes IEEE doubles --
+        # ceil() of the two can differ by 1 at exact multiples of 10
+        "q_stratified_sample": """
+            WITH h AS (
+                SELECT lang, doc_id,
+                       (doc_id * 2654435761) % 4294967296 AS hk
+                FROM documents
+            ),
+            r AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk ASC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM h
+            )
+            SELECT lang, doc_id FROM r
+            WHERE rn <= CEIL(n * CAST(0.10 AS DOUBLE))
+            ORDER BY lang, doc_id
         """,
     }
