@@ -125,6 +125,9 @@ def main():
         "q_emb_quantize",
         "q_range_join",
         "q_corpus_filter",
+        "q_event_pagerank",
+        "q_tfidf_terms",
+        "q_stratified_sample",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
