@@ -89,30 +89,51 @@ def _mulmod61(x, y):
 def minhash_sig_col(text_col, num_hashes: int = 32, shingle: int = 3):
     """MinHash signature (array<bigint>) as a vectorized Arrow UDF.
 
-    The per-doc work is numpy: unique character shingles -> one crc32 base
-    hash per unique shingle -> a (num_hashes x uniques) multiply-add-mod
-    matrix -> row mins. An earlier pure-expression formulation (32x
+    The per-doc work is numpy end-to-end: byte n-grams packed to integer
+    codes (frombuffer + shifts) -> np.unique -> a (num_hashes x uniques)
+    multiply-add-mod matrix -> row mins. An earlier pure-expression formulation (32x
     array_min(transform(...))) allocated one JVM array per shingle per slot;
     the resulting GC pressure dominated the stage and degraded the whole
     session — the Arrow batch path keeps all scratch memory in C buffers."""
-    import zlib
-
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     a, b = _minhash_params(num_hashes)
+    # Shingles are BYTE n-grams packed into 8*shingle-bit integer codes —
+    # pure numpy (frombuffer + shifts + np.unique), replacing the former
+    # per-position Python set comprehension and per-shingle zlib.crc32 loop.
+    # The packed code is then avalanched to 32 bits with a vectorized
+    # splitmix/murmur-style mix: the mix is REQUIRED, not cosmetic — raw
+    # narrow codes satisfy a*code+b < p, so the mod-prime family never
+    # wraps and degenerates to a monotone map (every slot would select the
+    # same minimum shingle; caught by sig-agreement-vs-true-jaccard probe).
+    # The mixed 32-bit value feeds the same exact split-multiply
+    # multiply-add-mod-2^61-1 family as before (y < 2^32 precondition met).
+    p64 = np.uint64(_MERSENNE61)
+    mask32 = np.uint64(0xFFFFFFFF)
+
+    def _mix32(codes):
+        h = codes * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+        h ^= h >> np.uint64(29)
+        h = h * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        return h & mask32
 
     @pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
             t = " ".join((text or "").lower().split())
-            n = max(len(t) - (shingle - 1), 1)
-            uniq = {t[i : i + shingle] for i in range(n)}
-            hs = np.fromiter(
-                (zlib.crc32(s.encode("utf-8")) for s in uniq), dtype=np.uint64, count=len(uniq)
-            )
-            prod = (_mulmod61(a[:, None], hs[None, :]) + b[:, None]) % np.uint64(_MERSENNE61)
+            data = t.encode("utf-8")
+            if len(data) < shingle:
+                data = data.ljust(shingle, b" ")
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            m = len(arr) - (shingle - 1)
+            codes = np.zeros(m, dtype=np.uint64)
+            for k in range(shingle):
+                codes |= arr[k : m + k] << np.uint64(8 * (shingle - 1 - k))
+            hs = _mix32(np.unique(codes))
+            prod = (_mulmod61(a[:, None], hs[None, :]) + b[:, None]) % p64
             out.append(prod.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
@@ -225,7 +246,17 @@ def verified_similar_pairs(
     """MinHash-LSH blocked + exact n-gram Jaccard verified pairs (a, b, jaccard)."""
     sigs = minhash_signatures(entities, id_col, text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=num_hashes // bands)
-    texts = entities.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col)).alias("grams"))
+    # candidate-pruned gram sets (same reasoning as minhash_duplicate_pairs:
+    # verify cost must scale with |candidates|, not |corpus|); cands is
+    # referenced 3x below — persist so banding runs once
+    cands = cands.persist()
+    cand_ids = (
+        cands.select(F.col("a").alias("cid"))
+        .union(cands.select(F.col("b").alias("cid")))
+        .distinct()
+    )
+    pruned = entities.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    texts = pruned.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col)).alias("grams"))
     a = texts.alias("ta")
     b = texts.alias("tb")
     joined = (

@@ -93,7 +93,27 @@ def minhash_duplicate_pairs(
             .filter(agree / F.lit(num_hashes) >= F.lit(cutoff))
             .select("a", "b")
         )
-    grams = docs.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), 3).alias("grams"))
+    # pin the surviving candidate set: it is referenced FIVE times below
+    # (twice building cand_ids, once per gram side through the semi-join,
+    # once in the verify join) and each unpersisted reference would re-run
+    # the banding self-join + prefilter lineage (at cluster scale, write
+    # candidates to a stage table instead)
+    cands = cands.persist()
+    # gram sets ONLY for docs that appear in a surviving candidate pair: the
+    # gram expression (~KB array per row) is the stage's dominant cost, and
+    # computing it over the whole corpus for both join sides made verify
+    # scale with |corpus| instead of |candidates| (measured 169 s -> ~7 s at
+    # 19k docs / 11k candidates). At 100 TB this is the difference between
+    # a candidate-bounded shuffle and two full-corpus gram scans.
+    cand_ids = (
+        cands.select(F.col("a").alias("cid"))
+        .union(cands.select(F.col("b").alias("cid")))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    grams = cand_docs.select(
+        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), 3).alias("grams")
+    )
     return (
         cands.join(grams.alias("ga"), cands.a == F.col("ga.id"))
         .join(grams.alias("gb"), cands.b == F.col("gb.id"))

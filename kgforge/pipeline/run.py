@@ -91,6 +91,11 @@ def dedup_pages(pages: DataFrame, mode: str = "near", threshold: float = 0.9) ->
     exact = exact_dedup(pages, id_col="url", text_col="text")
     if mode == "exact":
         return exact
+    # the exact-dedup output is a full-text shuffle aggregation and feeds
+    # FOUR lineages below (signatures, candidate-gram semi-join, the CC edge
+    # materialization, and the final anti-join) — without a persist each one
+    # re-runs the whole text shuffle
+    exact = exact.persist()
     pairs = minhash_duplicate_pairs(
         exact, id_col="url", text_col="text", threshold=threshold, sig_prefilter=True
     )
