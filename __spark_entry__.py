@@ -524,6 +524,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM decode end-to-end: fixture audio rows are genuine RIFF
+    containers of square waves whose amplitude/half-period/length are
+    closed-form in media_id, so the DuckDB oracle reconstructs the DECODED
+    duration, peak, RMS (== amplitude for a square wave), and sign-flip
+    count arithmetically — a wrong chunk walk or sample decode mismatches."""
+    from kgforge.operators.media_av import audio_features
+    from kgforge.operators.multimodal import fake_media_df
+
+    media = fake_media_df(spark, 64).filter(F.col("kind") == "audio")
+    return audio_features(media).orderBy("media_id")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL YUV4MPEG2 decode + every-2nd-frame sampling: fixture videos are
+    genuine Y4M streams of solid-luma frames with luma = closed form of
+    (media_id, frame_idx); the oracle regenerates the sampled frame grid and
+    per-frame means in SQL — wrong plane offsets or stride mismatch."""
+    from kgforge.operators.media_av import video_frame_sample
+    from kgforge.operators.multimodal import fake_media_df
+
+    media = fake_media_df(spark, 64).filter(F.col("kind") == "video")
+    return video_frame_sample(media, every_k=2).orderBy("media_id", "frame_idx")
+
+
 def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 embedding quantization (pure codegen
     expressions; floor(+0.5) rounding is engine-identical, so scale and the
@@ -660,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_mentions": q_kg_mentions,
         "q_kg_classes": q_kg_classes,
         "q_multimodal_features": q_multimodal_features,
+        "q_audio_features": q_audio_features,
+        "q_video_frames": q_video_frames,
         "q_emb_quantize": q_emb_quantize,
         "q_range_join": q_range_join,
         "q_corpus_filter": q_corpus_filter,
@@ -1112,6 +1139,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST((i * 59) % 256 AS DOUBLE) AS mean_g,
                    CAST((i * 83) % 256 AS DOUBLE) AS mean_b
             FROM range(64) t(i) WHERE i % 3 = 0 ORDER BY media_id
+        """,
+        # decoded-WAV features reconstructed from the closed-form square-wave
+        # params (media_av.audio_params): RMS == amplitude, flips every
+        # half-period, n a multiple of 8 at sr=8000 so duration is exact
+        "q_audio_features": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(800 + (i % 13) * 160 AS INT) AS n_samples,
+                   CAST((800 + (i % 13) * 160) / 8 AS INT) AS duration_ms,
+                   CAST(1000 + (i * 7) % 2000 AS INT) AS peak,
+                   CAST(1000 + (i * 7) % 2000 AS DOUBLE) AS rms,
+                   CAST(floor((800 + (i % 13) * 160 - 1) / (2 + i % 9)) AS BIGINT)
+                     AS zero_crossings
+            FROM range(64) t(i) WHERE i % 3 = 1 ORDER BY media_id
+        """,
+        # decoded-Y4M sampled-frame grid from the closed-form params
+        # (media_av.video_params / frame_luma): every 2nd frame, solid luma
+        "q_video_frames": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(f AS INT) AS frame_idx,
+                   CAST(6 + i % 7 AS INT) AS n_frames,
+                   CAST(8 + (i % 5) * 4 AS INT) AS width,
+                   CAST(6 + (i % 4) * 3 AS INT) AS height,
+                   CAST((i * 31 + f * 17) % 240 + 8 AS DOUBLE) AS mean_y
+            FROM range(64) t(i), range(12) s(f)
+            WHERE i % 3 = 2 AND f % 2 = 0 AND f < 6 + i % 7
+            ORDER BY media_id, frame_idx
         """,
         "q_emb_quantize": """
             WITH s AS (

@@ -332,11 +332,15 @@ def media_dims(i: int) -> tuple[int, int]:
 
 
 def fake_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic media fixture. IMAGE rows carry REAL encoded payloads
-    (PPM/BMP/PNG rotating by row) of solid-color images whose dims and
-    color are closed-form functions of media_id — so decoded width/height/
-    channel means are DuckDB-oracle-able end-to-end. Audio/video rows keep
-    opaque payloads (decode for those is out of scope)."""
+    """Deterministic media fixture. Every row carries a REAL encoded payload
+    of a public format — image rows PPM/BMP/PNG (rotating) of solid-color
+    images, audio rows RIFF/WAV PCM square waves, video rows YUV4MPEG2
+    solid-luma frame sequences — whose decoded properties are closed-form
+    functions of media_id, so decoded dims / channel means / RMS / frame
+    lumas are all DuckDB-oracle-able end-to-end (see
+    ``kgforge.operators.media_av`` for the audio/video parameter maps)."""
+    from .media_av import fake_audio_payload, fake_video_payload
+
     rows = []
     encoders = [("ppm", encode_ppm, "image/x-portable-pixmap"),
                 ("bmp", encode_bmp, "image/bmp"),
@@ -350,7 +354,10 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
             _, enc, mime = encoders[(i // 3) % 3]
             payload = enc(img)
             rows.append((i, kind, payload, mime, w, h, None))
+        elif kind == "audio":
+            payload, dur = fake_audio_payload(i)
+            rows.append((i, kind, payload, "audio/wav", None, None, dur))
         else:
-            payload = (f"media-{i}-" + "x" * (i % 37)).encode()
-            rows.append((i, kind, payload, "application/octet-stream", None, None, 1000 + i))
+            payload, w, h, dur = fake_video_payload(i)
+            rows.append((i, kind, payload, "video/x-yuv4mpeg", w, h, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

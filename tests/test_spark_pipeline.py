@@ -202,8 +202,9 @@ def test_materialize_resume(spark, pages, tmp_path):
 def test_multimodal_real_decode(spark):
     """Image rows carry REAL PPM/BMP/PNG payloads: decode without any fake
     path must recover exact dims, format, thumbnail dims, and solid-color
-    channel means; audio/video payloads (opaque bytes) must still raise
-    without the fake fallback and succeed with it."""
+    channel means; audio/video payloads (real WAV/Y4M — not images) must
+    still raise in image decode without the fake fallback and succeed with
+    it (their own decoders are covered in test_media_av.py)."""
     from kgforge.operators.multimodal import (
         fake_media_df,
         image_features,
