@@ -294,6 +294,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint")).orderBy("doc_id")
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per doc, the most frequent
+    word bigram's occurrence count and the duplicated-trigram occurrence
+    count, with totals. The projection is exact integers (the derived
+    fraction columns are pinned in pytest instead — a .5-at-6dp rounding
+    tie on count ratios would be engine-dependent)."""
+    from kgforge.operators.text_stats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        repetition_stats(docs)
+        .select(
+            "doc_id", "n_tokens", "top_bigram_count", "total_bigrams",
+            "dup_trigram_count", "total_trigrams",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
     AllPairs/PPJoin prefix-filtered self-join — identical output to the
@@ -670,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tokens": q_text_tokens,
         "q_lang_quality": q_lang_quality,
         "q_fingerprint": q_fingerprint,
+        "q_repetition_stats": q_repetition_stats,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_sim_topk": q_sim_topk,
         "q_emb_neardup": q_emb_neardup,
@@ -994,6 +1014,38 @@ def oracle_sql() -> dict[str, str]:
                        i -> md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INT) * 64 + 1, 64))
                    )) AS fingerprint
             FROM documents ORDER BY doc_id
+        """,
+        # Gopher-style repetition counts; DuckDB lists are 1-indexed and
+        # range(a, b) is end-exclusive, so i runs 1..n-1 (bigrams) / 1..n-2
+        # (trigrams) — same grams as the Spark sequence() construction
+        "q_repetition_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS tk,
+                     len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+              FROM documents
+              WHERE len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 3),
+            bgc AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g, count(*) AS c
+              FROM t, UNNEST(range(1, n_tokens)) AS r(i) GROUP BY 1, 2),
+            bga AS (
+              SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS total_bigrams
+              FROM bgc GROUP BY 1),
+            tgc AS (
+              SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g, count(*) AS c
+              FROM t, UNNEST(range(1, n_tokens - 1)) AS r(i) GROUP BY 1, 2),
+            tga AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram_count,
+                     sum(c) AS total_trigrams
+              FROM tgc GROUP BY 1)
+            SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+                   CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+                   CAST(total_bigrams AS BIGINT) AS total_bigrams,
+                   CAST(dup_trigram_count AS BIGINT) AS dup_trigram_count,
+                   CAST(total_trigrams AS BIGINT) AS total_trigrams
+            FROM t JOIN bga USING (doc_id) JOIN tga USING (doc_id)
+            ORDER BY doc_id
         """,
         "q_ngram_jaccard_pairs": _dd_jaccard_pairs_sql(0.5),
         "q_minhash_dups": _dd_jaccard_pairs_sql(0.8),

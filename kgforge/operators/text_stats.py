@@ -102,3 +102,63 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         quality_score_col(t).alias("quality"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals for corpus filtering
+    (Rae et al. 2021 §A1.1: repeated n-grams mark boilerplate/spam pages):
+    per doc, the occurrence count of its MOST frequent word bigram and the
+    number of trigram occurrences whose trigram appears more than once,
+    alongside the totals — exact integers, plus the derived fractions.
+
+    Shape: tokenize -> explode n-grams -> count per (doc, gram) -> reduce
+    per doc. Scale notes: gram keys are DOC-scoped, so a globally common
+    bigram ("of the") never concentrates on one reducer — the shuffle key
+    cardinality is O(total grams) with no hot key beyond a single document's
+    volume, and map-side partial aggregation contracts repeats before the
+    exchange. No per-row Python; a per-doc quadratic `transform` over
+    distinct grams was rejected (10^5-token pages exist at corpus scale).
+
+    Docs with fewer than 3 tokens (no trigrams) are excluded, by contract.
+    """
+    t = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(t)), r"\s+").alias("tk"),
+    ).withColumn("n_tokens", F.size("tk")).filter(F.col("n_tokens") >= 3)
+
+    def gram_counts(n: int, top_alias: str, dup_alias: str, tot_alias: str):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("tk"), i + k) for k in range(n)]
+            ),
+        )
+        per_gram = (
+            toks.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.max("c").alias(top_alias),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(dup_alias),
+            F.sum("c").alias(tot_alias),
+        )
+
+    bg = gram_counts(2, "top_bigram_count", "dup_bigram_count", "total_bigrams")
+    tg = gram_counts(3, "top_trigram_count", "dup_trigram_count", "total_trigrams")
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(bg, "doc_id")
+        .join(tg, "doc_id")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(F.col("top_bigram_count") / F.col("total_bigrams"), 6),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            F.round(F.col("dup_trigram_count") / F.col("total_trigrams"), 6),
+        )
+    )
