@@ -117,6 +117,7 @@ def main():
         "q_dedup_exact",
         "q_text_tokens",
         "q_lang_quality",
+        "q_repetition_stats",
         "q_minhash_dups",
         "q_simhash_dups",
         "q_sim_topk",
