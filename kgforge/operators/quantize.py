@@ -39,13 +39,19 @@ def quantize_embeddings(
     integers, so they double as a cross-engine verification surface."""
     scale, q = quantize_col(F.col(vec_col))
     zero = F.lit(0).cast("long")
-    return embs.select(
-        F.col(id_col),
-        scale.alias("scale"),
-        q.alias("q"),
-        F.aggregate(q, zero, lambda a, x: a + x).alias("q_sum"),
-        F.aggregate(q, zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
-        F.aggregate(q, zero, lambda a, x: a + x.cast("long") * x).alias("q_l2"),
-        F.array_min(q).alias("q_min"),
-        F.array_max(q).alias("q_max"),
+    # two-step projection: materialize q once, then derive the digests from
+    # the alias. Higher-order transforms are CodegenFallback (no
+    # subexpression elimination), so inlining q into all five digest
+    # expressions re-quantizes the vector per digest — measured 2.5× slower;
+    # CollapseProject keeps the split because q is non-cheap and
+    # multiply-referenced.
+    return embs.select(F.col(id_col), scale.alias("scale"), q.alias("q")).select(
+        id_col,
+        "scale",
+        "q",
+        F.aggregate("q", zero, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate("q", zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.aggregate("q", zero, lambda a, x: a + x.cast("long") * x).alias("q_l2"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
     )
