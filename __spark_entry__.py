@@ -672,6 +672,50 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-set decontamination: documents (doc_id % 97 == 0
+    designates the deterministic "benchmark" slice) poison any train doc
+    sharing a word trigram; returns contaminated train docs with their
+    distinct-overlap count. (Real pipelines use 8-13-grams; the synthetic
+    corpus' short texts need n=3 for a non-trivial overlap set.)
+    Broadcast eval gram set -> the exploded train grams are filtered
+    map-side before the only shuffle."""
+    from kgforge.operators.corpus_mining import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0"), n=3
+    ).orderBy("doc_id")
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level-dedup analogue at fixed 8-token chunk granularity
+    (Lee et al. 2021): per doc, total chunks and how many occurrences are
+    globally duplicated — the boilerplate/template-page signal."""
+    from kgforge.operators.corpus_mining import chunk_dup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dup_stats(docs, chunk=8).orderBy("doc_id")
+
+
+def q_pmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent-word associations by PMI (min pair count 5);
+    ordered on the ROUNDED score so the cut is engine-independent."""
+    from kgforge.operators.corpus_mining import pmi_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_pairs(docs, top_k=25, min_count=5)
+
+
+def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 token counts per language (linear-interpolation
+    percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
+    from kgforge.operators.corpus_mining import token_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_percentiles(docs).orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -713,6 +757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_pagerank": q_event_pagerank,
         "q_tfidf_terms": q_tfidf_terms,
         "q_stratified_sample": q_stratified_sample,
+        "q_decontaminate": q_decontaminate,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_pmi_terms": q_pmi_terms,
+        "q_token_percentiles": q_token_percentiles,
     }
 
 
@@ -746,6 +794,11 @@ def _dd_lang_id() -> str:
         expr = f"CASE WHEN {cond} THEN '{lang}' ELSE {expr} END"
         best = f"CASE WHEN {cond} THEN {scores[lang]} ELSE {best} END"
     return expr
+
+
+# lowercase whitespace token array — the DuckDB mirror of
+# text_stats._tokens_col, shared by the gram-based oracles
+_DD_TOK = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 
 
 def _dd_token_count(col: str = "text") -> str:
@@ -1357,5 +1410,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, doc_id FROM r
             WHERE rn <= CEIL(n * CAST(0.10 AS DOUBLE))
             ORDER BY lang, doc_id
+        """,
+        # word trigram overlap vs the doc_id%97==0 "benchmark" slice;
+        # DuckDB lists are 1-indexed, range(a,b) end-exclusive: i runs
+        # 1..n-2 so tk[i..i+2] is exactly every trigram
+        "q_decontaminate": f"""
+            WITH t AS (SELECT doc_id, {_DD_TOK} AS tk, len({_DD_TOK}) AS n
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         tk[i]||' '||tk[i+1]||' '||tk[i+2] AS g
+                  FROM t, UNNEST(range(1, n - 1)) r(i) WHERE n >= 3),
+            ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+            tr AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_grams
+            FROM tr JOIN ev USING (g) GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q_chunk_dedup": f"""
+            WITH t AS (SELECT doc_id, {_DD_TOK} AS tk, len({_DD_TOK}) AS n
+                       FROM documents),
+            c AS (SELECT doc_id, array_to_string(tk[(i*8)+1 : (i*8)+8], ' ') AS g
+                  FROM t, UNNEST(range(0, CAST(floor(n / 8) AS INT))) r(i)
+                  WHERE n >= 8),
+            f AS (SELECT g, count(*) AS freq FROM c GROUP BY g)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+            FROM c JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q_pmi_terms": f"""
+            WITH t AS (SELECT {_DD_TOK} AS tk, len({_DD_TOK}) AS n FROM documents),
+            uni AS (SELECT u.w, count(*) AS wc FROM t, UNNEST(tk) u(w) GROUP BY 1),
+            bi AS (SELECT tk[i]||' '||tk[i+1] AS g, count(*) AS pair_count
+                   FROM t, UNNEST(range(1, n)) r(i) WHERE n >= 2 GROUP BY 1
+                   HAVING count(*) >= 5),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n1,
+                           CAST(sum(n - 1) AS DOUBLE) AS n2 FROM t)
+            SELECT g, pair_count,
+                   round(ln((pair_count / n2) / ((ua.wc / n1) * (ub.wc / n1))), 6) AS pmi
+            FROM bi, tot, uni ua, uni ub
+            WHERE ua.w = string_split(g, ' ')[1] AND ub.w = string_split(g, ' ')[2]
+            ORDER BY pmi DESC, g LIMIT 25
+        """,
+        # n_tokens must mirror token_count_col's blank-text-is-0 contract
+        "q_token_percentiles": """
+            WITH t AS (SELECT lang,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+            FROM t GROUP BY lang ORDER BY lang
         """,
     }

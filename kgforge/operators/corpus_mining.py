@@ -1,0 +1,235 @@
+"""Corpus-level mining operators for a training-data pipeline:
+
+- eval-set decontamination (GPT-3 appx. C style word-n-gram overlap:
+  Brown et al. 2020 flag any train document sharing an n-gram with the
+  benchmark; reference has no analogue — this generalizes its per-file
+  text handling to corpus hygiene),
+- chunk-level (line-level analogue) duplication statistics
+  (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+  Better": substring-granularity duplication, approximated here at
+  fixed token-chunk granularity so it stays a pure set operation),
+- adjacent-word PMI association mining (Church & Hanks 1990),
+- exact token-count percentiles per language (corpus QA dashboards).
+
+Every operator is a pure built-in column-expression pipeline
+(WholeStageCodegen, zero Python in the hot path) with an exact ANSI-SQL
+(DuckDB) oracle in ``__spark_entry__.py`` — the correctness gate.
+
+Scale notes are per-function; the common theme: aggregate or
+broadcast-filter BEFORE any shuffle that carries exploded n-gram rows,
+because explode inflates the corpus ~100x and an early shuffle of that
+inflation is the 100-TB bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kgforge.operators.text_stats import _tokens_col, word_ngrams_col
+
+
+def _doc_grams(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, g) — one row per word-n-gram OCCURRENCE (not distinct).
+    Docs with fewer than n tokens contribute nothing, by contract."""
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _tokens_col(F.col(text_col)).alias("tk"),
+        )
+        .withColumn("n_tokens", F.size("tk"))
+        .filter(F.col("n_tokens") >= n)
+    )
+    return d.select(
+        "doc_id",
+        F.explode(word_ngrams_col(F.col("tk"), F.col("n_tokens"), n)).alias("g"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: for every train document that shares at
+    least one word n-gram with the eval/benchmark corpus, return
+    (doc_id, n_contaminated_grams) where the count is DISTINCT overlapping
+    grams. Clean documents are absent from the result (the common case at
+    scale — keeps the output proportional to contamination, not corpus).
+
+    Plan shape: the eval gram set is distinct-ed and broadcast (eval
+    benchmarks are MBs, not TBs), so the exploded train grams are filtered
+    MAP-SIDE by a broadcast hash join before the only shuffle — the
+    (doc_id, g) distinct/count, whose key is doc-scoped (no global hot
+    key). Filtering before distinct matters: distinct-ing the full train
+    gram inflation first would shuffle ~100x the corpus. Set
+    ``broadcast_eval=False`` for an eval side too big to broadcast (falls
+    back to a shuffle join; AQE still picks the strategy per stats).
+    """
+    ev = _doc_grams(eval_docs, n, id_col, text_col).select("g").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _doc_grams(docs, n, id_col, text_col)
+    return (
+        tr.join(ev, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_contaminated_grams"))
+    )
+
+
+def chunk_dup_stats(
+    docs: DataFrame,
+    chunk: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-granularity duplication profile: split each document into
+    consecutive NON-overlapping ``chunk``-token blocks (trailing partial
+    block dropped), count each block's global corpus frequency, and report
+    per document (doc_id, n_chunks, dup_chunks) where dup_chunks is the
+    number of block occurrences whose block appears more than once
+    corpus-wide. This is the fixed-granularity form of line-level dedup
+    (Lee et al. 2021): a high dup_chunks/n_chunks ratio marks boilerplate
+    and template pages even when no whole document is a duplicate.
+
+    Plan shape: two shuffles, both map-side combined — the global
+    frequency count keyed by block text, and the per-doc reduce. The
+    frequency table joins back on the block key; a pathologically common
+    block (e.g. a site-wide footer) is a skewed join key, which AQE's
+    skew-join split handles (the frequency side is 1 row per key, so the
+    duplication factor equals the key's frequency and splits cleanly).
+    Docs with fewer than ``chunk`` tokens are excluded, by contract.
+    """
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _tokens_col(F.col(text_col)).alias("tk"),
+        )
+        .withColumn("n_tokens", F.size("tk"))
+        .filter(F.col("n_tokens") >= chunk)
+    )
+    n_chunks = F.floor(F.col("n_tokens") / chunk).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("tk"), i * chunk + 1, chunk), " "),
+    )
+    occ = d.select("doc_id", F.explode(blocks).alias("g"))
+    freq = occ.groupBy("g").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        occ.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("freq") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+    )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    top_k: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word associations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over bigram
+    occurrences and p(a), p(b) over unigram occurrences. Returns
+    (gram, pair_count, pmi) for bigrams seen at least ``min_count`` times,
+    ordered by ROUNDED pmi desc then gram — rounding before ordering makes
+    the cut engine-independent (an ulp difference between ln()
+    implementations can't flip the top-k boundary; same device as
+    ranking.tfidf_top_terms).
+
+    Plan shape: unigram and bigram counts are map-side-combined aggregates
+    over the exploded tokens, each PERSISTED (vocabulary-sized — tiny
+    relative to the corpus) because the unigram table feeds two joins and
+    Spark does not reuse the exchange across the differently-aliased
+    consumers: without the persist the full corpus explode re-runs per
+    consumer, a 100-TB-scale disaster the sf0.01 plan audit caught
+    (5 Generates, 0 ReusedExchange). Corpus totals come from per-doc
+    token COUNTS (n1 = sum n_tokens, n2 = sum (n_tokens-1)) — one cheap
+    no-explode pass — and ride along as a broadcast 1-row cross join,
+    never a collect. The min_count filter shrinks the bigram side BEFORE
+    the unigram joins (AQE broadcasts the vocab sides when they fit).
+    """
+    toks = docs.select(_tokens_col(F.col(text_col)).alias("tk")).withColumn(
+        "n_tokens", F.size("tk")
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .persist()
+    )
+    bi = (
+        toks.filter(F.col("n_tokens") >= 2)
+        .select(F.explode(word_ngrams_col(F.col("tk"), F.col("n_tokens"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+        .persist()
+    )
+    # n2 counts ALL bigram occurrences (pre-min_count), so it can't come
+    # from the filtered `bi` table — per-doc lengths give it exactly
+    totals = toks.agg(
+        F.sum("n_tokens").cast("double").alias("n1"),
+        F.sum(F.greatest(F.col("n_tokens") - 1, F.lit(0))).cast("double").alias("n2"),
+    )
+    parts = F.split("g", " ")
+    scored = (
+        bi.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(uni.select(F.col("w").alias("wa"), F.col("wc").alias("ca")), "wa")
+        .join(uni.select(F.col("w").alias("wb"), F.col("wc").alias("cb")), "wb")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "g",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("n2"))
+                    / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("g")).limit(top_k)
+
+
+def token_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact token-count percentiles (p50/p90/p99, linear interpolation)
+    and document count per language — the corpus-QA summary a length
+    filter is tuned against. Spark's exact ``percentile`` aggregate uses
+    the same (1-g)*lower + g*upper interpolation as ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont, so the oracle matches
+    value-for-value on the rounded output.
+
+    Plan shape: one shuffle keyed by language. Exact percentiles hold the
+    per-group value multiset on the reducer — fine for a GROUP BY with a
+    handful of languages only because the VALUES are small ints; for a
+    high-cardinality or memory-tight grouping swap in approx_percentile
+    (t-digest, mergeable map-side) and drop the oracle to rows-only.
+    """
+    from kgforge.operators.text_stats import token_count_col
+
+    pct = F.percentile(F.col("n_tokens"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        docs.select("lang", token_count_col(F.col(text_col)).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pct.alias("pct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("pct").getItem(0), 6).alias("p50_tokens"),
+            F.round(F.col("pct").getItem(1), 6).alias("p90_tokens"),
+            F.round(F.col("pct").getItem(2), 6).alias("p99_tokens"),
+        )
+    )

@@ -39,6 +39,23 @@ def _tokens_col(text_col):
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+def word_ngrams_col(tk, n_tokens, n: int):
+    """Array of space-joined word n-grams over a token-array column, built
+    with zip_with over shifted slices — ~2x faster than
+    transform(sequence, element_at(i+k)): element_at with a column index
+    re-resolves per element, zip_with walks the arrays once. Caller must
+    guarantee ``n_tokens >= n`` (filter first)."""
+    length = n_tokens - (n - 1)
+    grams = F.slice(tk, 1, length)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(tk, k + 1, length),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return grams
+
+
 def stopword_hits_col(text_col, lang: str):
     """Count of whitespace tokens that are stopwords of ``lang``. One
     tokenize + one array filter per language — the earlier per-word
@@ -130,17 +147,7 @@ def repetition_stats(
     ).withColumn("n_tokens", F.size("tk")).filter(F.col("n_tokens") >= 3)
 
     def gram_counts(n: int, top_alias: str, dup_alias: str, tot_alias: str):
-        # n-grams via zip_with over shifted slices — ~2x faster than
-        # transform(sequence, element_at(i+k)): element_at with a column
-        # index re-resolves per element, zip_with walks the arrays once
-        length = F.col("n_tokens") - (n - 1)
-        grams = F.slice("tk", 1, length)
-        for k in range(1, n):
-            grams = F.zip_with(
-                grams,
-                F.slice("tk", k + 1, length),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
+        grams = word_ngrams_col(F.col("tk"), F.col("n_tokens"), n)
         per_gram = (
             toks.select("doc_id", F.explode(grams).alias("g"))
             .groupBy("doc_id", "g")

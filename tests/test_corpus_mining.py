@@ -1,0 +1,128 @@
+"""Corpus mining operators: hand-computed values on crafted docs, plus the
+driver queries vs their DuckDB oracles at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+
+def _oracle_match(spark, name: str, sf: str = "/root/testdata/sf0.001", min_rows: int = 1):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(e.oracle_sql()[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(s) == len(o) and len(s) >= min_rows
+    for c in cols:
+        if s[c].dtype.kind == "f" or o[c].dtype.kind == "f":
+            assert (s[c].astype(float).round(6) == o[c].astype(float).round(6)).all(), c
+        else:
+            assert (s[c].astype(str) == o[c].astype(str)).all(), c
+
+
+def test_contamination_overlap_hand_computed(spark):
+    from kgforge.operators.corpus_mining import contamination_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # shares trigram "alpha beta gamma"
+            (2, "beta gamma alpha delta"),  # same words, no shared trigram
+            (3, "x y"),  # too short for trigrams: never contaminated
+            (4, "zz alpha beta gamma delta qq"),  # two overlapping trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "beta gamma delta")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in contamination_overlap(train, ev, n=3).collect()
+    }
+    # doc 4 matches "alpha beta gamma" AND "beta gamma delta"; doc 1 both too
+    assert out == {1: 2, 4: 2}
+
+
+def test_contamination_shuffle_join_same_result(spark):
+    """broadcast_eval=False must be a pure strategy change."""
+    from kgforge.operators.corpus_mining import contamination_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tr, ev = docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0")
+    a = sorted(map(tuple, contamination_overlap(tr, ev, n=3).collect()))
+    b = sorted(
+        map(tuple, contamination_overlap(tr, ev, n=3, broadcast_eval=False).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_chunk_dup_stats_hand_computed(spark):
+    from kgforge.operators.corpus_mining import chunk_dup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),  # chunks(2): [a b][c d][e f]
+            (2, "a b c d x"),  # chunks: [a b][c d] (trailing "x" dropped)
+            (3, "a b a b"),  # chunks: [a b][a b] -> both globally dup'd
+            (4, "q"),  # < chunk tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+        for r in chunk_dup_stats(docs, chunk=2).collect()
+    }
+    # "a b" occurs 4x globally (docs 1,2,3,3); "c d" 2x (docs 1,2); "e f" 1x
+    assert out == {1: (3, 2), 2: (2, 2), 3: (2, 2)}
+
+
+def test_pmi_pairs_hand_computed(spark):
+    from kgforge.operators.corpus_mining import pmi_pairs
+
+    # one doc: bigrams "a b" x2 and "b a" x2; unigrams a=3, b=2, N1=5, N2=4.
+    # The two pairs tie on pmi exactly -> the gram tiebreak orders them.
+    docs = spark.createDataFrame([(1, "a b a b a")], ["doc_id", "text"])
+    rows = pmi_pairs(docs, top_k=5, min_count=2).collect()
+    assert [r["g"] for r in rows] == ["a b", "b a"]
+    expected = math.log((2 / 4) / ((3 / 5) * (2 / 5)))
+    for r in rows:
+        assert r["pair_count"] == 2
+        assert r["pmi"] == pytest.approx(round(expected, 6), abs=1e-6)
+
+
+def test_token_percentiles_hand_computed(spark):
+    from kgforge.operators.corpus_mining import token_percentiles
+
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * (i + 1)) for i in range(4)] + [(9, "de", "x y z")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {r["lang"]: r for r in token_percentiles(docs).collect()}
+    # en token counts 1..4: p50 = 2.5 (linear interpolation), p90 = 3.7
+    assert out["en"]["n_docs"] == 4
+    assert out["en"]["p50_tokens"] == 2.5
+    assert out["en"]["p90_tokens"] == pytest.approx(3.7, abs=1e-6)
+    assert out["de"]["p50_tokens"] == 3.0
+
+
+@pytest.mark.parametrize(
+    "name,min_rows",
+    [
+        ("q_decontaminate", 2),
+        ("q_chunk_dedup", 40),
+        ("q_pmi_terms", 25),
+        ("q_token_percentiles", 5),
+    ],
+)
+def test_driver_queries_match_oracle(spark, name, min_rows):
+    _oracle_match(spark, name, min_rows=min_rows)
