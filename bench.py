@@ -129,6 +129,10 @@ def main():
         "q_event_pagerank",
         "q_tfidf_terms",
         "q_stratified_sample",
+        "q_decontaminate",
+        "q_chunk_dedup",
+        "q_pmi_terms",
+        "q_token_percentiles",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

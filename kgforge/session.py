@@ -54,6 +54,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed saveAsTable target (kgforge.sinks.bucketed); keep the
+        # in-memory catalog's files out of the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kgforge-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
