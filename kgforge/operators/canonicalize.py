@@ -256,7 +256,12 @@ def verified_similar_pairs(
         .distinct()
     )
     pruned = entities.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
-    texts = pruned.select(F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col)).alias("grams"))
+    # persisted: the verify join reads it through TWO aliases, and each
+    # unpersisted alias re-runs the semi-join + gram expression over the
+    # candidate texts (same measured 2x as dedup.minhash_duplicate_pairs)
+    texts = pruned.select(
+        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col)).alias("grams")
+    ).persist()
     a = texts.alias("ta")
     b = texts.alias("tb")
     joined = (
