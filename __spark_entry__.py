@@ -707,6 +707,35 @@ def q_pmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(docs, top_k=25, min_count=5)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    minhash-verified pair graph (the q_minhash_dups pair set), each node
+    labeled with its cluster's minimum doc_id and the cluster size. This
+    gives the iterative large-star/small-star CC operator an independent
+    SQL oracle — a recursive-CTE transitive closure in DuckDB — on a graph
+    that is NOT closed-form (unlike q_kg_canonicalize's synthetic sameAs
+    graph). doc_ids are zero-padded before CC so its lexicographic-min
+    component representative coincides with the numeric min."""
+    from kgforge.operators.canonicalize import connected_components
+    from kgforge.operators.dedup import minhash_duplicate_pairs
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_duplicate_pairs(docs, threshold=0.8)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    comp = connected_components(edges)
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("component").cast("bigint").alias("cluster_id"),
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -761,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": q_chunk_dedup,
         "q_pmi_terms": q_pmi_terms,
         "q_token_percentiles": q_token_percentiles,
+        "q_dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1450,6 +1480,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE ua.w = string_split(g, ' ')[1] AND ub.w = string_split(g, ' ')[2]
             ORDER BY pmi DESC, g LIMIT 25
         """,
+        # recursive-CTE transitive closure over the same exact-Jaccard pair
+        # set that oracles q_minhash_dups; `reach` includes self via any
+        # 2-step cycle a->b->a, so cluster membership = distinct reachable
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE p AS ({{PAIRS}}),
+            e2 AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+              SELECT a AS node, b AS r FROM e2
+              UNION
+              SELECT reach.node, e2.b FROM reach JOIN e2 ON reach.r = e2.a
+            ),
+            m AS (
+              SELECT node AS doc_id, min(r) AS cluster_id,
+                     count(DISTINCT r) AS cluster_size
+              FROM reach GROUP BY node
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(cluster_size AS BIGINT) AS cluster_size
+            FROM m ORDER BY doc_id
+        """.replace(
+            "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
+        ),
         # n_tokens must mirror token_count_col's blank-text-is-0 contract
         "q_token_percentiles": """
             WITH t AS (SELECT lang,

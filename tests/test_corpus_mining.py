@@ -122,6 +122,8 @@ def test_token_percentiles_hand_computed(spark):
         ("q_chunk_dedup", 40),
         ("q_pmi_terms", 25),
         ("q_token_percentiles", 5),
+        # CC over the minhash pair graph vs a recursive-CTE closure
+        ("q_dedup_clusters", 40),
     ],
 )
 def test_driver_queries_match_oracle(spark, name, min_rows):
