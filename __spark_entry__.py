@@ -736,6 +736,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source plumbing under oracle: a deterministic 200-page WARC
+    archive (gzip member per record, Common-Crawl layout) is built from
+    the closed-form fixture corpus, ingested via the mapInPandas record
+    parser, and projected to the closed-form-checkable columns. The
+    oracle reconstructs url/timestamp/status from the fixture formulas —
+    so record framing, header parsing, and date decoding are all under
+    the hash check (html byte-fidelity is pinned by pytest)."""
+    from kgforge.fixtures import build_page
+    from kgforge.sources.warc import build_warc, warc_records
+
+    n = 200
+    recs = [
+        {"url": u, "ts": ts, "html": h, "status": 200}
+        for (u, ts, h, _t, _l) in (build_page(i) for i in range(n))
+    ]
+    blobs = spark.createDataFrame([(build_warc(recs),)], "content binary")
+    return (
+        warc_records(blobs)
+        .filter("status = 'ok'")
+        .select("url", "warc_ts", "http_status")
+        .orderBy("url")
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -791,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_terms": q_pmi_terms,
         "q_token_percentiles": q_token_percentiles,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_warc_ingest": q_warc_ingest,
     }
 
 
@@ -1503,6 +1529,14 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ),
+        # fixture closed form: url/ts are pure functions of i
+        # (kgforge/fixtures.py build_page)
+        "q_warc_ingest": """
+            SELECT 'https://ex' || CAST(i % 97 AS VARCHAR) || '.example.org/page/' || CAST(i AS VARCHAR) AS url,
+                   TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (i % 2592000) SECOND AS warc_ts,
+                   CAST(200 AS INT) AS http_status
+            FROM range(200) t(i) ORDER BY url
+        """,
         # n_tokens must mirror token_count_col's blank-text-is-0 contract
         "q_token_percentiles": """
             WITH t AS (SELECT lang,
