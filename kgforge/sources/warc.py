@@ -124,9 +124,8 @@ def _parse_record(chunk: bytes, offset: int) -> tuple[dict | None, int]:
     url = fields.get("warc-target-uri")
     ts = None
     if "warc-date" in fields:
-        ts = _dt.datetime.strptime(
-            fields["warc-date"].replace("Z", "+0000"), "%Y-%m-%dT%H:%M:%S%z"
-        )
+        # WARC 1.1 permits fractional seconds; fromisoformat takes both
+        ts = _dt.datetime.fromisoformat(fields["warc-date"].replace("Z", "+00:00"))
     http_status, html = None, None
     if rtype == "response" and body[:5] == b"HTTP/":
         hdr_end = body.find(_CRLF + _CRLF)
