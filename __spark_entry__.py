@@ -761,6 +761,40 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under an INDEPENDENT oracle: five messy
+    spellings of each doc's URL are synthesized closed-form (upper-cased
+    scheme+host / explicit :443 / fragment / tracking params / permuted
+    query), run through the general canonicalizer, and the oracle
+    reconstructs the expected clean form directly from the doc_id formula
+    — the oracle never sees the canonicalizer's logic."""
+    from kgforge.operators.urlops import canonical_url_col, host_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = F.concat(
+        F.lit("ex"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.org")
+    )
+    path = F.concat(F.lit("/page/"), F.col("doc_id").cast("string"))
+    v = F.col("doc_id") % 5
+    messy = (
+        F.when(v == 0, F.concat(F.lit("HTTPS://"), F.upper(base), path))
+        .when(v == 1, F.concat(F.lit("https://"), base, F.lit(":443"), path))
+        .when(v == 2, F.concat(F.lit("https://"), base, path, F.lit("#section-2")))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://"), base, path, F.lit("?utm_source=feed&gclid=abc")
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), base, path, F.lit("?b=2&a=1")))
+    )
+    return docs.select(
+        "doc_id",
+        canonical_url_col(messy).alias("canonical_url"),
+        host_col(messy).alias("host"),
+    ).orderBy("doc_id")
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -817,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_percentiles": q_token_percentiles,
         "q_dedup_clusters": q_dedup_clusters,
         "q_warc_ingest": q_warc_ingest,
+        "q_url_canonical": q_url_canonical,
     }
 
 
@@ -1529,6 +1564,16 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ),
+        # the EXPECTED canonical form, reconstructed from the doc_id
+        # formula — independent of the canonicalizer under test
+        "q_url_canonical": """
+            SELECT doc_id,
+                   'https://ex' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/page/'
+                     || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END AS canonical_url,
+                   'ex' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS host
+            FROM documents ORDER BY doc_id
+        """,
         # fixture closed form: url/ts are pure functions of i
         # (kgforge/fixtures.py build_page)
         "q_warc_ingest": """
