@@ -1,0 +1,74 @@
+"""Incremental merge == full rebuild: accepted set, canonical mapping, and
+S/P/O graph identical when the corpus arrives in two batches.
+
+The split point is chosen so near-duplicate/sameAs relationships CROSS the
+batch boundary (fixture mirrors pair i with i-1, and alias entities recur
+across pages), exercising the part that makes incremental merging hard:
+a new edge bridging two previously-separate components."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgforge.fixtures import pages_df
+from kgforge.pipeline.incremental import merge_increment
+from kgforge.pipeline.run import run_pipeline
+
+N, SPLIT = 120, 80
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+@pytest.fixture(scope="module")
+def full_vs_incremental(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("inc")
+    full = run_pipeline(pages_df(spark, N), str(root / "full"), run_id="full")
+    first = pages_df(spark, N).where(
+        # deterministic id split: fixture url ends with /page/<i>
+        f"CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS INT) < {SPLIT}"
+    )
+    second = pages_df(spark, N).where(
+        f"CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS INT) >= {SPLIT}"
+    )
+    prev = run_pipeline(first, str(root / "prev"), run_id="prev")
+    merged = merge_increment(second, str(root / "prev"), str(root / "inc"), run_id="inc")
+    return full, prev, merged
+
+
+TRIPLE_COLS = ["url", "subject", "predicate", "object.value"]
+
+
+def test_accepted_union_is_exact(spark, full_vs_incremental):
+    full, _prev, merged = full_vs_incremental
+    assert _rows(merged["accepted"], TRIPLE_COLS) == _rows(full["accepted"], TRIPLE_COLS)
+
+
+def test_canonical_mapping_identical(spark, full_vs_incremental):
+    full, _prev, merged = full_vs_incremental
+    assert _rows(merged["mapping"], ["node", "component"]) == _rows(
+        full["mapping"], ["node", "component"]
+    )
+
+
+def test_components_bridge_the_batch_boundary(spark, full_vs_incremental):
+    """The merge must have JOINED components across batches: nodes first
+    seen in batch 2 land in components that already existed in the prev
+    run's mapping — i.e. the increment's edges attach to old clusters,
+    which a naive per-batch canonicalization could never produce."""
+    full, prev, merged = full_vs_incremental
+    prev_map = {r["node"]: r["component"] for r in prev["mapping"].collect()}
+    merged_map = {r["node"]: r["component"] for r in merged["mapping"].collect()}
+    assert set(prev_map) <= set(merged_map)
+    new_nodes = set(merged_map) - set(prev_map)
+    old_components = set(prev_map.values())
+    bridged = [n for n in new_nodes if merged_map[n] in old_components]
+    assert bridged, "expected new nodes attached to pre-existing components"
+
+
+def test_spo_graph_identical(spark, full_vs_incremental):
+    full, _prev, merged = full_vs_incremental
+    assert _rows(merged["spo"]["s"], ["subject", "predicate"]) == _rows(
+        full["spo"]["s"], ["subject", "predicate"]
+    )
