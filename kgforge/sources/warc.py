@@ -153,11 +153,17 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     """All records of one WARC file (gzip multi-member or plain), malformed
     records downgraded to error rows instead of exceptions."""
     rows: list[dict] = []
-    try:
-        members = list(_split_members(data))
-    except zlib.error as exc:  # undecodable container
-        return [_err_row(f"gzip: {exc}")]
-    for chunk in members:
+    members = _split_members(data)
+    while True:
+        # per-member error isolation: a truncated FINAL gzip member must
+        # not discard the records already decoded from earlier members
+        try:
+            chunk = next(members)
+        except StopIteration:
+            break
+        except zlib.error as exc:
+            rows.append(_err_row(f"gzip: {exc}"))
+            break
         offset = 0
         while offset < len(chunk):
             try:

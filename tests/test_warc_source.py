@@ -47,6 +47,20 @@ def test_malformed_member_degrades_to_error_row_and_resyncs():
     assert len(err) == 1 and "truncated" in err[0]["error"]
 
 
+def test_corrupt_final_gzip_member_keeps_earlier_records():
+    recs = _fixture_records(3)
+    tail = bytearray(build_warc(recs[2:]))
+    mid = len(tail) // 2
+    tail[mid : mid + 8] = b"\x00" * 8  # corrupt the DEFLATE stream
+    rows = parse_warc_bytes(build_warc(recs[:2]) + bytes(tail))
+    ok = [r for r in rows if r["status"] == "ok"]
+    err = [r for r in rows if r["status"] == "error"]
+    assert [r["url"] for r in ok] == [r["url"] for r in recs[:2]]
+    assert len(err) == 1 and (
+        "gzip" in err[0]["error"].lower() or "truncated" in err[0]["error"]
+    )
+
+
 def test_non_warc_blob_is_one_error_row():
     rows = parse_warc_bytes(b"PK\x03\x04 definitely not a warc")
     assert len(rows) == 1 and rows[0]["status"] == "error"
