@@ -804,6 +804,120 @@ def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_percentiles(docs).orderBy("lang")
 
 
+def _knows_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import parse_pages
+
+    return parse_pages(pages_from_documents(spark, sf_dir))
+
+
+def q_kg_sparql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General SPARQL SELECT over the corpus triples — the user-facing
+    "query the KG" surface (the reference stops at extraction). Two-pattern
+    BGP joined corpus-wide on ?s plus a numeric FILTER that must try_cast
+    (the fixture plants a non-numeric "unknown" age every 13th page); the
+    DuckDB oracle reconstructs knows-edges and age assertions closed-form
+    from doc_id and re-joins them in SQL."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT DISTINCT ?s ?o ?age WHERE {
+             ?s <http://schema.org/knows> ?o .
+             ?s <http://schema.org/age> ?age .
+             FILTER (?age >= 40)
+           }""",
+    )
+    return out.orderBy("s", "o", "age")
+
+
+def _cooccurrence_edges(triples: DataFrame) -> DataFrame:
+    """Canonical-entity co-occurrence graph: two entities are linked iff
+    some page mentions both (via its owl:sameAs alias->canonical triples).
+    The per-url self-join is page-confined (a page carries 2-5 entities),
+    so the edge build never leaves the url partitioning."""
+    canon = (
+        triples.filter(
+            F.col("predicate") == "http://www.w3.org/2002/07/owl#sameAs"
+        )
+        .select("url", F.col("object.value").alias("ent"))
+        .distinct()
+    )
+    return (
+        canon.alias("x")
+        .join(
+            canon.alias("y"),
+            (F.col("x.url") == F.col("y.url")) & (F.col("x.ent") < F.col("y.ent")),
+        )
+        .select(F.col("x.ent").alias("a"), F.col("y.ent").alias("b"))
+        .distinct()
+    )
+
+
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the entity co-occurrence graph via
+    degree-oriented compact-forward enumeration (the orientation bounds
+    wedge fan-out on power-law hubs — the fixture's HOT_ENTITY appears on
+    ~10% of pages precisely to exercise that). Oracle: DuckDB 3-way
+    self-join over the identical closed-form edge set."""
+    from kgforge.operators.graph import triangle_counts
+
+    edges = _cooccurrence_edges(_knows_triples(spark, sf_dir))
+    return triangle_counts(edges).orderBy("node")
+
+
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (<= 2) from a 5-seed entity set over the
+    co-occurrence graph — frontier BFS with a fixed driver loop (no
+    convergence collect). Oracle: DuckDB recursive CTE with min(hops)."""
+    from kgforge.fixtures import canonical_entity_uri
+    from kgforge.operators.graph import k_hop
+
+    edges = _cooccurrence_edges(_knows_triples(spark, sf_dir))
+    seeds = spark.createDataFrame(
+        [(canonical_entity_uri(k),) for k in range(0, 1000, 200)], "node string"
+    )
+    return k_hop(edges, seeds, max_hops=2).orderBy("node")
+
+
+def q_kg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS subclass-closure type materialization: close a 3-level
+    schema.org hierarchy (Person/Organization -> Agent -> Thing, Place ->
+    Thing) by path-doubling on the ontology relation, broadcast-expand the
+    corpus type triples, count distinct entities per (direct + inferred)
+    class. Oracle: DuckDB recursive CTE over the same literal ontology +
+    closed-form entity typing."""
+    from kgforge.operators.inference import rdfs_type_closure
+
+    S = "http://schema.org/"
+    onto = spark.createDataFrame(
+        [
+            (S + "Person", S + "Agent"),
+            (S + "Organization", S + "Agent"),
+            (S + "Agent", S + "Thing"),
+            (S + "Place", S + "Thing"),
+        ],
+        "sub string, sup string",
+    )
+    triples = _knows_triples(spark, sf_dir)
+    types = (
+        triples.filter(
+            F.col("predicate")
+            == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        )
+        .filter(F.col("object.value").startswith(S))
+        .select(F.col("subject").alias("entity"), F.col("object.value").alias("cls"))
+        .distinct()
+    )
+    return (
+        rdfs_type_closure(types, onto)
+        .groupBy(F.col("cls").alias("class_uri"))
+        .agg(F.count_distinct("entity").cast("bigint").alias("n_entities"))
+        .orderBy("class_uri")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -852,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_warc_ingest": q_warc_ingest,
         "q_url_canonical": q_url_canonical,
+        "q_kg_sparql": q_kg_sparql,
+        "q_kg_triangles": q_kg_triangles,
+        "q_kg_khop": q_kg_khop,
+        "q_kg_inference": q_kg_inference,
     }
 
 
@@ -1593,5 +1711,105 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
                    round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
             FROM t GROUP BY lang ORDER BY lang
+        """,
+        # standalone SPARQL SELECT: knows-edges and age assertions are both
+        # closed-form in doc_id; the corpus-wide BGP join on ?s becomes a
+        # (site, k) equi-join here. Ages only exist on pages that planted
+        # neither violation (i%13, i%17); the "unknown" age the fixture
+        # plants every 13th page must be dropped by the engine's try_cast
+        "q_kg_sparql": f"""
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            -- ents[1] of the order-preserving dedup: r1 unless the hot-entity
+            -- swap made it collide with e0, then r2 (only if a 3rd raw slot
+            -- exists); no second distinct entity -> no knows edge
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            ages AS (SELECT DISTINCT site, e0 AS k,
+                            CAST(20 + i % 60 AS VARCHAR) AS age
+                     FROM base WHERE i % 13 <> 0 AND i % 17 <> 0
+                       AND 20 + i % 60 >= 40)
+            SELECT 'https://ex' || CAST(knows.site AS VARCHAR) || '.example.org/entity/E'
+                     || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                   'https://ex' || CAST(knows.site AS VARCHAR) || '.example.org/entity/E'
+                     || lpad(CAST(ko AS VARCHAR), 4, '0') AS o,
+                   age
+            FROM knows JOIN ages ON knows.site = ages.site AND knows.ks = ages.k
+            ORDER BY s, o, age
+        """,
+        # 3-way self-join triangle enumeration (a<b<c canonical order) over
+        # the same closed-form co-occurrence edge set the engine derives
+        # from its owl:sameAs triples; per-node counts credit all corners
+        "q_kg_triangles": f"""
+            WITH d AS (SELECT doc_id AS i, unnest({_DD_ENTS}) AS k FROM documents),
+            ents AS (SELECT DISTINCT i, 'https://kg.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0') AS ent FROM d),
+            edges AS (SELECT DISTINCT x.ent AS a, y.ent AS b
+                      FROM ents x JOIN ents y ON x.i = y.i AND x.ent < y.ent),
+            tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM edges e1
+                     JOIN edges e2 ON e1.b = e2.a
+                     JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+            nodes AS (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+                      UNION ALL SELECT z FROM tris)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM nodes GROUP BY node ORDER BY node
+        """,
+        # recursive-CTE BFS with min-hop semantics; UNION (not UNION ALL)
+        # bounds the walk at distinct (node, hops) pairs
+        "q_kg_khop": f"""
+            WITH RECURSIVE d AS (SELECT doc_id AS i, unnest({_DD_ENTS}) AS k FROM documents),
+            ents AS (SELECT DISTINCT i, 'https://kg.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0') AS ent FROM d),
+            edges AS (SELECT DISTINCT x.ent AS a, y.ent AS b
+                      FROM ents x JOIN ents y ON x.i = y.i AND x.ent < y.ent),
+            sym AS (SELECT a AS s, b AS t FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            seeds AS (SELECT 'https://kg.example.org/entity/E'
+                        || lpad(CAST(k AS VARCHAR), 4, '0') AS node
+                      FROM (VALUES (0), (200), (400), (600), (800)) v(k)),
+            walk(node, hops) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT sym.t, w.hops + 1 FROM walk w JOIN sym ON w.node = sym.s
+              WHERE w.hops < 2
+            )
+            SELECT node, CAST(min(hops) AS BIGINT) AS hops
+            FROM walk GROUP BY node ORDER BY node
+        """,
+        # subclass closure over the SAME literal ontology the Spark query
+        # declares; entity typing is closed-form (kind = k % 3)
+        "q_kg_inference": f"""
+            WITH RECURSIVE d AS (SELECT CAST(doc_id % 97 AS BIGINT) AS site,
+                                        unnest({_DD_ENTS}) AS k FROM documents),
+            m AS (SELECT DISTINCT site, k FROM d),
+            typed AS (SELECT site, k, 'http://schema.org/' ||
+                        CASE k % 3 WHEN 0 THEN 'Person' WHEN 1 THEN 'Organization'
+                                   ELSE 'Place' END AS cls FROM m),
+            onto(sub, sup) AS (SELECT * FROM (VALUES
+              ('http://schema.org/Person', 'http://schema.org/Agent'),
+              ('http://schema.org/Organization', 'http://schema.org/Agent'),
+              ('http://schema.org/Agent', 'http://schema.org/Thing'),
+              ('http://schema.org/Place', 'http://schema.org/Thing')) t(a, b)),
+            clo(sub, sup) AS (
+              SELECT sub, sup FROM onto
+              UNION
+              SELECT c.sub, o.sup FROM clo c JOIN onto o ON c.sup = o.sub
+            ),
+            all_types AS (
+              SELECT site, k, cls FROM typed
+              UNION
+              SELECT t.site, t.k, c.sup FROM typed t JOIN clo c ON t.cls = c.sub
+            )
+            SELECT cls AS class_uri, CAST(count(*) AS BIGINT) AS n_entities
+            FROM all_types GROUP BY cls ORDER BY class_uri
         """,
     }

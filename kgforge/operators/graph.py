@@ -104,3 +104,115 @@ def user_event_graph(events: DataFrame) -> DataFrame:
             "weight",
         )
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Undirected edge list (a, b) -> (node, n_triangles): the number of
+    triangles each node participates in.
+
+    Degree-oriented "compact-forward" enumeration (Latapy 2008; the same
+    scheme GraphX/GraphFrames use): orient every edge from its lower
+    (degree, id) endpoint to its higher one, join oriented edges on their
+    common source to form wedges, and close each wedge with one more join.
+    Orientation bounds per-source fan-out by O(sqrt(m)) on any graph, so
+    the wedge join never explodes on high-degree hubs the way a naive
+    neighbor self-join would — this is what makes the operator survive a
+    power-law web graph where the hot node has 10^7 neighbors.
+
+    Shuffles: one agg for degrees, two joins to attach them, one wedge
+    self-join, one closing join, one final agg — all on (node)-shaped keys,
+    AQE-managed. Each triangle is enumerated exactly once (its vertices
+    are totally ordered by (degree, id)), then credited to all three
+    corners via explode.
+    """
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = ed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(ka < kb, kb).otherwise(ka).alias("dkey"),  # dst's (deg, id)
+    ).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dkey") < F.col("e2.dkey")),
+        )
+        # wedge (u; v, w) with orientation v -> w guaranteed by dkey order
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    tris = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "inner",
+    )
+    return (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
+def k_hop(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 2
+) -> DataFrame:
+    """Minimum hop distance (<= max_hops) from a seed set over an
+    undirected edge list (a, b) -> (node, hops).
+
+    Frontier-expansion BFS as a fixed driver loop (max_hops is a query
+    parameter, never data-dependent — no convergence probe, no collect):
+    each round is one join frontier x edges + one anti-join against the
+    visited set, both distinct-deduped so a node is expanded exactly once
+    no matter how many paths reach it. At web scale the frontier join is
+    the only growing shuffle and it is bounded by the true k-hop
+    neighborhood; visited stays (node, hops) — two columns.
+
+    Lineage doubles per round (visited feeds the next anti-join), so for
+    deep walks the loop localCheckpoints every 3 rounds — the standard
+    iterative-DataFrame hygiene this repo also uses in connected
+    components.
+    """
+    sym = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("t"))
+        .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .persist()
+    )
+    visited = seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("hops")).distinct()
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited, "node", "left_anti").select(
+            "node", F.lit(h).cast("bigint").alias("hops")
+        )
+        visited = visited.unionByName(new)
+        frontier = new.select("node")
+        if h % 3 == 0:
+            visited = visited.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return visited

@@ -1,0 +1,105 @@
+"""RDFS forward-chaining inference over the corpus triples.
+
+The reference parser extracts ontology metadata (classes, subClassOf,
+domain/range — /root/reference/src/ShaclParser.php:65-74 reads the base
+ontology graph) but never *infers* anything from it. At KG-construction
+scale the standard materialization step is RDFS entailment: close the
+class hierarchy and stamp every entity with its superclasses so that
+downstream queries ("all Agents") are single-predicate scans instead of
+per-query hierarchy walks.
+
+Scale design — the asymmetry this module is built around: the ONTOLOGY is
+schema-level metadata (10^2-10^5 classes, KBs), the INSTANCE data is the
+corpus (10^12 typed subjects, TBs). So:
+
+- the subclass transitive closure iterates on the ontology DataFrame only
+  (path-doubling: O(log depth) self-join rounds on the tiny relation, each
+  round's fixpoint probe is a count() on KB-scale data — bounded driver
+  work, never a corpus job);
+- instance expansion is ONE broadcast join of the corpus type triples
+  against the closed hierarchy + a distinct — the corpus is scanned once,
+  shuffled once (for the dedup), and nothing per-row runs in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def subclass_closure(subclass: DataFrame, max_depth: int = 64) -> DataFrame:
+    """(sub, sup) direct edges -> (sub, sup) transitive closure (irreflexive
+    unless the input itself carries cycles, which fixpoint-terminate).
+
+    Path doubling on the ontology-sized relation: after r rounds all paths
+    of length <= 2^r are present, so ``max_depth`` 64 costs at most 6
+    rounds; each round ends with a count() fixpoint probe — acceptable
+    here and only here because the relation is schema-scale (see module
+    docstring), never the corpus.
+    """
+    clo = subclass.select("sub", "sup").distinct().persist()
+    rounds = max(1, (max_depth - 1).bit_length())
+    n = clo.count()
+    for _ in range(rounds):
+        step = (
+            clo.alias("x")
+            .join(clo.alias("y"), F.col("x.sup") == F.col("y.sub"))
+            .select(F.col("x.sub").alias("sub"), F.col("y.sup").alias("sup"))
+        )
+        nxt = clo.unionByName(step).distinct().persist()
+        m = nxt.count()
+        if m == n:
+            nxt.unpersist()
+            break
+        clo.unpersist()
+        clo, n = nxt, m
+    return clo
+
+
+def rdfs_type_closure(
+    types: DataFrame, subclass: DataFrame, max_depth: int = 64
+) -> DataFrame:
+    """Materialize inferred types: (entity, cls) direct type assertions +
+    ontology (sub, sup) -> (entity, cls) with every superclass stamped.
+
+    The closed hierarchy is broadcast (it is ontology-sized by contract);
+    the corpus side is scanned once. Output is distinct — an entity typed
+    Person and Organization both subclassing Agent yields one Agent row.
+    """
+    clo = subclass_closure(subclass, max_depth=max_depth)
+    inferred = types.join(
+        F.broadcast(clo), types["cls"] == clo["sub"], "inner"
+    ).select(types["entity"], clo["sup"].alias("cls"))
+    return types.select("entity", "cls").unionByName(inferred).distinct()
+
+
+def domain_range_types(
+    triples: DataFrame, domains: DataFrame, ranges: DataFrame | None = None
+) -> DataFrame:
+    """RDFS rules rdfs2/rdfs3: infer (entity, cls) from property usage.
+
+    ``domains``: (predicate, cls) — every subject of that predicate is an
+    instance of cls; ``ranges``: (predicate, cls) — every IRI object is.
+    Both are ontology-sized broadcast dims; the corpus is scanned once per
+    rule side with the predicate-equality join pushed into the scan.
+    """
+    ok = triples.filter(F.col("status") == "ok").filter(
+        F.col("subject").isNotNull()
+    )
+    subj = ok.join(
+        F.broadcast(domains.select(F.col("predicate").alias("p"), "cls")),
+        ok["predicate"] == F.col("p"),
+    ).select(F.col("subject").alias("entity"), "cls")
+    out = subj
+    if ranges is not None:
+        obj = (
+            ok.filter(F.col("object.kind") == "iri")
+            .join(
+                F.broadcast(
+                    ranges.select(F.col("predicate").alias("p"), "cls")
+                ),
+                ok["predicate"] == F.col("p"),
+            )
+            .select(F.col("object.value").alias("entity"), "cls")
+        )
+        out = out.unionByName(obj)
+    return out.distinct()

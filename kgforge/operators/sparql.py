@@ -362,3 +362,150 @@ def sparql_constraint_violations(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+# --------------------------------------------------------------------------
+# General SPARQL SELECT over the triples fact table (not constraint-scoped)
+# --------------------------------------------------------------------------
+
+_SELECT_RE = re.compile(
+    r"^SELECT\s+(DISTINCT\s+)?((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+)WHERE\s*\{(.*)\}\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
+    """Compile a standalone SELECT (no $this focus anchor) into
+    {vars, distinct, patterns, filters}. Same executable BGP/FILTER subset
+    as the constraint grammar, but any variable may appear in any position
+    and the projection list drives the output columns."""
+    m = _SELECT_RE.match(text.strip())
+    if m is None:
+        raise SparqlUnsupported(f"not a standalone SELECT query: {text[:60]!r}")
+    proj = [v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", m.group(2))]
+    body, raw_filters = _extract_filters(m.group(3))
+    if "{" in body or "OPTIONAL" in body.upper() or "UNION" in body.upper():
+        raise SparqlUnsupported("nested group patterns are outside the subset")
+    patterns = []
+    for sm in _STMT_RE.finditer(body):
+        s = _expand_term(sm.group(1), prefixes)
+        p = _expand_term(sm.group(2), prefixes)
+        o = _expand_term(sm.group(3), prefixes)
+        if s[0] == "this" or o[0] == "this":
+            raise SparqlUnsupported("$this is only valid inside sh:sparql constraints")
+        if p[0] != "iri":
+            raise SparqlUnsupported(f"predicate must be an IRI: {sm.group(2)!r}")
+        patterns.append((s, p[1], o))
+    if not patterns:
+        raise SparqlUnsupported("no basic graph patterns found")
+    filters = []
+    for fx in raw_filters:
+        fx = fx.strip()
+        if (cm := _CONTAINS_RE.match(fx)) is not None:
+            filters.append(("contains", cm.group(1), cm.group(2)))
+        elif (rm := _REGEX_RE.match(fx)) is not None:
+            filters.append(("regex", rm.group(1), rm.group(2)))
+        elif (lm := _STRLEN_RE.match(fx)) is not None:
+            filters.append(("strlen", lm.group(1), lm.group(2), int(lm.group(3))))
+        elif (km := _CMP_RE.match(fx)) is not None:
+            rk, rv = _expand_term(km.group(3).strip(), prefixes)
+            if rk not in ("num", "str", "iri"):
+                raise SparqlUnsupported(f"unsupported FILTER rhs {km.group(3)!r}")
+            filters.append(("cmp", km.group(1), km.group(2), rk, rv))
+        else:
+            raise SparqlUnsupported(f"unsupported FILTER expression {fx!r}")
+    return {
+        "vars": proj,
+        "distinct": bool(m.group(1)),
+        "patterns": patterns,
+        "filters": filters,
+    }
+
+
+def sparql_select(
+    triples: DataFrame, query: str, prefixes: dict | None = None
+) -> DataFrame:
+    """Run a standalone SPARQL SELECT over the corpus triples fact table;
+    one output column per projected variable, named after the variable.
+
+    This is the user-facing "query the KG" surface the reference never had
+    (it stops at extraction). Each triple pattern compiles to one join
+    against the fact table; patterns are planned greedily so every new
+    pattern shares >= 1 bound variable with the already-joined prefix (a
+    pattern with no shared variable raises — cartesian BGPs are refused,
+    they never make sense at corpus scale). Catalyst/AQE then own the
+    physical plan: the predicate-equality conjunct reaches every scan as a
+    pushed filter, and the per-pattern joins are shuffle hash/broadcast
+    picked at runtime.
+
+    Scale: the fact table is scanned once per pattern (column-pruned to
+    subject/predicate/object.value); no Python runs per row; solution
+    dedup (SELECT DISTINCT) is one hash aggregate over the bound columns.
+    """
+    q = parse_sparql_select(query, prefixes)
+    data = (
+        triples.filter(F.col("status") == "ok")
+        .filter(F.col("subject").isNotNull())
+        .select(
+            "subject", "predicate", F.col("object.value").alias("obj")
+        )
+    )
+
+    bind: dict[str, str] = {}
+    kept: list[str] = []
+    cur: DataFrame | None = None
+    remaining = list(enumerate(q["patterns"]))
+    while remaining:
+        # greedy connected ordering: first pattern seeds; afterwards pick
+        # the first remaining pattern that shares a bound variable
+        pick = None
+        for idx, (i, pat) in enumerate(remaining):
+            (sk, sv), _, (ok_, ov) = pat
+            pvars = {t[1][1:] for t in ((sk, sv), (ok_, ov)) if t[0] == "var"}
+            if cur is None or pvars & bind.keys():
+                pick = idx
+                break
+        if pick is None:
+            raise SparqlUnsupported("cartesian BGP: pattern shares no variable")
+        i, ((sk, sv), pred, (ok_, ov)) = remaining.pop(pick)
+        a = f"t{i}"
+        cond = F.col(f"{a}.predicate") == F.lit(pred)
+        proj = [F.col(c) for c in kept]
+        new_binds: list = []
+        if sk == "var":
+            v = sv[1:]
+            if v in bind:
+                cond = cond & (F.col(f"{a}.subject") == F.col(bind[v]))
+            else:
+                vcol = f"v_{v}"
+                new_binds.append((v, vcol, F.col(f"{a}.subject").alias(vcol)))
+        else:  # iri
+            cond = cond & (F.col(f"{a}.subject") == F.lit(sv))
+        if ok_ == "var":
+            v = ov[1:]
+            if v in bind:
+                cond = cond & (F.col(f"{a}.obj") == F.col(bind[v]))
+            elif any(v == nv for nv, _, _ in new_binds):
+                # ?x p ?x self-pattern: subject binding just created
+                vcol = new_binds[0][1]
+                cond = cond & (F.col(f"{a}.obj") == F.col(f"{a}.subject"))
+            else:
+                vcol = f"v_{v}"
+                new_binds.append((v, vcol, F.col(f"{a}.obj").alias(vcol)))
+        else:  # iri / str / num literal
+            cond = cond & (F.col(f"{a}.obj") == F.lit(ov))
+        for v, vcol, expr in new_binds:
+            bind[v] = vcol
+            kept.append(vcol)
+            proj.append(expr)
+        if cur is None:
+            cur = data.alias(a).filter(cond).select(*proj)
+        else:
+            cur = cur.join(data.alias(a), cond, "inner").select(*proj)
+    for flt in q["filters"]:
+        cur = cur.filter(_filter_cond(flt, bind))
+    missing = [v for v in q["vars"] if v not in bind]
+    if missing:
+        raise SparqlUnsupported(f"projected variables never bound: {missing}")
+    out = cur.select(*[F.col(bind[v]).alias(v) for v in q["vars"]])
+    return out.distinct() if q["distinct"] else out

@@ -1,0 +1,216 @@
+"""Triangle counting, k-hop BFS, SPARQL SELECT, and RDFS inference —
+hand-computable golden cases independent of the fixture corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+# ------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_golden(spark):
+    from kgforge.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d} (4 triangles, each node in 3) plus a pendant edge d-e
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+    ]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_dedup_and_orientation(spark):
+    from kgforge.operators.graph import triangle_counts
+
+    # duplicate + reversed edges and a self-loop must not change the count
+    pairs = [
+        ("a", "b"), ("b", "a"), ("a", "b"),
+        ("b", "c"), ("a", "c"), ("c", "c"),
+    ]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_hub(spark):
+    from kgforge.operators.graph import triangle_counts
+
+    # star hub (no triangles among leaves) + one closing edge -> exactly 1
+    pairs = [("hub", f"n{i}") for i in range(20)] + [("n0", "n1")]
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(_edges(spark, pairs)).collect()}
+    assert got == {"hub": 1, "n0": 1, "n1": 1}
+
+
+# ------------------------------------------------------------------ k-hop
+
+
+def test_k_hop_path_graph(spark):
+    from kgforge.operators.graph import k_hop
+
+    # path a-b-c-d-e, seed a, 3 hops; min-dist must win over longer routes
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["hops"] for r in k_hop(_edges(spark, pairs), seeds, max_hops=3).collect()}
+    # a-c is a direct edge, so c is 1 hop (not 2 via b); e is 3 via c-d
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+
+def test_k_hop_multi_seed_and_isolated(spark):
+    from kgforge.operators.graph import k_hop
+
+    pairs = [("a", "b"), ("c", "d")]
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+    got = {r["node"]: r["hops"] for r in k_hop(_edges(spark, pairs), seeds, max_hops=2).collect()}
+    # z isn't in the graph: stays at hop 0; c/d unreachable: absent
+    assert got == {"a": 0, "z": 0, "b": 1}
+
+
+# --------------------------------------------------------- sparql_select
+
+
+def _triples_df(spark, rows):
+    data = [
+        (s, p, {"value": o, "kind": k, "datatype": "", "lang": ""})
+        for (s, p, o, k) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>",
+    ).select(
+        F.lit("u://x").alias("url"), "subject", "predicate", "object",
+        F.lit("ok").alias("status"),
+    )
+
+
+KNOWS, AGE, NAME = "ex:knows", "ex:age", "ex:name"
+
+
+def test_sparql_select_join_and_filter(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", AGE, "45", "literal"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p2", AGE, "30", "literal"),
+        ("p3", AGE, "unknown", "literal"),
+        ("p3", KNOWS, "p1", "iri"),
+    ])
+    q = f"""SELECT DISTINCT ?s ?o ?age WHERE {{
+        ?s <{KNOWS}> ?o . ?s <{AGE}> ?age . FILTER (?age >= 40)
+    }}"""
+    got = [tuple(r) for r in sparql_select(t, q).orderBy("s").collect()]
+    assert got == [("p1", "p2", "45")]  # p2 under 40; p3 non-numeric age
+
+
+def test_sparql_select_var_chain(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p3", NAME, "Cyn", "literal"),
+    ])
+    # friend-of-friend name: two hops through ?m
+    q = f"""SELECT ?s ?name WHERE {{
+        ?s <{KNOWS}> ?m . ?m <{KNOWS}> ?e . ?e <{NAME}> ?name .
+    }}"""
+    got = [tuple(r) for r in sparql_select(t, q).collect()]
+    assert got == [("p1", "Cyn")]
+
+
+def test_sparql_select_constant_anchor_and_distinct(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", KNOWS, "p2", "iri"),  # duplicate assertion (two pages)
+        ("p1", NAME, "Ann", "literal"),
+    ])
+    q = f"SELECT DISTINCT ?o WHERE {{ <p1> <{KNOWS}> ?o . }}"
+    assert [r["o"] for r in sparql_select(t, q).collect()] == ["p2"]
+
+
+def test_sparql_select_rejects_cartesian_and_unbound(spark):
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [("p1", KNOWS, "p2", "iri")])
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"SELECT ?a ?c WHERE {{ ?a <{KNOWS}> ?b . ?c <{NAME}> ?d . }}").collect()
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"SELECT ?zzz WHERE {{ ?a <{KNOWS}> ?b . }}")
+
+
+def test_sparql_select_prefixes_and_contains(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", "http://ex.org/name", "Ann Smith", "literal"),
+        ("p2", "http://ex.org/name", "Bob", "literal"),
+    ])
+    q = """SELECT ?s WHERE { ?s ex:name ?n . FILTER (CONTAINS(?n, "Smith")) }"""
+    got = sparql_select(t, q, prefixes={"ex": "http://ex.org/"}).collect()
+    assert [r["s"] for r in got] == ["p1"]
+
+
+# -------------------------------------------------------------- inference
+
+
+def test_subclass_closure_chain_and_diamond(spark):
+    from kgforge.operators.inference import subclass_closure
+
+    onto = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("X", "B")],
+        "sub string, sup string",
+    )
+    got = {(r["sub"], r["sup"]) for r in subclass_closure(onto).collect()}
+    assert got == {
+        ("A", "B"), ("B", "C"), ("C", "D"), ("X", "B"),
+        ("A", "C"), ("A", "D"), ("B", "D"), ("X", "C"), ("X", "D"),
+    }
+
+
+def test_subclass_closure_cycle_terminates(spark):
+    from kgforge.operators.inference import subclass_closure
+
+    onto = spark.createDataFrame([("A", "B"), ("B", "A")], "sub string, sup string")
+    got = {(r["sub"], r["sup"]) for r in subclass_closure(onto).collect()}
+    assert got == {("A", "B"), ("B", "A"), ("A", "A"), ("B", "B")}
+
+
+def test_rdfs_type_closure(spark):
+    from kgforge.operators.inference import rdfs_type_closure
+
+    types = spark.createDataFrame(
+        [("e1", "Person"), ("e2", "Org"), ("e3", "Person"), ("e3", "Org")],
+        "entity string, cls string",
+    )
+    onto = spark.createDataFrame(
+        [("Person", "Agent"), ("Org", "Agent"), ("Agent", "Thing")],
+        "sub string, sup string",
+    )
+    got = {(r["entity"], r["cls"]) for r in rdfs_type_closure(types, onto).collect()}
+    assert got == {
+        ("e1", "Person"), ("e1", "Agent"), ("e1", "Thing"),
+        ("e2", "Org"), ("e2", "Agent"), ("e2", "Thing"),
+        # e3 has both direct types but each inferred row appears once
+        ("e3", "Person"), ("e3", "Org"), ("e3", "Agent"), ("e3", "Thing"),
+    }
+
+
+def test_domain_range_types(spark):
+    from kgforge.operators.inference import domain_range_types
+
+    t = _triples_df(spark, [
+        ("e1", "ex:employs", "e2", "iri"),
+        ("e1", "ex:name", "Acme", "literal"),
+    ])
+    domains = spark.createDataFrame([("ex:employs", "Org")], "predicate string, cls string")
+    ranges = spark.createDataFrame([("ex:employs", "Person")], "predicate string, cls string")
+    got = {(r["entity"], r["cls"]) for r in domain_range_types(t, domains, ranges).collect()}
+    assert got == {("e1", "Org"), ("e2", "Person")}

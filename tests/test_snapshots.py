@@ -1,0 +1,87 @@
+"""Snapshot log: versioned commits, time-travel, rollback, CAS conflict,
+expiry — commit isolation for the materialized graph tables."""
+
+import os
+
+import pytest
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    from kgforge.sinks.snapshots import SnapshotStore
+
+    st = SnapshotStore(str(tmp_path / "tbl"))
+    v1 = st.commit(_df(spark, 0, 10), "append")
+    v2 = st.commit(_df(spark, 10, 15), "append")
+    v3 = st.commit(_df(spark, 100, 102), "overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert st.read(spark, 1).count() == 10
+    assert st.read(spark, 2).count() == 15  # append inherits parent files
+    assert sorted(r["id"] for r in st.read(spark, 3).collect()) == [100, 101]
+    assert st.read(spark).count() == 2  # current == v3
+    assert [h["version"] for h in st.history()] == [3, 2, 1]
+
+
+def test_rollback_then_new_commit_forks(spark, tmp_path):
+    from kgforge.sinks.snapshots import SnapshotStore
+
+    st = SnapshotStore(str(tmp_path / "tbl"))
+    st.commit(_df(spark, 0, 5), "append")
+    st.commit(_df(spark, 5, 9), "append")
+    st.rollback(1)
+    assert st.read(spark).count() == 5
+    # a new commit builds on the rolled-back version, not the abandoned one;
+    # the CAS claim means it takes the next FREE version number
+    with pytest.raises(Exception):
+        st.commit(_df(spark, 9, 12), "append")  # v2 already claimed
+    # writers retry by re-reading current — simulate via explicit overwrite
+    st.rollback(2)
+    v = st.commit(_df(spark, 9, 12), "append")
+    assert v == 3 and st.read(spark).count() == 12
+
+
+def test_cas_conflict_raises(spark, tmp_path):
+    from kgforge.sinks.snapshots import SnapshotConflict, SnapshotStore
+
+    a = SnapshotStore(str(tmp_path / "tbl"))
+    b = SnapshotStore(str(tmp_path / "tbl"))
+    a.commit(_df(spark, 0, 3), "append")
+    # b computes against current=1, then a wins version 2 first
+    a.commit(_df(spark, 3, 6), "append")
+    # roll b's view back: deleting current would be cheating — instead
+    # simulate the race by asking b to claim an existing version file
+    with pytest.raises(SnapshotConflict):
+        b.rollback(1)
+        b.commit(_df(spark, 6, 9), "append")  # tries v2 — already claimed
+
+
+def test_expire_keeps_live_files(spark, tmp_path):
+    from kgforge.sinks.snapshots import SnapshotStore
+
+    st = SnapshotStore(str(tmp_path / "tbl"))
+    st.commit(_df(spark, 0, 4), "append")
+    st.commit(_df(spark, 4, 8), "append")
+    st.commit(_df(spark, 8, 12), "append")
+    res = st.expire(keep_last=2)
+    assert res["dropped_versions"] == [1]
+    # v2/v3 still read fine (v2's files include v1's commit data, which is
+    # therefore NOT deleted)
+    assert st.read(spark, 2).count() == 8
+    assert st.read(spark, 3).count() == 12
+    with pytest.raises(ValueError):
+        st.read(spark, 1)  # manifest gone
+    # an overwrite then expire(1) really frees the old commit dirs
+    st.commit(_df(spark, 0, 2), "overwrite")
+    res = st.expire(keep_last=1)
+    assert res["removed_files"] > 0
+    assert st.read(spark).count() == 2
+    live = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(st.data)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    assert set(live) == set(st.snapshot()["files"])
