@@ -16,10 +16,12 @@ Design (mirrors the public Iceberg spec's mechanics at file granularity):
 - The CURRENT pointer is a tiny JSON written via ``os.replace`` (atomic on
   POSIX); readers resolve it once and then read only immutable state, so a
   reader never sees a half-committed table.
-- OPTIMISTIC CONCURRENCY: the snapshot file itself is claimed with
-  ``O_CREAT | O_EXCL`` — two writers racing to commit version N+1 cannot
-  both win; the loser gets ``SnapshotConflict`` and retries on the new
-  current (same compare-and-swap loop Iceberg runs against its catalog).
+- OPTIMISTIC CONCURRENCY: the fully-written manifest is published with an
+  atomic ``os.link`` onto the version name — two writers racing to commit
+  version N+1 cannot both win, and a crash can never leave a half-written
+  manifest squatting on the slot; the loser gets ``SnapshotConflict`` and
+  retries on the new current (the compare-and-swap loop Iceberg runs
+  against its catalog).
 - EXPIRY deletes data files no *retained* snapshot references — never
   files a live version can still read.
 
@@ -72,6 +74,20 @@ class SnapshotStore:
             return None
         with open(p) as fh:
             return json.load(fh)
+
+    def committed_run_ids(self) -> set:
+        """run_ids of every snapshot on the current lineage — the
+        idempotence key for replay-safe writers (streaming batch ids)."""
+        out = set()
+        v = self.current_version()
+        while v is not None:
+            s = self.snapshot(v)
+            if s is None:
+                break
+            if s.get("run_id"):
+                out.add(s["run_id"])
+            v = s["parent"]
+        return out
 
     def history(self) -> list[dict]:
         out = []
@@ -131,16 +147,24 @@ class SnapshotStore:
             "rows": rows,
             "ts": time.time(),
         }
-        # CAS: O_EXCL claim on the snapshot file — exactly one writer per
-        # version. The loser's orphaned commit_dir is reclaimed by expire().
+        # CAS: the manifest is written COMPLETE to a private tmp name, then
+        # published with os.link (fails with EEXIST if another writer won
+        # the version). Content and claim are one atomic step — a writer
+        # that dies mid-commit leaves only an unlinked tmp file, never a
+        # half-written v{N}.json that would poison the version slot for
+        # every later committer. Losers' orphaned commit_dirs are reclaimed
+        # by expire().
+        tmp_manifest = self._snap_path(version) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp_manifest, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
         try:
-            fd = os.open(self._snap_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp_manifest, self._snap_path(version))
         except FileExistsError:
             raise SnapshotConflict(
                 f"version {version} was committed concurrently; retry on the new current"
             ) from None
-        with os.fdopen(fd, "w") as fh:
-            json.dump(record, fh, indent=1, sort_keys=True)
+        finally:
+            os.remove(tmp_manifest)
         tmp = os.path.join(self.meta, "current.json.tmp")
         with open(tmp, "w") as fh:
             json.dump({"version": version}, fh)

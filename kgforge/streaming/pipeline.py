@@ -256,3 +256,35 @@ def validate_each_batch(pages_stream: DataFrame, out_root: str):
     return pages_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", f"{out_root}/_chk"
     )
+
+
+# ----------------------- exactly-once snapshot commits ----------------------
+
+
+def commit_each_batch(stream_df: DataFrame, store, checkpoint_dir: str):
+    """Land a stream into a :class:`~kgforge.sinks.snapshots.SnapshotStore`
+    with EXACTLY-ONCE table commits.
+
+    Plain ``foreachBatch`` + append parquet is only at-least-once across
+    restarts: a batch that wrote files but crashed before the stream
+    checkpoint advanced is REPLAYED, duplicating its rows. Here the
+    snapshot log is the dedup ledger — every batch commits with
+    ``run_id="batch:{id}"``, and a replayed batch whose id is already on
+    the committed lineage is skipped entirely (its rows are provably
+    visible, because the commit CAS publishes manifest + data atomically).
+    This is the standard idempotent-sink recipe Structured Streaming
+    documents for transactional targets, with the snapshot version playing
+    the transaction id.
+
+    Returns the DataStreamWriter (caller starts/stops it).
+    """
+
+    def handle(batch_df, batch_id):
+        marker = f"batch:{batch_id}"
+        if marker in store.committed_run_ids():
+            return  # replay after crash: already durably committed
+        store.commit(batch_df, "append", run_id=marker)
+
+    return stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
