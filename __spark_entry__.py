@@ -918,6 +918,54 @@ def q_kg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_sparql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregate surface: COUNT(DISTINCT) + GROUP BY compiled to one
+    hash aggregate over the BGP join — distinct knowing subjects per class."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT ?cls (COUNT(DISTINCT ?s) AS ?n_subjects) WHERE {
+             ?s <http://schema.org/knows> ?o .
+             ?s a ?cls .
+           } GROUP BY ?cls""",
+    )
+    return out.orderBy("cls")
+
+
+def q_kg_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path surface: the knows/name sequence desugars to a
+    fresh-variable two-join chain (W3C §9.1) — each knower paired with the
+    display name of the entity it knows."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT DISTINCT ?s ?partner_name WHERE {
+             ?s <http://schema.org/knows>/<http://schema.org/name> ?partner_name .
+           }""",
+    )
+    return out.orderBy("s", "partner_name")
+
+
+def q_kg_sparql_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL surface: left-join compilation — every Person-typed
+    subject, with its knows-partner where one exists, NULL where not."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT DISTINCT ?s ?partner WHERE {
+             ?s a <http://schema.org/Person> .
+             OPTIONAL { ?s <http://schema.org/knows> ?partner }
+           }""",
+    )
+    return out.orderBy("s", "partner")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -967,6 +1015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_ingest": q_warc_ingest,
         "q_url_canonical": q_url_canonical,
         "q_kg_sparql": q_kg_sparql,
+        "q_kg_sparql_agg": q_kg_sparql_agg,
+        "q_kg_sparql_path": q_kg_sparql_path,
+        "q_kg_sparql_opt": q_kg_sparql_opt,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -1744,6 +1795,77 @@ def oracle_sql() -> dict[str, str]:
                    age
             FROM knows JOIN ages ON knows.site = ages.site AND knows.ks = ages.k
             ORDER BY s, o, age
+        """,
+        # distinct knowing subjects per class: subjects of knows edges are
+        # first-distinct entities of pages with a second one; class = k%3
+        "q_kg_sparql_agg": f"""
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            src AS (SELECT DISTINCT site, e0 FROM base
+                    WHERE (r1 <> e0) OR n >= 3)
+            SELECT 'http://schema.org/' ||
+                     CASE e0 % 3 WHEN 0 THEN 'Person' WHEN 1 THEN 'Organization'
+                                 ELSE 'Place' END AS cls,
+                   CAST(count(*) AS BIGINT) AS n_subjects
+            FROM src GROUP BY cls ORDER BY cls
+        """,
+        # knows/name chain: knower alias paired with the known entity's
+        # closed-form display surface (the sequence path's middle node is
+        # the known alias, whose schema:name is asserted on the same page)
+        "q_kg_sparql_path": f"""
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL)
+            SELECT DISTINCT
+                   'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                     || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                   CASE ko % 3
+                     WHEN 0 THEN {_DD_FIRSTS}[ko%10+1] || ' ' || {_DD_LASTS}[(ko//10)%10+1] || ' ' || CAST(ko//100 AS VARCHAR)
+                     WHEN 1 THEN {_DD_ORGS}[ko%10+1] || ' ' || {_DD_ORGS}[(ko//10)%10+1] || ' Group ' || CAST(ko//100 AS VARCHAR)
+                     ELSE {_DD_ORGS}[(ko//7)%10+1] || ' City ' || CAST(ko//100 AS VARCHAR) || '-' || CAST(ko%100 AS VARCHAR)
+                   END AS partner_name
+            FROM knows
+            ORDER BY s, partner_name
+        """,
+        # OPTIONAL = left join: every Person alias, partner where a knows
+        # edge starts at it, NULL otherwise
+        "q_kg_sparql_opt": f"""
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            persons AS (SELECT DISTINCT site, k
+                        FROM (SELECT site, unnest({_DD_ENTS.replace("doc_id", "i")}) AS k FROM base)
+                        WHERE k % 3 = 0),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL)
+            SELECT DISTINCT
+                   'https://ex' || CAST(p.site AS VARCHAR) || '.example.org/entity/E'
+                     || lpad(CAST(p.k AS VARCHAR), 4, '0') AS s,
+                   CASE WHEN kn.ko IS NULL THEN NULL
+                        ELSE 'https://ex' || CAST(p.site AS VARCHAR) || '.example.org/entity/E'
+                          || lpad(CAST(kn.ko AS VARCHAR), 4, '0') END AS partner
+            FROM persons p LEFT JOIN knows kn ON p.site = kn.site AND p.k = kn.ks
+            ORDER BY s, partner
         """,
         # 3-way self-join triangle enumeration (a<b<c canonical order) over
         # the same closed-form co-occurrence edge set the engine derives

@@ -369,35 +369,79 @@ def sparql_constraint_violations(
 # --------------------------------------------------------------------------
 
 _SELECT_RE = re.compile(
-    r"^SELECT\s+(DISTINCT\s+)?((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+)WHERE\s*\{(.*)\}\s*$",
+    r"^SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
+    r"(?:GROUP\s+BY\s+((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+))?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_PROJ_ITEM_RE = re.compile(
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"\s+AS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*\)|\?([A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
+_OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{", re.IGNORECASE)
+# a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name
+_PATH_STMT_RE = re.compile(
+    r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>)\s+"
+    r"((?:\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+))"
+    r"(?:\s*/\s*\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+))*)\s+"
+    r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|\"(?:[^\"\\]|\\.)*\"|[+-]?\d+(?:\.\d+)?)"
 )
 
 
-def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
-    """Compile a standalone SELECT (no $this focus anchor) into
-    {vars, distinct, patterns, filters}. Same executable BGP/FILTER subset
-    as the constraint grammar, but any variable may appear in any position
-    and the projection list drives the output columns."""
-    m = _SELECT_RE.match(text.strip())
-    if m is None:
-        raise SparqlUnsupported(f"not a standalone SELECT query: {text[:60]!r}")
-    proj = [v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", m.group(2))]
-    body, raw_filters = _extract_filters(m.group(3))
-    if "{" in body or "OPTIONAL" in body.upper() or "UNION" in body.upper():
-        raise SparqlUnsupported("nested group patterns are outside the subset")
+def _extract_optionals(body: str) -> tuple[str, list[str]]:
+    """Strip OPTIONAL { ... } groups (balanced braces) out of the body."""
+    groups = []
+    while True:
+        m = _OPTIONAL_RE.search(body)
+        if m is None:
+            return body, groups
+        depth, i = 1, m.end()
+        while i < len(body) and depth > 0:
+            if body[i] == "{":
+                depth += 1
+            elif body[i] == "}":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise SparqlUnsupported("unbalanced OPTIONAL braces")
+        groups.append(body[m.end() : i - 1].strip())
+        body = body[: m.start()] + body[i:]
+
+
+def _desugar_patterns(body: str, prefixes: dict | None) -> list:
+    """Triple patterns with property-path desugaring: ``p/q`` sequences
+    expand through fresh intermediate variables, ``^p`` swaps the pattern's
+    endpoints (W3C SPARQL 1.1 §9.1 path translation)."""
     patterns = []
-    for sm in _STMT_RE.finditer(body):
+    fresh = [0]
+
+    def fresh_var():
+        fresh[0] += 1
+        return ("var", f"?__pp{fresh[0]}")
+
+    for sm in _PATH_STMT_RE.finditer(body):
         s = _expand_term(sm.group(1), prefixes)
-        p = _expand_term(sm.group(2), prefixes)
         o = _expand_term(sm.group(3), prefixes)
         if s[0] == "this" or o[0] == "this":
             raise SparqlUnsupported("$this is only valid inside sh:sparql constraints")
-        if p[0] != "iri":
-            raise SparqlUnsupported(f"predicate must be an IRI: {sm.group(2)!r}")
-        patterns.append((s, p[1], o))
-    if not patterns:
-        raise SparqlUnsupported("no basic graph patterns found")
+        # tokenize path elements (never str.split on '/', IRIs contain it)
+        elems = re.findall(
+            r"\^?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)",
+            sm.group(2),
+        )
+        cur = s
+        for n, el in enumerate(elems):
+            inverse = el.startswith("^")
+            pk, pv = _expand_term(el[1:] if inverse else el, prefixes)
+            if pk != "iri":
+                raise SparqlUnsupported(f"predicate must be an IRI: {el!r}")
+            nxt = o if n == len(elems) - 1 else fresh_var()
+            patterns.append((nxt, pv, cur) if inverse else (cur, pv, nxt))
+            cur = nxt
+    return patterns
+
+
+def _parse_filters(raw_filters: list[str], prefixes: dict | None) -> list:
     filters = []
     for fx in raw_filters:
         fx = fx.strip()
@@ -414,52 +458,78 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
             filters.append(("cmp", km.group(1), km.group(2), rk, rv))
         else:
             raise SparqlUnsupported(f"unsupported FILTER expression {fx!r}")
+    return filters
+
+
+def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
+    """Compile a standalone SELECT (no $this focus anchor) into
+    {proj, distinct, patterns, filters, optionals, group_by}. Executable
+    subset: connected BGPs, the constraint-grammar FILTERs, property-path
+    sequences/inverses, one level of OPTIONAL groups, and
+    COUNT/SUM/MIN/MAX/AVG aggregates with GROUP BY."""
+    m = _SELECT_RE.match(text.strip())
+    if m is None:
+        raise SparqlUnsupported(f"not a standalone SELECT query: {text[:60]!r}")
+    proj = []
+    for pm in _PROJ_ITEM_RE.finditer(m.group(2)):
+        if pm.group(5):
+            proj.append(("var", pm.group(5)))
+        else:
+            proj.append(
+                (
+                    "agg",
+                    pm.group(1).upper(),
+                    bool(pm.group(2)),
+                    None if pm.group(3) == "*" else pm.group(3)[1:],
+                    pm.group(4),
+                )
+            )
+    if not proj:
+        raise SparqlUnsupported("empty SELECT projection")
+    body, optional_bodies = _extract_optionals(m.group(3))
+    if "{" in body or "UNION" in body.upper():
+        raise SparqlUnsupported("nested group patterns are outside the subset")
+    body, raw_filters = _extract_filters(body)
+    patterns = _desugar_patterns(body, prefixes)
+    if not patterns:
+        raise SparqlUnsupported("no basic graph patterns found")
+    optionals = []
+    for ob in optional_bodies:
+        ob, o_raw = _extract_filters(ob)
+        if "{" in ob:
+            raise SparqlUnsupported("nested OPTIONAL is outside the subset")
+        opats = _desugar_patterns(ob, prefixes)
+        if not opats:
+            raise SparqlUnsupported("empty OPTIONAL group")
+        optionals.append({"patterns": opats, "filters": _parse_filters(o_raw, prefixes)})
+    group_by = [v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", m.group(4) or "")]
+    has_agg = any(p[0] == "agg" for p in proj)
+    if group_by and not has_agg:
+        raise SparqlUnsupported("GROUP BY without an aggregate in the projection")
+    if has_agg:
+        plain = [p[1] for p in proj if p[0] == "var"]
+        if sorted(plain) != sorted(group_by):
+            raise SparqlUnsupported(
+                "non-aggregate projected variables must match GROUP BY exactly"
+            )
     return {
-        "vars": proj,
+        "proj": proj,
         "distinct": bool(m.group(1)),
         "patterns": patterns,
-        "filters": filters,
+        "filters": _parse_filters(raw_filters, prefixes),
+        "optionals": optionals,
+        "group_by": group_by,
     }
 
 
-def sparql_select(
-    triples: DataFrame, query: str, prefixes: dict | None = None
-) -> DataFrame:
-    """Run a standalone SPARQL SELECT over the corpus triples fact table;
-    one output column per projected variable, named after the variable.
-
-    This is the user-facing "query the KG" surface the reference never had
-    (it stops at extraction). Each triple pattern compiles to one join
-    against the fact table; patterns are planned greedily so every new
-    pattern shares >= 1 bound variable with the already-joined prefix (a
-    pattern with no shared variable raises — cartesian BGPs are refused,
-    they never make sense at corpus scale). Catalyst/AQE then own the
-    physical plan: the predicate-equality conjunct reaches every scan as a
-    pushed filter, and the per-pattern joins are shuffle hash/broadcast
-    picked at runtime.
-
-    Scale: the fact table is scanned once per pattern (column-pruned to
-    subject/predicate/object.value); no Python runs per row; solution
-    dedup (SELECT DISTINCT) is one hash aggregate over the bound columns.
-    """
-    q = parse_sparql_select(query, prefixes)
-    data = (
-        triples.filter(F.col("status") == "ok")
-        .filter(F.col("subject").isNotNull())
-        .select(
-            "subject", "predicate", F.col("object.value").alias("obj")
-        )
-    )
-
-    bind: dict[str, str] = {}
-    kept: list[str] = []
-    cur: DataFrame | None = None
-    remaining = list(enumerate(q["patterns"]))
+def _join_bgp(cur, kept, bind, data, patterns, require_shared_with=None):
+    """Fold triple patterns into ``cur`` (None to seed); returns (cur, kept).
+    ``bind`` is mutated: var -> column name. Greedy connected order."""
+    remaining = list(patterns)
+    ordinal = [0]
     while remaining:
-        # greedy connected ordering: first pattern seeds; afterwards pick
-        # the first remaining pattern that shares a bound variable
         pick = None
-        for idx, (i, pat) in enumerate(remaining):
+        for idx, pat in enumerate(remaining):
             (sk, sv), _, (ok_, ov) = pat
             pvars = {t[1][1:] for t in ((sk, sv), (ok_, ov)) if t[0] == "var"}
             if cur is None or pvars & bind.keys():
@@ -467,8 +537,9 @@ def sparql_select(
                 break
         if pick is None:
             raise SparqlUnsupported("cartesian BGP: pattern shares no variable")
-        i, ((sk, sv), pred, (ok_, ov)) = remaining.pop(pick)
-        a = f"t{i}"
+        (sk, sv), pred, (ok_, ov) = remaining.pop(pick)
+        ordinal[0] += 1
+        a = f"b{id(remaining) % 9973}_{ordinal[0]}"
         cond = F.col(f"{a}.predicate") == F.lit(pred)
         proj = [F.col(c) for c in kept]
         new_binds: list = []
@@ -477,35 +548,113 @@ def sparql_select(
             if v in bind:
                 cond = cond & (F.col(f"{a}.subject") == F.col(bind[v]))
             else:
-                vcol = f"v_{v}"
-                new_binds.append((v, vcol, F.col(f"{a}.subject").alias(vcol)))
-        else:  # iri
+                new_binds.append((v, f"v_{v}", F.col(f"{a}.subject").alias(f"v_{v}")))
+        else:
             cond = cond & (F.col(f"{a}.subject") == F.lit(sv))
         if ok_ == "var":
             v = ov[1:]
             if v in bind:
                 cond = cond & (F.col(f"{a}.obj") == F.col(bind[v]))
             elif any(v == nv for nv, _, _ in new_binds):
-                # ?x p ?x self-pattern: subject binding just created
-                vcol = new_binds[0][1]
                 cond = cond & (F.col(f"{a}.obj") == F.col(f"{a}.subject"))
             else:
-                vcol = f"v_{v}"
-                new_binds.append((v, vcol, F.col(f"{a}.obj").alias(vcol)))
-        else:  # iri / str / num literal
+                new_binds.append((v, f"v_{v}", F.col(f"{a}.obj").alias(f"v_{v}")))
+        else:
             cond = cond & (F.col(f"{a}.obj") == F.lit(ov))
         for v, vcol, expr in new_binds:
             bind[v] = vcol
-            kept.append(vcol)
-            proj.append(expr)
+            kept = kept + [vcol]
+            proj = proj + [expr]
         if cur is None:
             cur = data.alias(a).filter(cond).select(*proj)
         else:
             cur = cur.join(data.alias(a), cond, "inner").select(*proj)
+    return cur, kept
+
+
+def sparql_select(
+    triples: DataFrame, query: str, prefixes: dict | None = None
+) -> DataFrame:
+    """Run a standalone SPARQL SELECT over the corpus triples fact table;
+    one output column per projected variable / aggregate alias.
+
+    This is the user-facing "query the KG" surface the reference never had
+    (it stops at extraction). Supported: connected BGPs (each pattern is
+    one fact-table join, predicate equality pushed to the scan), FILTER
+    (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN),
+    property-path sequences ``p/q`` and inverses ``^p`` (desugared to
+    fresh-variable patterns, W3C §9.1), one level of OPTIONAL (compiled as
+    a left outer join on the shared variables), DISTINCT, and
+    COUNT/SUM/MIN/MAX/AVG + GROUP BY (one hash aggregate).
+
+    Scale: the fact table is scanned once per pattern (column-pruned to
+    subject/predicate/object.value); joins are AQE-picked; cartesian BGPs
+    are refused at compile time; no Python runs per row.
+    """
+    q = parse_sparql_select(query, prefixes)
+    data = (
+        triples.filter(F.col("status") == "ok")
+        .filter(F.col("subject").isNotNull())
+        .select("subject", "predicate", F.col("object.value").alias("obj"))
+    )
+
+    bind: dict[str, str] = {}
+    cur, kept = _join_bgp(None, [], bind, data, q["patterns"])
     for flt in q["filters"]:
         cur = cur.filter(_filter_cond(flt, bind))
-    missing = [v for v in q["vars"] if v not in bind]
-    if missing:
-        raise SparqlUnsupported(f"projected variables never bound: {missing}")
-    out = cur.select(*[F.col(bind[v]).alias(v) for v in q["vars"]])
+    for og in q["optionals"]:
+        obind: dict[str, str] = {}
+        ocur, okept = _join_bgp(None, [], obind, data, og["patterns"])
+        for flt in og["filters"]:
+            ocur = ocur.filter(_filter_cond(flt, obind))
+        shared = [v for v in obind if v in bind]
+        if not shared:
+            raise SparqlUnsupported("OPTIONAL group shares no variable with the BGP")
+        # left join on the shared vars; group-internal dedup keeps OPTIONAL
+        # from multiplying main solutions when its own patterns fan out
+        onew = [v for v in obind if v not in bind]
+        ocur = ocur.select(
+            *[F.col(obind[v]).alias(f"o_{v}") for v in shared],
+            *[F.col(obind[v]) for v in onew],
+        ).distinct()
+        on = None
+        for v in shared:
+            c = F.col(bind[v]) == F.col(f"o_{v}")
+            on = c if on is None else (on & c)
+        cur = cur.join(ocur, on, "left").drop(*[f"o_{v}" for v in shared])
+        for v in onew:
+            bind[v] = obind[v]
+    # projection / aggregation
+    def _need(v):
+        if v not in bind:
+            raise SparqlUnsupported(f"projected variable never bound: ?{v}")
+        return bind[v]
+
+    has_agg = any(p[0] == "agg" for p in q["proj"])
+    if has_agg:
+        keys = [F.col(_need(v)).alias(v) for v in q["group_by"]]
+        aggs = []
+        for p in q["proj"]:
+            if p[0] != "agg":
+                continue
+            _, fn, distinct, var, alias = p
+            if fn == "COUNT" and var is None:
+                e = F.count(F.lit(1))
+            else:
+                c = F.col(_need(var))
+                if fn == "COUNT":
+                    e = F.count_distinct(c) if distinct else F.count(c)
+                else:
+                    if distinct:
+                        raise SparqlUnsupported(
+                            "DISTINCT is only supported inside COUNT"
+                        )
+                    e = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[fn](
+                        c.try_cast("double")
+                    )
+            aggs.append(e.alias(alias))
+        out = cur.groupBy(*keys).agg(*aggs)
+        order = [p[1] if p[0] == "var" else p[4] for p in q["proj"]]
+        return out.select(*order)
+    out = cur.select(*[F.col(_need(p[1])).alias(p[1]) for p in q["proj"]])
     return out.distinct() if q["distinct"] else out

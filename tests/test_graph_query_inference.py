@@ -214,3 +214,137 @@ def test_domain_range_types(spark):
     ranges = spark.createDataFrame([("ex:employs", "Person")], "predicate string, cls string")
     got = {(r["entity"], r["cls"]) for r in domain_range_types(t, domains, ranges).collect()}
     assert got == {("e1", "Org"), ("e2", "Person")}
+
+
+# ----------------------------------------- sparql_select: extended grammar
+
+
+def test_sparql_select_aggregate_group_by(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", KNOWS, "p3", "iri"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p1", "a", "Person", "iri"),
+        ("p2", "a", "Person", "iri"),
+    ])
+    q = """SELECT ?cls (COUNT(?o) AS ?n) WHERE {
+        ?s <ex:knows> ?o . ?s <a> ?cls .
+    } GROUP BY ?cls"""
+    got = [(r["cls"], r["n"]) for r in sparql_select(t, q).collect()]
+    assert got == [("Person", 3)]
+
+
+def test_sparql_select_count_distinct_and_multiset(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    # duplicate assertion -> multiset COUNT sees 2, COUNT DISTINCT sees 1
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", KNOWS, "p2", "iri"),
+    ])
+    q1 = f"SELECT (COUNT(?o) AS ?n) WHERE {{ ?s <{KNOWS}> ?o . }}"
+    q2 = f"SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE {{ ?s <{KNOWS}> ?o . }}"
+    assert sparql_select(t, q1).collect()[0]["n"] == 2
+    assert sparql_select(t, q2).collect()[0]["n"] == 1
+
+
+def test_sparql_select_sum_avg(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", AGE, "10", "literal"),
+        ("p2", AGE, "30", "literal"),
+        ("p3", AGE, "unknown", "literal"),  # non-numeric -> NULL, skipped
+    ])
+    q = f"SELECT (SUM(?a) AS ?total) (AVG(?a) AS ?mean) WHERE {{ ?s <{AGE}> ?a . }}"
+    row = sparql_select(t, q).collect()[0]
+    assert row["total"] == 40.0 and row["mean"] == 20.0
+
+
+def test_sparql_select_optional_left_join(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", "a", "Person", "iri"),
+        ("p2", "a", "Person", "iri"),
+        ("p1", KNOWS, "p2", "iri"),
+    ])
+    q = f"""SELECT DISTINCT ?s ?o WHERE {{
+        ?s <a> <Person> . OPTIONAL {{ ?s <{KNOWS}> ?o }}
+    }}"""
+    got = {(r["s"], r["o"]) for r in sparql_select(t, q).collect()}
+    assert got == {("p1", "p2"), ("p2", None)}
+
+
+def test_sparql_select_optional_with_filter(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", "a", "Person", "iri"),
+        ("p1", AGE, "30", "literal"),
+        ("p2", "a", "Person", "iri"),
+        ("p2", AGE, "99", "literal"),
+    ])
+    # the filter applies INSIDE the optional group: p2's age fails it, so
+    # p2 keeps a NULL age rather than being dropped
+    q = f"""SELECT DISTINCT ?s ?age WHERE {{
+        ?s <a> <Person> . OPTIONAL {{ ?s <{AGE}> ?age . FILTER (?age < 50) }}
+    }}"""
+    got = {(r["s"], r["age"]) for r in sparql_select(t, q).collect()}
+    assert got == {("p1", "30"), ("p2", None)}
+
+
+def test_sparql_select_sequence_path(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p3", NAME, "Cyn", "literal"),
+    ])
+    q = f"SELECT ?s ?n WHERE {{ ?s <{KNOWS}>/<{KNOWS}>/<{NAME}> ?n . }}"
+    got = [tuple(r) for r in sparql_select(t, q).collect()]
+    assert got == [("p1", "Cyn")]
+
+
+def test_sparql_select_inverse_path(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+    ])
+    # ^knows from p2 reaches whoever knows p2
+    q = f"SELECT ?who WHERE {{ <p2> ^<{KNOWS}> ?who . }}"
+    assert [r["who"] for r in sparql_select(t, q).collect()] == ["p1"]
+    # inverse inside a sequence: ?a knows ?b, then back — identity pairs
+    q2 = f"SELECT DISTINCT ?a ?c WHERE {{ ?a <{KNOWS}>/^<{KNOWS}> ?c . }}"
+    got = {(r["a"], r["c"]) for r in sparql_select(t, q2).collect()}
+    assert got == {("p1", "p1")}
+
+
+def test_sparql_select_group_by_validation(spark):
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [("p1", KNOWS, "p2", "iri")])
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{KNOWS}> ?o . }}")
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"SELECT ?s WHERE {{ ?s <{KNOWS}> ?o . }} GROUP BY ?s")
+
+
+def test_sparql_select_full_iri_paths(spark):
+    """Regression: IRIs contain '/' — path tokenization must never split
+    inside angle brackets."""
+    from kgforge.operators.sparql import sparql_select
+
+    K = "http://schema.org/knows"
+    t = _triples_df(spark, [
+        ("p1", K, "p2", "iri"),
+        ("p2", K, "p3", "iri"),
+    ])
+    q = f"SELECT DISTINCT ?s ?ff WHERE {{ ?s <{K}>/<{K}> ?ff . }}"
+    assert [tuple(r) for r in sparql_select(t, q).collect()] == [("p1", "p3")]
+    q2 = f"SELECT ?who WHERE {{ <p2> ^<{K}> ?who . }}"
+    assert [r["who"] for r in sparql_select(t, q2).collect()] == ["p1"]
