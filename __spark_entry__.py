@@ -966,6 +966,41 @@ def q_kg_sparql_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s", "partner")
 
 
+def q_kg_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION surface: symmetric degree — distinct in-or-out knows
+    neighbors per node, via a two-branch UNION folded into one hash
+    aggregate (COUNT DISTINCT)."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT ?x (COUNT(DISTINCT ?e) AS ?n_neighbors) WHERE {
+             { ?x <http://schema.org/knows> ?e }
+             UNION
+             { ?e <http://schema.org/knows> ?x }
+           } GROUP BY ?x""",
+    )
+    return out.orderBy("x")
+
+
+def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT surface — the KG-enrichment rule engine: emit the
+    symmetric closure of schema:knows as NEW triples (graph set semantics:
+    already-symmetric assertions dedup)."""
+    from kgforge.operators.sparql import sparql_construct
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_construct(
+        triples,
+        """CONSTRUCT {
+             ?s <http://schema.org/knows> ?o .
+             ?o <http://schema.org/knows> ?s
+           } WHERE { ?s <http://schema.org/knows> ?o }""",
+    )
+    return out.orderBy("subject", "predicate", "obj")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1018,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
         "q_kg_sparql_opt": q_kg_sparql_opt,
+        "q_kg_sparql_union": q_kg_sparql_union,
+        "q_kg_construct": q_kg_construct,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -1866,6 +1903,57 @@ def oracle_sql() -> dict[str, str]:
                           || lpad(CAST(kn.ko AS VARCHAR), 4, '0') END AS partner
             FROM persons p LEFT JOIN knows kn ON p.site = kn.site AND p.k = kn.ks
             ORDER BY s, partner
+        """,
+        # symmetric UNION degree: distinct in-or-out neighbors per node IRI
+        "q_kg_sparql_union": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            iri AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows),
+            sym AS (SELECT s AS x, o AS e FROM iri
+                    UNION ALL SELECT o AS x, s AS e FROM iri)
+            SELECT x, CAST(count(DISTINCT e) AS BIGINT) AS n_neighbors
+            FROM sym GROUP BY x ORDER BY x
+        """,
+        # CONSTRUCT symmetric closure: each knows edge emitted both ways,
+        # graph set semantics (DISTINCT over the union)
+        "q_kg_construct": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            iri AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows)
+            SELECT DISTINCT subject, 'http://schema.org/knows' AS predicate, obj
+            FROM (SELECT s AS subject, o AS obj FROM iri
+                  UNION ALL SELECT o AS subject, s AS obj FROM iri)
+            ORDER BY subject, predicate, obj
         """,
         # 3-way self-join triangle enumeration (a<b<c canonical order) over
         # the same closed-form co-occurrence edge set the engine derives

@@ -370,9 +370,24 @@ def sparql_constraint_violations(
 
 _SELECT_RE = re.compile(
     r"^SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
-    r"(?:GROUP\s+BY\s+((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+))?\s*$",
+    r"(?:GROUP\s+BY\s+((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+))?\s*"
+    r"(?:ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[A-Za-z_][A-Za-z0-9_]*\s*\)\s*"
+    r"|\?[A-Za-z_][A-Za-z0-9_]*\s*)+))?\s*"
+    r"(?:LIMIT\s+(\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CONSTRUCT_RE = re.compile(
+    r"^CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*\{(.*)\}\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_ITEM_RE = re.compile(
+    r"(?:(ASC|DESC)\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\))|\?([A-Za-z_][A-Za-z0-9_]*)",
+    re.IGNORECASE,
+)
+_VALUES_RE = re.compile(
+    r"VALUES\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*\{([^{}]*)\}", re.IGNORECASE
+)
+_UNION_SPLIT_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
 _PROJ_ITEM_RE = re.compile(
     r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)"
     r"\s+AS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*\)|\?([A-Za-z_][A-Za-z0-9_]*)",
@@ -461,12 +476,113 @@ def _parse_filters(raw_filters: list[str], prefixes: dict | None) -> list:
     return filters
 
 
+def _split_union_branches(body: str) -> list[str] | None:
+    """If the body is ``{ A } UNION { B } [UNION { C } ...]`` return the
+    branch texts; None when the body is a plain group (no top-level UNION).
+    Brace-walks, so FILTER parens and IRIs inside branches are safe (the
+    branches themselves must not nest further groups — enforced later)."""
+    t = body.strip()
+    if not t.startswith("{"):
+        return None
+    branches = []
+    i = 0
+    while i < len(t):
+        if t[i] != "{":
+            return None
+        depth, j = 1, i + 1
+        while j < len(t) and depth > 0:
+            if t[j] == "{":
+                depth += 1
+            elif t[j] == "}":
+                depth -= 1
+            j += 1
+        if depth != 0:
+            raise SparqlUnsupported("unbalanced UNION braces")
+        branches.append(t[i + 1 : j - 1].strip())
+        rest = t[j:].lstrip()
+        if not rest:
+            break
+        if not rest.upper().startswith("UNION"):
+            return None
+        i = len(t) - len(rest) + 5
+        while i < len(t) and t[i].isspace():
+            i += 1
+    return branches if len(branches) >= 2 else None
+
+
+def _extract_values(body: str, prefixes: dict | None) -> tuple[str, list]:
+    """Strip single-variable ``VALUES ?v { term ... }`` clauses; each
+    compiles to an IN-list filter over the bound variable (W3C §10.2 inline
+    data, restricted to the one-var form that maps to a pushed isin)."""
+    values = []
+
+    def repl(m):
+        terms = []
+        for tok in m.group(2).split():
+            k, v = _expand_term(tok, prefixes)
+            if k not in ("iri", "str", "num"):
+                raise SparqlUnsupported(f"VALUES terms must be constants: {tok!r}")
+            terms.append(v)
+        if not terms:
+            raise SparqlUnsupported("empty VALUES set")
+        values.append((m.group(1), terms))
+        return " "
+
+    return _VALUES_RE.sub(repl, body), values
+
+
+def _parse_where(body: str, prefixes: dict | None) -> dict:
+    """One WHERE group -> {patterns, filters, optionals, values, union}.
+    ``union`` is a list of branch dicts (each with patterns/filters/values)
+    when the body is a top-level UNION of plain groups, else None."""
+    branches = _split_union_branches(body)
+    if branches is not None:
+        parsed = []
+        for b in branches:
+            if _OPTIONAL_RE.search(b) or "{" in _extract_filters(b)[0]:
+                raise SparqlUnsupported("OPTIONAL/nested groups inside UNION branches")
+            b, vals = _extract_values(b, prefixes)
+            b, raw = _extract_filters(b)
+            pats = _desugar_patterns(b, prefixes)
+            if not pats:
+                raise SparqlUnsupported("empty UNION branch")
+            parsed.append(
+                {"patterns": pats, "filters": _parse_filters(raw, prefixes), "values": vals}
+            )
+        return {"patterns": [], "filters": [], "optionals": [], "values": [], "union": parsed}
+    body, optional_bodies = _extract_optionals(body)
+    body, values = _extract_values(body, prefixes)
+    body, raw_filters = _extract_filters(body)
+    if "{" in body:
+        raise SparqlUnsupported("nested group patterns are outside the subset")
+    patterns = _desugar_patterns(body, prefixes)
+    if not patterns:
+        raise SparqlUnsupported("no basic graph patterns found")
+    optionals = []
+    for ob in optional_bodies:
+        ob, o_raw = _extract_filters(ob)
+        if "{" in ob:
+            raise SparqlUnsupported("nested OPTIONAL is outside the subset")
+        opats = _desugar_patterns(ob, prefixes)
+        if not opats:
+            raise SparqlUnsupported("empty OPTIONAL group")
+        optionals.append({"patterns": opats, "filters": _parse_filters(o_raw, prefixes)})
+    return {
+        "patterns": patterns,
+        "filters": _parse_filters(raw_filters, prefixes),
+        "optionals": optionals,
+        "values": values,
+        "union": None,
+    }
+
+
 def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
     """Compile a standalone SELECT (no $this focus anchor) into
-    {proj, distinct, patterns, filters, optionals, group_by}. Executable
-    subset: connected BGPs, the constraint-grammar FILTERs, property-path
-    sequences/inverses, one level of OPTIONAL groups, and
-    COUNT/SUM/MIN/MAX/AVG aggregates with GROUP BY."""
+    {proj, distinct, where, group_by, order_by, limit}. Executable subset:
+    connected BGPs, the constraint-grammar FILTERs, property-path
+    sequences/inverses, one level of OPTIONAL groups, top-level UNION of
+    plain groups, single-var VALUES, COUNT/SUM/MIN/MAX/AVG + GROUP BY, and
+    ORDER BY [ASC|DESC] + LIMIT solution modifiers."""
     m = _SELECT_RE.match(text.strip())
     if m is None:
         raise SparqlUnsupported(f"not a standalone SELECT query: {text[:60]!r}")
@@ -486,22 +602,7 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
             )
     if not proj:
         raise SparqlUnsupported("empty SELECT projection")
-    body, optional_bodies = _extract_optionals(m.group(3))
-    if "{" in body or "UNION" in body.upper():
-        raise SparqlUnsupported("nested group patterns are outside the subset")
-    body, raw_filters = _extract_filters(body)
-    patterns = _desugar_patterns(body, prefixes)
-    if not patterns:
-        raise SparqlUnsupported("no basic graph patterns found")
-    optionals = []
-    for ob in optional_bodies:
-        ob, o_raw = _extract_filters(ob)
-        if "{" in ob:
-            raise SparqlUnsupported("nested OPTIONAL is outside the subset")
-        opats = _desugar_patterns(ob, prefixes)
-        if not opats:
-            raise SparqlUnsupported("empty OPTIONAL group")
-        optionals.append({"patterns": opats, "filters": _parse_filters(o_raw, prefixes)})
+    where = _parse_where(m.group(3), prefixes)
     group_by = [v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", m.group(4) or "")]
     has_agg = any(p[0] == "agg" for p in proj)
     if group_by and not has_agg:
@@ -512,13 +613,20 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
             raise SparqlUnsupported(
                 "non-aggregate projected variables must match GROUP BY exactly"
             )
+    out_names = [p[1] if p[0] == "var" else p[4] for p in proj]
+    order_by = []
+    for om in _ORDER_ITEM_RE.finditer(m.group(5) or ""):
+        var = om.group(2) or om.group(3)
+        if var not in out_names:
+            raise SparqlUnsupported(f"ORDER BY variable ?{var} is not projected")
+        order_by.append((var, (om.group(1) or "ASC").upper() == "DESC"))
     return {
         "proj": proj,
         "distinct": bool(m.group(1)),
-        "patterns": patterns,
-        "filters": _parse_filters(raw_filters, prefixes),
-        "optionals": optionals,
+        "where": where,
         "group_by": group_by,
+        "order_by": order_by,
+        "limit": int(m.group(6)) if m.group(6) else None,
     }
 
 
@@ -572,39 +680,61 @@ def _join_bgp(cur, kept, bind, data, patterns, require_shared_with=None):
     return cur, kept
 
 
-def sparql_select(
-    triples: DataFrame, query: str, prefixes: dict | None = None
-) -> DataFrame:
-    """Run a standalone SPARQL SELECT over the corpus triples fact table;
-    one output column per projected variable / aggregate alias.
+def _values_cond(values: list, bind: dict):
+    conds = []
+    for var, terms in values:
+        if var not in bind:
+            raise SparqlUnsupported(f"VALUES over unbound var ?{var}")
+        conds.append(F.col(bind[var]).isin(*terms))
+    return conds
 
-    This is the user-facing "query the KG" surface the reference never had
-    (it stops at extraction). Supported: connected BGPs (each pattern is
-    one fact-table join, predicate equality pushed to the scan), FILTER
-    (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN),
-    property-path sequences ``p/q`` and inverses ``^p`` (desugared to
-    fresh-variable patterns, W3C §9.1), one level of OPTIONAL (compiled as
-    a left outer join on the shared variables), DISTINCT, and
-    COUNT/SUM/MIN/MAX/AVG + GROUP BY (one hash aggregate).
 
-    Scale: the fact table is scanned once per pattern (column-pruned to
-    subject/predicate/object.value); joins are AQE-picked; cartesian BGPs
-    are refused at compile time; no Python runs per row.
-    """
-    q = parse_sparql_select(query, prefixes)
-    data = (
-        triples.filter(F.col("status") == "ok")
-        .filter(F.col("subject").isNotNull())
-        .select("subject", "predicate", F.col("object.value").alias("obj"))
-    )
-
+def _group_solutions(data: DataFrame, g: dict) -> tuple[DataFrame, dict]:
+    """One plain group (patterns+filters+values) -> (solutions DF, bind)."""
     bind: dict[str, str] = {}
-    cur, kept = _join_bgp(None, [], bind, data, q["patterns"])
-    for flt in q["filters"]:
+    cur, _ = _join_bgp(None, [], bind, data, g["patterns"])
+    for flt in g["filters"]:
         cur = cur.filter(_filter_cond(flt, bind))
-    for og in q["optionals"]:
+    for c in _values_cond(g.get("values", []), bind):
+        cur = cur.filter(c)
+    return cur, bind
+
+
+def _where_solutions(data: DataFrame, where: dict) -> tuple[DataFrame, dict]:
+    """Compile a parsed WHERE dict into (solutions DF, bind).
+
+    UNION: each branch compiles independently; branch solution sets union
+    by variable name, with variables unbound in a branch padded NULL (W3C
+    §7 — UNION solutions need not bind the same variables). OPTIONAL
+    compiles to a left outer join on the shared variables."""
+    if where["union"] is not None:
+        outs, allvars = [], []
+        for br in where["union"]:
+            c, b = _group_solutions(data, br)
+            outs.append((c, b))
+            for v in b:
+                if v not in allvars:
+                    allvars.append(v)
+        bind = {v: f"v_{v}" for v in allvars}
+        parts = [
+            c.select(
+                *[
+                    (F.col(b[v]) if v in b else F.lit(None).cast("string")).alias(
+                        f"v_{v}"
+                    )
+                    for v in allvars
+                ]
+            )
+            for c, b in outs
+        ]
+        cur = parts[0]
+        for p in parts[1:]:
+            cur = cur.unionByName(p)
+        return cur, bind
+    cur, bind = _group_solutions(data, where)
+    for og in where["optionals"]:
         obind: dict[str, str] = {}
-        ocur, okept = _join_bgp(None, [], obind, data, og["patterns"])
+        ocur, _ = _join_bgp(None, [], obind, data, og["patterns"])
         for flt in og["filters"]:
             ocur = ocur.filter(_filter_cond(flt, obind))
         shared = [v for v in obind if v in bind]
@@ -624,7 +754,41 @@ def sparql_select(
         cur = cur.join(ocur, on, "left").drop(*[f"o_{v}" for v in shared])
         for v in onew:
             bind[v] = obind[v]
-    # projection / aggregation
+    return cur, bind
+
+
+def _fact_table(triples: DataFrame) -> DataFrame:
+    return (
+        triples.filter(F.col("status") == "ok")
+        .filter(F.col("subject").isNotNull())
+        .select("subject", "predicate", F.col("object.value").alias("obj"))
+    )
+
+
+def sparql_select(
+    triples: DataFrame, query: str, prefixes: dict | None = None
+) -> DataFrame:
+    """Run a standalone SPARQL SELECT over the corpus triples fact table;
+    one output column per projected variable / aggregate alias.
+
+    This is the user-facing "query the KG" surface the reference never had
+    (it stops at extraction). Supported: connected BGPs (each pattern is
+    one fact-table join, predicate equality pushed to the scan), FILTER
+    (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN),
+    property-path sequences ``p/q`` and inverses ``^p`` (desugared to
+    fresh-variable patterns, W3C §9.1), one level of OPTIONAL (left outer
+    join on the shared variables), top-level UNION of plain groups
+    (null-padded unionByName), single-var VALUES (isin filter), DISTINCT,
+    COUNT/SUM/MIN/MAX/AVG + GROUP BY (one hash aggregate), and
+    ORDER BY/LIMIT (TakeOrderedAndProject when both present).
+
+    Scale: the fact table is scanned once per pattern (column-pruned to
+    subject/predicate/object.value); joins are AQE-picked; cartesian BGPs
+    are refused at compile time; no Python runs per row.
+    """
+    q = parse_sparql_select(query, prefixes)
+    cur, bind = _where_solutions(_fact_table(triples), q["where"])
+
     def _need(v):
         if v not in bind:
             raise SparqlUnsupported(f"projected variable never bound: ?{v}")
@@ -655,6 +819,86 @@ def sparql_select(
             aggs.append(e.alias(alias))
         out = cur.groupBy(*keys).agg(*aggs)
         order = [p[1] if p[0] == "var" else p[4] for p in q["proj"]]
-        return out.select(*order)
-    out = cur.select(*[F.col(_need(p[1])).alias(p[1]) for p in q["proj"]])
-    return out.distinct() if q["distinct"] else out
+        out = out.select(*order)
+    else:
+        out = cur.select(*[F.col(_need(p[1])).alias(p[1]) for p in q["proj"]])
+        if q["distinct"]:
+            out = out.distinct()
+    if q["order_by"]:
+        out = out.orderBy(
+            *[F.col(v).desc() if d else F.col(v).asc() for v, d in q["order_by"]]
+        )
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def parse_sparql_construct(text: str, prefixes: dict | None = None) -> dict:
+    """Compile ``CONSTRUCT { template } WHERE { ... }`` into
+    {template, where}. Template triples are plain (no paths/inverses);
+    every template variable must be bound by the WHERE clause."""
+    m = _CONSTRUCT_RE.match(text.strip())
+    if m is None:
+        raise SparqlUnsupported(f"not a CONSTRUCT query: {text[:60]!r}")
+    template = []
+    for sm in _PATH_STMT_RE.finditer(m.group(1)):
+        pred_tok = sm.group(2).strip()
+        # a '/' inside <...> is part of the IRI, not a path separator
+        if "/" in re.sub(r"<[^>]*>", "", pred_tok) or pred_tok.startswith("^"):
+            raise SparqlUnsupported("property paths are not allowed in templates")
+        s = _expand_term(sm.group(1), prefixes)
+        pk, pv = _expand_term(sm.group(2), prefixes)
+        o = _expand_term(sm.group(3), prefixes)
+        if pk != "iri":
+            raise SparqlUnsupported(f"template predicate must be an IRI: {sm.group(2)!r}")
+        template.append((s, pv, o))
+    if not template:
+        raise SparqlUnsupported("empty CONSTRUCT template")
+    return {"template": template, "where": _parse_where(m.group(2), prefixes)}
+
+
+def sparql_construct(
+    triples: DataFrame, query: str, prefixes: dict | None = None
+) -> DataFrame:
+    """Run a SPARQL CONSTRUCT over the corpus triples fact table and emit
+    NEW triples as (subject, predicate, obj) string rows — the KG
+    enrichment surface: materialized inference rules, symmetric/inverse
+    closures, schema translation, all expressed as declarative queries
+    whose output feeds back into the graph store (W3C SPARQL 1.1 §10.2
+    semantics: the solution multiset instantiates each template triple;
+    the result is a GRAPH, so duplicates collapse — one distinct at the
+    end).
+
+    Scale: the WHERE clause is the same join plan as ``sparql_select``;
+    each template triple is one projection over the shared solution set
+    (the solution DataFrame is reused, not recomputed — Spark caches the
+    shuffle outputs of the common subplan across the union branches), and
+    the final distinct is one hash aggregate on three string columns."""
+    q = parse_sparql_construct(query, prefixes)
+    cur, bind = _where_solutions(_fact_table(triples), q["where"])
+
+    def term_col(t):
+        k, v = t
+        if k == "var":
+            name = v[1:]
+            if name not in bind:
+                raise SparqlUnsupported(f"template variable never bound: {v}")
+            return F.col(bind[name])
+        if k in ("iri", "str", "num"):
+            return F.lit(v)
+        raise SparqlUnsupported(f"unsupported template term {t!r}")
+
+    outs = [
+        cur.select(
+            term_col(s).alias("subject"),
+            F.lit(p).alias("predicate"),
+            term_col(o).alias("obj"),
+        )
+        for s, p, o in q["template"]
+    ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    # a CONSTRUCT result is a graph: no solution may emit a triple with an
+    # unbound (NULL) slot, and set semantics apply
+    return result.na.drop().distinct()

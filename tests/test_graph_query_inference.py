@@ -158,6 +158,117 @@ def test_sparql_select_prefixes_and_contains(spark):
     assert [r["s"] for r in got] == ["p1"]
 
 
+# ------------------------------------- UNION / VALUES / ORDER-LIMIT / CONSTRUCT
+
+
+def test_sparql_union_pads_unbound_vars(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("a", KNOWS, "b", "iri"),
+        ("a", NAME, "Ann", "literal"),
+        ("c", NAME, "Cyn", "literal"),
+    ])
+    # W3C §7: branch solutions need not bind the same variables — ?n is
+    # NULL for knows-branch rows, ?y NULL (dropped) for name-branch rows
+    q = f"""SELECT DISTINCT ?x ?n WHERE {{
+        {{ ?x <{KNOWS}> ?y }} UNION {{ ?x <{NAME}> ?n }}
+    }}"""
+    got = {(r["x"], r["n"]) for r in sparql_select(t, q).collect()}
+    assert got == {("a", None), ("a", "Ann"), ("c", "Cyn")}
+
+
+def test_sparql_union_with_branch_filters_and_agg(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("a", KNOWS, "b", "iri"),
+        ("b", KNOWS, "c", "iri"),
+        ("a", AGE, "45", "literal"),
+        ("b", AGE, "17", "literal"),
+    ])
+    # incoming-or-outgoing degree of each node, via a symmetric UNION
+    q = f"""SELECT ?x (COUNT(?e) AS ?deg) WHERE {{
+        {{ ?x <{KNOWS}> ?e }} UNION {{ ?e <{KNOWS}> ?x }}
+    }} GROUP BY ?x"""
+    got = {(r["x"], r["deg"]) for r in sparql_select(t, q).collect()}
+    assert got == {("a", 1), ("b", 2), ("c", 1)}
+
+
+def test_sparql_values_restricts_bound_var(spark):
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [
+        ("a", AGE, "45", "literal"),
+        ("b", AGE, "17", "literal"),
+        ("c", AGE, "30", "literal"),
+    ])
+    q = f"""SELECT ?x ?age WHERE {{ ?x <{AGE}> ?age . VALUES ?x {{ <a> <c> }} }}"""
+    got = {tuple(r) for r in sparql_select(t, q).collect()}
+    assert got == {("a", "45"), ("c", "30")}
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"SELECT ?x WHERE {{ ?x <{AGE}> ?a . VALUES ?z {{ <a> }} }}")
+
+
+def test_sparql_order_by_limit(spark):
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [
+        ("a", NAME, "Ann", "literal"),
+        ("b", NAME, "Bob", "literal"),
+        ("c", NAME, "Cyn", "literal"),
+    ])
+    q = f"SELECT ?x ?n WHERE {{ ?x <{NAME}> ?n }} ORDER BY DESC(?n) LIMIT 2"
+    assert [r["n"] for r in sparql_select(t, q).collect()] == ["Cyn", "Bob"]
+    q2 = f"SELECT ?x ?n WHERE {{ ?x <{NAME}> ?n }} ORDER BY ?x LIMIT 1"
+    assert [tuple(r) for r in sparql_select(t, q2).collect()] == [("a", "Ann")]
+    with pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"SELECT ?x WHERE {{ ?x <{NAME}> ?n }} ORDER BY ?n")
+
+
+def test_sparql_construct_symmetric_closure(spark):
+    from kgforge.operators.sparql import sparql_construct
+
+    t = _triples_df(spark, [
+        ("a", KNOWS, "b", "iri"),
+        ("b", KNOWS, "a", "iri"),  # already symmetric: set semantics dedup
+        ("b", KNOWS, "c", "iri"),
+    ])
+    q = f"""CONSTRUCT {{ ?s <{KNOWS}> ?o . ?o <{KNOWS}> ?s }}
+            WHERE {{ ?s <{KNOWS}> ?o }}"""
+    got = {tuple(r) for r in sparql_construct(t, q).collect()}
+    assert got == {
+        ("a", KNOWS, "b"), ("b", KNOWS, "a"),
+        ("b", KNOWS, "c"), ("c", KNOWS, "b"),
+    }
+
+
+def test_sparql_construct_typing_rule_with_filter(spark):
+    from kgforge.operators.sparql import sparql_construct
+
+    t = _triples_df(spark, [
+        ("a", AGE, "45", "literal"),
+        ("b", AGE, "17", "literal"),
+    ])
+    # enrichment rule: adults get a type assertion; 'a' expands to rdf:type
+    q = f"""CONSTRUCT {{ ?s a <ex:Adult> }}
+            WHERE {{ ?s <{AGE}> ?age . FILTER (?age >= 18) }}"""
+    got = [tuple(r) for r in sparql_construct(t, q).collect()]
+    assert got == [
+        ("a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "ex:Adult")
+    ]
+
+
+def test_sparql_construct_rejects_unbound_template_var(spark):
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_construct
+
+    t = _triples_df(spark, [("a", KNOWS, "b", "iri")])
+    with pytest.raises(SparqlUnsupported):
+        sparql_construct(
+            t, f"CONSTRUCT {{ ?s <{NAME}> ?nope }} WHERE {{ ?s <{KNOWS}> ?o }}"
+        )
+
+
 # -------------------------------------------------------------- inference
 
 
