@@ -795,6 +795,60 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link-rich pages from doc_id (codegen concat — no
+    Python): each page at https://ex{s}.example.org/dir{i%10}/page/{i}
+    carries one link per RFC 3986 resolution form (absolute messy-spelled,
+    root-relative, protocol-relative, dot-segment relative) plus two
+    non-navigational hrefs (#fragment, mailto:) the extractor must drop."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = (i % 97).cast("string")
+    url = F.concat(
+        F.lit("https://ex"), s, F.lit(".example.org/dir"),
+        (i % 10).cast("string"), F.lit("/page/"), i.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><nav><a href='#top'>Top</a> "
+              "<a href='mailto:spam@example.org'>m</a></nav>"),
+        F.lit('<a href="HTTPS://EX'), ((i * 7 + 1) % 97).cast("string"),
+        F.lit(".EXAMPLE.ORG:443/art/"), (i % 500).cast("string"),
+        F.lit('?utm_source=t&b=2&a=1">a</a>'),
+        F.lit("<a href='/idx/"), (i % 20).cast("string"), F.lit("'>i</a>"),
+        F.lit("<a href='//ex"), ((i * 11 + 3) % 97).cast("string"),
+        F.lit(".example.org/pr'>p</a>"),
+        F.lit("<a href='../sec/"), (i % 7).cast("string"), F.lit("'>s</a>"),
+        F.lit("</body></html>"),
+    )
+    return docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+
+def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-graph construction, link level: harvest every <a href>, resolve
+    against the page URL (RFC 3986 §5 incl. dot segments), canonicalize.
+    The oracle reconstructs each expected dst_url string closed-form from
+    doc_id — it never sees the resolver, so this value-verifies the whole
+    extract → resolve → canonicalize chain per link form."""
+    from kgforge.operators.links import extract_links
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    return links.select(
+        F.regexp_extract("src_url", r"/page/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "href",
+        "dst_url",
+    ).orderBy("doc_id", "dst_url")
+
+
+def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph over the same pages: one map-side-combined
+    groupBy from the link table (the web's hot-host skew combines before
+    the shuffle)."""
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    return edges.orderBy("src_host", "dst_host")
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -1049,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_warc_ingest": q_warc_ingest,
         "q_url_canonical": q_url_canonical,
+        "q_kg_links": q_kg_links,
+        "q_kg_linkgraph": q_kg_linkgraph,
         "q_kg_sparql": q_kg_sparql,
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
@@ -1779,6 +1835,52 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 5 = 4 THEN '?a=1&b=2' ELSE '' END AS canonical_url,
                    'ex' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS host
             FROM documents ORDER BY doc_id
+        """,
+        # link resolution closed form: each doc plants 4 navigational links
+        # whose resolved+canonical dst_url is pure doc_id arithmetic — the
+        # oracle rebuilds the expected strings without any URL logic
+        "q_kg_links": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            links AS (
+              SELECT i,
+                'HTTPS://EX' || CAST((i*7+1) % 97 AS VARCHAR)
+                  || '.EXAMPLE.ORG:443/art/' || CAST(i % 500 AS VARCHAR)
+                  || '?utm_source=t&b=2&a=1' AS href,
+                'https://ex' || CAST((i*7+1) % 97 AS VARCHAR)
+                  || '.example.org/art/' || CAST(i % 500 AS VARCHAR)
+                  || '?a=1&b=2' AS dst_url FROM d
+              UNION ALL
+              SELECT i, '/idx/' || CAST(i % 20 AS VARCHAR),
+                'https://ex' || CAST(s AS VARCHAR) || '.example.org/idx/'
+                  || CAST(i % 20 AS VARCHAR) FROM d
+              UNION ALL
+              SELECT i, '//ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org/pr',
+                'https://ex' || CAST((i*11+3) % 97 AS VARCHAR)
+                  || '.example.org/pr' FROM d
+              UNION ALL
+              SELECT i, '../sec/' || CAST(i % 7 AS VARCHAR),
+                'https://ex' || CAST(s AS VARCHAR) || '.example.org/dir'
+                  || CAST(i % 10 AS VARCHAR) || '/sec/' || CAST(i % 7 AS VARCHAR) FROM d
+            )
+            SELECT i AS doc_id, href, dst_url FROM links ORDER BY doc_id, dst_url
+        """,
+        "q_kg_linkgraph": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            e AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src_host,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst_host FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+            )
+            SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+            FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
         """,
         # fixture closed form: url/ts are pure functions of i
         # (kgforge/fixtures.py build_page)

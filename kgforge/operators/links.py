@@ -1,0 +1,129 @@
+"""Hyperlink extraction + resolution: the crawl's web-graph construction.
+
+A KG built from Common-Crawl-style pages needs the LINK graph as much as
+the entity graph — outlinks drive crawl frontier ranking, host-level
+authority (PageRank over hosts), and spam/hub detection. (The reference
+parses one file at a time and has no link layer; this is corpus
+infrastructure the north rule's crawl-scale input needs, same rationale
+as `urlops.py`.)
+
+Everything is pure built-in column expressions — WholeStageCodegen
+end-to-end, no Python in the hot path:
+
+- href harvesting: one ``regexp_extract_all`` over the decoded html
+  (per-row, no shuffle; fan-out bounded by links-per-page);
+- reference resolution per RFC 3986 §5 (the subset crawl hrefs use):
+  absolute URLs pass through, ``//host/..`` takes the base scheme,
+  ``/path`` takes the base authority, relative paths merge with the
+  base directory; ``mailto:``/``javascript:``/``tel:``/``data:`` and
+  fragment-only hrefs are dropped;
+- dot-segment removal (§5.2.4) as a BOUNDED regexp fixpoint — 8 passes
+  collapse ``..`` nesting up to depth 8, far beyond crawl-real paths;
+  leading above-root ``../`` clamps to ``/`` (browser behavior);
+- canonicalization reuses `urlops.canonical_url_col` so the dst key
+  collapses case/port/tracking-param/query-order spellings exactly like
+  every other url-keyed stage.
+
+Scale: extraction and resolution are map-only. `host_edges` is a single
+(src_host, dst_host) groupBy — hash-partial-aggregated map-side, so hot
+destination hosts (the web's power-law: everyone links to a few giants)
+combine before the shuffle instead of hammering one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .urlops import canonical_url_col, host_col
+
+# href attribute inside an <a> tag, attribute order free, either quote
+_HREF_RE = r"""(?i)<a\b[^>]*?\bhref\s*=\s*["']([^"']+)["']"""
+
+# scheme-qualified absolute reference (RFC 3986 scheme = ALPHA *(alnum+-.))
+_ABS_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+_SKIP_SCHEMES = ("mailto:", "javascript:", "tel:", "data:")
+
+_DOT_SEGMENT_PASSES = 8
+
+
+def _remove_dot_segments(path):
+    """RFC 3986 §5.2.4 on an already-rooted path, as a bounded regexp
+    fixpoint: each pass deletes one layer of ``/./`` and ``/seg/../``
+    nesting; 8 passes handle ≥8-deep ``..`` chains (crawl paths are
+    nowhere near). Above-root ``..`` clamps to the root like browsers."""
+    p = path
+    for _ in range(_DOT_SEGMENT_PASSES):
+        p = F.regexp_replace(p, r"/\./", "/")
+        # a segment that is not '..' followed by '/../' collapses away
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\./", "/")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    p = F.regexp_replace(p, r"^(/\.\.)+(/|$)", "/")
+    return p
+
+
+def resolve_href_col(href_col, base_url_col):
+    """Absolute URL for one href against its page URL (RFC 3986 §5 merge),
+    NULL for non-navigational hrefs (fragment-only, mailto:/javascript:/
+    tel:/data:). Pure column expression."""
+    href = F.trim(href_col if not isinstance(href_col, str) else F.col(href_col))
+    base = base_url_col if not isinstance(base_url_col, str) else F.col(base_url_col)
+    scheme = F.lower(F.regexp_extract(base, r"^([^:/?#]+)://", 1))
+    authority = F.regexp_extract(base, r"^[^:/?#]+://([^/?#]*)", 1)
+    base_path = F.regexp_extract(base, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    base_dir = F.when(
+        base_path == "", F.lit("/")
+    ).otherwise(F.regexp_replace(base_path, r"[^/]*$", ""))
+
+    no_frag = F.regexp_replace(href, r"#.*$", "")
+    skip = (no_frag == "") | F.lit(False)
+    for s in _SKIP_SCHEMES:
+        skip = skip | F.lower(no_frag).startswith(s)
+
+    rel_path = _remove_dot_segments(F.concat(base_dir, no_frag))
+    resolved = (
+        F.when(no_frag.rlike(_ABS_RE), no_frag)
+        .when(no_frag.startswith("//"), F.concat(scheme, F.lit(":"), no_frag))
+        .when(
+            no_frag.startswith("/"),
+            F.concat(scheme, F.lit("://"), authority, _remove_dot_segments(no_frag)),
+        )
+        .otherwise(F.concat(scheme, F.lit("://"), authority, rel_path))
+    )
+    return F.when(skip, F.lit(None).cast("string")).otherwise(resolved)
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src_url, href, dst_url, src_host, dst_host) — one row per
+    navigational <a href> on each page, dst canonicalized. Pages without
+    links contribute no rows (explode, not explode_outer: the link table
+    is an edge list, absence IS the information)."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    out = (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(F.regexp_extract_all(html_str, F.lit(_HREF_RE), 1)).alias("href"),
+        )
+        .withColumn("dst_url", canonical_url_col(resolve_href_col(F.col("href"), F.col("src_url"))))
+        .filter(F.col("dst_url").isNotNull())
+    )
+    return out.select(
+        "src_url",
+        "href",
+        "dst_url",
+        host_col("src_url").alias("src_host"),
+        host_col("dst_url").alias("dst_host"),
+    )
+
+
+def host_edges(links: DataFrame, drop_self: bool = False) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links). One partial-
+    aggregated groupBy; hot dst hosts combine map-side before the shuffle."""
+    edges = links.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    if drop_self:
+        edges = edges.filter(F.col("src_host") != F.col("dst_host"))
+    return edges
