@@ -1055,6 +1055,46 @@ def q_kg_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("subject", "predicate", "obj")
 
 
+def q_kg_sparql_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negation surface: knowers nobody knows (FILTER NOT EXISTS
+    compiles to a LEFT ANTI join over the shared variable — the
+    Spark-native negation plan, no subquery re-scan per row)."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT ?x (COUNT(DISTINCT ?o) AS ?n_out) WHERE {
+             ?x <http://schema.org/knows> ?o .
+             FILTER NOT EXISTS { ?in <http://schema.org/knows> ?x }
+           } GROUP BY ?x""",
+    )
+    return out.orderBy("x")
+
+
+def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ASK surface: three boolean probes over the knows graph
+    (existence, self-edge, and a NOT EXISTS root probe), answers returned
+    as rows so the driver value-verifies them against DuckDB EXISTS()."""
+    from kgforge.operators.sparql import sparql_ask
+
+    triples = _knows_triples(spark, sf_dir).persist()
+    k = "http://schema.org/knows"
+    rows = [
+        ("any_knows", sparql_ask(triples, f"ASK {{ ?s <{k}> ?o }}")),
+        ("self_knows", sparql_ask(triples, f"ASK {{ ?x <{k}> ?x }}")),
+        (
+            "root_exists",
+            sparql_ask(
+                triples,
+                f"ASK {{ ?x <{k}> ?o . FILTER NOT EXISTS {{ ?z <{k}> ?x }} }}",
+            ),
+        ),
+    ]
+    triples.unpersist()
+    return spark.createDataFrame(rows, "q string, answer boolean").orderBy("q")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1111,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_opt": q_kg_sparql_opt,
         "q_kg_sparql_union": q_kg_sparql_union,
         "q_kg_construct": q_kg_construct,
+        "q_kg_sparql_notexists": q_kg_sparql_notexists,
+        "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2056,6 +2098,60 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT s AS subject, o AS obj FROM iri
                   UNION ALL SELECT o AS subject, s AS obj FROM iri)
             ORDER BY subject, predicate, obj
+        """,
+        # NOT EXISTS: knowers with no inbound knows edge, distinct out-degree
+        "q_kg_sparql_notexists": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            iri AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows)
+            SELECT i1.s AS x, CAST(count(DISTINCT i1.o) AS BIGINT) AS n_out
+            FROM iri i1
+            WHERE NOT EXISTS (SELECT 1 FROM iri i2 WHERE i2.o = i1.s)
+            GROUP BY i1.s ORDER BY x
+        """,
+        # ASK probes: DuckDB answers the same three booleans via EXISTS()
+        "q_kg_sparql_ask": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            iri AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows)
+            SELECT * FROM (
+              SELECT 'any_knows' AS q, EXISTS(SELECT 1 FROM iri) AS answer
+              UNION ALL
+              SELECT 'self_knows', EXISTS(SELECT 1 FROM iri WHERE s = o)
+              UNION ALL
+              SELECT 'root_exists', EXISTS(SELECT 1 FROM iri i1
+                WHERE NOT EXISTS (SELECT 1 FROM iri i2 WHERE i2.o = i1.s))
+            ) ORDER BY q
         """,
         # 3-way self-join triangle enumeration (a<b<c canonical order) over
         # the same closed-form co-occurrence edge set the engine derives

@@ -394,6 +394,8 @@ _PROJ_ITEM_RE = re.compile(
     re.IGNORECASE,
 )
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{", re.IGNORECASE)
+_EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{", re.IGNORECASE)
+_ASK_RE = re.compile(r"^ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
 # a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name
 _PATH_STMT_RE = re.compile(
     r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>)\s+"
@@ -420,6 +422,27 @@ def _extract_optionals(body: str) -> tuple[str, list[str]]:
         if depth != 0:
             raise SparqlUnsupported("unbalanced OPTIONAL braces")
         groups.append(body[m.end() : i - 1].strip())
+        body = body[: m.start()] + body[i:]
+
+
+def _extract_exists(body: str) -> tuple[str, list[tuple[bool, str]]]:
+    """Strip ``FILTER [NOT] EXISTS { ... }`` groups (balanced braces) out of
+    the body; returns (body, [(negated, inner_body)])."""
+    groups = []
+    while True:
+        m = _EXISTS_RE.search(body)
+        if m is None:
+            return body, groups
+        depth, i = 1, m.end()
+        while i < len(body) and depth > 0:
+            if body[i] == "{":
+                depth += 1
+            elif body[i] == "}":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise SparqlUnsupported("unbalanced EXISTS braces")
+        groups.append((bool(m.group(1)), body[m.end() : i - 1].strip()))
         body = body[: m.start()] + body[i:]
 
 
@@ -551,6 +574,7 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
             )
         return {"patterns": [], "filters": [], "optionals": [], "values": [], "union": parsed}
     body, optional_bodies = _extract_optionals(body)
+    body, exists_bodies = _extract_exists(body)
     body, values = _extract_values(body, prefixes)
     body, raw_filters = _extract_filters(body)
     if "{" in body:
@@ -558,6 +582,23 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
     patterns = _desugar_patterns(body, prefixes)
     if not patterns:
         raise SparqlUnsupported("no basic graph patterns found")
+    exists = []
+    for negated, eb in exists_bodies:
+        if "{" in eb or _OPTIONAL_RE.search(eb):
+            raise SparqlUnsupported("nested groups inside EXISTS are outside the subset")
+        eb, evals = _extract_values(eb, prefixes)
+        eb, eraw = _extract_filters(eb)
+        epats = _desugar_patterns(eb, prefixes)
+        if not epats:
+            raise SparqlUnsupported("empty EXISTS group")
+        exists.append(
+            {
+                "negated": negated,
+                "patterns": epats,
+                "filters": _parse_filters(eraw, prefixes),
+                "values": evals,
+            }
+        )
     optionals = []
     for ob in optional_bodies:
         ob, o_raw = _extract_filters(ob)
@@ -572,6 +613,7 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
         "filters": _parse_filters(raw_filters, prefixes),
         "optionals": optionals,
         "values": values,
+        "exists": exists,
         "union": None,
     }
 
@@ -754,6 +796,28 @@ def _where_solutions(data: DataFrame, where: dict) -> tuple[DataFrame, dict]:
         cur = cur.join(ocur, on, "left").drop(*[f"o_{v}" for v in shared])
         for v in onew:
             bind[v] = obind[v]
+    # FILTER [NOT] EXISTS: the inner group compiles to its own solution set
+    # and restricts the outer one through a LEFT SEMI (EXISTS) / LEFT ANTI
+    # (NOT EXISTS) join on the shared variables — for inner groups that are
+    # plain BGPs sharing >=1 variable, equi-semi-join equals the W3C §8.1
+    # substitution semantics (no correlation beyond the shared bindings).
+    # Semi/anti joins never widen rows, so solution multiplicity is kept.
+    for eg in where.get("exists", []):
+        ebind: dict[str, str] = {}
+        ecur, _ = _join_bgp(None, [], ebind, data, eg["patterns"])
+        for flt in eg["filters"]:
+            ecur = ecur.filter(_filter_cond(flt, ebind))
+        for c in _values_cond(eg.get("values", []), ebind):
+            ecur = ecur.filter(c)
+        shared = [v for v in ebind if v in bind]
+        if not shared:
+            raise SparqlUnsupported("EXISTS group shares no variable with the outer group")
+        ecur = ecur.select(*[F.col(ebind[v]).alias(f"e_{v}") for v in shared])
+        on = None
+        for v in shared:
+            c = F.col(bind[v]) == F.col(f"e_{v}")
+            on = c if on is None else (on & c)
+        cur = cur.join(ecur, on, "left_anti" if eg["negated"] else "left_semi")
     return cur, bind
 
 
@@ -778,7 +842,8 @@ def sparql_select(
     property-path sequences ``p/q`` and inverses ``^p`` (desugared to
     fresh-variable patterns, W3C §9.1), one level of OPTIONAL (left outer
     join on the shared variables), top-level UNION of plain groups
-    (null-padded unionByName), single-var VALUES (isin filter), DISTINCT,
+    (null-padded unionByName), FILTER [NOT] EXISTS over plain shared-variable
+    groups (left semi / left anti join), single-var VALUES (isin filter), DISTINCT,
     COUNT/SUM/MIN/MAX/AVG + GROUP BY (one hash aggregate), and
     ORDER BY/LIMIT (TakeOrderedAndProject when both present).
 
@@ -831,6 +896,20 @@ def sparql_select(
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
+
+
+def sparql_ask(triples: DataFrame, query: str, prefixes: dict | None = None) -> bool:
+    """``ASK [WHERE] { ... }``: True iff the WHERE group has >=1 solution
+    (W3C §16.3). The group compiles exactly like SELECT's WHERE (BGPs,
+    FILTER, OPTIONAL, [NOT] EXISTS, VALUES, UNION); evaluation
+    short-circuits — isEmpty probes one partition-batch at a time instead
+    of materializing the solution set."""
+    m = _ASK_RE.match(query.strip())
+    if m is None:
+        raise SparqlUnsupported(f"not an ASK query: {query[:60]!r}")
+    where = _parse_where(m.group(1), prefixes)
+    cur, _ = _where_solutions(_fact_table(triples), where)
+    return not cur.isEmpty()
 
 
 def parse_sparql_construct(text: str, prefixes: dict | None = None) -> dict:

@@ -459,3 +459,77 @@ def test_sparql_select_full_iri_paths(spark):
     assert [tuple(r) for r in sparql_select(t, q).collect()] == [("p1", "p3")]
     q2 = f"SELECT ?who WHERE {{ <p2> ^<{K}> ?who . }}"
     assert [r["who"] for r in sparql_select(t, q2).collect()] == ["p1"]
+
+
+def test_sparql_filter_not_exists_anti_join(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    # knowers with NO inbound knows edge (never the object of knows)
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p4", KNOWS, "p1", "iri"),
+    ])
+    q = f"""SELECT ?s WHERE {{
+        ?s <{KNOWS}> ?o .
+        FILTER NOT EXISTS {{ ?in <{KNOWS}> ?s }}
+    }}"""
+    got = sorted(r.s for r in sparql_select(t, q).collect())
+    assert got == ["p4"]
+
+
+def test_sparql_filter_exists_semi_join_keeps_multiplicity(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    # EXISTS must restrict, not widen: p1 has TWO knows edges and ONE
+    # inbound edge (from p9); both its solutions survive exactly once.
+    # p9 itself has no inbound edge, so its solution drops.
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", KNOWS, "p3", "iri"),
+        ("p9", KNOWS, "p1", "iri"),
+        ("p2", KNOWS, "p3", "iri"),  # p2's inbound comes from p1
+    ])
+    q = f"""SELECT ?s ?o WHERE {{
+        ?s <{KNOWS}> ?o .
+        FILTER EXISTS {{ ?in <{KNOWS}> ?s }}
+    }}"""
+    got = sorted((r.s, r.o) for r in sparql_select(t, q).collect())
+    assert got == [("p1", "p2"), ("p1", "p3"), ("p2", "p3")]
+
+
+def test_sparql_exists_with_inner_filter_and_shared_reject(spark):
+    from kgforge.operators.sparql import sparql_select, SparqlUnsupported
+    import pytest as _pytest
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", AGE, "50", "literal"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p2", AGE, "20", "literal"),
+    ])
+    # inner FILTER applies inside the EXISTS group
+    q = f"""SELECT ?s WHERE {{
+        ?s <{KNOWS}> ?o .
+        FILTER EXISTS {{ ?s <{AGE}> ?a . FILTER (?a >= 40) }}
+    }}"""
+    assert [r.s for r in sparql_select(t, q).collect()] == ["p1"]
+    # an EXISTS group sharing no variable with the outer BGP is refused
+    with _pytest.raises(SparqlUnsupported):
+        sparql_select(t, f"""SELECT ?s WHERE {{
+            ?s <{KNOWS}> ?o . FILTER NOT EXISTS {{ ?x <{AGE}> ?y }}
+        }}""").collect()
+
+
+def test_sparql_ask(spark):
+    from kgforge.operators.sparql import sparql_ask
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p1", AGE, "50", "literal"),
+    ])
+    assert sparql_ask(t, f"ASK {{ ?s <{KNOWS}> ?o }}") is True
+    assert sparql_ask(t, f"ASK WHERE {{ ?s <{AGE}> ?a . FILTER (?a >= 60) }}") is False
+    assert sparql_ask(t, f"""ASK {{
+        ?s <{KNOWS}> ?o . FILTER NOT EXISTS {{ ?z <{KNOWS}> ?s }}
+    }}""") is True
