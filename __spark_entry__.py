@@ -849,6 +849,19 @@ def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_host", "dst_host")
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (CCNet-style quality signal): train the
+    smoothed unigram model on the corpus (one map-side-combined token agg),
+    score every document by total/average log probability. Uncapped model
+    here so DuckDB can reproduce every probability exactly; the capped
+    broadcast path is pinned by tests/test_lm_score.py."""
+    from kgforge.operators.lm_score import unigram_lm_score, unigram_lm_train
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm_train(docs)
+    return unigram_lm_score(docs, lm, broadcast_model=False).orderBy("doc_id")
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -1145,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": q_url_canonical,
         "q_kg_links": q_kg_links,
         "q_kg_linkgraph": q_kg_linkgraph,
+        "q_lm_score": q_lm_score,
         "q_kg_sparql": q_kg_sparql,
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
@@ -1931,6 +1945,22 @@ def oracle_sql() -> dict[str, str]:
                    TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (i % 2592000) SECOND AS warc_ts,
                    CAST(200 AS INT) AS http_status
             FROM range(200) t(i) ORDER BY url
+        """,
+        # smoothed unigram LM reproduced end-to-end: same tokenization,
+        # same add-0.5 smoothing over (T, V), same per-doc log-prob sums
+        "q_lm_score": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T, count(*) AS V FROM counts),
+            lm AS (SELECT token, ln((c + 0.5) / (T + 0.5 * (V + 1))) AS logp
+                   FROM counts, tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(logp) AS sum_logp, avg(logp) AS avg_logp
+            FROM toks JOIN lm USING (token)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # n_tokens must mirror token_count_col's blank-text-is-0 contract
         "q_token_percentiles": """

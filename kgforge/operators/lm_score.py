@@ -1,0 +1,94 @@
+"""Unigram language-model document scoring (CCNet-style quality signal).
+
+The canonical web-corpus quality filter (Wenzek et al., CCNet; GPT-3 /
+CommonCrawl filtering) scores each document by a language model trained on
+a trusted corpus and drops the worst tail. This module implements the
+distributed unigram variant: train = one global token-count aggregate;
+score = join each document's tokens against the model and sum log
+probabilities. (The reference parses one file at a time and has no corpus
+statistics layer; this is training-data infrastructure the north rule's
+crawl-scale input needs.)
+
+Model: add-alpha-smoothed unigram, p(t) = (c_t + a) / (T + a*(V+1)),
+with one shared OOV bucket taking c=0 — so probabilities sum to <1 over
+the open vocabulary and unseen tokens at score time get a proper mass.
+
+Scale design (the 100-TB shape):
+- TRAIN is one explode + one map-side-combined groupBy(token): Zipf means
+  almost all mass combines in the map phase; the reduce side sees the
+  vocab, not the corpus. Totals (T, V) ride a 1-row cross join — no
+  driver collect in the plan.
+- `max_vocab` caps the model at the top-K tokens by count (one vocab-sized
+  top-K, corpus never re-scanned); the tail folds into the OOV bucket.
+  A capped model broadcasts, making SCORE a zero-shuffle-per-token pass:
+  explode -> broadcast-hash join -> per-doc partial agg. Uncapped models
+  shuffle-join on token with AQE handling the Zipf-head skew.
+- Tokenization matches text_stats.token_count_col (trim + split on \\s+),
+  so n_tokens agrees with every other token-counted surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Token model table: (token, logp) plus one OOV row (token NULL).
+    logp = ln((c + alpha) / (T + alpha*(V+1))); the OOV row carries c=0.
+    V and T always count the FULL vocabulary/corpus — capping only limits
+    which tokens keep a dedicated row (the tail scores as OOV)."""
+    trimmed = F.trim(F.col(text_col))
+    tokens = docs.filter(trimmed != "").select(
+        F.explode(F.split(trimmed, r"\s+")).alias("token")
+    )
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    if max_vocab is not None:
+        counts = counts.orderBy(F.col("c").desc(), F.col("token")).limit(max_vocab)
+    kept = counts.crossJoin(F.broadcast(totals))
+    oov = totals.select(F.lit(None).cast("string").alias("token"), F.lit(0).alias("c"), "T", "V")
+    denom = F.col("T") + F.lit(alpha) * (F.col("V") + 1)
+    return kept.unionByName(oov).select(
+        "token",
+        F.log((F.col("c") + F.lit(alpha)) / denom).alias("logp"),
+    )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document LM score: (id, n_tokens, sum_logp, avg_logp). Blank
+    documents produce no row (no tokens, no evidence). avg_logp is the
+    negative cross-entropy in nats — higher is more in-distribution;
+    filter on it like CCNet's perplexity cut."""
+    trimmed = F.trim(F.col(text_col))
+    toks = docs.filter(trimmed != "").select(
+        F.col(id_col), F.explode(F.split(trimmed, r"\s+")).alias("token")
+    )
+    known = lm.filter(F.col("token").isNotNull())
+    if broadcast_model:
+        known = F.broadcast(known)
+    oov_logp = lm.filter(F.col("token").isNull()).select(
+        F.col("logp").alias("oov_logp")
+    )
+    scored = (
+        toks.join(known, "token", "left")
+        .crossJoin(F.broadcast(oov_logp))
+        .select(F.col(id_col), F.coalesce("logp", "oov_logp").alias("logp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("logp").alias("sum_logp"),
+        F.avg("logp").alias("avg_logp"),
+    )

@@ -1,0 +1,71 @@
+"""Unigram LM scoring (operators/lm_score.py): hand-computed probabilities,
+OOV handling, and the capped-vocab broadcast path."""
+
+import math
+
+import pytest
+
+from kgforge.operators.lm_score import unigram_lm_score, unigram_lm_train
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+TRAIN = [
+    (1, "a a b"),
+    (2, "a c"),
+    (3, "   "),  # blank: contributes nothing
+]
+# counts: a=3, b=1, c=1 -> T=5, V=3; denom = 5 + 0.5*4 = 7.0
+
+
+def _logp(c):
+    return math.log((c + 0.5) / 7.0)
+
+
+def test_train_probabilities_and_oov_row(spark):
+    lm = {r.token: r.logp for r in unigram_lm_train(_docs(spark, TRAIN)).collect()}
+    assert set(lm) == {"a", "b", "c", None}
+    assert lm["a"] == pytest.approx(_logp(3), rel=1e-12)
+    assert lm["b"] == pytest.approx(_logp(1), rel=1e-12)
+    assert lm[None] == pytest.approx(_logp(0), rel=1e-12)
+
+
+def test_score_known_and_oov_tokens(spark):
+    docs = _docs(spark, TRAIN)
+    lm = unigram_lm_train(docs)
+    scored = {
+        r.doc_id: r
+        for r in unigram_lm_score(
+            _docs(spark, [(10, "a b"), (11, "zzz a"), (12, "")]), lm
+        ).collect()
+    }
+    assert set(scored) == {10, 11}  # blank doc 12 produces no row
+    assert scored[10].n_tokens == 2
+    assert scored[10].sum_logp == pytest.approx(_logp(3) + _logp(1), rel=1e-12)
+    # zzz is OOV -> the c=0 bucket
+    assert scored[11].sum_logp == pytest.approx(_logp(0) + _logp(3), rel=1e-12)
+    assert scored[11].avg_logp == pytest.approx((_logp(0) + _logp(3)) / 2, rel=1e-12)
+
+
+def test_max_vocab_folds_tail_into_oov(spark):
+    docs = _docs(spark, TRAIN)
+    lm = unigram_lm_train(docs, max_vocab=1)  # keep only 'a'
+    kept = {r.token for r in lm.collect()}
+    assert kept == {"a", None}
+    # T and V still count the full corpus: probabilities for 'a' unchanged
+    scored = unigram_lm_score(_docs(spark, [(20, "a b")]), lm).collect()[0]
+    assert scored.sum_logp == pytest.approx(_logp(3) + _logp(0), rel=1e-12)
+
+
+def test_in_distribution_scores_higher(spark):
+    docs = _docs(spark, [(i, "the cat sat on the mat") for i in range(5)])
+    lm = unigram_lm_train(docs)
+    scored = {
+        r.doc_id: r.avg_logp
+        for r in unigram_lm_score(
+            _docs(spark, [(100, "the cat sat"), (101, "qq ww ee")]), lm
+        ).collect()
+    }
+    assert scored[100] > scored[101]
