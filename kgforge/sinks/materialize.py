@@ -101,9 +101,12 @@ def write_stage(
     partition_by: list[str] | None = None,
     num_partitions: int | None = None,
     input_fingerprint: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Range-repartition -> write parquet -> lineage rows -> manifest.
-    Returns the re-read DataFrame (checkpointed lineage cut)."""
+    """Range-repartition -> write parquet -> lineage rows -> file-level
+    min/max skipping stats (on the range columns, whose per-file ranges
+    the range partitioning makes narrow) -> manifest. Returns the re-read
+    DataFrame (checkpointed lineage cut)."""
     spark = df.sparkSession
     if manifests.is_complete(run_id, stage, input_fingerprint):
         return spark.read.parquet(path)
@@ -118,6 +121,9 @@ def write_stage(
     out = spark.read.parquet(path)
     lineage = partition_lineage(out, stage, run_id)
     lineage.write.mode("overwrite").parquet(os.path.join(path.rstrip("/") + "_lineage"))
+    skip_cols = stats_cols if stats_cols is not None else (range_cols or [])
+    if skip_cols:
+        write_file_stats(path, spark, skip_cols)
     manifests.save(
         run_id,
         stage,
@@ -132,6 +138,50 @@ def write_stage(
         },
     )
     return out
+
+
+def write_file_stats(df_path: str, spark: SparkSession, cols: list[str]) -> DataFrame:
+    """Iceberg-style data-skipping index: per-FILE min/max for ``cols``,
+    written next to the table (``<path>_filestats``). One scan at write
+    time (map-side-combined groupBy on input_file_name) buys point/range
+    lookups that open only the files whose range overlaps the predicate.
+    Effective BECAUSE write_stage range-repartitions on the cluster
+    column first — each file then covers a narrow, mostly-disjoint slice
+    of the key space, so a point lookup touches ~1 file instead of all."""
+    table = spark.read.parquet(df_path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = table.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    stats.coalesce(1).write.mode("overwrite").parquet(df_path.rstrip("/") + "_filestats")
+    return stats
+
+
+def pruned_read(spark: SparkSession, path: str, col: str, lo, hi=None) -> DataFrame:
+    """Read only the files whose [min,max] range can contain
+    ``col BETWEEN lo AND hi`` (point lookup when hi is omitted), per the
+    ``_filestats`` index; the exact predicate is re-applied after the
+    pruned scan so results equal a full-scan filter. Falls back to a full
+    filtered read when no stats table exists. The stats table is
+    file-count-sized — collecting the surviving file list to the driver
+    is manifest-sized work, same as Iceberg's planning phase."""
+    if hi is None:
+        hi = lo
+    exact = lambda df: df.filter(F.col(col).between(lo, hi))  # noqa: E731
+    stats_path = path.rstrip("/") + "_filestats"
+    try:
+        stats = spark.read.parquet(stats_path)
+    except Exception:
+        return exact(spark.read.parquet(path))
+    keep = [
+        r.file
+        for r in stats.filter(
+            ~((F.col(f"max_{col}") < lo) | (F.col(f"min_{col}") > hi))
+        ).collect()
+    ]
+    if not keep:
+        return exact(spark.read.parquet(path)).filter(F.lit(False))
+    return exact(spark.read.parquet(*keep))
 
 
 def materialize_spo(
