@@ -862,6 +862,22 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_score(docs, lm, broadcast_model=False).orderBy("doc_id")
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (pretraining prep): size-64 windows
+    with 16-token overlap, zero-shuffle codegen; the oracle re-derives
+    every window's text via list slicing in DuckDB."""
+    from kgforge.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -1159,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_links": q_kg_links,
         "q_kg_linkgraph": q_kg_linkgraph,
         "q_lm_score": q_lm_score,
+        "q_chunk_windows": q_chunk_windows,
         "q_kg_sparql": q_kg_sparql,
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
@@ -1961,6 +1978,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(logp) AS sum_logp, avg(logp) AS avg_logp
             FROM toks JOIN lm USING (token)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # windows: chunk k = tokens [k*48+1, k*48+64], stride 48 = 64-16;
+        # n_chunks = 1 + ceil(max(0, n-64)/48)
+        "q_chunk_windows": """
+            WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents WHERE trim(text) <> ''
+            ),
+            n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+            k AS (SELECT doc_id, toks, n, unnest(generate_series(0,
+                    CAST(1 + ceil(greatest(0, n - 64) / 48.0) AS INT) - 1)) AS chunk_id
+                  FROM n)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, chunk_id*48 + 1,
+                        least(chunk_id*48 + 64, n))) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(toks, chunk_id*48 + 1,
+                        least(chunk_id*48 + 64, n)), ' ') AS chunk_text
+            FROM k ORDER BY doc_id, chunk_id
         """,
         # n_tokens must mirror token_count_col's blank-text-is-0 contract
         "q_token_percentiles": """
