@@ -878,6 +878,24 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: global running token count in doc_id order via
+    the TWO-PHASE scan (bucketed windows + broadcast offsets — never one
+    all-corpus window partition), bin = floor(cum_before / 512). The
+    oracle is the naive single-window SQL the distributed plan must
+    reproduce exactly."""
+    from kgforge.operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_documents(docs, budget=512, bucket_size=1000)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_before",
+        "bin_id",
+    ).orderBy("doc_id")
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -1176,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_linkgraph": q_kg_linkgraph,
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
+        "q_pack_bins": q_pack_bins,
         "q_kg_sparql": q_kg_sparql,
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
@@ -1996,6 +2015,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, chunk_id*48 + 1,
                         least(chunk_id*48 + 64, n)), ' ') AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        # the naive global-window cumsum the two-phase plan must equal
+        "q_pack_bins": """
+            WITH t AS (SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_before AS BIGINT) AS cum_before,
+                   CAST(floor(cum_before / 512.0) AS BIGINT) AS bin_id
+            FROM c ORDER BY doc_id
         """,
         # n_tokens must mirror token_count_col's blank-text-is-0 contract
         "q_token_percentiles": """
