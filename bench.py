@@ -133,6 +133,10 @@ def main():
         "q_chunk_dedup",
         "q_pmi_terms",
         "q_token_percentiles",
+        "q_kg_links",
+        "q_lm_score",
+        "q_chunk_windows",
+        "q_pack_bins",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
