@@ -896,6 +896,41 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier construction: outlinks minus already-crawled pages,
+    ranked by host-level indegree. Each page links (1) a cross-site
+    article, (2) an own-host category, (3) one global hub everyone links
+    (the aggregation skew case: n_src_hosts counts 97 distinct hosts),
+    (4) the PREVIOUS page — which is in the crawled set, so the anti-join
+    must drop every link-4."""
+    from kgforge.operators.frontier import crawl_frontier
+    from kgforge.operators.links import extract_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = (i % 97).cast("string")
+    url = F.concat(F.lit("https://ex"), s, F.lit(".example.org/page/"), i.cast("string"))
+    j = F.greatest(i - 1, F.lit(0))
+    html = F.concat(
+        F.lit("<html><body><a href='https://ex"),
+        ((i * 7 + 1) % 97).cast("string"),
+        F.lit(".example.org/art/"), (i % 300).cast("string"), F.lit("'>a</a>"),
+        F.lit("<a href='/cat/"), (i % 5).cast("string"), F.lit("'>c</a>"),
+        F.lit("<a href='https://hub.example.org/'>h</a>"),
+        F.lit("<a href='https://ex"), (j % 97).cast("string"),
+        F.lit(".example.org/page/"), j.cast("string"), F.lit("'>p</a>"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    links = extract_links(pages)
+    out = crawl_frontier(links, pages.select("url"))
+    return out.select(
+        "dst_url", "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_src_hosts").cast("long").alias("n_src_hosts"),
+    ).orderBy("dst_url")
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -1195,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
         "q_pack_bins": q_pack_bins,
+        "q_crawl_frontier": q_crawl_frontier,
         "q_kg_sparql": q_kg_sparql,
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
@@ -2015,6 +2051,38 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, chunk_id*48 + 1,
                         least(chunk_id*48 + 64, n)), ' ') AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        # frontier: four closed-form link targets per doc; link 4 always
+        # hits the crawled set and must vanish through the anti-join
+        "q_crawl_frontier": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            crawled AS (SELECT 'https://ex' || CAST(s AS VARCHAR)
+                          || '.example.org/page/' || CAST(i AS VARCHAR) AS u FROM d),
+            links AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src_host,
+                     'https://ex' || CAST((i*7+1) % 97 AS VARCHAR)
+                       || '.example.org/art/' || CAST(i % 300 AS VARCHAR) AS dst_url,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst_host
+              FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/cat/'
+                       || CAST(i % 5 AS VARCHAR),
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'https://hub.example.org/', 'hub.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'https://ex' || CAST(greatest(i-1, 0) % 97 AS VARCHAR)
+                       || '.example.org/page/' || CAST(greatest(i-1, 0) AS VARCHAR),
+                     'ex' || CAST(greatest(i-1, 0) % 97 AS VARCHAR) || '.example.org'
+              FROM d
+            )
+            SELECT dst_url, dst_host, CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+            FROM links WHERE dst_url NOT IN (SELECT u FROM crawled)
+            GROUP BY dst_url, dst_host ORDER BY dst_url
         """,
         # the naive global-window cumsum the two-phase plan must equal
         "q_pack_bins": """
