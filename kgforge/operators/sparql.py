@@ -394,7 +394,7 @@ _PROJ_ITEM_RE = re.compile(
     re.IGNORECASE,
 )
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{", re.IGNORECASE)
-_EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{", re.IGNORECASE)
+_EXISTS_RE = re.compile(r"(?:FILTER\s+(NOT\s+)?EXISTS|(MINUS))\s*\{", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
 # a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name
 _PATH_STMT_RE = re.compile(
@@ -426,8 +426,12 @@ def _extract_optionals(body: str) -> tuple[str, list[str]]:
 
 
 def _extract_exists(body: str) -> tuple[str, list[tuple[bool, str]]]:
-    """Strip ``FILTER [NOT] EXISTS { ... }`` groups (balanced braces) out of
-    the body; returns (body, [(negated, inner_body)])."""
+    """Strip ``FILTER [NOT] EXISTS { ... }`` and ``MINUS { ... }`` groups
+    (balanced braces) out of the body; returns (body, [(negated,
+    inner_body)]). MINUS compiles as negated: for the supported subset —
+    plain inner groups REQUIRED to share >=1 variable — W3C §8.3 MINUS and
+    NOT EXISTS coincide (their semantics only diverge on disjoint-domain
+    groups, which are refused at compile time)."""
     groups = []
     while True:
         m = _EXISTS_RE.search(body)
@@ -442,7 +446,8 @@ def _extract_exists(body: str) -> tuple[str, list[tuple[bool, str]]]:
             i += 1
         if depth != 0:
             raise SparqlUnsupported("unbalanced EXISTS braces")
-        groups.append((bool(m.group(1)), body[m.end() : i - 1].strip()))
+        negated = bool(m.group(1)) or bool(m.group(2))
+        groups.append((negated, body[m.end() : i - 1].strip()))
         body = body[: m.start()] + body[i:]
 
 
@@ -842,8 +847,9 @@ def sparql_select(
     property-path sequences ``p/q`` and inverses ``^p`` (desugared to
     fresh-variable patterns, W3C §9.1), one level of OPTIONAL (left outer
     join on the shared variables), top-level UNION of plain groups
-    (null-padded unionByName), FILTER [NOT] EXISTS over plain shared-variable
-    groups (left semi / left anti join), single-var VALUES (isin filter), DISTINCT,
+    (null-padded unionByName), FILTER [NOT] EXISTS and MINUS over plain
+    shared-variable groups (left semi / left anti join), single-var VALUES
+    (isin filter), DISTINCT,
     COUNT/SUM/MIN/MAX/AVG + GROUP BY (one hash aggregate), and
     ORDER BY/LIMIT (TakeOrderedAndProject when both present).
 

@@ -533,3 +533,22 @@ def test_sparql_ask(spark):
     assert sparql_ask(t, f"""ASK {{
         ?s <{KNOWS}> ?o . FILTER NOT EXISTS {{ ?z <{KNOWS}> ?s }}
     }}""") is True
+
+
+def test_sparql_minus_equals_not_exists(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", KNOWS, "p2", "iri"),
+        ("p2", KNOWS, "p3", "iri"),
+        ("p4", KNOWS, "p1", "iri"),
+    ])
+    q_minus = f"""SELECT ?s WHERE {{
+        ?s <{KNOWS}> ?o . MINUS {{ ?in <{KNOWS}> ?s }}
+    }}"""
+    q_ne = f"""SELECT ?s WHERE {{
+        ?s <{KNOWS}> ?o . FILTER NOT EXISTS {{ ?in <{KNOWS}> ?s }}
+    }}"""
+    got_minus = sorted(r.s for r in sparql_select(t, q_minus).collect())
+    got_ne = sorted(r.s for r in sparql_select(t, q_ne).collect())
+    assert got_minus == got_ne == ["p4"]
