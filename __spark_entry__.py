@@ -931,6 +931,28 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dst_url")
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority over the REAL extracted link graph: extract_links →
+    host_edges → symmetrized weighted PageRank (3 fixed power iterations,
+    one shuffle join + one agg each). Composes two independently-oracled
+    operators; the oracle unrolls the same three iterations in SQL over
+    the closed-form host edges."""
+    from kgforge.operators.graph import normalize_edges, pagerank
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    t = normalize_edges(edges, symmetrize=True)
+    return (
+        pagerank(t, iterations=3, damping=0.85)
+        .select("node", F.round("pr", 9).alias("pr"))
+        .orderBy("node")
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -1231,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_windows": q_chunk_windows,
         "q_pack_bins": q_pack_bins,
         "q_crawl_frontier": q_crawl_frontier,
+        "q_host_pagerank": q_host_pagerank,
         "q_kg_sparql": q_kg_sparql,
         "q_kg_sparql_agg": q_kg_sparql_agg,
         "q_kg_sparql_path": q_kg_sparql_path,
@@ -2051,6 +2074,57 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, chunk_id*48 + 1,
                         least(chunk_id*48 + 64, n)), ' ') AS chunk_text
             FROM k ORDER BY doc_id, chunk_id
+        """,
+        # host pagerank: closed-form host edges (q_kg_linkgraph), then the
+        # same 3 unrolled power iterations as q_event_pagerank
+        "q_host_pagerank": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+            ),
+            eg AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                   FROM raw GROUP BY src, dst),
+            sym AS (SELECT src, dst, w FROM eg
+                    UNION ALL SELECT dst AS src, src AS dst, w FROM eg),
+            agg AS (SELECT src, dst, SUM(w) AS w FROM sym GROUP BY 1, 2),
+            outw AS (SELECT src, SUM(w) AS wout FROM agg GROUP BY 1),
+            e AS (SELECT a.src, a.dst, a.w / o.wout AS p
+                  FROM agg a JOIN outw o USING (src)),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS pr FROM nodes),
+            r1 AS (SELECT nd.node,
+                       0.15 / (SELECT c FROM nn)
+                       + 0.85 * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN r0 r ON r.node = e.src
+                   GROUP BY nd.node),
+            r2 AS (SELECT nd.node,
+                       0.15 / (SELECT c FROM nn)
+                       + 0.85 * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN r1 r ON r.node = e.src
+                   GROUP BY nd.node),
+            r3 AS (SELECT nd.node,
+                       0.15 / (SELECT c FROM nn)
+                       + 0.85 * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                   FROM nodes nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN r2 r ON r.node = e.src
+                   GROUP BY nd.node)
+            SELECT node, ROUND(pr, 9) AS pr FROM r3 ORDER BY node
         """,
         # frontier: four closed-form link targets per doc; link 4 always
         # hits the crawled set and must vanish through the anti-join
