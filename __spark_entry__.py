@@ -849,6 +849,31 @@ def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_host", "dst_host")
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the link fixture: how the web labels
+    each target URL — (dst_url, anchor, n_links, n_src_hosts). The oracle
+    reconstructs every aggregate closed-form from doc_id arithmetic, so it
+    value-verifies the <a>TEXT</a> capture, tag-strip, resolution, and the
+    two counts (total links vs distinct source hosts) independently."""
+    from kgforge.operators.links import anchor_texts
+
+    agg = anchor_texts(_link_pages(spark, sf_dir))
+    return agg.select(
+        "dst_url", "anchor", "n_links", "n_src_hosts"
+    ).orderBy("dst_url", "anchor")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text search over the documents table (inverted index +
+    Lucene-variant idf): top-25 docs for a fixed query. Scores rounded to
+    6 before ranking so ln() ulp differences can't flip an order; doc_id
+    tiebreak."""
+    from kgforge.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "spark window hash", k=25).orderBy("rank")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM document scoring (CCNet-style quality signal): train the
     smoothed unigram model on the corpus (one map-side-combined token agg),
@@ -1199,6 +1224,92 @@ def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q string, answer boolean").orderBy("q")
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup rewrite (C4 §2.2): a closed-form fixture
+    plants one corpus-wide SHARED BANNER variant inside every document's
+    otherwise-unique paragraphs; the operator must remove exactly the
+    banner and reassemble the survivors in positional order. The oracle
+    rebuilds every surviving text byte-for-byte from doc_id."""
+    from kgforge.operators.corpus_mining import remove_duplicate_paragraphs
+
+    i = F.col("doc_id")
+    n_paras = (F.lit(3) + (i % 3)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda j: F.when(
+            j == 1, F.concat(F.lit("SHARED BANNER "), (i % 5).cast("string"))
+        ).otherwise(
+            F.concat(F.lit("p-"), i.cast("string"), F.lit("-"), j.cast("string"))
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    return remove_duplicate_paragraphs(docs, max_freq=1).orderBy("doc_id")
+
+
+def q_kg_sparql_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL BIND surface: computed columns in the solution set — an
+    uppercased subject#age display label (CONCAT/UCASE over solution vars)
+    plus its STRLEN, with the numeric age FILTER still applying after the
+    BINDs. The oracle rebuilds every label closed-form from doc_id."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT DISTINCT ?s ?age ?label ?n WHERE {
+             ?s <http://schema.org/age> ?age .
+             BIND(CONCAT(UCASE(?s), "#", ?age) AS ?label)
+             BIND(STRLEN(?label) AS ?n)
+             FILTER (?age >= 40)
+           }""",
+    )
+    return out.orderBy("s", "age")
+
+
+def q_kg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE surface over an inline closed-form triple table:
+    the description graph (all triples, deduped) of every subject typed
+    "T0" — exercises the ?var WHERE form's distinct + left-semi plan. The
+    oracle reconstructs the same graph from doc_id arithmetic."""
+    from kgforge.operators.sparql import sparql_describe
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("i"), (F.col("doc_id") % 50).alias("k")
+    )
+    subj = F.concat(F.lit("urn:e:"), F.col("k").cast("string"))
+    obj = lambda v: F.struct(  # noqa: E731
+        v.alias("value"), F.lit("literal").alias("kind"),
+        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+    )
+    score = d.select(
+        subj.alias("subject"), F.lit("urn:p:score").alias("predicate"),
+        obj(F.col("i").cast("string")).alias("object"),
+    )
+    typ = d.select(
+        subj.alias("subject"), F.lit("urn:p:type").alias("predicate"),
+        obj(F.concat(F.lit("T"), (F.col("k") % 3).cast("string"))).alias("object"),
+    )
+    link = d.select(
+        subj.alias("subject"), F.lit("urn:p:link").alias("predicate"),
+        obj(F.concat(F.lit("urn:e:"), ((F.col("k") + 1) % 50).cast("string"))).alias(
+            "object"
+        ),
+    )
+    triples = (
+        score.unionByName(typ).unionByName(link)
+        .select(
+            F.lit("u://fix").alias("url"), "subject", "predicate", "object",
+            F.lit("ok").alias("status"),
+        )
+    )
+    out = sparql_describe(
+        triples, 'DESCRIBE ?s WHERE { ?s <urn:p:type> "T0" }'
+    )
+    return out.orderBy("s", "p", "o")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1249,6 +1360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": q_url_canonical,
         "q_kg_links": q_kg_links,
         "q_kg_linkgraph": q_kg_linkgraph,
+        "q_anchor_texts": q_anchor_texts,
+        "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
         "q_pack_bins": q_pack_bins,
@@ -1262,6 +1375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_construct": q_kg_construct,
         "q_kg_sparql_notexists": q_kg_sparql_notexists,
         "q_kg_sparql_ask": q_kg_sparql_ask,
+        "q_kg_sparql_bind": q_kg_sparql_bind,
+        "q_kg_describe": q_kg_describe,
+        "q_paragraph_dedup": q_paragraph_dedup,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2033,6 +2149,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
         """,
+        # anchor aggregation closed form: the 4 navigational links carry
+        # anchors a/i/p/s; expected (dst_url, anchor) aggregates are pure
+        # doc_id arithmetic (the #top/mailto anchors must NOT appear)
+        "q_anchor_texts": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            l AS (
+              SELECT 'https://ex' || CAST((i*7+1) % 97 AS VARCHAR)
+                       || '.example.org/art/' || CAST(i % 500 AS VARCHAR)
+                       || '?a=1&b=2' AS dst_url,
+                     'a' AS anchor,
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' AS src_host FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/idx/'
+                       || CAST(i % 20 AS VARCHAR), 'i',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST((i*11+3) % 97 AS VARCHAR)
+                       || '.example.org/pr', 'p',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/dir'
+                       || CAST(i % 10 AS VARCHAR) || '/sec/'
+                       || CAST(i % 7 AS VARCHAR), 's',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+            )
+            SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n_links,
+                   CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+            FROM l GROUP BY dst_url, anchor ORDER BY dst_url, anchor
+        """,
+        # paragraph-dedup rewrite: survivors (every para except the planted
+        # corpus-wide banner at position 1) rebuilt byte-for-byte, in order
+        "q_paragraph_dedup": """
+            WITH d AS (SELECT doc_id AS i, 3 + doc_id % 3 AS np FROM documents),
+            k AS (SELECT i, np, j FROM d, UNNEST(range(0, np)) r(j) WHERE j <> 1)
+            SELECT i AS doc_id,
+                   string_agg('p-' || CAST(i AS VARCHAR) || '-' || CAST(j AS VARCHAR),
+                              chr(10) || chr(10) ORDER BY j) AS text,
+                   CAST(any_value(np) AS BIGINT) AS n_paragraphs,
+                   CAST(1 AS BIGINT) AS n_removed
+            FROM k GROUP BY i ORDER BY doc_id
+        """,
+        # BM25 (Lucene idf variant), same tokenization as the index, score
+        # rounded to 6 BEFORE ranking in both engines, doc_id tiebreak
+        "q_bm25_search": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ),
+            p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok
+                  WHERE LENGTH(term) >= 1 GROUP BY term, doc_id),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
+            st AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            lex AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+            q AS (SELECT unnest(['hash','spark','window']) AS term),
+            scored AS (
+                SELECT p.doc_id,
+                       LN(1.0 + ((SELECT n FROM nd) - lex.df + 0.5) / (lex.df + 0.5))
+                         * (p.tf * 2.2)
+                         / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM st)))
+                       AS part
+                FROM p JOIN q USING (term)
+                JOIN lex ON lex.term = p.term
+                JOIN dl USING (doc_id)
+            ),
+            agg AS (SELECT doc_id, ROUND(SUM(part), 6) AS score
+                    FROM scored GROUP BY doc_id),
+            ranked AS (
+                SELECT doc_id, score,
+                       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                            AS INTEGER) AS "rank"
+                FROM agg
+            )
+            SELECT doc_id, score, "rank" FROM ranked
+            WHERE "rank" <= 25 ORDER BY "rank"
+        """,
         # fixture closed form: url/ts are pure functions of i
         # (kgforge/fixtures.py build_page)
         "q_warc_ingest": """
@@ -2393,6 +2585,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'root_exists', EXISTS(SELECT 1 FROM iri i1
                 WHERE NOT EXISTS (SELECT 1 FROM iri i2 WHERE i2.o = i1.s))
             ) ORDER BY q
+        """,
+        # BIND: computed label columns rebuilt closed-form; ages are only
+        # asserted on pages planting neither violation, filtered >= 40
+        "q_kg_sparql_bind": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0
+                  FROM documents),
+            ages AS (SELECT DISTINCT site, e0 AS k,
+                            CAST(20 + i % 60 AS VARCHAR) AS age
+                     FROM base WHERE i % 13 <> 0 AND i % 17 <> 0
+                       AND 20 + i % 60 >= 40),
+            lab AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(k AS VARCHAR), 4, '0') AS s,
+                      age
+                    FROM ages)
+            SELECT DISTINCT s, age,
+                   UPPER(s) || '#' || age AS label,
+                   CAST(LENGTH(UPPER(s) || '#' || age) AS BIGINT) AS n
+            FROM lab ORDER BY s, age
+        """,
+        # DESCRIBE: the description graph of every T0-typed subject in the
+        # inline urn:e fixture, reconstructed from doc_id arithmetic
+        "q_kg_describe": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 50 AS k FROM documents),
+            tri AS (
+              SELECT 'urn:e:' || CAST(k AS VARCHAR) AS s,
+                     'urn:p:score' AS p, CAST(i AS VARCHAR) AS o FROM d
+              UNION ALL
+              SELECT DISTINCT 'urn:e:' || CAST(k AS VARCHAR),
+                     'urn:p:type', 'T' || CAST(k % 3 AS VARCHAR) FROM d
+              UNION ALL
+              SELECT DISTINCT 'urn:e:' || CAST(k AS VARCHAR),
+                     'urn:p:link', 'urn:e:' || CAST((k + 1) % 50 AS VARCHAR) FROM d
+            )
+            SELECT DISTINCT s, p, o FROM tri
+            WHERE s IN (SELECT DISTINCT 'urn:e:' || CAST(k AS VARCHAR)
+                        FROM d WHERE k % 3 = 0)
+            ORDER BY s, p, o
         """,
         # 3-way self-join triangle enumeration (a<b<c canonical order) over
         # the same closed-form co-occurrence edge set the engine derives

@@ -134,6 +134,9 @@ def main():
         "q_pmi_terms",
         "q_token_percentiles",
         "q_kg_links",
+        "q_anchor_texts",
+        "q_bm25_search",
+        "q_paragraph_dedup",
         "q_lm_score",
         "q_chunk_windows",
         "q_pack_bins",

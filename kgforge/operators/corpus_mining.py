@@ -233,3 +233,67 @@ def token_percentiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("pct").getItem(2), 6).alias("p99_tokens"),
         )
     )
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    split_re: str = r"\n\n+",
+    join_sep: str = "\n\n",
+    max_freq: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph-level dedup REWRITE (the C4 §2.2 / CCNet move: drop
+    boilerplate lines that recur across the corpus, keep the rest of the
+    document): split each text on ``split_re``, count each non-empty
+    trimmed paragraph's global corpus frequency, drop paragraphs whose
+    frequency exceeds ``max_freq``, and reassemble the survivors in
+    original order with ``join_sep``.
+
+    Returns (doc_id, text, n_paragraphs, n_removed) for EVERY input
+    document — a fully-boilerplate document comes back with text '' so
+    downstream stages see the removal rather than silently losing the row.
+
+    Plan shape: posexplode (order captured as a column, never relying on
+    row order across shuffles) → one map-side-combined frequency groupBy
+    keyed by the paragraph text → frequency join back (a hot site-wide
+    footer is a skewed key; the frequency side is 1 row/key so AQE's skew
+    split applies cleanly) → one per-doc reduce that array_sort's the
+    surviving (pos, para) structs, so reassembly order is exact whatever
+    the partitioning. At 100 TB, swap the join key for xxhash64(para) to
+    keep long paragraphs out of the shuffle (collision risk 2^-64 per
+    pair); the text key here keeps the operator byte-exact for the
+    oracle.
+    """
+    parts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), split_re)).alias("pos", "para"),
+    ).withColumn("k", F.trim(F.col("para")))
+    nonempty = parts.filter(F.col("k") != "")
+    freq = nonempty.groupBy("k").agg(F.count(F.lit(1)).alias("freq"))
+    kept = (
+        nonempty.join(freq, "k")
+        .withColumn("drop", F.col("freq") > max_freq)
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("drop").cast("int")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("drop"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            join_sep,
+        ).alias("text"),
+    )
+    base = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_paragraphs", F.lit(0).cast("long")).alias("n_paragraphs"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+    )

@@ -118,6 +118,89 @@ def extract_links(
     )
 
 
+# full <a ...>TEXT</a> element: group 1 = href value, group 2 = inner html
+_ANCHOR_RE = (
+    r"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a>"""
+)
+
+
+def extract_anchors(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(src_url, href, anchor, dst_url, dst_host) — one row per
+    navigational ``<a href>…</a>`` with its VISIBLE anchor text (inner
+    tags stripped, whitespace collapsed, trimmed; may be '' for image
+    links). Anchor text is the web's free human labeling of the target —
+    the classic entity-linking / page-description signal (anchor-text
+    indexing, Brin & Page 1998 §2.2).
+
+    Same harvest/resolve machinery as `extract_links`; the (href, text)
+    pairs come from TWO ``regexp_extract_all`` calls over the same
+    pattern (group 1 / group 2) zipped positionally — both run in the
+    same codegen stage over one decode, so the page html is scanned
+    twice at worst, never shuffled. Map-only; explode fan-out bounded by
+    anchors-per-page."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), 1).alias("href"),
+        F.regexp_extract_all(html_str, F.lit(_ANCHOR_RE), 2).alias("raw"),
+    )
+    out = (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(pairs).alias("a"),
+        )
+        .select(
+            "src_url",
+            F.col("a.href").alias("href"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("a.raw"), r"<[^>]*>", " "),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("anchor"),
+        )
+        .withColumn(
+            "dst_url",
+            canonical_url_col(resolve_href_col(F.col("href"), F.col("src_url"))),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+    return out.select(
+        "src_url", "href", "anchor", "dst_url", host_col("dst_url").alias("dst_host")
+    )
+
+
+def anchor_texts(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_count: int = 1,
+) -> DataFrame:
+    """Aggregated anchor-text table: (dst_url, anchor, n_links,
+    n_src_hosts) — how the web describes each target URL, with the
+    off-host evidence count that anchor-text ranking weighs (many
+    distinct source hosts ≫ many links from one host).
+
+    One groupBy, map-side partial-aggregated; hot targets (the power-law
+    giants every page links to) combine before the single Exchange.
+    Empty anchors (image/icon links) are dropped — they carry no text
+    evidence."""
+    anchors = extract_anchors(pages, html_col=html_col, url_col=url_col).filter(
+        F.col("anchor") != ""
+    )
+    agg = (
+        anchors.withColumn("src_host", host_col("src_url"))
+        .groupBy("dst_url", "anchor")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+        )
+    )
+    return agg.filter(F.col("n_links") >= min_count)
+
+
 def host_edges(links: DataFrame, drop_self: bool = False) -> DataFrame:
     """Host-level link graph: (src_host, dst_host, n_links). One partial-
     aggregated groupBy; hot dst hosts combine map-side before the shuffle."""

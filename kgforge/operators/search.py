@@ -1,0 +1,149 @@
+"""Full-text search over the corpus: inverted index + BM25 ranking.
+
+A trained-on-web-text pipeline needs retrieval over its own corpus —
+for eval-set decontamination audits, for RAG-style context lookup, and
+for inspecting what the crawl actually contains. This module builds the
+classic two-table search layout as DataFrames and ranks with BM25
+(Robertson & Walker 1994; the idf variant is Lucene's non-negative
+``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+
+Layout (both tables are the engine's materialize-ready outputs):
+
+- postings: (term, doc_id, tf)   — the inverted index, one groupBy from
+  the exploded token stream, map-side partial-aggregated so hot terms
+  (stopword-ish survivors) combine before the single Exchange;
+- lexicon:  (term, df)           — term document frequencies, vocabulary-
+  sized (tiny vs the corpus), derived from postings with one more
+  map-side-combined groupBy.
+
+Query-time scale story: the query is a handful of terms — it broadcasts.
+``bm25_topk`` filters the postings table to query terms FIRST (an
+``isin`` literal filter that pushes into the postings scan — at rest,
+straight into the parquet/bucketed-table file pruning since postings
+materialize range-partitioned by term), then one per-doc aggregation and
+a top-k. No stage ever touches non-matching documents.
+
+Determinism for oracle comparison (same convention as `ranking.py`):
+scores are rounded BEFORE the top-k window ranks on them, so an ulp
+difference between ln() implementations can't flip a rank; ties broken
+by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .ranking import TOKEN_SPLIT_RE
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             min_len: int = 1) -> DataFrame:
+    """documents -> (doc_id, term) token stream: lowercase, split on
+    non-letter runs, drop empties (and tokens shorter than ``min_len``)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("term"),
+        )
+        .filter(F.length("term") >= max(1, min_len))
+    )
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_len: int = 1) -> DataFrame:
+    """The inverted index: (term, doc_id, tf). One map-side-combined
+    groupBy over the token stream — the explode inflates rows ~10²x, so
+    the (doc_id, term) aggregation happens before anything shuffles
+    wider."""
+    return (
+        tokenize(docs, id_col=id_col, text_col=text_col, min_len=min_len)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_lexicon(postings: DataFrame) -> DataFrame:
+    """(term, df): document frequency per term — vocabulary-sized."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl): token count per document, from the index itself."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k documents for ``query`` by BM25: (doc_id, score, rank).
+
+    score(d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene variant,
+    always ≥ 0 so a corpus-dominating term can't turn negative).
+
+    Pass a pre-built ``postings`` table to skip re-indexing (the at-rest
+    path); otherwise the index is built in-plan from ``docs``.
+
+    Only documents containing ≥1 query term are scored — the isin filter
+    on the postings table prunes everything else before the first
+    shuffle. Duplicate query terms count once (set semantics, the
+    standard short-query behavior).
+    """
+    if postings is None:
+        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    terms = sorted({t for t in _split_query(query) if t})
+    if not terms:
+        raise ValueError("query has no indexable terms")
+
+    n_docs = docs.count()
+    lengths = doc_lengths(postings)
+    avgdl_row = lengths.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"]) if avgdl_row["avgdl"] is not None else 1.0
+
+    matched = postings.filter(F.col("term").isin(terms))
+    lex = build_lexicon(postings).filter(F.col("term").isin(terms))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        matched.join(F.broadcast(lex), "term")
+        .join(lengths, "doc_id")
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    # top-k FIRST via TakeOrderedAndProject (per-partition heaps, no
+    # global sort); the rank window then runs over ≤ k rows — a global
+    # row_number window over all matches would funnel every matching doc
+    # through one task.
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def _split_query(query: str) -> list[str]:
+    import re
+
+    return re.split("[^a-z]+", query.lower())

@@ -451,6 +451,99 @@ def _extract_exists(body: str) -> tuple[str, list[tuple[bool, str]]]:
         body = body[: m.start()] + body[i:]
 
 
+_BIND_RE = re.compile(r"BIND\s*\(", re.IGNORECASE)
+
+
+def _extract_binds(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Strip ``BIND( expr AS ?var )`` clauses (balanced parens) out of the
+    body; returns (body, [(var, expr_text)]) in syntactic order."""
+    binds = []
+    while True:
+        m = _BIND_RE.search(body)
+        if m is None:
+            return body, binds
+        depth, i = 1, m.end()
+        while i < len(body) and depth > 0:
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise SparqlUnsupported("unbalanced BIND parens")
+        inner = body[m.end() : i - 1].strip()
+        am = re.match(r"(.*)\bAS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*$", inner,
+                      re.IGNORECASE | re.DOTALL)
+        if am is None:
+            raise SparqlUnsupported(f"BIND must end with AS ?var: {inner[:60]!r}")
+        binds.append((am.group(2), am.group(1).strip()))
+        body = body[: m.start()] + body[i:]
+
+
+def _compile_bind_expr(expr: str, bind: dict):
+    """Compile the BIND expression subset to a Column: variables, string
+    literals, CONCAT, UCASE, LCASE, STR (identity on our string-valued
+    solution columns), STRLEN (bigint), SUBSTR (SPARQL 1-based args, W3C
+    §17.4.3.3 = SQL substring). Recursion depth is the expression's own
+    nesting (tiny)."""
+    t = expr.strip()
+    if t.startswith("?"):
+        v = t[1:]
+        if v not in bind:
+            raise SparqlUnsupported(f"BIND references unbound var ?{v}")
+        return F.col(bind[v])
+    if t.startswith('"'):
+        lm = re.match(r'^"((?:[^"\\]|\\.)*)"$', t)
+        if lm is None:
+            raise SparqlUnsupported(f"bad string literal in BIND: {t[:40]!r}")
+        return F.lit(lm.group(1).replace('\\"', '"'))
+    fm = re.match(r"^([A-Za-z]+)\s*\((.*)\)$", t, re.DOTALL)
+    if fm is None:
+        raise SparqlUnsupported(f"unsupported BIND expression: {t[:60]!r}")
+    fn = fm.group(1).upper()
+    # split args on top-level commas
+    args, depth, start = [], 0, 0
+    inner = fm.group(2)
+    in_str = False
+    for idx, ch in enumerate(inner):
+        if ch == '"' and (idx == 0 or inner[idx - 1] != "\\"):
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                args.append(inner[start:idx])
+                start = idx + 1
+    args.append(inner[start:])
+    args = [a.strip() for a in args if a.strip()]
+    if fn == "CONCAT":
+        if not args:
+            raise SparqlUnsupported("CONCAT needs arguments")
+        return F.concat(*[_compile_bind_expr(a, bind) for a in args])
+    if fn in ("UCASE", "LCASE", "STR", "STRLEN"):
+        if len(args) != 1:
+            raise SparqlUnsupported(f"{fn} takes exactly one argument")
+        c = _compile_bind_expr(args[0], bind)
+        if fn == "UCASE":
+            return F.upper(c)
+        if fn == "LCASE":
+            return F.lower(c)
+        if fn == "STRLEN":
+            return F.length(c).cast("long")
+        return c
+    if fn == "SUBSTR":
+        if len(args) not in (2, 3):
+            raise SparqlUnsupported("SUBSTR takes 2 or 3 arguments")
+        c = _compile_bind_expr(args[0], bind)
+        pos = int(args[1])
+        if len(args) == 3:
+            return F.substring(c, pos, int(args[2]))
+        return F.substring(c, pos, 0x7FFFFFFF)
+    raise SparqlUnsupported(f"unsupported BIND function {fn}")
+
+
 def _desugar_patterns(body: str, prefixes: dict | None) -> list:
     """Triple patterns with property-path desugaring: ``p/q`` sequences
     expand through fresh intermediate variables, ``^p`` swaps the pattern's
@@ -569,6 +662,8 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
         for b in branches:
             if _OPTIONAL_RE.search(b) or "{" in _extract_filters(b)[0]:
                 raise SparqlUnsupported("OPTIONAL/nested groups inside UNION branches")
+            if _BIND_RE.search(b):
+                raise SparqlUnsupported("BIND inside UNION branches is outside the subset")
             b, vals = _extract_values(b, prefixes)
             b, raw = _extract_filters(b)
             pats = _desugar_patterns(b, prefixes)
@@ -581,6 +676,7 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
     body, optional_bodies = _extract_optionals(body)
     body, exists_bodies = _extract_exists(body)
     body, values = _extract_values(body, prefixes)
+    body, binds = _extract_binds(body)
     body, raw_filters = _extract_filters(body)
     if "{" in body:
         raise SparqlUnsupported("nested group patterns are outside the subset")
@@ -591,6 +687,8 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
     for negated, eb in exists_bodies:
         if "{" in eb or _OPTIONAL_RE.search(eb):
             raise SparqlUnsupported("nested groups inside EXISTS are outside the subset")
+        if _BIND_RE.search(eb):
+            raise SparqlUnsupported("BIND inside EXISTS is outside the subset")
         eb, evals = _extract_values(eb, prefixes)
         eb, eraw = _extract_filters(eb)
         epats = _desugar_patterns(eb, prefixes)
@@ -606,6 +704,8 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
         )
     optionals = []
     for ob in optional_bodies:
+        if _BIND_RE.search(ob):
+            raise SparqlUnsupported("BIND inside OPTIONAL is outside the subset")
         ob, o_raw = _extract_filters(ob)
         if "{" in ob:
             raise SparqlUnsupported("nested OPTIONAL is outside the subset")
@@ -619,6 +719,7 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
         "optionals": optionals,
         "values": values,
         "exists": exists,
+        "binds": binds,
         "union": None,
     }
 
@@ -737,9 +838,18 @@ def _values_cond(values: list, bind: dict):
 
 
 def _group_solutions(data: DataFrame, g: dict) -> tuple[DataFrame, dict]:
-    """One plain group (patterns+filters+values) -> (solutions DF, bind)."""
+    """One plain group (patterns+binds+filters+values) -> (solutions DF,
+    bind). BINDs compile to withColumn right after the BGP join (in
+    syntactic order, so later BINDs may reference earlier ones) and before
+    FILTER/VALUES — the subset where W3C §10.1's position-scoped semantics
+    and this ordering coincide (binds here may only reference BGP vars)."""
     bind: dict[str, str] = {}
     cur, _ = _join_bgp(None, [], bind, data, g["patterns"])
+    for var, expr in g.get("binds", []):
+        if var in bind:
+            raise SparqlUnsupported(f"BIND re-binds ?{var}")
+        cur = cur.withColumn(f"v_{var}", _compile_bind_expr(expr, bind))
+        bind[var] = f"v_{var}"
     for flt in g["filters"]:
         cur = cur.filter(_filter_cond(flt, bind))
     for c in _values_cond(g.get("values", []), bind):
@@ -916,6 +1026,60 @@ def sparql_ask(triples: DataFrame, query: str, prefixes: dict | None = None) -> 
     where = _parse_where(m.group(1), prefixes)
     cur, _ = _where_solutions(_fact_table(triples), where)
     return not cur.isEmpty()
+
+
+_DESCRIBE_RE = re.compile(
+    r"^DESCRIBE\s+((?:<[^>]+>\s*|\?[A-Za-z_][A-Za-z0-9_]*\s*)+)"
+    r"(?:WHERE\s*\{(.*)\})?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sparql_describe(
+    triples: DataFrame, query: str, prefixes: dict | None = None
+) -> DataFrame:
+    """``DESCRIBE <iri>...`` / ``DESCRIBE ?v WHERE { ... }``: the
+    subject-oriented description graph — every corpus triple whose subject
+    is one of the named IRIs, or one of ?v's solution values (the common
+    concise-bounded-description-lite that SPARQL 1.1 §16.4 leaves
+    implementation-defined). Output (s, p, o), distinct (a description is
+    a GRAPH — a set of triples — so solution multiplicity must not
+    duplicate rows).
+
+    Scale: the IRI form is a literal isin filter pushed into the fact
+    scan; the ?v form distincts the (small) resource set and LEFT SEMI
+    joins it against the fact table — never widening rows, AQE picks the
+    broadcast when the set is small."""
+    m = _DESCRIBE_RE.match(query.strip())
+    if m is None:
+        raise SparqlUnsupported(f"not a DESCRIBE query: {query[:60]!r}")
+    terms = re.findall(r"<[^>]+>|\?[A-Za-z_][A-Za-z0-9_]*", m.group(1))
+    fact = _fact_table(triples)
+    out_cols = [
+        F.col("subject").alias("s"),
+        F.col("predicate").alias("p"),
+        F.col("obj").alias("o"),
+    ]
+    if all(t.startswith("<") for t in terms):
+        if m.group(2) is not None:
+            raise SparqlUnsupported("DESCRIBE <iri> with WHERE is outside the subset")
+        iris = [t[1:-1] for t in terms]
+        return fact.filter(F.col("subject").isin(iris)).select(*out_cols).distinct()
+    if len(terms) != 1 or not terms[0].startswith("?"):
+        raise SparqlUnsupported("DESCRIBE supports named IRIs or exactly one ?var")
+    if m.group(2) is None:
+        raise SparqlUnsupported("DESCRIBE ?var requires a WHERE group")
+    v = terms[0][1:]
+    where = _parse_where(m.group(2), prefixes)
+    cur, bind = _where_solutions(fact, where)
+    if v not in bind:
+        raise SparqlUnsupported(f"DESCRIBE variable never bound: ?{v}")
+    res = cur.select(F.col(bind[v]).alias("d_s")).distinct()
+    return (
+        fact.join(res, fact["subject"] == res["d_s"], "left_semi")
+        .select(*out_cols)
+        .distinct()
+    )
 
 
 def parse_sparql_construct(text: str, prefixes: dict | None = None) -> dict:

@@ -128,3 +128,59 @@ def test_token_percentiles_hand_computed(spark):
 )
 def test_driver_queries_match_oracle(spark, name, min_rows):
     _oracle_match(spark, name, min_rows=min_rows)
+
+
+def test_remove_duplicate_paragraphs_hand_case(spark):
+    from kgforge.operators.corpus_mining import remove_duplicate_paragraphs
+
+    rows = [
+        (1, "unique one\n\nCOMMON FOOTER\n\nalso unique"),
+        (2, "COMMON FOOTER\n\nsecond doc body"),
+        (3, "third doc\n\nCOMMON FOOTER"),
+        (4, "COMMON FOOTER"),  # fully boilerplate -> comes back empty
+        (5, ""),  # empty text -> zero paragraphs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_removed)
+        for r in remove_duplicate_paragraphs(docs).collect()
+    }
+    assert got[1] == ("unique one\n\nalso unique", 3, 1)
+    assert got[2] == ("second doc body", 2, 1)
+    assert got[3] == ("third doc", 2, 1)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("", 0, 0)
+
+
+def test_remove_duplicate_paragraphs_max_freq_and_order(spark):
+    from kgforge.operators.corpus_mining import remove_duplicate_paragraphs
+
+    rows = [
+        (1, "twice\n\na1\n\nz9"),
+        (2, "twice\n\nb2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # max_freq=2 tolerates the pair; order of survivors is positional
+    got = {
+        r.doc_id: r.text
+        for r in remove_duplicate_paragraphs(docs, max_freq=2).collect()
+    }
+    assert got == {1: "twice\n\na1\n\nz9", 2: "twice\n\nb2"}
+    strict = {
+        r.doc_id: r.text
+        for r in remove_duplicate_paragraphs(docs, max_freq=1).collect()
+    }
+    assert strict == {1: "a1\n\nz9", 2: "b2"}
+
+
+def test_remove_duplicate_paragraphs_trim_keyed(spark):
+    from kgforge.operators.corpus_mining import remove_duplicate_paragraphs
+
+    # same footer with different surrounding whitespace still collapses
+    rows = [(1, "  FOOT  \n\nkeep1"), (2, "FOOT\n\nkeep2")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in remove_duplicate_paragraphs(docs).collect()
+    }
+    assert got == {1: ("keep1", 1), 2: ("keep2", 1)}

@@ -552,3 +552,98 @@ def test_sparql_minus_equals_not_exists(spark):
     got_minus = sorted(r.s for r in sparql_select(t, q_minus).collect())
     got_ne = sorted(r.s for r in sparql_select(t, q_ne).collect())
     assert got_minus == got_ne == ["p4"]
+
+
+def test_sparql_bind_concat_and_functions(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", NAME, "Ada", "literal"),
+        ("p2", NAME, "Grace", "literal"),
+    ])
+    q = f"""SELECT ?s ?label ?n WHERE {{
+        ?s <{NAME}> ?name .
+        BIND(CONCAT(UCASE(?s), "#", LCASE(?name)) AS ?label)
+        BIND(STRLEN(?label) AS ?n)
+    }}"""
+    got = {tuple(r) for r in sparql_select(t, q).collect()}
+    assert got == {("p1", "P1#ada", 6), ("p2", "P2#grace", 8)}
+
+
+def test_sparql_bind_chained_and_filterable(spark):
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", AGE, "45", "literal"),
+        ("p2", AGE, "30", "literal"),
+    ])
+    # later BIND references the earlier one; FILTER sees the BIND var
+    q = f"""SELECT ?s ?tag WHERE {{
+        ?s <{AGE}> ?age .
+        BIND(SUBSTR(?age, 1, 1) AS ?decade)
+        BIND(CONCAT("d", ?decade) AS ?tag)
+        FILTER (?tag = "d4")
+    }}"""
+    got = [tuple(r) for r in sparql_select(t, q).collect()]
+    assert got == [("p1", "d4")]
+
+
+def test_sparql_bind_rejections(spark):
+    import pytest as _pt
+
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [("p1", NAME, "Ada", "literal")])
+    with _pt.raises(SparqlUnsupported):  # unbound var in BIND
+        sparql_select(t, f"SELECT ?x WHERE {{ ?s <{NAME}> ?n . BIND(UCASE(?zz) AS ?x) }}")
+    with _pt.raises(SparqlUnsupported):  # re-binding an existing var
+        sparql_select(t, f"SELECT ?n WHERE {{ ?s <{NAME}> ?n . BIND(UCASE(?s) AS ?n) }}")
+    with _pt.raises(SparqlUnsupported):  # BIND inside OPTIONAL
+        sparql_select(
+            t,
+            f"SELECT ?s WHERE {{ ?s <{NAME}> ?n . "
+            f"OPTIONAL {{ ?s <{AGE}> ?a . BIND(UCASE(?a) AS ?x) }} }}",
+        )
+
+
+def test_sparql_describe_iri_and_var_forms(spark):
+    from kgforge.operators.sparql import sparql_describe
+
+    t = _triples_df(spark, [
+        ("p1", NAME, "Ada", "literal"),
+        ("p1", AGE, "45", "literal"),
+        ("p1", KNOWS, "p2", "iri"),
+        ("p2", NAME, "Grace", "literal"),
+        ("p3", NAME, "Alan", "literal"),
+        ("p1", NAME, "Ada", "literal"),  # duplicate assertion -> one row
+    ])
+    by_iri = {tuple(r) for r in sparql_describe(t, "DESCRIBE <p1>").collect()}
+    assert by_iri == {
+        ("p1", NAME, "Ada"),
+        ("p1", AGE, "45"),
+        ("p1", KNOWS, "p2"),
+    }
+    two = {tuple(r) for r in sparql_describe(t, "DESCRIBE <p2> <p3>").collect()}
+    assert two == {("p2", NAME, "Grace"), ("p3", NAME, "Alan")}
+    # var form: subjects known by p1
+    by_var = {
+        tuple(r)
+        for r in sparql_describe(
+            t, f"DESCRIBE ?o WHERE {{ ?s <{KNOWS}> ?o }}"
+        ).collect()
+    }
+    assert by_var == {("p2", NAME, "Grace")}
+
+
+def test_sparql_describe_rejections(spark):
+    import pytest as _pt
+
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_describe
+
+    t = _triples_df(spark, [("p1", NAME, "Ada", "literal")])
+    with _pt.raises(SparqlUnsupported):  # two vars
+        sparql_describe(t, f"DESCRIBE ?a ?b WHERE {{ ?a <{KNOWS}> ?b }}")
+    with _pt.raises(SparqlUnsupported):  # var without WHERE
+        sparql_describe(t, "DESCRIBE ?a")
+    with _pt.raises(SparqlUnsupported):  # iri with WHERE
+        sparql_describe(t, f"DESCRIBE <p1> WHERE {{ ?s <{NAME}> ?n }}")

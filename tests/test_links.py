@@ -84,3 +84,50 @@ def test_base_without_path(spark):
     df = spark.createDataFrame([("https://h.org", "rel/p")], "url string, href string")
     out = df.select(resolve_href_col(F.col("href"), F.col("url")).alias("r")).collect()
     assert out[0].r == "https://h.org/rel/p"
+
+
+def test_extract_anchors_text_and_nesting(spark):
+    html = (
+        "<html><body>"
+        "<a href='/a'>Plain text</a>"
+        "<a href='/b'><b>bold</b> and <i>italic</i></a>"
+        "<a href='/c'>  spaced\n  out  </a>"
+        "<a href='/d'><img src='x.png'/></a>"  # image link -> anchor ''
+        "<a href='#frag'>skipme</a>"
+        "</body></html>"
+    )
+    from kgforge.operators.links import extract_anchors
+
+    df = spark.createDataFrame(
+        [("https://h.org/dir/page", html.encode("utf-8"))], "url string, html binary"
+    )
+    got = {(r.dst_url, r.anchor) for r in extract_anchors(df).collect()}
+    assert got == {
+        ("https://h.org/a", "Plain text"),
+        ("https://h.org/b", "bold and italic"),
+        ("https://h.org/c", "spaced out"),
+        ("https://h.org/d", ""),
+    }
+
+
+def test_anchor_texts_aggregates_and_counts_hosts(spark):
+    from kgforge.operators.links import anchor_texts
+
+    mk = lambda u, h: (u, h.encode("utf-8"))
+    rows = [
+        mk("https://s1.org/p1", "<a href='https://t.org/x'>Target X</a>"),
+        mk("https://s1.org/p2", "<a href='https://t.org/x'>Target X</a>"),
+        mk("https://s2.org/p1", "<a href='https://t.org/x'>Target X</a>"),
+        mk("https://s2.org/p2", "<a href='https://t.org/x'>other name</a>"),
+        mk("https://s2.org/p3", "<a href='https://t.org/y'><img src='i'/></a>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r.dst_url, r.anchor): (r.n_links, r.n_src_hosts)
+        for r in anchor_texts(df).collect()
+    }
+    # empty-anchor image link dropped entirely
+    assert got == {
+        ("https://t.org/x", "Target X"): (3, 2),
+        ("https://t.org/x", "other name"): (1, 1),
+    }

@@ -1,0 +1,80 @@
+"""Inverted index + BM25 (operators/search.py): hand-computed scores,
+index-table invariants, pre-built-postings equivalence."""
+
+import math
+
+import pytest
+
+from kgforge.operators.search import (
+    bm25_topk,
+    build_lexicon,
+    build_postings,
+    doc_lengths,
+)
+
+
+def _docs(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog"),
+        ("d2", "quick quick quick brown"),
+        ("d3", "a lazy afternoon nap"),
+        ("d4", "fox hunting season opens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _bm25_hand(tf, df, n, dl, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def test_postings_and_lexicon(spark):
+    p = build_postings(_docs(spark))
+    rows = {(r.term, r.doc_id): r.tf for r in p.collect()}
+    assert rows[("quick", "d2")] == 3
+    assert rows[("the", "d1")] == 2
+    lex = {r.term: r.df for r in build_lexicon(p).collect()}
+    assert lex["quick"] == 2 and lex["fox"] == 2 and lex["nap"] == 1
+    dl = {r.doc_id: r.dl for r in doc_lengths(p).collect()}
+    assert dl == {"d1": 9, "d2": 4, "d3": 4, "d4": 4}
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _docs(spark)
+    out = {r.doc_id: (r.score, r.rank) for r in
+           bm25_topk(docs, "quick fox", k=10).collect()}
+    # doc lengths: 9,4,4,4 -> avgdl = 21/4
+    avgdl = 21 / 4
+    exp_d2 = _bm25_hand(3, 2, 4, 4, avgdl)  # quick only
+    exp_d4 = _bm25_hand(1, 2, 4, 4, avgdl)  # fox only
+    exp_d1 = _bm25_hand(1, 2, 4, 9, avgdl) + _bm25_hand(1, 2, 4, 9, avgdl)
+    assert out["d2"][0] == pytest.approx(round(exp_d2, 6), abs=2e-6)
+    assert out["d4"][0] == pytest.approx(round(exp_d4, 6), abs=2e-6)
+    assert out["d1"][0] == pytest.approx(round(exp_d1, 6), abs=2e-6)
+    assert "d3" not in out  # no query term
+    # ranks follow the rounded scores, doc_id tiebreak
+    ordered = sorted(out.items(), key=lambda kv: kv[1][1])
+    scores = [s for _, (s, _) in ordered]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_k_truncates_and_prebuilt_postings_identical(spark):
+    docs = _docs(spark)
+    top1 = bm25_topk(docs, "quick fox", k=1).collect()
+    assert len(top1) == 1 and top1[0].rank == 1
+    pre = build_postings(docs)
+    a = sorted(map(tuple, bm25_topk(docs, "lazy", k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, "lazy", k=5, postings=pre).collect()))
+    assert a == b
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark), "!!! 123", k=3)
+
+
+def test_duplicate_query_terms_count_once(spark):
+    docs = _docs(spark)
+    a = sorted(map(tuple, bm25_topk(docs, "fox", k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(docs, "fox fox FOX", k=5).collect()))
+    assert a == b
