@@ -1224,6 +1224,17 @@ def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "q string, answer boolean").orderBy("q")
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered n-gram containment pairs (quote/subset detection) at >= 0.8
+    via the asymmetric prefix-filter join — exact output, no all-pairs
+    cross product. The oracle IS the all-pairs formulation (identical by
+    the pigeonhole prefix theorem)."""
+    from kgforge.operators.dedup import containment_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_join(docs, threshold=0.8).orderBy("src", "dst")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup rewrite (C4 §2.2): a closed-form fixture
     plants one corpus-wide SHARED BANNER variant inside every document's
@@ -1378,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_describe": q_kg_describe,
         "q_paragraph_dedup": q_paragraph_dedup,
+        "q_containment": q_containment,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2177,6 +2189,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n_links,
                    CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
             FROM l GROUP BY dst_url, anchor ORDER BY dst_url, anchor
+        """,
+        # ordered containment: the all-pairs ground truth the asymmetric
+        # prefix-filter join must equal exactly (same gram definition)
+        "q_containment": f"""
+            WITH g AS (SELECT doc_id AS id, {_DD_GRAMS} AS grams FROM documents)
+            SELECT a.id AS src, b.id AS dst,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(a.grams) AS containment
+            FROM g a JOIN g b ON a.id <> b.id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(a.grams) >= 0.8
+            ORDER BY src, dst
         """,
         # paragraph-dedup rewrite: survivors (every para except the planted
         # corpus-wide banner at position 1) rebuilt byte-for-byte, in order

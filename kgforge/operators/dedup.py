@@ -264,6 +264,29 @@ def simhash_verified_pairs(
     )
 
 
+def _collect_gram_rank(grams: DataFrame, gram_rank_cap: int):
+    """Capped rarest-first global gram order: distributed frequency count,
+    top-K BEFORE collect, broadcast dict {gram_hash: rank}. Unseen grams
+    default to rank -1 (rarest class) with the gram hash itself as the
+    deterministic tie-break — (rank, gram) stays a TOTAL order, which is
+    all the prefix-filter guarantee needs (it holds under ANY total
+    order). See jaccard_similarity_join's docstring for the full
+    bounded-driver argument."""
+    freq_rows = (
+        grams.select(F.explode("grams").alias("g"))
+        .groupBy("g")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("g"))
+        .limit(gram_rank_cap)
+        .collect()
+    )
+    rank = {
+        r["g"]: i
+        for i, r in enumerate(sorted(freq_rows, key=lambda r: (r["count"], r["g"])))
+    }
+    return grams.sparkSession.sparkContext.broadcast(rank)
+
+
 def jaccard_similarity_join(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -300,23 +323,10 @@ def jaccard_similarity_join(
     verification touches only surviving candidate pairs."""
     import numpy as np
 
-    spark = docs.sparkSession
     grams = rebalance(docs).select(
         F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
     )
-    freq_rows = (
-        grams.select(F.explode("grams").alias("g"))
-        .groupBy("g")
-        .count()
-        .orderBy(F.col("count").desc(), F.col("g"))
-        .limit(gram_rank_cap)
-        .collect()
-    )
-    rank = {
-        r["g"]: i
-        for i, r in enumerate(sorted(freq_rows, key=lambda r: (r["count"], r["g"])))
-    }
-    bc = spark.sparkContext.broadcast(rank)
+    bc = _collect_gram_rank(grams, gram_rank_cap)
 
     @pandas_udf("array<long>")
     def _prefix(gram_arrays: pd.Series) -> pd.Series:
@@ -391,3 +401,85 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("ga.grams", "gb.grams"))
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    gram_rank_cap: int = 1_000_000,
+) -> DataFrame:
+    """EXACT n-gram containment self-join: (src, dst, containment) for every
+    ORDERED pair with C(src→dst) = |g(src) ∩ g(dst)| / |g(src)| >= threshold,
+    src != dst — the quote/subset detector (a page quoting most of another,
+    a snippet page inside a full article) that symmetric Jaccard misses
+    when the two documents' sizes differ widely.
+
+    Prefix-filter guarantee (asymmetric PPJoin variant): if
+    |g(src) ∩ g(dst)| >= ceil(t·|g(src)|) then the intersection — a subset
+    of g(src) of that size — must hit src's rarest-first prefix of length
+    |g(src)| - ceil(t·|g(src)|) + 1 (pigeonhole: the suffix holds only
+    ceil(t·|src|) - 1 grams). So candidates = src-prefix ⋈ dst-FULL gram
+    postings; identical output to the all-pairs formulation, by
+    construction. The size filter |g(dst)| >= ceil(t·|g(src)|) prunes
+    impossible dsts (the intersection can't exceed |g(dst)|); no upper
+    bound exists — that's the point of containment.
+
+    Scale notes: the dst side explodes ALL grams (a postings list), but the
+    join output per gram g is |{src prefixes containing g}| · |postings(g)|
+    and rarest-first prefixes almost never contain hot grams — the hot-key
+    blowup lands on grams with tiny prefix membership. The global rank dict
+    is the same capped-driver structure as jaccard_similarity_join
+    (`_collect_gram_rank`). Verification touches surviving candidates only.
+    """
+    import numpy as np
+
+    grams = rebalance(docs).select(
+        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
+    )
+    bc = _collect_gram_rank(grams, gram_rank_cap)
+
+    @pandas_udf("array<long>")
+    def _prefix(gram_arrays: pd.Series) -> pd.Series:
+        rk = bc.value
+        out = []
+        for arr in gram_arrays:
+            a = sorted(arr, key=lambda g: (rk.get(g, -1), g))
+            plen = len(a) - int(np.ceil(threshold * len(a))) + 1
+            out.append(a[: max(plen, 0)])
+        return pd.Series(out)
+
+    pref = grams.select(
+        F.col("id").alias("src"),
+        F.size("grams").alias("src_sz"),
+        F.explode(_prefix(F.col("grams"))).alias("g"),
+    )
+    full = grams.select(
+        F.col("id").alias("dst"), F.size("grams").alias("dst_sz"),
+        F.explode("grams").alias("g"),
+    )
+    cand = (
+        pref.join(
+            full,
+            (pref.g == full.g)
+            & (pref.src != full.dst)
+            & (full.dst_sz >= F.ceil(pref.src_sz * threshold)),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return (
+        cand.join(grams.alias("ga"), cand.src == F.col("ga.id"))
+        .join(grams.alias("gb"), cand.dst == F.col("gb.id"))
+        .select(
+            "src",
+            "dst",
+            (
+                F.size(F.array_intersect("ga.grams", "gb.grams"))
+                / F.size("ga.grams")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -247,3 +247,62 @@ def test_ivf_topk_recall(spark, emb):
     assert recall(16) == 1.0  # all cells probed == exact
     r8 = recall(8)
     assert r8 >= 0.5
+
+
+def _cpairs(df):
+    return {(r["src"], r["dst"]): round(r["containment"], 6) for r in df.collect()}
+
+
+def _naive_containment(docs, threshold, id_col="doc_id", text_col="text"):
+    """All-pairs ordered-containment twin (test scale only)."""
+    from kgforge.operators.canonicalize import _hashed_ngram_set
+
+    g = docs.select(
+        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), 3).alias("grams")
+    )
+    return (
+        g.alias("a")
+        .join(g.alias("b"), F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            (
+                F.size(F.array_intersect("a.grams", "b.grams"))
+                / F.size(F.col("a.grams"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def test_containment_join_equals_all_pairs(spark, docs):
+    from kgforge.operators.dedup import containment_join
+
+    exact = _cpairs(_naive_containment(docs, 0.8))
+    pf = _cpairs(containment_join(docs, threshold=0.8))
+    assert pf == exact and len(exact) > 0
+
+
+def test_containment_join_finds_asymmetric_quote(spark):
+    from kgforge.operators.dedup import containment_join
+
+    long_text = " ".join(f"tok{w} mid{w * 7 % 31}" for w in range(120))
+    quote = long_text[40:160]  # substring -> near-total containment
+    rows = [
+        (1, long_text),
+        (2, quote),
+        (3, "completely different content about other things entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = _cpairs(containment_join(docs, threshold=0.9))
+    assert (2, 1) in got and got[(2, 1)] >= 0.9  # quote contained in source
+    assert (1, 2) not in got  # NOT symmetric: source not inside the quote
+    assert all(3 not in pair for pair in got)
+
+
+def test_containment_join_capped_rank_dict(spark, docs):
+    from kgforge.operators.dedup import containment_join
+
+    exact = _cpairs(_naive_containment(docs, 0.8))
+    capped = _cpairs(containment_join(docs, threshold=0.8, gram_rank_cap=5))
+    assert capped == exact
