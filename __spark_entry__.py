@@ -1235,6 +1235,19 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=0.8).orderBy("src", "dst")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. ExactSubstr at word
+    granularity, k=8): every position whose 8-token gram recurs
+    corpus-wide, merged into maximal spans. Gram text is hashed to int64
+    map-side (never shuffles); the oracle recomputes the identical
+    windows over string grams, so agreement also witnesses that xxhash64
+    introduced no collisions at this scale."""
+    from kgforge.operators.corpus_mining import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8).orderBy("doc_id", "span_start")
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level dedup rewrite (C4 §2.2): a closed-form fixture
     plants one corpus-wide SHARED BANNER variant inside every document's
@@ -1390,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_describe": q_kg_describe,
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_containment": q_containment,
+        "q_span_dedup": q_span_dedup,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2201,6 +2215,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(a.grams) >= 0.8
             ORDER BY src, dst
+        """,
+        # exact duplicated-substring spans: sliding 8-token windows whose
+        # gram recurs corpus-wide, merged gaps-and-islands into maximal spans
+        "q_span_dedup": f"""
+            WITH t AS (SELECT doc_id, {_DD_TOK} AS tk, len({_DD_TOK}) AS n
+                       FROM documents),
+            o AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                         array_to_string(tk[i+1 : i+8], ' ') AS g
+                  FROM t, UNNEST(range(0, n - 8 + 1)) r(i) WHERE n >= 8),
+            f AS (SELECT g FROM o GROUP BY g HAVING count(*) >= 2),
+            d AS (SELECT doc_id, pos FROM o JOIN f USING (g)),
+            m AS (SELECT doc_id, pos,
+                         CASE WHEN lag(pos) OVER w IS NULL
+                                   OR pos > lag(pos) OVER w + 8
+                              THEN 1 ELSE 0 END AS brk
+                  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            i AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                  FROM m)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 8 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+            FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start
         """,
         # paragraph-dedup rewrite: survivors (every para except the planted
         # corpus-wide banner at position 1) rebuilt byte-for-byte, in order

@@ -297,3 +297,132 @@ def remove_duplicate_paragraphs(
         F.coalesce("n_paragraphs", F.lit(0).cast("long")).alias("n_paragraphs"),
         F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT duplicated-substring spans (Lee et al. 2021 ExactSubstr, at
+    word-token granularity): a token position is *duplicated* when the
+    k-token gram starting there occurs >= ``min_freq`` times corpus-wide
+    (counting occurrences, so a phrase repeated within ONE document also
+    qualifies — the paper's criterion). Overlapping/adjacent duplicated
+    windows merge into MAXIMAL spans; returns one row per span:
+    (doc_id, span_start, span_end, span_tokens) with 0-based token
+    indices, end exclusive. Unlike ``chunk_dup_stats`` (fixed
+    non-overlapping blocks, counts only) this slides the window over
+    EVERY position and reports exact span extents, so a 200-token quote
+    shared by two pages surfaces as one 200-token span in each, not as a
+    fuzzy block ratio.
+
+    Plan shape: the gram text never shuffles — each occurrence is hashed
+    to int64 map-side (xxhash64; 2^-64 collision risk, same trade the
+    verified dedup joins make), so the explode ships 16 bytes/token. One
+    map-side-combined frequency groupBy; duplicated grams are FILTERED
+    before the join back (output stays proportional to duplication, and
+    the join's hot keys — site-wide boilerplate grams — are 1 row/key on
+    the frequency side, AQE skew-split-friendly). The merge is
+    gaps-and-islands over a doc-scoped window: partitions are single
+    documents, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _tokens_col(F.col(text_col)).alias("tk"),
+        )
+        .withColumn("n_tokens", F.size("tk"))
+        .filter(F.col("n_tokens") >= k)
+    )
+    occ = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                word_ngrams_col(F.col("tk"), F.col("n_tokens"), k),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("pos", "g"),
+    )
+    dup_g = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+        .select("g")
+    )
+    dup_pos = occ.join(dup_g, "g").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    islands = dup_pos.withColumn(
+        "isl", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span REWRITE: drop every token inside a maximal
+    duplicated span (``duplicated_spans``) and reassemble the survivors
+    space-joined, in original order. Returns
+    (doc_id, text, n_tokens, dup_tokens) for EVERY input document —
+    whitespace is normalized to single spaces (the tokenizer's contract);
+    a fully-duplicated document comes back with text '' rather than
+    vanishing.
+
+    Plan shape: spans aggregate to one array<struct> row per AFFECTED
+    document (bounded: merged spans are disjoint, so at most
+    n_tokens/k spans) and LEFT-join back to the corpus on doc_id — clean
+    documents pass through untouched with a null span array. The token
+    filter is a pure codegen exists() over that array; no second explode
+    of the corpus.
+    """
+    spans = (
+        duplicated_spans(docs, k, min_freq, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens_col(F.col(text_col)).alias("tk")
+    )
+    joined = base.join(spans, "doc_id", "left")
+    kept = F.filter(
+        F.transform(F.col("tk"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("spans"),
+                lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] < sp["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("text"),
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+    )

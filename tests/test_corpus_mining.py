@@ -124,6 +124,8 @@ def test_token_percentiles_hand_computed(spark):
         ("q_token_percentiles", 5),
         # CC over the minhash pair graph vs a recursive-CTE closure
         ("q_dedup_clusters", 40),
+        # ExactSubstr maximal duplicated spans vs string-gram windows
+        ("q_span_dedup", 40),
     ],
 )
 def test_driver_queries_match_oracle(spark, name, min_rows):
@@ -184,3 +186,87 @@ def test_remove_duplicate_paragraphs_trim_keyed(spark):
         for r in remove_duplicate_paragraphs(docs).collect()
     }
     assert got == {1: ("keep1", 1), 2: ("keep2", 1)}
+
+
+def test_duplicated_spans_hand_case(spark):
+    from kgforge.operators.corpus_mining import duplicated_spans
+
+    shared = "one two three four five six"  # 6 tokens shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1a u1b {shared} u1c u1d"),
+            (2, f"v1 v2 v3 {shared} v4"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),  # all unique: no spans
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicated_spans(docs, k=6, min_freq=2).collect()
+    }
+    # only the exact shared 6-gram positions qualify: doc1 pos 2, doc2 pos 3
+    assert got == {(1, 2, 8, 6), (2, 3, 9, 6)}
+
+
+def test_duplicated_spans_merge_overlapping(spark):
+    from kgforge.operators.corpus_mining import duplicated_spans
+
+    run = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    docs = spark.createDataFrame(
+        [(1, f"a1 {run} a2"), (2, f"{run} b1 b2 b3")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, k=4, min_freq=2).collect()
+    }
+    # seven overlapping 4-gram windows merge into ONE maximal 10-token span
+    assert got == {(1, 1, 11), (2, 0, 10)}
+
+
+def test_duplicated_spans_within_doc_repeat(spark):
+    from kgforge.operators.corpus_mining import duplicated_spans
+
+    # the phrase repeats inside one document; occurrence-count >= 2 within
+    # a single doc must flag BOTH occurrences (the ExactSubstr criterion)
+    docs = spark.createDataFrame(
+        [(1, "p q r s x y z p q r s")],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, k=4, min_freq=2).collect()
+    )
+    assert got == [(0, 4), (7, 11)]
+
+
+def test_remove_duplicate_spans_rewrite(spark):
+    from kgforge.operators.corpus_mining import remove_duplicate_spans
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"u1a u1b {shared} u1c u1d"),
+            (2, f"v1 v2 v3 {shared} v4"),
+            (3, "w1 w2   w3"),  # untouched doc: whitespace normalized only
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["dup_tokens"])
+        for r in remove_duplicate_spans(docs, k=6, min_freq=2).collect()
+    }
+    assert out[1] == ("u1a u1b u1c u1d", 10, 6)
+    assert out[2] == ("v1 v2 v3 v4", 10, 6)
+    assert out[3] == ("w1 w2 w3", 3, 0)
+
+
+def test_remove_duplicate_spans_fully_duplicated_doc(spark):
+    from kgforge.operators.corpus_mining import remove_duplicate_spans
+
+    run = "c1 c2 c3 c4 c5 c6"
+    docs = spark.createDataFrame(
+        [(1, run), (2, run)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in remove_duplicate_spans(docs, k=6).collect()}
+    assert out == {1: "", 2: ""}  # rows survive with empty text, not dropped
