@@ -1235,6 +1235,30 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=0.8).orderBy("src", "dst")
 
 
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster dedup policy: MinHash-verified near-dup pairs
+    → connected components → per-cluster canonical pick (highest token
+    count, smallest doc_id tie-break) via the combinable max(struct)
+    aggregation, never a mega-cluster window sort. Singletons are their
+    own canonical. Oracle: recursive-CTE closure + window rank."""
+    from kgforge.operators.canonicalize import connected_components
+    from kgforge.operators.dedup import minhash_duplicate_pairs, select_canonical
+    from kgforge.operators.text_stats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_duplicate_pairs(docs, threshold=0.8)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    comp = connected_components(pairs.select(pad("a").alias("src"), pad("b").alias("dst")))
+    clusters = comp.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    scored = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return select_canonical(scored, clusters, "n_tokens").orderBy("doc_id")
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. ExactSubstr at word
     granularity, k=8): every position whose 8-token gram recurs
@@ -1404,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": q_paragraph_dedup,
         "q_containment": q_containment,
         "q_span_dedup": q_span_dedup,
+        "q_cluster_canonical": q_cluster_canonical,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2216,6 +2241,32 @@ def oracle_sql() -> dict[str, str]:
                   / len(a.grams) >= 0.8
             ORDER BY src, dst
         """,
+        # keep-best-per-cluster: recursive-CTE closure over the minhash pair
+        # graph (self included via neighbor round-trip), window-ranked pick
+        "q_cluster_canonical": """
+            WITH RECURSIVE p AS ({PAIRS}),
+            e2 AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+              SELECT a AS node, b AS r FROM e2
+              UNION
+              SELECT reach.node, e2.b FROM reach JOIN e2 ON reach.r = e2.a
+            ),
+            m AS (SELECT node AS doc_id, min(r) AS cluster_id
+                  FROM reach GROUP BY node),
+            lab AS (SELECT d.doc_id,
+                           coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+                           {NTOK} AS n_tokens
+                    FROM documents d LEFT JOIN m USING (doc_id))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   (row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_tokens DESC, doc_id) = 1)
+                       AS is_canonical
+            FROM lab ORDER BY doc_id
+        """.replace(
+            "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
+        ).replace("{NTOK}", _dd_token_count("text")),
         # exact duplicated-substring spans: sliding 8-token windows whose
         # gram recurs corpus-wide, merged gaps-and-islands into maximal spans
         "q_span_dedup": f"""

@@ -483,3 +483,48 @@ def containment_join(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def select_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: given per-doc
+    quality scores and (doc_id, cluster_id) cluster labels (docs absent
+    from ``clusters`` are singletons — their own canonical), keep exactly
+    ONE document per cluster: highest score, ties broken by smallest
+    numeric doc_id. Returns EVERY input doc labeled
+    (id, cluster_id, score, is_canonical) so callers can filter survivors
+    or audit drops — the keep-best policy a training pipeline wants
+    instead of keep-arbitrary.
+
+    Plan shape: the winner is a map-side-combinable
+    max(struct(score, -id)) aggregation joined back on cluster_id — NOT a
+    row_number window — so a pathological mega-cluster (template
+    boilerplate collapsing 10^6 pages into one component) costs one
+    partial-aggregated reduce and a skew-splittable join, never 10^6 rows
+    sorted on a single task. Requires a numeric id (the tie-break
+    negation); canonicalize.connected_components' padded-string output
+    should be cast back before calling."""
+    labeled = docs.join(clusters, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+                )
+            ).alias("w")
+        )
+        .select("cluster_id", (-F.col("w.ni")).alias("winner_id"))
+    )
+    return labeled.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        score_col,
+        (F.col(id_col) == F.col("winner_id")).alias("is_canonical"),
+    )

@@ -306,3 +306,20 @@ def test_containment_join_capped_rank_dict(spark, docs):
     exact = _cpairs(_naive_containment(docs, 0.8))
     capped = _cpairs(containment_join(docs, threshold=0.8, gram_rank_cap=5))
     assert capped == exact
+
+
+def test_select_canonical_hand_case(spark):
+    from kgforge.operators.dedup import select_canonical
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7)], "doc_id long, score long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in select_canonical(docs, clusters, "score").collect()
+    }
+    # cluster 1: docs 2 and 3 tie on score 50 -> smallest doc_id (2) wins
+    assert out == {1: (1, False), 2: (1, True), 3: (1, False), 4: (4, True)}
