@@ -1235,6 +1235,32 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=0.8).orderBy("src", "dst")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup: 'new' batch (doc_id%3!=0)
+    minus documents whose text already exists in the 'old' corpus
+    (doc_id%3==0). The Bloom probe has no false negatives and positives
+    are exact-verified, so the output equals the plain anti-join (the
+    oracle) at ANY false-positive rate — planted i%23 exact dupes cross
+    the parity split, so real removals occur."""
+    from kgforge.operators.bloom import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    refetched = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    changed = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" updated content v2")).alias("text"),
+    )
+    new = refetched.unionByName(changed)
+    return (
+        incremental_exact_dedup(new, old, key_col="text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best-per-cluster dedup policy: MinHash-verified near-dup pairs
     → connected components → per-cluster canonical pick (highest token
@@ -1429,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_span_dedup": q_span_dedup,
         "q_cluster_canonical": q_cluster_canonical,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2240,6 +2267,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(a.grams) >= 0.8
             ORDER BY src, dst
+        """,
+        # incremental dedup ground truth: the plain anti-join the
+        # bloom-prefiltered path must equal exactly
+        "q_incremental_dedup": """
+            WITH new AS (
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 2000000 AS doc_id, text || ' updated content v2'
+              FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT n.doc_id FROM new n
+            WHERE NOT EXISTS (SELECT 1 FROM documents o WHERE o.text = n.text)
+            ORDER BY n.doc_id
         """,
         # keep-best-per-cluster: recursive-CTE closure over the minhash pair
         # graph (self included via neighbor round-trip), window-ranked pick
