@@ -1235,6 +1235,20 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(docs, threshold=0.8).orderBy("src", "dst")
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional inverted index: top-25 docs
+    by occurrence count of the consecutive-token phrase 'table table' (a
+    duplicate-term phrase — the adjacency check must use shifted-position
+    intersection, not bag-of-words overlap). Oracle counts sliding-window
+    equality over the same filtered token arrays."""
+    from kgforge.operators.search import phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_topk(docs, "table table", k=25).select(
+        "doc_id", F.col("n_matches").cast("long").alias("n_matches")
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered incremental exact dedup: 'new' batch (doc_id%3!=0)
     minus documents whose text already exists in the 'old' corpus
@@ -1456,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": q_span_dedup,
         "q_cluster_canonical": q_cluster_canonical,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_phrase_search": q_phrase_search,
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
@@ -2267,6 +2282,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(a.grams) >= 0.8
             ORDER BY src, dst
+        """,
+        # phrase-search ground truth: sliding-window equality over the same
+        # lowercase non-letter-split token arrays (empties filtered first)
+        "q_phrase_search": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                          x -> length(x) >= 1) AS tk
+                       FROM documents),
+            m AS (SELECT doc_id,
+                         len(list_filter(range(1, len(tk)),
+                                         i -> tk[i : i + 1] = ['table','table']))
+                             AS n_matches
+                  FROM t)
+            SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+            FROM m WHERE n_matches > 0
+            ORDER BY n_matches DESC, doc_id LIMIT 25
         """,
         # incremental dedup ground truth: the plain anti-join the
         # bloom-prefiltered path must equal exactly

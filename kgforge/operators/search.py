@@ -147,3 +147,61 @@ def _split_query(query: str) -> list[str]:
     import re
 
     return re.split("[^a-z]+", query.lower())
+
+
+def positional_postings(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_len: int = 1) -> DataFrame:
+    """Positional inverted index: (term, doc_id, positions array<int>),
+    positions 0-based in the FILTERED token stream (empties dropped
+    before positions are assigned, so adjacency means adjacency of real
+    tokens). Same single map-side-combined groupBy shape as
+    ``build_postings``; positions arrays are sorted so downstream
+    intersections are order-stable."""
+    tk = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) >= max(1, min_len),
+    )
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(tk).alias("pos", "term"))
+    return toks.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+
+
+def phrase_topk(docs: DataFrame, phrase: str, k: int = 10,
+                id_col: str = "doc_id", text_col: str = "text",
+                postings: DataFrame | None = None) -> DataFrame:
+    """Exact phrase search: top-k documents by occurrence count of the
+    consecutive-token ``phrase``, ties broken by doc_id. Pass a prebuilt
+    ``positional_postings`` table to search an at-rest index instead of
+    re-tokenizing the corpus.
+
+    Plan shape: the index is filtered to the phrase's terms FIRST (a
+    literal isin that pushes into the scan — non-matching documents and
+    terms never leave the files), then one slice per phrase offset joins
+    on doc_id with its positions shifted by -offset; a phrase occurrence
+    is a position surviving the n-way sorted-array intersection, all
+    inside codegen. An n-term phrase costs n-1 doc-keyed joins of
+    single-term posting slices — each a sliver of the index — not a
+    corpus scan."""
+    terms = [t for t in __import__("re").split("[^a-z]+", phrase.lower()) if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    pp = (postings if postings is not None
+          else positional_postings(docs, id_col=id_col, text_col=text_col))
+    pp = pp.filter(F.col("term").isin(*set(terms)))
+    out = None
+    for i, t in enumerate(terms):
+        sl = pp.filter(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", lambda p: p - F.lit(i)).alias(f"s{i}"),
+        )
+        out = sl if out is None else out.join(sl, "doc_id")
+    acc = F.col("s0")
+    for i in range(1, len(terms)):
+        acc = F.array_intersect(acc, F.col(f"s{i}"))
+    return (
+        out.select("doc_id", F.size(acc).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -78,3 +78,44 @@ def test_duplicate_query_terms_count_once(spark):
     a = sorted(map(tuple, bm25_topk(docs, "fox", k=5).collect()))
     b = sorted(map(tuple, bm25_topk(docs, "fox fox FOX", k=5).collect()))
     assert a == b
+
+
+def test_phrase_topk_hand_case(spark):
+    from kgforge.operators.search import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown shoes and quick brown fox"),
+            (3, "brown quick"),  # both words, wrong order: no match
+            (4, "quick! brown."),  # punctuation splits: still adjacent
+        ],
+        "doc_id int, text string",
+    )
+    rows = phrase_topk(docs, "Quick Brown", k=10).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in rows] == [(2, 2), (1, 1), (4, 1)]
+
+
+def test_phrase_topk_duplicate_term_phrase(spark):
+    from kgforge.operators.search import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "go go go"),  # overlapping occurrences: positions 0,1
+            (2, "go stop go"),  # both tokens present, never adjacent
+        ],
+        "doc_id int, text string",
+    )
+    rows = phrase_topk(docs, "go go", k=10).collect()
+    assert [(r["doc_id"], r["n_matches"]) for r in rows] == [(1, 2)]
+
+
+def test_phrase_topk_prebuilt_postings_equivalent(spark):
+    from kgforge.operators.search import phrase_topk, positional_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = [tuple(r) for r in phrase_topk(docs, "fast scan", k=15).collect()]
+    pp = positional_postings(docs).persist()
+    viaidx = [tuple(r) for r in phrase_topk(docs, "fast scan", k=15, postings=pp).collect()]
+    pp.unpersist()
+    assert direct == viaidx and len(direct) == 15
