@@ -140,6 +140,10 @@ def main():
         "q_lm_score",
         "q_chunk_windows",
         "q_pack_bins",
+        "q_span_dedup",
+        "q_containment",
+        "q_incremental_dedup",
+        "q_phrase_search",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
