@@ -707,6 +707,32 @@ def q_pmi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_pairs(docs, top_k=25, min_count=5)
 
 
+def q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence relation-candidate edges (entity_a, entity_b,
+    co_docs, pmi) over the gazetteer mentions of the reconstructed pages —
+    the KG-enrichment stage downstream of q_kg_mentions. The oracle reuses
+    the closed-form per-doc entity derivation from the mentions oracle
+    (entities are a deterministic function of doc_id), so pair counts, doc
+    frequencies, and PMI are all reconstructible in ANSI SQL."""
+    from kgforge.fixtures import gazetteer_rows, pages_from_documents
+    from kgforge.operators.graph import entity_cooccurrence
+    from kgforge.operators.mentions import detect_mentions
+
+    n_docs = _t(spark, sf_dir, "documents").count()
+    pages = pages_from_documents(spark, sf_dir)
+    m = detect_mentions(pages, gazetteer_rows())
+    return entity_cooccurrence(m, n_docs=n_docs).orderBy("entity_a", "entity_b")
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token shares + temperature-scaled (alpha=0.5) sampling
+    weights — the multi-domain pretraining rebalance over `source`."""
+    from kgforge.operators.sampling import domain_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mix(docs).orderBy("domain")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the
     minhash-verified pair graph (the q_minhash_dups pair set), each node
@@ -1442,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_chunk_dedup": q_chunk_dedup,
         "q_pmi_terms": q_pmi_terms,
+        "q_kg_cooccur": q_kg_cooccur,
+        "q_domain_mix": q_domain_mix,
         "q_token_percentiles": q_token_percentiles,
         "q_dedup_clusters": q_dedup_clusters,
         "q_warc_ingest": q_warc_ingest,
@@ -2162,6 +2190,42 @@ def oracle_sql() -> dict[str, str]:
             FROM bi, tot, uni ua, uni ub
             WHERE ua.w = string_split(g, ' ')[1] AND ub.w = string_split(g, ' ')[2]
             ORDER BY pmi DESC, g LIMIT 25
+        """,
+        # per-doc entity sets are the same closed-form derivation the
+        # mentions oracle uses (r list from doc_id; i%29 borrows i-1's);
+        # DISTINCT dedups, self-join on doc builds unordered pairs
+        "q_kg_cooccur": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            v AS (SELECT i, CASE WHEN i%29=0 AND i>0 THEN i-1 ELSE i END AS s FROM d),
+            raw AS (
+              SELECT i, list_transform(range(0, 2+(s*7)%4),
+                j -> CASE WHEN j=0 AND s%10=3 THEN 0 ELSE (s*31+17*j)%1000 END) AS r
+              FROM v),
+            de AS (SELECT DISTINCT i, 'E' || lpad(CAST(k AS VARCHAR), 4, '0') AS e
+                   FROM raw, LATERAL unnest(r) t(k)),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            dfc AS (SELECT e, count(*) AS df FROM de GROUP BY 1),
+            co AS (SELECT x.e AS entity_a, y.e AS entity_b, count(*) AS co_docs
+                   FROM de x JOIN de y ON x.i = y.i AND x.e < y.e GROUP BY 1, 2)
+            SELECT entity_a, entity_b, co_docs,
+                   round(ln(co_docs * n / (fa.df * fb.df)), 6) AS pmi
+            FROM co CROSS JOIN nd
+            JOIN dfc fa ON fa.e = entity_a
+            JOIN dfc fb ON fb.e = entity_b
+            ORDER BY entity_a, entity_b
+        """,
+        "q_domain_mix": f"""
+            WITH per AS (SELECT source AS domain, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({_DD_TOK}) END) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+            sh AS (SELECT domain, n_docs, n_tokens, n_tokens / t AS share
+                   FROM per CROSS JOIN tot),
+            z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh)
+            SELECT domain, n_docs, n_tokens, round(share, 6) AS token_share,
+                   round(pow(share, 0.5) / z, 6) AS sample_weight
+            FROM sh CROSS JOIN z ORDER BY domain
         """,
         # recursive-CTE transitive closure over the same exact-Jaccard pair
         # set that oracles q_minhash_dups; `reach` includes self via any

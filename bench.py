@@ -144,6 +144,8 @@ def main():
         "q_containment",
         "q_incremental_dedup",
         "q_phrase_search",
+        "q_kg_cooccur",
+        "q_domain_mix",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

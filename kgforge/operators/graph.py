@@ -216,3 +216,77 @@ def k_hop(
             visited = visited.localCheckpoint(eager=False)
             frontier = frontier.localCheckpoint(eager=False)
     return visited
+
+
+def entity_cooccurrence(
+    mentions: DataFrame,
+    n_docs: int,
+    doc_col: str = "url",
+    entity_col: str = "entity_id",
+    min_co_docs: int = 1,
+    max_entities_per_doc: int | None = None,
+) -> DataFrame:
+    """Relation-candidate edges from entity co-mentions:
+    (entity_a, entity_b, co_docs, pmi) for every unordered entity pair that
+    shares at least ``min_co_docs`` documents, PMI-weighted
+    (ln(co_docs * n_docs / (df_a * df_b)), rounded to 6 dp so the score is
+    engine-independent).
+
+    This is the standard KG-construction enrichment step downstream of
+    gazetteer mention detection (reference scope: parser-shacl stops at
+    per-file shape metadata, src/ShaclParser.php; corpus-level edge
+    induction is the generalization this engine adds): co-mention edges
+    seed relation extraction and entity-resolution blocking.
+
+    Scale shape: ONE doc-keyed aggregation builds the per-doc sorted
+    distinct entity list; pair expansion is a codegen array expression
+    (transform x slice -> flatten -> explode), NOT a self-join, so there
+    is no doc-keyed join fan-out and the per-doc cost is bounded by
+    ``max_entities_per_doc`` (deterministic lowest-id truncation -- at
+    web scale a page mentioning 10^4 entities is boilerplate, not signal;
+    None keeps all). Then one pair-keyed count (map-side combined) and two
+    joins against the entity document-frequency table -- both sides are
+    post-aggregation entity-cardinality tables, AQE picks broadcast when
+    the entity dim is small.
+    """
+    de = mentions.select(doc_col, entity_col).distinct()
+    df_counts = de.groupBy(entity_col).agg(F.count("*").alias("df"))
+    ents = F.array_sort(F.collect_set(entity_col))
+    per_doc = de.groupBy(doc_col).agg(ents.alias("es"))
+    if max_entities_per_doc is not None:
+        per_doc = per_doc.withColumn("es", F.slice("es", 1, max_entities_per_doc))
+    e = F.col("es")
+    pair_arrays = F.flatten(
+        F.transform(
+            e,
+            lambda a, i: F.transform(
+                F.slice(e, i + F.lit(2), F.greatest(F.size(e) - i - F.lit(1), F.lit(0))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        per_doc.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        .agg(F.count("*").alias("co_docs"))
+        .filter(F.col("co_docs") >= min_co_docs)
+    )
+    fa = df_counts.select(F.col(entity_col).alias("entity_a"), F.col("df").alias("_dfa"))
+    fb = df_counts.select(F.col(entity_col).alias("entity_b"), F.col("df").alias("_dfb"))
+    return (
+        pairs.join(fa, "entity_a")
+        .join(fb, "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "co_docs",
+            F.round(
+                F.log(
+                    F.col("co_docs").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("_dfa").cast("double") * F.col("_dfb").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

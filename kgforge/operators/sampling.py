@@ -47,3 +47,47 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.col("_take"))
         .drop("_rn", "_take")
     )
+
+
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-domain corpus mix + temperature-scaled sampling weights:
+    (domain, n_docs, n_tokens, token_share, sample_weight) where
+    sample_weight ~ token_share^alpha renormalized (alpha<1 upsamples the
+    tail, alpha=1 is proportional -- the standard multi-domain pretraining
+    rebalance). Shares/weights rounded to 6 dp for engine-independence.
+
+    Scale shape: one map-side-combined groupBy(domain) computes docs +
+    token sums (the token expression is pure codegen,
+    text_stats.token_count_col); the two global scalars (total tokens,
+    share^alpha normalizer) are 1-row aggregates over the POST-aggregation
+    domain table (cardinality = #domains, not #docs) crossJoin-broadcast
+    back -- no driver collect, no second pass over the corpus.
+    """
+    from kgforge.operators.text_stats import token_count_col
+
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_share", F.col("n_tokens") / F.col("_tot")
+    )
+    z = shared.agg(F.sum(F.pow("_share", F.lit(alpha))).alias("_z"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round("_share", 6).alias("token_share"),
+            F.round(F.pow("_share", F.lit(alpha)) / F.col("_z"), 6).alias(
+                "sample_weight"
+            ),
+        )
+    )

@@ -90,3 +90,95 @@ def test_hash_sample_deterministic_and_unbiased(spark):
     b = set(r["doc_id"] for r in hash_sample(df.repartition(16), 0.25).collect())
     assert a == b
     assert 0.23 < len(a) / 20000 < 0.27
+
+
+def test_entity_cooccurrence_hand_computed(spark):
+    from math import log
+
+    from kgforge.operators.graph import entity_cooccurrence
+
+    # 4 docs: E1+E2 twice, E1+E3 once, E2 alone once
+    rows = [
+        ("d1", "E1"), ("d1", "E2"),
+        ("d2", "E1"), ("d2", "E2"),
+        ("d3", "E1"), ("d3", "E3"),
+        ("d4", "E2"),
+        ("d1", "E1"),  # duplicate mention must not double-count
+    ]
+    m = spark.createDataFrame(rows, ["url", "entity_id"])
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["co_docs"], r["pmi"])
+        for r in entity_cooccurrence(m, n_docs=4).collect()
+    }
+    # df: E1=3, E2=3, E3=1
+    assert got[("E1", "E2")] == (2, pytest.approx(round(log(2 * 4 / 9), 6)))
+    assert got[("E1", "E3")] == (1, pytest.approx(round(log(1 * 4 / 3), 6)))
+    assert set(got) == {("E1", "E2"), ("E1", "E3")}
+
+
+def test_entity_cooccurrence_pair_expansion_equals_self_join(spark):
+    from kgforge.operators.graph import entity_cooccurrence
+
+    # random-ish mentions; the array pair expansion must equal the naive
+    # distinct self-join formulation pair-for-pair
+    rows = [
+        (f"d{i % 17}", f"E{(i * 7 + j * 13) % 23:03d}")
+        for i in range(120)
+        for j in range(1 + i % 4)
+    ]
+    m = spark.createDataFrame(rows, ["url", "entity_id"])
+    got = {
+        (r["entity_a"], r["entity_b"]): r["co_docs"]
+        for r in entity_cooccurrence(m, n_docs=17).collect()
+    }
+    de = m.distinct()
+    naive = (
+        de.alias("x")
+        .join(de.alias("y"), "url")
+        .filter(F.col("x.entity_id") < F.col("y.entity_id"))
+        .groupBy(
+            F.col("x.entity_id").alias("a"), F.col("y.entity_id").alias("b")
+        )
+        .count()
+        .collect()
+    )
+    assert got.keys() == {(r["a"], r["b"]) for r in naive}
+    for r in naive:
+        assert got[(r["a"], r["b"])] == r["count"]
+
+
+def test_entity_cooccurrence_per_doc_cap(spark):
+    from kgforge.operators.graph import entity_cooccurrence
+
+    m = spark.createDataFrame(
+        [("d1", f"E{k}") for k in range(5)], ["url", "entity_id"]
+    )
+    capped = entity_cooccurrence(m, n_docs=1, max_entities_per_doc=3).collect()
+    # only the 3 lexicographically-lowest entities pair up: C(3,2)=3
+    assert {(r["entity_a"], r["entity_b"]) for r in capped} == {
+        ("E0", "E1"), ("E0", "E2"), ("E1", "E2")
+    }
+
+
+def test_domain_mix_weights(spark):
+    from kgforge.operators.sampling import domain_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "e f g h", "s1"),   # s1: 8 tokens
+            (3, "i j", "s2"),       # s2: 2 tokens
+            (4, "", "s3"),          # blank counts 0 tokens
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["domain"]: r for r in domain_mix(docs, alpha=0.5).collect()}
+    assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_tokens"] == 8
+    assert rows["s2"]["n_tokens"] == 2 and rows["s3"]["n_tokens"] == 0
+    assert rows["s1"]["token_share"] == pytest.approx(0.8)
+    # alpha=0.5 upsamples the tail: weight ratio sqrt(0.8):sqrt(0.2) = 2:1
+    z = 0.8**0.5 + 0.2**0.5
+    assert rows["s1"]["sample_weight"] == pytest.approx(round(0.8**0.5 / z, 6))
+    assert rows["s2"]["sample_weight"] == pytest.approx(round(0.2**0.5 / z, 6))
+    # weights over non-empty domains sum to 1
+    assert sum(r["sample_weight"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
