@@ -724,6 +724,62 @@ def q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cooccurrence(m, n_docs=n_docs).orderBy("entity_a", "entity_b")
 
 
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF EXPORT: serialize a deterministic mixed-kind triple set (plain +
+    lang-tagged + typed literals, IRI + bnode subjects/objects, and an
+    escape-forcing suffix with quote/backslash/LF/TAB) to N-Triples lines
+    via the codegen serializer. The DuckDB oracle rebuilds every line with
+    the same ECHAR replace chain, so escaping itself is value-verified;
+    spec round-trip (parse_ntriples(serialize(t)) == t) is pinned in
+    tests/test_turtle.py."""
+    from kgforge.rdf.serialize import to_ntriples_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ex"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    E = F.lit("")
+
+    def obj(value, kind, dt, lang):
+        return F.struct(
+            value.alias("value"),
+            kind.alias("kind"),
+            dt.alias("datatype"),
+            lang.alias("lang"),
+        )
+
+    esc_text = F.concat(F.col("text"), F.lit(' "\\\n\tz'))
+    t1 = docs.select(
+        url.alias("subject"),
+        F.lit("http://schema.org/text").alias("predicate"),
+        obj(esc_text, F.lit("literal"), E, F.coalesce(F.col("lang"), E)).alias("object"),
+    )
+    t2 = docs.select(
+        url.alias("subject"),
+        F.lit("http://schema.org/identifier").alias("predicate"),
+        obj(
+            F.col("doc_id").cast("string"),
+            F.lit("literal"),
+            F.lit("http://www.w3.org/2001/XMLSchema#integer"),
+            E,
+        ).alias("object"),
+    )
+    t3 = docs.select(
+        url.alias("subject"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("predicate"),
+        obj(F.lit("http://schema.org/WebPage"), F.lit("iri"), E, E).alias("object"),
+    )
+    t4 = docs.select(
+        F.concat(F.lit("_:b"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("http://schema.org/mainEntityOfPage").alias("predicate"),
+        obj(url, F.lit("iri"), E, E).alias("object"),
+    )
+    return to_ntriples_lines(t1.unionByName(t2).unionByName(t3).unionByName(t4))
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain token shares + temperature-scaled (alpha=0.5) sampling
     weights — the multi-domain pretraining rebalance over `source`."""
@@ -1251,10 +1307,12 @@ def q_kg_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered n-gram containment pairs (quote/subset detection) at >= 0.8
-    via the asymmetric prefix-filter join — exact output, no all-pairs
-    cross product. The oracle IS the all-pairs formulation (identical by
-    the pigeonhole prefix theorem)."""
+    """Ordered word-4-gram containment pairs (quote/subset detection) at
+    >= 0.8 via the asymmetric prefix-filter join — exact output, no
+    all-pairs cross product. Token shingles, not char grams: char-trigram
+    containment is degenerate (3.28M of 25M ordered pairs "contained" at
+    sf0.1 — see containment_join's docstring). The oracle IS the all-pairs
+    formulation (identical by the pigeonhole prefix theorem)."""
     from kgforge.operators.dedup import containment_join
 
     docs = _t(spark, sf_dir, "documents")
@@ -1469,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_dedup": q_chunk_dedup,
         "q_pmi_terms": q_pmi_terms,
         "q_kg_cooccur": q_kg_cooccur,
+        "q_kg_ntriples": q_kg_ntriples,
         "q_domain_mix": q_domain_mix,
         "q_token_percentiles": q_token_percentiles,
         "q_dedup_clusters": q_dedup_clusters,
@@ -2214,6 +2273,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfc fb ON fb.e = entity_b
             ORDER BY entity_a, entity_b
         """,
+        # ECHAR replace chain mirrored exactly (backslash first); DuckDB
+        # single-quoted strings are escape-free, so '\' is one backslash
+        "q_kg_ntriples": r"""
+            WITH d AS (SELECT doc_id AS i, text, lang FROM documents),
+            u AS (SELECT i, lang,
+              'https://ex' || CAST(i%97 AS VARCHAR) || '.example.org/doc/' || CAST(i AS VARCHAR) AS url,
+              replace(replace(replace(replace(replace(
+                text || ' "\' || chr(10) || chr(9) || 'z',
+                '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t') AS etext
+              FROM d),
+            lines AS (
+              SELECT '<' || url || '> <http://schema.org/text> "' || etext || '"' ||
+                     CASE WHEN lang IS NULL OR lang = '' THEN '' ELSE '@' || lang END || ' .' AS line
+              FROM u
+              UNION ALL
+              SELECT '<' || url || '> <http://schema.org/identifier> "' || CAST(i AS VARCHAR)
+                     || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' FROM u
+              UNION ALL
+              SELECT '<' || url || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/WebPage> .' FROM u
+              UNION ALL
+              SELECT '_:b' || CAST(i AS VARCHAR) || ' <http://schema.org/mainEntityOfPage> <' || url || '> .' FROM u)
+            SELECT line FROM lines ORDER BY line
+        """,
         "q_domain_mix": f"""
             WITH per AS (SELECT source AS domain, count(*) AS n_docs,
                    CAST(sum(CASE WHEN trim(text) = '' THEN 0
@@ -2338,7 +2420,11 @@ def oracle_sql() -> dict[str, str]:
         # ordered containment: the all-pairs ground truth the asymmetric
         # prefix-filter join must equal exactly (same gram definition)
         "q_containment": f"""
-            WITH g AS (SELECT doc_id AS id, {_DD_GRAMS} AS grams FROM documents)
+            WITH t AS (SELECT doc_id AS id, {_DD_TOK} AS tk FROM documents),
+            g AS (SELECT id, list_distinct(list_transform(
+                    range(1, greatest(len(tk) - 3, 1) + 1),
+                    i -> array_to_string(tk[CAST(i AS INT):CAST(i + 3 AS INT)], ' '))) AS grams
+                  FROM t)
             SELECT a.id AS src, b.id AS dst,
                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                        / len(a.grams) AS containment

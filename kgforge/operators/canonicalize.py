@@ -235,6 +235,30 @@ def _hashed_ngram_set(col, n: int = 3):
     return F.array_distinct(F.transform(_ngram_set(col, n), lambda g: F.xxhash64(g)))
 
 
+def _token_shingle_set(col, n: int = 4):
+    """n-TOKEN shingle set (whitespace tokens joined by single spaces,
+    lowercased). Docs shorter than n tokens yield one shingle of all their
+    tokens. Token shingles are the published unit for quote/containment
+    detection (Lee et al. dedup; Broder shingling): character n-grams are
+    DEGENERATE for asymmetric containment — any short text's char-trigram
+    set is near-certainly a subset of a long text's, because both draw
+    from the same small trigram vocabulary of the language."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def _hashed_token_shingle_set(col, n: int = 4):
+    return F.array_distinct(
+        F.transform(_token_shingle_set(col, n), lambda g: F.xxhash64(g))
+    )
+
+
 def verified_similar_pairs(
     entities: DataFrame,
     id_col: str,

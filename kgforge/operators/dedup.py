@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .canonicalize import _hashed_ngram_set, _ngram_set, lsh_candidate_pairs, minhash_signatures
+from .canonicalize import (
+    _hashed_ngram_set,
+    _hashed_token_shingle_set,
+    _ngram_set,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from .util import rebalance
 
 
@@ -407,9 +413,10 @@ def containment_join(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n: int = 3,
+    n: int = 4,
     threshold: float = 0.8,
-    gram_rank_cap: int = 1_000_000,
+    gram_rank_cap: int = 200_000,
+    unit: str = "word",
 ) -> DataFrame:
     """EXACT n-gram containment self-join: (src, dst, containment) for every
     ORDERED pair with C(src→dst) = |g(src) ∩ g(dst)| / |g(src)| >= threshold,
@@ -433,12 +440,25 @@ def containment_join(
     blowup lands on grams with tiny prefix membership. The global rank dict
     is the same capped-driver structure as jaccard_similarity_join
     (`_collect_gram_rank`). Verification touches surviving candidates only.
+
+    ``unit``: "word" (default) shingles n TOKENS — the published unit for
+    quote detection; "char" shingles n characters. Char grams are kept for
+    short-string/entity use but are DEGENERATE for document containment:
+    on the sf0.1 corpus char-3-gram containment at 0.8 marks 3.28M of the
+    25M ordered pairs "contained" (trigram sets of same-language text are
+    near-nested by vocabulary), where word-4-gram containment isolates the
+    genuine quote/near-dup families.
     """
     import numpy as np
 
+    gram_fn = _hashed_token_shingle_set if unit == "word" else _hashed_ngram_set
+    # persist: the shingle expression (tokenize + slice + join + hash per
+    # gram) is otherwise recomputed by FIVE consumers — rank build, prefix
+    # side, postings side, and both verify branches (at cluster scale,
+    # write it to a stage table instead)
     grams = rebalance(docs).select(
-        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
-    )
+        F.col(id_col).alias("id"), gram_fn(F.col(text_col), n).alias("grams")
+    ).persist()
     bc = _collect_gram_rank(grams, gram_rank_cap)
 
     @pandas_udf("array<long>")

@@ -253,13 +253,19 @@ def _cpairs(df):
     return {(r["src"], r["dst"]): round(r["containment"], 6) for r in df.collect()}
 
 
-def _naive_containment(docs, threshold, id_col="doc_id", text_col="text"):
+def _naive_containment(docs, threshold, id_col="doc_id", text_col="text", unit="word"):
     """All-pairs ordered-containment twin (test scale only)."""
-    from kgforge.operators.canonicalize import _hashed_ngram_set
-
-    g = docs.select(
-        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), 3).alias("grams")
+    from kgforge.operators.canonicalize import (
+        _hashed_ngram_set,
+        _hashed_token_shingle_set,
     )
+
+    gram = (
+        _hashed_token_shingle_set(F.col(text_col), 4)
+        if unit == "word"
+        else _hashed_ngram_set(F.col(text_col), 3)
+    )
+    g = docs.select(F.col(id_col).alias("id"), gram.alias("grams"))
     return (
         g.alias("a")
         .join(g.alias("b"), F.col("a.id") != F.col("b.id"))
@@ -283,11 +289,19 @@ def test_containment_join_equals_all_pairs(spark, docs):
     assert pf == exact and len(exact) > 0
 
 
+def test_containment_join_equals_all_pairs_char_unit(spark, docs):
+    from kgforge.operators.dedup import containment_join
+
+    exact = _cpairs(_naive_containment(docs, 0.8, unit="char"))
+    pf = _cpairs(containment_join(docs, threshold=0.8, n=3, unit="char"))
+    assert pf == exact and len(exact) > 0
+
+
 def test_containment_join_finds_asymmetric_quote(spark):
     from kgforge.operators.dedup import containment_join
 
     long_text = " ".join(f"tok{w} mid{w * 7 % 31}" for w in range(120))
-    quote = long_text[40:160]  # substring -> near-total containment
+    quote = " ".join(long_text.split()[8:40])  # token-aligned excerpt
     rows = [
         (1, long_text),
         (2, quote),

@@ -121,3 +121,69 @@ def test_rdfa_basic():
     )
     assert ("http://e/alice", "iri", "", "") in [x[0] for x in t]
     assert ("Alice", "literal", "", "") in [x[2] for x in t]
+
+
+# ---- N-Triples serializer (kgforge.rdf.serialize) ----
+
+_RT_ROWS = [
+    ("https://a.example/s", "https://a.example/p",
+     ("https://a.example/o", "iri", "", "")),
+    ("_:b0", "https://a.example/p", ("_:b1", "bnode", "", "")),
+    ("https://a.example/s", "https://a.example/q",
+     ('he said "hi" \\ twice\n\tdone\r', "literal", "", "")),
+    ("https://a.example/s", "https://a.example/q",
+     ("chat", "literal", "", "fr")),
+    ("https://a.example/s", "https://a.example/q",
+     ("chats", "literal", "", "fr-ca")),
+    ("https://a.example/s", "https://a.example/q",
+     ("42", "literal", "http://www.w3.org/2001/XMLSchema#integer", "")),
+    # xsd:string is the implicit default — must serialize as a plain literal
+    ("https://a.example/s", "https://a.example/q",
+     ("plain", "literal", "http://www.w3.org/2001/XMLSchema#string", "")),
+]
+
+
+def _rt_df(spark):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    obj = StructType([StructField(f, StringType(), True)
+                      for f in ("value", "kind", "datatype", "lang")])
+    schema = StructType([
+        StructField("subject", StringType(), False),
+        StructField("predicate", StringType(), False),
+        StructField("object", obj, False),
+    ])
+    return spark.createDataFrame(_RT_ROWS, schema)
+
+
+def test_ntriples_serializer_roundtrip(spark):
+    from kgforge.rdf.ntriples import parse_ntriples
+    from kgforge.rdf.serialize import to_ntriples_lines
+
+    lines = [r["line"] for r in to_ntriples_lines(_rt_df(spark)).collect()]
+    parsed, _ = parse_ntriples("\n".join(lines))
+    got = [(s[0], p[0], o) for s, p, o in parsed]
+    want = [
+        (s, p, (v, k, "" if d == "http://www.w3.org/2001/XMLSchema#string" else d, l))
+        for s, p, (v, k, d, l) in _RT_ROWS
+    ]
+    assert sorted(got) == sorted(want)
+    # spot-check the escaping arm byte-for-byte
+    esc = next(l for l in lines if "he said" in l)
+    assert '"he said \\"hi\\" \\\\ twice\\n\\tdone\\r"' in esc
+
+
+def test_write_ntriples_sink(spark, tmp_path):
+    import glob as _glob
+
+    from kgforge.rdf.ntriples import parse_ntriples
+    from kgforge.rdf.serialize import write_ntriples
+
+    out = str(tmp_path / "graph.nt")
+    write_ntriples(_rt_df(spark), out, partitions=3)
+    text = "\n".join(
+        open(f).read().rstrip("\n") for f in sorted(_glob.glob(f"{out}/part-*"))
+        if open(f).read().strip()
+    )
+    parsed, _ = parse_ntriples(text)
+    assert len(parsed) == len(_RT_ROWS)
