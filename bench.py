@@ -146,6 +146,7 @@ def main():
         "q_phrase_search",
         "q_kg_cooccur",
         "q_domain_mix",
+        "q_kg_ntriples",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
