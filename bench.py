@@ -11,6 +11,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Set SPARK_GRAFT_BENCH_PAGES to scale the synthetic page corpus
 (default 20000).
+
+Self-calibration (VERDICT r3 #1): the sandbox VM runs on a burstable CPU
+credit budget — identical code has measured 15-78 s on the flagship
+pipeline depending on the host window (BENCH/BASELINE.md). So the artifact
+embeds its own health evidence: a single-thread micro-probe (scaled-down
+tools/host_health.py — one JVM codegen scan + one Arrow pandas-UDF scan,
+~15 s healthy) runs BEFORE and AFTER the query suite and both ratios
+(measured / healthy-window reference) ship in the JSON as
+``host_probe_pre`` / ``host_probe_post``. A ratio near 1.0 means the
+numbers are capability; >>1 means the window was throttled and the
+timings overstate cost by about that factor. The flagship ``kg_pipeline``
+additionally runs best-of-3 with an idle gap between repeats and reports
+every repeat (``kg_pipeline_runs``) so an intra-run clamp is visible in
+the artifact itself.
 """
 
 from __future__ import annotations
@@ -21,6 +35,56 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# healthy-window single-thread references for the in-bench probe sizes
+# (tools/host_health.py's workloads scaled to 1/4 size, one partition:
+# its 2B-row JVM scan = 14.8 s and 100M-row pandas-UDF scan = 38.9 s in a
+# healthy window, both sequential over 2 partitions -> per-row-linear)
+PROBE_JVM_ROWS = 500_000_000
+PROBE_PYUDF_ROWS = 25_000_000
+HEALTHY_JVM_SEC = 14.8 * (PROBE_JVM_ROWS / 2_000_000_000)
+HEALTHY_PYUDF_SEC = 38.9 * (PROBE_PYUDF_ROWS / 100_000_000)
+
+
+def host_probe(spark) -> dict:
+    """~15 s single-thread health probe inside the bench session: returns
+    {jvm_sec, pyudf_sec, jvm_ratio, pyudf_ratio, verdict}. Single-partition
+    ranges so local[32] parallelism cannot mask a slow core."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    # tiny warmups so codegen/Arrow session setup is excluded
+    spark.range(0, 5_000_000, 1, 1).select(
+        F.sum(F.xxhash64(F.col("id"), F.col("id") + 1) % 1000)
+    ).collect()
+    t0 = time.time()
+    spark.range(0, PROBE_JVM_ROWS, 1, 1).select(
+        F.sum(F.xxhash64(F.col("id"), F.col("id") + 1) % 1000)
+    ).collect()
+    jvm_sec = time.time() - t0
+
+    @pandas_udf("double")
+    def crunch(x: pd.Series) -> pd.Series:
+        v = x.to_numpy(dtype=np.float64)
+        for _ in range(50):
+            v = np.sqrt(v * v + 1.0)
+        return pd.Series(v)
+
+    spark.range(0, 2_000_000, 1, 1).select(F.sum(crunch("id"))).collect()
+    t0 = time.time()
+    spark.range(0, PROBE_PYUDF_ROWS, 1, 1).select(F.sum(crunch("id"))).collect()
+    pyudf_sec = time.time() - t0
+    jvm_ratio = jvm_sec / HEALTHY_JVM_SEC
+    pyudf_ratio = pyudf_sec / HEALTHY_PYUDF_SEC
+    return {
+        "jvm_sec": round(jvm_sec, 2),
+        "pyudf_sec": round(pyudf_sec, 2),
+        "jvm_ratio": round(jvm_ratio, 3),
+        "pyudf_ratio": round(pyudf_ratio, 3),
+        "verdict": "healthy" if max(jvm_ratio, pyudf_ratio) <= 1.15 else "degraded",
+    }
 
 
 def main():
@@ -40,19 +104,29 @@ def main():
 
     spark = get_spark(app_name="kgforge-bench", master=f"local[{cpus}]", shuffle_partitions=2 * cpus)
 
+    probe_pre = host_probe(spark)
+
     timings: dict[str, float] = {}
 
-    def timed(name, fn, repeats=2):
+    def timed(name, fn, repeats=2, idle_gap=0.0, record_runs=None):
         # best-of-N: the sandbox VM throttles intermittently (steal time /
         # vCPU frequency ramps, measured up to 3x on identical runs); the
-        # minimum is the reproducible capability number
+        # minimum is the reproducible capability number. idle_gap lets the
+        # burst-credit bucket breathe between flagship repeats and makes an
+        # intra-run clamp visible as repeat-to-repeat spread.
         best = None
-        for _ in range(repeats):
+        runs = []
+        for i in range(repeats):
+            if i and idle_gap:
+                time.sleep(idle_gap)
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
+            runs.append(round(dt, 3))
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        if record_runs is not None:
+            record_runs[name] = runs
         return out
 
     # ---- KG pipeline throughput (the BASELINE metric) ----
@@ -86,7 +160,8 @@ def main():
         all_triples.unpersist()
         combined.unpersist()
 
-    timed("kg_pipeline", run_pipeline_once)
+    repeat_log: dict[str, list[float]] = {}
+    timed("kg_pipeline", run_pipeline_once, repeats=3, idle_gap=10.0, record_runs=repeat_log)
     n_triples, n_mapped = n_counts["n_triples"], n_counts["n_mapped"]
     kg_sec = timings["kg_pipeline"]
     triples_per_sec = n_triples / kg_sec if kg_sec > 0 else 0.0
@@ -151,6 +226,7 @@ def main():
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
 
+    probe_post = host_probe(spark)
     spark.stop()
     result = {
         "metric": "triples_per_sec",
@@ -163,6 +239,13 @@ def main():
         "n_triples": n_triples,
         "n_canonical_nodes": n_mapped,
         "cpus": cpus,
+        "kg_pipeline_runs": repeat_log.get("kg_pipeline", []),
+        "host_probe_pre": probe_pre,
+        "host_probe_post": probe_post,
+        "host_probe_healthy_ref": {
+            "jvm_sec": round(HEALTHY_JVM_SEC, 2),
+            "pyudf_sec": round(HEALTHY_PYUDF_SEC, 2),
+        },
     }
     print(json.dumps(result))
 

@@ -452,13 +452,20 @@ def containment_join(
     import numpy as np
 
     gram_fn = _hashed_token_shingle_set if unit == "word" else _hashed_ngram_set
-    # persist: the shingle expression (tokenize + slice + join + hash per
-    # gram) is otherwise recomputed by FIVE consumers — rank build, prefix
-    # side, postings side, and both verify branches (at cluster scale,
-    # write it to a stage table instead)
-    grams = rebalance(docs).select(
-        F.col(id_col).alias("id"), gram_fn(F.col(text_col), n).alias("grams")
-    ).persist()
+    # localCheckpoint (not persist): the shingle expression (tokenize +
+    # slice + join + hash per gram) is otherwise recomputed by FIVE
+    # consumers — rank build, prefix side, postings side, and both verify
+    # branches. A plain persist() here leaked cached blocks for the session
+    # lifetime (nothing can unpersist after the lazily-consumed verify join
+    # materializes); localCheckpoint blocks are reference-counted by
+    # ContextCleaner and freed once the returned DataFrame is dropped.
+    # At cluster scale, write a stage table instead (unreliable checkpoint
+    # does not survive executor loss).
+    grams = (
+        rebalance(docs)
+        .select(F.col(id_col).alias("id"), gram_fn(F.col(text_col), n).alias("grams"))
+        .localCheckpoint(eager=True)
+    )
     bc = _collect_gram_rank(grams, gram_rank_cap)
 
     @pandas_udf("array<long>")

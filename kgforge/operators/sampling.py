@@ -75,10 +75,18 @@ def domain_mix(
         F.sum(token_count_col(F.col(text_col))).cast("bigint").alias("n_tokens"),
     )
     tot = per.agg(F.sum("n_tokens").cast("double").alias("_tot"))
+    # degenerate all-empty corpus (total tokens = 0): defined output instead
+    # of NULL shares — every domain gets share 0.0 and a uniform weight
     shared = per.crossJoin(F.broadcast(tot)).withColumn(
-        "_share", F.col("n_tokens") / F.col("_tot")
+        "_share",
+        F.when(F.col("_tot") > 0, F.col("n_tokens") / F.col("_tot")).otherwise(
+            F.lit(0.0)
+        ),
     )
-    z = shared.agg(F.sum(F.pow("_share", F.lit(alpha))).alias("_z"))
+    z = shared.agg(
+        F.sum(F.pow("_share", F.lit(alpha))).alias("_z"),
+        F.count("*").cast("double").alias("_nd"),
+    )
     return (
         shared.crossJoin(F.broadcast(z))
         .select(
@@ -86,8 +94,11 @@ def domain_mix(
             "n_docs",
             "n_tokens",
             F.round("_share", 6).alias("token_share"),
-            F.round(F.pow("_share", F.lit(alpha)) / F.col("_z"), 6).alias(
-                "sample_weight"
-            ),
+            F.round(
+                F.when(
+                    F.col("_z") > 0, F.pow("_share", F.lit(alpha)) / F.col("_z")
+                ).otherwise(F.lit(1.0) / F.col("_nd")),
+                6,
+            ).alias("sample_weight"),
         )
     )

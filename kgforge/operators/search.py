@@ -72,6 +72,57 @@ def doc_lengths(postings: DataFrame) -> DataFrame:
     return postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
 
 
+def corpus_stats(docs: DataFrame, postings: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl) corpus-statistics table: total document count
+    (INCLUDING zero-token docs — they count toward N in the idf) and mean
+    document length. Kept as a DataFrame, never collected — query plans
+    crossJoin-broadcast it, so building a query is plan-only (mirrors
+    lm_score's model-table pattern; VERDICT r3 #7)."""
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    a = doc_lengths(postings).agg(
+        F.coalesce(F.avg("dl"), F.lit(1.0)).alias("avgdl")
+    )
+    return n.crossJoin(a)
+
+
+class SearchIndex:
+    """At-rest search index: persisted postings + doc lengths + lexicon +
+    the 1-row stats table. Build ONCE per corpus (``build_search_index``),
+    then every ``bm25_topk(index=...)`` call is pure plan construction —
+    no count, no avgdl collect, no re-aggregation jobs (at cluster scale
+    these four tables are the materialized sink layout; persist() is the
+    in-memory test-scale equivalent)."""
+
+    def __init__(self, postings: DataFrame, lengths: DataFrame,
+                 lexicon: DataFrame, stats: DataFrame):
+        self.postings = postings
+        self.lengths = lengths
+        self.lexicon = lexicon
+        self.stats = stats
+
+    def unpersist(self):
+        for df in (self.postings, self.lengths, self.lexicon, self.stats):
+            df.unpersist()
+
+
+def build_search_index(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_len: int = 1,
+                       cache: bool = True) -> SearchIndex:
+    """Tokenize once, derive all four index tables, optionally persist."""
+    postings = build_postings(docs, id_col=id_col, text_col=text_col,
+                              min_len=min_len)
+    if cache:
+        postings = postings.persist()
+    lengths = doc_lengths(postings)
+    lexicon = build_lexicon(postings)
+    stats = corpus_stats(docs, postings)
+    if cache:
+        lengths, lexicon, stats = (
+            lengths.persist(), lexicon.persist(), stats.persist()
+        )
+    return SearchIndex(postings, lengths, lexicon, stats)
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,
@@ -81,6 +132,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     postings: DataFrame | None = None,
+    index: SearchIndex | None = None,
 ) -> DataFrame:
     """Top-k documents for ``query`` by BM25: (doc_id, score, rank).
 
@@ -88,35 +140,41 @@ def bm25_topk(
     with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  (Lucene variant,
     always ≥ 0 so a corpus-dominating term can't turn negative).
 
-    Pass a pre-built ``postings`` table to skip re-indexing (the at-rest
-    path); otherwise the index is built in-plan from ``docs``.
+    Pass a prebuilt ``SearchIndex`` (the at-rest path) and the call is
+    PURE PLAN CONSTRUCTION — corpus stats ride a broadcast 1-row table
+    instead of driver collects, so repeated queries launch zero
+    re-aggregation jobs; or pass ``postings`` to skip re-tokenizing only;
+    otherwise the whole index is built in-plan from ``docs``.
 
     Only documents containing ≥1 query term are scored — the isin filter
     on the postings table prunes everything else before the first
     shuffle. Duplicate query terms count once (set semantics, the
     standard short-query behavior).
     """
-    if postings is None:
-        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    if index is not None:
+        postings, lengths = index.postings, index.lengths
+        lex_all, stats = index.lexicon, index.stats
+    else:
+        if postings is None:
+            postings = build_postings(docs, id_col=id_col, text_col=text_col)
+        lengths = doc_lengths(postings)
+        lex_all = build_lexicon(postings)
+        stats = corpus_stats(docs, postings)
     terms = sorted({t for t in _split_query(query) if t})
     if not terms:
         raise ValueError("query has no indexable terms")
 
-    n_docs = docs.count()
-    lengths = doc_lengths(postings)
-    avgdl_row = lengths.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"]) if avgdl_row["avgdl"] is not None else 1.0
-
     matched = postings.filter(F.col("term").isin(terms))
-    lex = build_lexicon(postings).filter(F.col("term").isin(terms))
+    lex = lex_all.filter(F.col("term").isin(terms))
 
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     scored = (
         matched.join(F.broadcast(lex), "term")
         .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             (
@@ -125,7 +183,7 @@ def bm25_topk(
                 / (
                     F.col("tf")
                     + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
                 )
             ).alias("part"),
         )

@@ -7,27 +7,31 @@ never executes them. This module executes the fixture-shaped subset as
 declarative DataFrame plans, completing the last extraction-only
 constraint family (SURVEY §2.10; W3C SHACL §5).
 
-Executable grammar (the shapes the reference's own fixtures use —
-ShaclSparqlParserTest.php):
+Executable grammar: the constraint WHERE clause compiles through the SAME
+compiler as the standalone engine below (``_parse_where`` /
+``_where_solutions`` — one BGP/FILTER compiler for both surfaces, so the
+constraint path supports everything ``sparql_select`` does):
 
-    SELECT $this [?vars...] WHERE { <BGP> [FILTER (expr)] ... }
-    ASK { <BGP> [FILTER (expr)] ... }
+    SELECT $this [?vars...] WHERE { <group> }
+    ASK { <group> }
 
-where <BGP> is one or more dot-terminated statements
-
-    $this <pred> ?var | $this <pred> <iri>/"lit" | ?var <pred> ?var2/term
-
-(statements join on shared variables; the first subject must be ``$this``
-or an already-bound variable — no cartesian patterns), predicates are
-IRIs, ``a``, or ``prefix:local`` names expanded through the constraint's
-own sh:prefixes declarations, and FILTER expressions cover
-
-    ?v < <= > >= = != <number|"string">   CONTAINS(?v, "s")
-    REGEX(?v, "pat")                      STRLEN(?v) <op> <n>
+where <group> is connected triple patterns (``$this`` compiles as a
+pre-bound variable anchored to each focus node — it may appear in subject
+OR object position; cartesian patterns are refused), property-path
+sequences ``p/q``, inverses ``^p``, and bounded closures ``p+``/``p*``,
+FILTER (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN), one
+level of OPTIONAL, top-level UNION of plain groups, FILTER [NOT]
+EXISTS / MINUS, single-variable VALUES, and BIND over the string-function
+subset. Predicates are IRIs, ``a``, or ``prefix:local`` names expanded
+through the constraint's own sh:prefixes declarations.
 
 Semantics (W3C SHACL-SPARQL): a SELECT solution IS a violation — every
 focus node the query returns fails the constraint; an ASK query must
 return true for the focus node to conform (no solution = violation).
+Pattern matching is page-scoped by default (``same_url_scope``): every
+group — including OPTIONAL/UNION/EXISTS groups — binds an implicit page
+variable, so a constraint can only see triples from its focus node's own
+document, mirroring the reference's per-file parse unit.
 
 Scale design: query TEXTS are schema-level metadata — the distinct set is
 collected once driver-side (bounded by ``max_distinct_queries``; the tail
@@ -46,11 +50,6 @@ from pyspark.sql import functions as F
 
 from ..rdf.terms import RDF_TYPE
 
-_STMT_RE = re.compile(
-    r"(\$this|\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>)\s+"
-    r"(a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)\s+"
-    r"(\$this|\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|\"(?:[^\"\\]|\\.)*\"|[+-]?\d+(?:\.\d+)?)"
-)
 _FILTER_RE = re.compile(r"FILTER\s*\(", re.IGNORECASE)
 _CMP_RE = re.compile(
     r"^\?([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|!=|=|<|>)\s*(.+)$"
@@ -115,47 +114,20 @@ def _extract_filters(body: str) -> tuple[str, list[str]]:
 
 
 def parse_sparql_constraint(text: str, prefixes: dict | None) -> dict:
-    """Compile one SELECT/ASK text into {kind, patterns, filters}.
-    Raises SparqlUnsupported outside the subset."""
-    t = text.strip()
+    """Compile one sh:sparql SELECT/ASK text into {kind, where} via the
+    SAME WHERE compiler as ``sparql_select`` (``_parse_where``): ``$this``
+    is rewritten to the reserved variable ``?__this``, which the executor
+    pre-binds to each focus node. Raises SparqlUnsupported outside the
+    engine's executable subset (module docstring)."""
+    t = re.sub(r"\$this\b", "?__this", text.strip())
     m = re.match(r"^SELECT\s+.*?\s*WHERE\s*\{(.*)\}\s*$", t, re.IGNORECASE | re.DOTALL)
     kind = "select"
     if m is None:
-        m = re.match(r"^ASK\s*\{(.*)\}\s*$", t, re.IGNORECASE | re.DOTALL)
+        m = re.match(r"^ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", t, re.IGNORECASE | re.DOTALL)
         kind = "ask"
     if m is None:
         raise SparqlUnsupported(f"not a SELECT/ASK query: {text[:60]!r}")
-    body, raw_filters = _extract_filters(m.group(1))
-    if "{" in body or "OPTIONAL" in body.upper() or "UNION" in body.upper():
-        raise SparqlUnsupported("nested group patterns are outside the subset")
-    patterns = []
-    for sm in _STMT_RE.finditer(body):
-        s = _expand_term(sm.group(1), prefixes)
-        p = _expand_term(sm.group(2), prefixes)
-        o = _expand_term(sm.group(3), prefixes)
-        if p[0] != "iri":
-            raise SparqlUnsupported(f"predicate must be an IRI: {sm.group(2)!r}")
-        patterns.append((s, p[1], o))
-    if not patterns:
-        raise SparqlUnsupported("no basic graph patterns found")
-    filters = []
-    for fx in raw_filters:
-        fx = fx.strip()
-        if (cm := _CONTAINS_RE.match(fx)) is not None:
-            filters.append(("contains", cm.group(1), cm.group(2)))
-        elif (rm := _REGEX_RE.match(fx)) is not None:
-            filters.append(("regex", rm.group(1), rm.group(2)))
-        elif (lm := _STRLEN_RE.match(fx)) is not None:
-            filters.append(("strlen", lm.group(1), lm.group(2), int(lm.group(3))))
-        elif (km := _CMP_RE.match(fx)) is not None:
-            rhs = km.group(3).strip()
-            rk, rv = _expand_term(rhs, prefixes)
-            if rk not in ("num", "str", "iri"):
-                raise SparqlUnsupported(f"unsupported FILTER rhs {rhs!r}")
-            filters.append(("cmp", km.group(1), km.group(2), rk, rv))
-        else:
-            raise SparqlUnsupported(f"unsupported FILTER expression {fx!r}")
-    return {"kind": kind, "patterns": patterns, "filters": filters}
+    return {"kind": kind, "where": _parse_where(m.group(1), prefixes)}
 
 
 _OPS = {
@@ -189,41 +161,28 @@ def _filter_cond(flt, bind):
     return _OPS[op](col(var), F.lit(rv))
 
 
-def _compile_query(focus: DataFrame, data: DataFrame, q: dict, same_url_scope: bool) -> DataFrame:
-    """focus(f_url, focus, shape_uri) x patterns -> matched focus rows."""
-    cur = focus
-    bind: dict[str, str] = {}
-    kept = ["f_url", "focus", "shape_uri"]
-    for i, ((sk, sv), pred, (ok, ov)) in enumerate(q["patterns"]):
-        a = f"t{i}"
-        cond = F.col(f"{a}.predicate") == F.lit(pred)
-        if same_url_scope:
-            cond = cond & (F.col(f"{a}.url") == F.col("f_url"))
-        if sk == "this":
-            cond = cond & (F.col(f"{a}.subject") == F.col("focus"))
-        elif sk == "var":
-            if sv[1:] not in bind:
-                raise SparqlUnsupported(f"unbound subject var {sv} (cartesian pattern)")
-            cond = cond & (F.col(f"{a}.subject") == F.col(bind[sv[1:]]))
-        else:
-            cond = cond & (F.col(f"{a}.subject") == F.lit(sv))
-        proj = [F.col(c) for c in kept]
-        if ok == "this":
-            cond = cond & (F.col(f"{a}.object.value") == F.col("focus"))
-        elif ok == "var":
-            if ov[1:] in bind:
-                cond = cond & (F.col(f"{a}.object.value") == F.col(bind[ov[1:]]))
-            else:
-                vcol = f"v_{ov[1:]}"
-                bind[ov[1:]] = vcol
-                kept = kept + [vcol]
-                proj = proj + [F.col(f"{a}.object.value").alias(vcol)]
-        else:  # iri / str / num literal object
-            cond = cond & (F.col(f"{a}.object.value") == F.lit(ov))
-        cur = cur.join(data.alias(a), cond, "inner").select(*proj)
-    for flt in q["filters"]:
-        cur = cur.filter(_filter_cond(flt, bind))
-    return cur.select("f_url", "focus", "shape_uri").distinct()
+def _constraint_solutions(
+    focus: DataFrame, data: DataFrame, q: dict, same_url_scope: bool
+) -> DataFrame:
+    """focus(f_url, focus, shape_uri) x parsed WHERE -> matched focus rows.
+
+    The focus DataFrame SEEDS the shared WHERE compiler: ``?__this`` is
+    pre-bound to the focus column, and with ``same_url_scope`` the reserved
+    ``?__url`` variable (pre-bound to the focus node's page) forces every
+    pattern join — in the main group AND in OPTIONAL/UNION/EXISTS groups,
+    which bind it on first use and then share it — onto the focus page."""
+    seed_bind = {"__this": "focus", "__shape": "shape_uri", "__url": "f_url"}
+    cur, bind = _where_solutions(
+        data,
+        q["where"],
+        seed=(focus, seed_bind, ["f_url", "focus", "shape_uri"]),
+        url_var="__url" if same_url_scope else None,
+    )
+    return cur.select(
+        F.col(bind["__url"]).alias("f_url"),
+        F.col(bind["__this"]).alias("focus"),
+        F.col(bind["__shape"]).alias("shape_uri"),
+    ).distinct()
 
 
 def sparql_constraint_violations(
@@ -243,8 +202,14 @@ def sparql_constraint_violations(
     surface exactly which constraint text was not executed."""
     from .validate import _typed_subjects
 
-    data = triples.filter(F.col("status") == "ok").filter(F.col("subject").isNotNull())
-    typed = _typed_subjects(data)
+    ok_rows = triples.filter(F.col("status") == "ok").filter(
+        F.col("subject").isNotNull()
+    )
+    typed = _typed_subjects(ok_rows)
+    # url-carrying fact table for the shared WHERE compiler (page scoping)
+    data = ok_rows.select(
+        "url", "subject", "predicate", F.col("object.value").alias("obj")
+    )
 
     sc = (
         shapes.filter(~F.col("deactivated"))
@@ -321,7 +286,7 @@ def sparql_constraint_violations(
             .distinct()
         )
         try:
-            matched = _compile_query(focus, data, q, same_url_scope)
+            matched = _constraint_solutions(focus, data, q, same_url_scope)
         except SparqlUnsupported:
             if strict:
                 raise
@@ -396,12 +361,14 @@ _PROJ_ITEM_RE = re.compile(
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{", re.IGNORECASE)
 _EXISTS_RE = re.compile(r"(?:FILTER\s+(NOT\s+)?EXISTS|(MINUS))\s*\{", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
-# a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name
+# a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name,
+# with an optional +/* closure suffix (bounded transitive closure)
 _PATH_STMT_RE = re.compile(
-    r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>)\s+"
-    r"((?:\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+))"
-    r"(?:\s*/\s*\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+))*)\s+"
-    r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|\"(?:[^\"\\]|\\.)*\"|[+-]?\d+(?:\.\d+)?)"
+    r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)\s+"
+    r"((?:\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?)"
+    r"(?:\s*/\s*\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?)*)\s+"
+    r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|\"(?:[^\"\\]|\\.)*\"|[+-]?\d+(?:\.\d+)?"
+    r"|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)"
 )
 
 
@@ -547,7 +514,10 @@ def _compile_bind_expr(expr: str, bind: dict):
 def _desugar_patterns(body: str, prefixes: dict | None) -> list:
     """Triple patterns with property-path desugaring: ``p/q`` sequences
     expand through fresh intermediate variables, ``^p`` swaps the pattern's
-    endpoints (W3C SPARQL 1.1 §9.1 path translation)."""
+    endpoints (W3C SPARQL 1.1 §9.1 path translation), and ``p+``/``p*``
+    closure elements compile to a pattern whose predicate slot is the tuple
+    ``("closure", iri, include_zero)`` — joined against the bounded
+    transitive-closure table instead of the fact table (``_closure_table``)."""
     patterns = []
     fresh = [0]
 
@@ -562,17 +532,23 @@ def _desugar_patterns(body: str, prefixes: dict | None) -> list:
             raise SparqlUnsupported("$this is only valid inside sh:sparql constraints")
         # tokenize path elements (never str.split on '/', IRIs contain it)
         elems = re.findall(
-            r"\^?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)",
+            r"\^?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?",
             sm.group(2),
         )
         cur = s
         for n, el in enumerate(elems):
             inverse = el.startswith("^")
-            pk, pv = _expand_term(el[1:] if inverse else el, prefixes)
+            if inverse:
+                el = el[1:]
+            closure_suffix = el[-1] if el[-1] in "+*" else None
+            if closure_suffix:
+                el = el[:-1]
+            pk, pv = _expand_term(el, prefixes)
             if pk != "iri":
                 raise SparqlUnsupported(f"predicate must be an IRI: {el!r}")
+            pred = ("closure", pv, closure_suffix == "*") if closure_suffix else pv
             nxt = o if n == len(elems) - 1 else fresh_var()
-            patterns.append((nxt, pv, cur) if inverse else (cur, pv, nxt))
+            patterns.append((nxt, pred, cur) if inverse else (cur, pred, nxt))
             cur = nxt
     return patterns
 
@@ -778,9 +754,64 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
     }
 
 
-def _join_bgp(cur, kept, bind, data, patterns, require_shared_with=None):
-    """Fold triple patterns into ``cur`` (None to seed); returns (cur, kept).
-    ``bind`` is mutated: var -> column name. Greedy connected order."""
+_PATH_DOUBLINGS = 4  # p+/p* closures cover paths of up to 2**4 = 16 edges
+
+
+def _closure_table(data: DataFrame, iri: str, include_zero: bool, scoped: bool) -> DataFrame:
+    """Bounded transitive closure of one predicate, fact-table-shaped
+    ([url,] subject, predicate, obj): distinct reachable pairs built by
+    repeated path-doubling — k lazy self-joins cover 2**k hops with NO
+    driver-side convergence probe, so query compilation stays plan-only
+    (the eager-jobs-at-plan-construction pitfall stays fixed). Chains
+    longer than 16 edges are outside the executable subset — a disclosed
+    bound, like the extractor's RDF-list walk <= 100.
+
+    ``include_zero`` (``p*``): adds the zero-length arm (x, x) for every
+    subject/object term in the graph (W3C §9.3: a zero-length path matches
+    all graph terms), page-scoped when ``scoped``.
+
+    Scale: each doubling is one self-equi-join + distinct on at most
+    (url, subject, obj); AQE picks the join strategy and splits skew, and
+    identical subplans dedup into ReusedExchange at runtime, so the
+    doubling ladder's cost is logarithmic in path length."""
+    cols = (["url"] if scoped else []) + ["subject", "obj"]
+    edges = data.filter(F.col("predicate") == F.lit(iri)).select(*cols).distinct()
+    closure = edges
+    for _ in range(_PATH_DOUBLINGS):
+        on = F.col("cx.obj") == F.col("cy.subject")
+        if scoped:
+            on = on & (F.col("cx.url") == F.col("cy.url"))
+        step = (
+            closure.alias("cx")
+            .join(closure.alias("cy"), on)
+            .select(
+                *([F.col("cx.url").alias("url")] if scoped else []),
+                F.col("cx.subject").alias("subject"),
+                F.col("cy.obj").alias("obj"),
+            )
+        )
+        closure = closure.unionByName(step).distinct()
+    if include_zero:
+        ucol = [F.col("url")] if scoped else []
+        nodes = (
+            data.select(*ucol, F.col("subject").alias("n"))
+            .unionByName(data.select(*ucol, F.col("obj").alias("n")))
+            .distinct()
+        )
+        zero = nodes.select(
+            *ucol, F.col("n").alias("subject"), F.col("n").alias("obj")
+        )
+        closure = closure.unionByName(zero).distinct()
+    return closure.withColumn("predicate", F.lit(iri))
+
+
+def _join_bgp(cur, kept, bind, data, patterns, url_var=None):
+    """Fold triple patterns into ``cur`` (None to seed, or a pre-bound seed
+    DataFrame — the constraint executor passes the focus table); returns
+    (cur, kept). ``bind`` is mutated: var -> column name. Greedy connected
+    order. When ``url_var`` is set, every pattern join also equates the
+    fact row's page with that reserved variable — binding it on first use —
+    confining the whole group to one page (sh:sparql same_url_scope)."""
     remaining = list(patterns)
     ordinal = [0]
     while remaining:
@@ -796,9 +827,21 @@ def _join_bgp(cur, kept, bind, data, patterns, require_shared_with=None):
         (sk, sv), pred, (ok_, ov) = remaining.pop(pick)
         ordinal[0] += 1
         a = f"b{id(remaining) % 9973}_{ordinal[0]}"
-        cond = F.col(f"{a}.predicate") == F.lit(pred)
+        if isinstance(pred, tuple):  # ("closure", iri, include_zero)
+            side = _closure_table(data, pred[1], pred[2], scoped=url_var is not None)
+            cond = F.lit(True)
+        else:
+            side = data
+            cond = F.col(f"{a}.predicate") == F.lit(pred)
         proj = [F.col(c) for c in kept]
         new_binds: list = []
+        if url_var is not None:
+            if url_var in bind:
+                cond = cond & (F.col(f"{a}.url") == F.col(bind[url_var]))
+            else:
+                new_binds.append(
+                    (url_var, f"v_{url_var}", F.col(f"{a}.url").alias(f"v_{url_var}"))
+                )
         if sk == "var":
             v = sv[1:]
             if v in bind:
@@ -822,9 +865,9 @@ def _join_bgp(cur, kept, bind, data, patterns, require_shared_with=None):
             kept = kept + [vcol]
             proj = proj + [expr]
         if cur is None:
-            cur = data.alias(a).filter(cond).select(*proj)
+            cur = side.alias(a).filter(cond).select(*proj)
         else:
-            cur = cur.join(data.alias(a), cond, "inner").select(*proj)
+            cur = cur.join(side.alias(a), cond, "inner").select(*proj)
     return cur, kept
 
 
@@ -837,14 +880,24 @@ def _values_cond(values: list, bind: dict):
     return conds
 
 
-def _group_solutions(data: DataFrame, g: dict) -> tuple[DataFrame, dict]:
+def _group_solutions(
+    data: DataFrame, g: dict, seed=None, url_var=None
+) -> tuple[DataFrame, dict]:
     """One plain group (patterns+binds+filters+values) -> (solutions DF,
     bind). BINDs compile to withColumn right after the BGP join (in
     syntactic order, so later BINDs may reference earlier ones) and before
     FILTER/VALUES — the subset where W3C §10.1's position-scoped semantics
-    and this ordering coincide (binds here may only reference BGP vars)."""
-    bind: dict[str, str] = {}
-    cur, _ = _join_bgp(None, [], bind, data, g["patterns"])
+    and this ordering coincide (binds here may only reference BGP vars).
+    ``seed`` = (DataFrame, bind, kept) pre-binds variables — the constraint
+    executor anchors ?__this/?__url to the focus table this way."""
+    if seed is None:
+        bind: dict[str, str] = {}
+        cur, kept = None, []
+    else:
+        sdf, sbind, skept = seed
+        bind = dict(sbind)
+        cur, kept = sdf, list(skept)
+    cur, _ = _join_bgp(cur, kept, bind, data, g["patterns"], url_var=url_var)
     for var, expr in g.get("binds", []):
         if var in bind:
             raise SparqlUnsupported(f"BIND re-binds ?{var}")
@@ -857,17 +910,25 @@ def _group_solutions(data: DataFrame, g: dict) -> tuple[DataFrame, dict]:
     return cur, bind
 
 
-def _where_solutions(data: DataFrame, where: dict) -> tuple[DataFrame, dict]:
+def _where_solutions(
+    data: DataFrame, where: dict, seed=None, url_var=None
+) -> tuple[DataFrame, dict]:
     """Compile a parsed WHERE dict into (solutions DF, bind).
 
     UNION: each branch compiles independently; branch solution sets union
     by variable name, with variables unbound in a branch padded NULL (W3C
     §7 — UNION solutions need not bind the same variables). OPTIONAL
-    compiles to a left outer join on the shared variables."""
+    compiles to a left outer join on the shared variables.
+
+    ``seed``/``url_var`` (constraint mode): the main group and every UNION
+    branch start from the seed bindings; OPTIONAL and EXISTS groups compile
+    standalone but bind ``url_var`` on their first pattern, which then
+    participates in the shared-variable join — so page scoping reaches
+    every group without special-casing the join logic."""
     if where["union"] is not None:
         outs, allvars = [], []
         for br in where["union"]:
-            c, b = _group_solutions(data, br)
+            c, b = _group_solutions(data, br, seed=seed, url_var=url_var)
             outs.append((c, b))
             for v in b:
                 if v not in allvars:
@@ -888,10 +949,10 @@ def _where_solutions(data: DataFrame, where: dict) -> tuple[DataFrame, dict]:
         for p in parts[1:]:
             cur = cur.unionByName(p)
         return cur, bind
-    cur, bind = _group_solutions(data, where)
+    cur, bind = _group_solutions(data, where, seed=seed, url_var=url_var)
     for og in where["optionals"]:
         obind: dict[str, str] = {}
-        ocur, _ = _join_bgp(None, [], obind, data, og["patterns"])
+        ocur, _ = _join_bgp(None, [], obind, data, og["patterns"], url_var=url_var)
         for flt in og["filters"]:
             ocur = ocur.filter(_filter_cond(flt, obind))
         shared = [v for v in obind if v in bind]
@@ -919,7 +980,7 @@ def _where_solutions(data: DataFrame, where: dict) -> tuple[DataFrame, dict]:
     # Semi/anti joins never widen rows, so solution multiplicity is kept.
     for eg in where.get("exists", []):
         ebind: dict[str, str] = {}
-        ecur, _ = _join_bgp(None, [], ebind, data, eg["patterns"])
+        ecur, _ = _join_bgp(None, [], ebind, data, eg["patterns"], url_var=url_var)
         for flt in eg["filters"]:
             ecur = ecur.filter(_filter_cond(flt, ebind))
         for c in _values_cond(eg.get("values", []), ebind):
@@ -955,7 +1016,9 @@ def sparql_select(
     one fact-table join, predicate equality pushed to the scan), FILTER
     (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN),
     property-path sequences ``p/q`` and inverses ``^p`` (desugared to
-    fresh-variable patterns, W3C §9.1), one level of OPTIONAL (left outer
+    fresh-variable patterns, W3C §9.1), bounded closures ``p+``/``p*``
+    (lazy path-doubling closure table, paths <= 16 edges — see
+    ``_closure_table``), one level of OPTIONAL (left outer
     join on the shared variables), top-level UNION of plain groups
     (null-padded unionByName), FILTER [NOT] EXISTS and MINUS over plain
     shared-variable groups (left semi / left anti join), single-var VALUES
@@ -1093,7 +1156,8 @@ def parse_sparql_construct(text: str, prefixes: dict | None = None) -> dict:
     for sm in _PATH_STMT_RE.finditer(m.group(1)):
         pred_tok = sm.group(2).strip()
         # a '/' inside <...> is part of the IRI, not a path separator
-        if "/" in re.sub(r"<[^>]*>", "", pred_tok) or pred_tok.startswith("^"):
+        residue = re.sub(r"<[^>]*>", "", pred_tok)
+        if any(c in residue for c in "/+*") or pred_tok.startswith("^"):
             raise SparqlUnsupported("property paths are not allowed in templates")
         s = _expand_term(sm.group(1), prefixes)
         pk, pv = _expand_term(sm.group(2), prefixes)

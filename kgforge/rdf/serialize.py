@@ -19,6 +19,19 @@ omit). Blank nodes pass through their ``_:label`` spelling.
 
 Round-trip invariant: ``kgforge.rdf.ntriples.parse_ntriples`` re-parses
 every emitted line to the original term tuples (tests/test_turtle.py).
+
+Well-formedness: the round-trip invariant holds only for grammar-valid
+terms — IRIs must not contain ``[\\x00-\\x20<>"{}|^`\\\\]`` (the IRIREF
+exclusion set) and must carry a scheme, blank nodes must be spelled
+``_:label`` in BOTH subject and object position (a bare label in subject
+position is NOT auto-wrapped as an IRI — it fails validation instead, so
+the two positions cannot silently diverge), and language tags must match
+the LANGTAG production (``en``, ``en-US`` — never ``en_US``).
+``ntriples_invalid_col`` is the codegen check; ``write_ntriples`` applies
+it by default (``on_invalid="error"``) so the sink can never emit a line
+a conforming loader rejects, while ``to_ntriples_lines`` documents the
+precondition and leaves enforcement opt-in (``on_invalid="keep"``) to
+keep the pure-projection hot path regex-free.
 """
 
 from __future__ import annotations
@@ -26,6 +39,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+
+# IRIREF forbids controls, space, and these raw chars (N-Triples grammar);
+# a valid absolute IRI also needs an RFC 3986 scheme prefix.
+_IRI_BAD = '[\\x00-\\x20<>"{}|^`\\\\]'
+_IRI_SCHEME = "^[A-Za-z][A-Za-z0-9+.-]*:"
+# BCP 47 shape used by the N-Triples LANGTAG production.
+_LANGTAG = "^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$"
+# BLANK_NODE_LABEL (conservative ASCII subset of PN_CHARS).
+_BNODE = "^_:[A-Za-z0-9][A-Za-z0-9._-]*$"
+
+
+def _iri_ok(c):
+    return c.isNotNull() & ~c.rlike(_IRI_BAD) & c.rlike(_IRI_SCHEME)
+
+
+def ntriples_invalid_col(subject, predicate, obj):
+    """True when (subject, predicate, object-struct) would serialize to a
+    grammar-INVALID N-Triples line: malformed IRI (forbidden char / no
+    scheme), malformed blank-node label, bare (un-prefixed) bnode label in
+    subject position, bad language tag, or malformed datatype IRI. Pure
+    codegen (rlike chains) — usable as a filter or a raise guard."""
+    subj_ok = F.when(subject.startswith("_:"), subject.rlike(_BNODE)).otherwise(
+        _iri_ok(subject)
+    )
+    o_val, kind = obj["value"], obj["kind"]
+    dt, lang = obj["datatype"], obj["lang"]
+    dt_ok = F.when((dt.isNotNull()) & (dt != "") & (dt != XSD_STRING), _iri_ok(dt)).otherwise(F.lit(True))
+    lang_ok = F.when((lang.isNotNull()) & (lang != ""), lang.rlike(_LANGTAG)).otherwise(F.lit(True))
+    obj_ok = (
+        F.when(kind == "iri", _iri_ok(o_val))
+        .when(
+            kind == "bnode",
+            F.when(o_val.startswith("_:"), o_val).otherwise(
+                F.concat(F.lit("_:"), o_val)
+            ).rlike(_BNODE),
+        )
+        .otherwise(o_val.isNotNull() & dt_ok & lang_ok)
+    )
+    return ~(subj_ok & _iri_ok(predicate) & obj_ok)
 
 
 def escape_literal_col(col):
@@ -79,21 +131,58 @@ def ntriples_line_col(subject, predicate, obj):
     )
 
 
-def to_ntriples_lines(triples: DataFrame) -> DataFrame:
-    """(subject, predicate, object struct) -> single-column (line) DF."""
+def to_ntriples_lines(triples: DataFrame, on_invalid: str = "keep") -> DataFrame:
+    """(subject, predicate, object struct) -> single-column (line) DF.
+
+    Precondition (``on_invalid="keep"``, the default): terms are already
+    grammar-valid (module docstring) — the projection is then a pure
+    concat/replace chain with no validation cost. ``"drop"`` filters
+    invalid rows out; ``"error"`` fails the job on the first invalid term
+    (message carries the offending subject/predicate for triage)."""
+    if on_invalid not in ("keep", "drop", "error"):
+        raise ValueError(f"on_invalid must be keep|drop|error, got {on_invalid!r}")
+    line = ntriples_line_col(F.col("subject"), F.col("predicate"), F.col("object"))
+    if on_invalid == "keep":
+        return triples.select(line.alias("line"))
+    bad = ntriples_invalid_col(F.col("subject"), F.col("predicate"), F.col("object"))
+    if on_invalid == "drop":
+        return triples.filter(~bad).select(line.alias("line"))
     return triples.select(
-        ntriples_line_col(
-            F.col("subject"), F.col("predicate"), F.col("object")
-        ).alias("line")
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("invalid N-Triples term in triple: subject="),
+                    F.coalesce(F.col("subject"), F.lit("NULL")),
+                    F.lit(" predicate="),
+                    F.coalesce(F.col("predicate"), F.lit("NULL")),
+                )
+            ),
+        )
+        .otherwise(line)
+        .alias("line")
     )
 
 
-def write_ntriples(triples: DataFrame, path: str, partitions: int | None = None):
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    partitions: int | None = None,
+    on_invalid: str = "error",
+):
     """Materialize the graph as partitioned .nt part-files. Each output
     file is independently valid N-Triples, so downstream loaders can
     ingest parts in parallel; ``partitions`` sizes files for the target
-    store (None keeps the upstream partitioning — no extra shuffle)."""
-    lines = to_ntriples_lines(triples).withColumnRenamed("line", "value")
+    store (None keeps the upstream partitioning — no extra shuffle).
+
+    The sink guards the documented round-trip invariant: by default any
+    grammar-invalid term (bad IRI char, ``en_US``-style lang tag, bare
+    bnode label in subject position) fails the write instead of silently
+    emitting a line downstream loaders reject; pass ``on_invalid="drop"``
+    to skip such rows or ``"keep"`` to assert the precondition instead."""
+    lines = to_ntriples_lines(triples, on_invalid=on_invalid).withColumnRenamed(
+        "line", "value"
+    )
     if partitions is not None:
         lines = lines.repartition(partitions)
     lines.write.mode("overwrite").text(path)

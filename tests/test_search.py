@@ -119,3 +119,30 @@ def test_phrase_topk_prebuilt_postings_equivalent(spark):
     viaidx = [tuple(r) for r in phrase_topk(docs, "fast scan", k=15, postings=pp).collect()]
     pp.unpersist()
     assert direct == viaidx and len(direct) == 15
+
+
+def test_prebuilt_index_plan_only_and_identical(spark):
+    """VERDICT r3 #7: with a prebuilt SearchIndex, bm25_topk launches ZERO
+    jobs at query-build time (stats ride a broadcast 1-row table, no
+    count/avgdl collect) and scores are byte-identical to the docs path."""
+    from kgforge.operators.search import build_search_index
+
+    docs = _docs(spark)
+    base = [(r.doc_id, r.score, r.rank) for r in
+            bm25_topk(docs, "quick fox", k=10).collect()]
+
+    idx = build_search_index(docs)
+    idx.stats.count()  # materialize the index (the at-rest analogue)
+    sc = spark.sparkContext
+    sc.setJobGroup("bm25-plan-only", "query build must launch no jobs")
+    try:
+        q1 = bm25_topk(None, "quick fox", k=10, index=idx)
+        q2 = bm25_topk(None, "lazy dog", k=3, index=idx)
+        jobs = sc.statusTracker().getJobIdsForGroup("bm25-plan-only")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"query build launched jobs: {jobs}"
+    got = [(r.doc_id, r.score, r.rank) for r in q1.collect()]
+    assert got == base
+    assert [r.doc_id for r in q2.collect()] == ["d1", "d3"]
+    idx.unpersist()

@@ -128,28 +128,125 @@ ex:emp2 a ex:Person ; ex:manager ex:ceo .
 
 
 def test_parser_subset_and_strict():
+    """parse_sparql_constraint now fronts the SAME WHERE compiler as
+    sparql_select ($this -> pre-bound ?__this); shape is {kind, where}."""
     q = parse_sparql_constraint(
         'SELECT $this WHERE { $this ex:age ?v . FILTER (?v < 0) }', {"ex": EX}
     )
     assert q["kind"] == "select"
-    assert q["patterns"] == [(("this", "$this"), EX + "age", ("var", "?v"))]
-    assert q["filters"] == [("cmp", "v", "<", "num", "0")]
+    assert q["where"]["patterns"] == [
+        (("var", "?__this"), EX + "age", ("var", "?v"))
+    ]
+    assert q["where"]["filters"] == [("cmp", "v", "<", "num", "0")]
 
     q = parse_sparql_constraint('ASK { $this <http://x/p> "lit" }', None)
     assert q["kind"] == "ask"
-    assert q["patterns"][0][2] == ("str", "lit")
+    assert q["where"]["patterns"][0][2] == ("str", "lit")
 
     # rdf:type shorthand + STRLEN + REGEX
     q = parse_sparql_constraint(
         'ASK { $this a ?t . FILTER (STRLEN(?t) > 3) FILTER (REGEX(?t, "^http")) }',
         {},
     )
-    assert q["patterns"][0][1].endswith("#type")
-    assert {f[0] for f in q["filters"]} == {"strlen", "regex"}
+    assert q["where"]["patterns"][0][1].endswith("#type")
+    assert {f[0] for f in q["where"]["filters"]} == {"strlen", "regex"}
 
+    # unified compiler (VERDICT r3 #2): OPTIONAL / UNION / NOT EXISTS now
+    # PARSE in constraint position instead of raising
+    q = parse_sparql_constraint(
+        "SELECT $this WHERE { $this ex:p ?v . OPTIONAL { $this ex:q ?w } }",
+        {"ex": EX},
+    )
+    assert len(q["where"]["optionals"]) == 1
+    q = parse_sparql_constraint(
+        "SELECT $this WHERE { { $this ex:p ?v } UNION { $this ex:q ?v } }",
+        {"ex": EX},
+    )
+    assert len(q["where"]["union"]) == 2
+    q = parse_sparql_constraint(
+        "SELECT $this WHERE { $this ex:p ?v . FILTER NOT EXISTS { $this ex:q ?w } }",
+        {"ex": EX},
+    )
+    assert q["where"]["exists"][0]["negated"] is True
+
+    # an OPTIONAL-only body still has no basic graph pattern
     with pytest.raises(SparqlUnsupported):
-        parse_sparql_constraint("SELECT $this WHERE { OPTIONAL { $this ex:p ?v } }", {"ex": EX})
+        parse_sparql_constraint(
+            "SELECT $this WHERE { OPTIONAL { $this ex:p ?v } }", {"ex": EX}
+        )
     with pytest.raises(SparqlUnsupported):
         parse_sparql_constraint("DESCRIBE $this", {})
     with pytest.raises(SparqlUnsupported):
         parse_sparql_constraint("ASK { $this unknown:p ?v }", {})
+
+
+def test_select_union_constraint(spark):
+    """Unified-compiler execution: a node carrying EITHER forbidden
+    property (two UNION branches, each anchored at $this) is a violation."""
+    got = _violations(spark, f"""\
+ex:PiiShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:sparql [
+        {DECLARE_EX}
+        sh:select \"\"\"SELECT $this WHERE {{ {{ $this ex:ssn ?v }} UNION {{ $this ex:password ?v }} }}\"\"\" ;
+    ] .
+
+ex:clean a ex:Person ; ex:name "ok" .
+ex:leak1 a ex:Person ; ex:ssn "123-45-6789" .
+ex:leak2 a ex:Person ; ex:password "hunter2" .
+""")
+    assert got == {(EX + "leak1", "sparql_select"), (EX + "leak2", "sparql_select")}
+
+
+def test_select_not_exists_constraint(spark):
+    """NOT EXISTS in constraint position: has email but no consent."""
+    got = _violations(spark, f"""\
+ex:ConsentShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:sparql [
+        {DECLARE_EX}
+        sh:select \"\"\"SELECT $this WHERE {{ $this ex:email ?e . FILTER NOT EXISTS {{ $this ex:consent ?c }} }}\"\"\" ;
+    ] .
+
+ex:ok a ex:Person ; ex:email "a@b.example" ; ex:consent "2026-01-01" .
+ex:bad a ex:Person ; ex:email "c@d.example" .
+ex:noemail a ex:Person .
+""")
+    assert got == {(EX + "bad", "sparql_select")}
+
+
+def test_select_optional_does_not_restrict(spark):
+    """OPTIONAL in constraint position: flagged nodes are violations whether
+    or not the optional label exists (left join, never inner)."""
+    got = _violations(spark, f"""\
+ex:FlagShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:sparql [
+        {DECLARE_EX}
+        sh:select \"\"\"SELECT $this ?label WHERE {{ $this ex:flag "bad" . OPTIONAL {{ $this ex:label ?label }} }}\"\"\" ;
+    ] .
+
+ex:labeled a ex:Person ; ex:flag "bad" ; ex:label "spam" .
+ex:bare a ex:Person ; ex:flag "bad" .
+ex:fine a ex:Person ; ex:flag "good" .
+""")
+    assert got == {(EX + "labeled", "sparql_select"), (EX + "bare", "sparql_select")}
+
+
+def test_ask_closure_path_constraint(spark):
+    """p+ closure in constraint position: conform iff $this transitively
+    reports to ex:root (bounded path-doubling closure, page-scoped)."""
+    got = _violations(spark, f"""\
+ex:ChainShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:sparql [
+        {DECLARE_EX}
+        sh:ask \"\"\"ASK {{ $this ex:reportsTo+ ex:root }}\"\"\" ;
+    ] .
+
+ex:a a ex:Person ; ex:reportsTo ex:b .
+ex:b a ex:Person ; ex:reportsTo ex:root .
+ex:c a ex:Person ; ex:reportsTo ex:nowhere .
+ex:d a ex:Person .
+""")
+    assert got == {(EX + "c", "sparql_ask"), (EX + "d", "sparql_ask")}
