@@ -530,10 +530,11 @@ def q_kg_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end (no fake path): the fixture's image rows
-    are genuine PPM/BMP/PNG payloads of solid-color images whose dims and
-    color are closed-form functions of media_id, so the DuckDB oracle
+    are genuine PPM/BMP/PNG/GIF payloads of solid-color images whose dims
+    and color are closed-form functions of media_id, so the DuckDB oracle
     reconstructs the DECODED width/height/thumbnail dims/channel means
-    arithmetically — a wrong decoder, filter, or resample hash-mismatches."""
+    arithmetically — a wrong decoder, filter, LZW table, or resample
+    hash-mismatches."""
     from kgforge.operators.multimodal import fake_media_df, image_features
 
     media = fake_media_df(spark, 64).filter(F.col("kind") == "image")
@@ -2083,7 +2084,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_multimodal_features": """
             SELECT CAST(i AS BIGINT) AS media_id,
-                   CASE CAST((i // 3) % 3 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+                   CASE CAST((i // 3) % 4 AS INT) WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
                    CAST(4 + (i % 7) * 2 AS INT) AS width,
                    CAST(3 + (i % 5) * 3 AS INT) AS height,
                    CAST(least(8, 4 + (i % 7) * 2) AS INT) AS thumb_w,

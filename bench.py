@@ -179,6 +179,16 @@ def main():
 
     timed("kg_pipeline_dedup", run_pipeline_dedup_once, repeats=1)
     n_kept = n_counts["n_kept_pages"]
+
+    # ---- span-level ExactSubstr rewrite stage (pipeline span_dedup=True):
+    # duplicated-passage removal cost over the same page corpus ----
+    from kgforge.pipeline.run import span_dedup_pages
+
+    timed(
+        "kg_span_rewrite",
+        lambda: span_dedup_pages(pages).write.format("noop").mode("overwrite").save(),
+        repeats=1,
+    )
     pages.unpersist()
 
     # ---- headline analytical queries at sf_dir ----

@@ -1,19 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-Image decode is REAL for three formats, implemented dependency-free on the
+Image decode is REAL for four formats, implemented dependency-free on the
 stdlib (this runtime has no PIL/ffmpeg):
 
 - PPM  (P6 binary and P3 ascii, 8-bit RGB)
 - BMP  (uncompressed BI_RGB, 24/32-bit, bottom-up or top-down)
 - PNG  (8-bit gray / RGB / RGBA, non-interlaced — zlib inflate + all five
   scanline filters: None/Sub/Up/Average/Paeth, per the PNG spec)
+- GIF  (87a/89a, non-interlaced, global or local color table — full LZW
+  decode with variable code widths, CLEAR/EOI handling, and the 4096-entry
+  table cap, per GIF89a spec appendix F; first frame of an animation)
 
-``decode_image`` dispatches on magic bytes; unknown formats (e.g. JPEG,
-whose entropy coding has no stdlib inflate) raise NotImplementedError
-unless ``deterministic_fake=True``, which produces a seeded, shape-correct
-fake so plumbing tests can still cover arbitrary payloads. Thumbnails are
-real nearest-neighbor downsamples of the decoded pixels; the pooled
-feature vector is computed from the thumbnail.
+``decode_image`` dispatches on magic bytes; unknown formats (now JPEG
+only, whose entropy coding has no stdlib inflate) raise
+NotImplementedError unless ``deterministic_fake=True``, which produces a
+seeded, shape-correct fake so plumbing tests can still cover arbitrary
+payloads. Thumbnails are real nearest-neighbor downsamples of the decoded
+pixels; the pooled feature vector is computed from the thumbnail.
 
 Scale notes: binary columns dominate partition bytes — callers should size
 ``spark.sql.files.maxPartitionBytes`` down (64 MB) for media tables, and
@@ -196,9 +199,110 @@ def _decode_png(b: bytes) -> np.ndarray:
     return px[:, :, :3].copy()  # drop alpha
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW (spec appendix F): LSB-first bit packing, variable
+    code width from min+1 up to 12 bits, CLEAR resets the table, EOI ends
+    the stream. Returns the index stream (at most ``max_pixels``)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    code_size = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = bits = pos = 0
+    n = len(data)
+    while len(out) < max_pixels:
+        while bits < code_size:
+            if pos >= n:
+                return out  # stream ended without EOI: emit what we have
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream (code beyond table)")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:max_pixels]
+
+
+def _decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a, non-interlaced, first image frame: header + color-table
+    walk, extension skipping, sub-block reassembly, LZW index decode,
+    palette lookup. Transparency (a GCE flag) is ignored — indices decode
+    to their palette RGB; interlace raises (disclosed unsupported)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    pos = 6
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, pos)
+    pos += 7
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x21:  # extension: label then sub-blocks until terminator
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF is unsupported")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    b, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[pos]
+            pos += 1
+            chunks = []
+            while b[pos] != 0:
+                ln = b[pos]
+                chunks.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            return ct[np.array(idx, dtype=np.int32)].reshape(h, w, 3).copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image descriptor")
+
+
 def decode_image(payload: bytes, deterministic_fake: bool = False):
     """Magic-byte dispatch -> (fmt, HxWx3 uint8 array). Real decode for
-    PPM/BMP/PNG; unknown formats raise unless ``deterministic_fake``."""
+    PPM/BMP/PNG/GIF; unknown formats raise unless ``deterministic_fake``."""
     b = payload or b""
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return "png", _decode_png(b)
@@ -206,11 +310,14 @@ def decode_image(payload: bytes, deterministic_fake: bool = False):
         return "bmp", _decode_bmp(b)
     if b[:2] in (b"P6", b"P3"):
         return "ppm", _decode_ppm(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", _decode_gif(b)
     if not deterministic_fake:
         raise NotImplementedError(
-            "unrecognized image format (only PPM/BMP/PNG have stdlib "
-            "decoders in this runtime); run with deterministic_fake=True "
-            "for plumbing tests over arbitrary payloads"
+            "unrecognized image format (only PPM/BMP/PNG/GIF have stdlib "
+            "decoders in this runtime; JPEG entropy coding has no stdlib "
+            "counterpart); run with deterministic_fake=True for plumbing "
+            "tests over arbitrary payloads"
         )
     # seeded fake: pixels derived from payload bytes, fixed 8x8 RGB
     rng = np.random.default_rng(zlib.crc32(b))
@@ -265,6 +372,77 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a encoder for fixtures: palette = the image's distinct colors
+    (<= 256), REAL LZW compression (dictionary growth, width bumps in
+    decoder-synchronized order, CLEAR on table overflow), one image block —
+    so the round-trip exercises the decoder's full code path, not a
+    literal-codes shortcut."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3).astype(np.uint8)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("fixture GIF encoder supports <= 256 distinct colors")
+    bits = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_ct = 1 << bits
+    palette = np.zeros((n_ct, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = max(2, bits)  # spec: LZW minimum code size >= 2
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    buf = bytearray()
+    acc = nb = 0
+
+    def put(code: int, size: int):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += size
+        while nb >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    def fresh():
+        return {(i,): i for i in range(1 << min_code)}, end + 1, min_code + 1
+
+    table, next_code, code_size = fresh()
+    put(clear, code_size)
+    wseq: tuple[int, ...] = ()
+    for px in inverse.astype(np.int64):
+        k = wseq + (int(px),)
+        if k in table:
+            wseq = k
+            continue
+        put(table[wseq], code_size)
+        table[k] = next_code
+        next_code += 1
+        # width bump mirrors the decoder: it grows its table one code
+        # BEHIND the encoder, so bump after assigning code 2^size
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset both sides
+            put(clear, code_size)
+            table, next_code, code_size = fresh()
+        wseq = (int(px),)
+    if wseq:
+        put(table[wseq], code_size)
+    put(end, code_size)
+    if nb:
+        buf.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(buf), 255):
+        sub = buf[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # --------------------------- DataFrame operators ----------------------------
@@ -344,14 +522,15 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
     rows = []
     encoders = [("ppm", encode_ppm, "image/x-portable-pixmap"),
                 ("bmp", encode_bmp, "image/bmp"),
-                ("png", encode_png, "image/png")]
+                ("png", encode_png, "image/png"),
+                ("gif", encode_gif, "image/gif")]
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = media_dims(i)
             r, g, b = media_color(i)
             img = np.tile(np.array([r, g, b], dtype=np.uint8), (h, w, 1))
-            _, enc, mime = encoders[(i // 3) % 3]
+            _, enc, mime = encoders[(i // 3) % 4]
             payload = enc(img)
             rows.append((i, kind, payload, mime, w, h, None))
         elif kind == "audio":

@@ -107,6 +107,34 @@ def dedup_pages(pages: DataFrame, mode: str = "near", threshold: float = 0.9) ->
     return exact.join(drop, "url", "left_anti")
 
 
+def span_dedup_pages(pages: DataFrame, k: int = 8, min_freq: int = 2) -> DataFrame:
+    """Span-level text rewrite stage (Lee et al. ExactSubstr): every page's
+    ``text`` is replaced by its duplicated-span-removed rewrite — tokens
+    inside any k-token gram occurring >= ``min_freq`` times corpus-wide are
+    dropped (site boilerplate, shared banners, quoted passages), all other
+    columns pass through. Page-LEVEL dedup collapses whole near-identical
+    pages; this stage removes the duplicated PASSAGES that survive it, the
+    second dedup axis a training corpus needs (a page can be 90% unique yet
+    carry the same 200-token licence block as a million others).
+
+    Plan shape: ``remove_duplicate_spans`` does the heavy lifting (int64
+    gram hashes map-side, one frequency groupBy, doc-scoped span merge);
+    the rewrite joins back on url, so clean pages pass through a left join
+    untouched. Text only — the html column (the parse input) is unchanged,
+    so RDF extraction is unaffected; mention detection and every text-side
+    op see the cleaned corpus."""
+    from ..operators.corpus_mining import remove_duplicate_spans
+
+    rewritten = remove_duplicate_spans(
+        pages, k=k, min_freq=min_freq, id_col="url", text_col="text"
+    )
+    return (
+        pages.drop("text")
+        .join(rewritten.select(F.col("doc_id").alias("url"), "text"), "url")
+        .select("url", "warc_ts", "html", "text", "lang")
+    )
+
+
 def run_pipeline(
     pages: DataFrame,
     work_root: str,
@@ -115,13 +143,16 @@ def run_pipeline(
     canonicalize: bool = True,
     extended_checks: bool = False,
     dedup: str | None = None,
+    span_dedup: bool = False,
 ) -> dict:
     """Returns dict of stage DataFrames + metrics. All heavy stages write
     through ``write_stage`` (repartitionByRange + lineage + manifest).
     ``extended_checks=True`` additionally materializes the focus-node
     constraint-report stream (see ``constraint_reports``); ``dedup`` in
     {'exact', 'near'} inserts a page-dedup stage before parsing (manifest
-    row counts record kept pages; input minus kept = collapsed dupes)."""
+    row counts record kept pages; input minus kept = collapsed dupes);
+    ``span_dedup=True`` additionally rewrites surviving pages' text with
+    duplicated spans removed (``span_dedup_pages``) before parse/mentions."""
     spark = pages.sparkSession
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
     gazetteer = gazetteer if gazetteer is not None else gazetteer_rows()
@@ -130,6 +161,11 @@ def run_pipeline(
         pages = write_stage(
             dedup_pages(pages, mode=dedup), os.path.join(work_root, "pages_dedup"),
             "dedup", run_id, manifests, range_cols=["url"],
+        )
+    if span_dedup:
+        pages = write_stage(
+            span_dedup_pages(pages), os.path.join(work_root, "pages_span_dedup"),
+            "span_dedup", run_id, manifests, range_cols=["url"],
         )
 
     # fused scan stage: triples AND shape records come out of ONE parse of

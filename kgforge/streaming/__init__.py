@@ -1,4 +1,6 @@
 from .pipeline import (
+    near_dedup_each_batch,
+    near_dedup_increment,
     stream_pages,
     streaming_predicate_counts,
     streaming_triples,
@@ -10,4 +12,6 @@ __all__ = [
     "streaming_triples",
     "streaming_predicate_counts",
     "validate_each_batch",
+    "near_dedup_each_batch",
+    "near_dedup_increment",
 ]

@@ -258,6 +258,122 @@ def validate_each_batch(pages_stream: DataFrame, out_root: str):
     )
 
 
+# --------------------------- streaming near-dedup ---------------------------
+
+
+def near_dedup_increment(
+    new_pages: DataFrame, seen: DataFrame | None, threshold: float = 0.9
+) -> tuple[DataFrame, DataFrame]:
+    """One increment of first-wins near-duplicate dedup: returns
+    (kept_new_pages, processed) where ``processed`` is the batch after
+    in-batch exact dedup (the rows to append to the seen-set state).
+
+    Drop rules for a new page (in order):
+    1. exact: text already in ``seen``, or not the min-url of its in-batch
+       exact group;
+    2. near: its connected component (MinHash-LSH + exact-Jaccard-verified
+       edges over batch ∪ seen, the SAME operators the batch pipeline
+       trusts) contains any seen page;
+    3. representative: it is not the min-url batch member of its component.
+
+    Scale note: signatures are recomputed over batch ∪ seen each increment
+    (seen-seen candidate pairs are generated then discarded — they can
+    never change a batch verdict, since any batch page reaching a seen
+    page through other seen pages is already attached by its first hop).
+    At cluster scale, persist the seen side's signature/gram tables and
+    probe them asymmetrically instead.
+    """
+    from ..operators.canonicalize import connected_components
+    from ..operators.dedup import exact_dedup, minhash_duplicate_pairs
+
+    batch = exact_dedup(new_pages, id_col="url", text_col="text")
+    if seen is not None:
+        batch = batch.join(seen.select("text"), "text", "left_anti")
+    batch = batch.persist()
+    corpus = batch.select("url", "text")
+    if seen is not None:
+        corpus = corpus.unionByName(seen.select("url", "text"))
+    pairs = minhash_duplicate_pairs(
+        corpus, id_col="url", text_col="text", threshold=threshold,
+        sig_prefilter=True,
+    )
+    batch_urls = batch.select(F.col("url").alias("node"))
+    # only edges touching a batch page matter (see scale note)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = edges.join(
+        batch_urls, (edges.src == batch_urls.node) | (edges.dst == batch_urls.node),
+        "left_semi",
+    )
+    comp = connected_components(edges)
+    batch_comp = comp.join(batch_urls, "node", "left_semi")
+    drops = None
+    if seen is not None:
+        seen_components = (
+            comp.join(seen.select(F.col("url").alias("node")), "node", "left_semi")
+            .select("component")
+            .distinct()
+        )
+        drops = batch_comp.join(seen_components, "component", "left_semi").select("node")
+    best = batch_comp.groupBy("component").agg(F.min("node").alias("keep_url"))
+    not_rep = (
+        batch_comp.join(best, "component")
+        .filter(F.col("node") != F.col("keep_url"))
+        .select("node")
+    )
+    drops = not_rep if drops is None else drops.unionByName(not_rep)
+    kept = batch.join(
+        drops.distinct().withColumnRenamed("node", "url"), "url", "left_anti"
+    )
+    return kept, batch
+
+
+def near_dedup_each_batch(
+    pages_stream: DataFrame, state_root: str, threshold: float = 0.9
+):
+    """Cross-micro-batch NEAR-duplicate page dedup (VERDICT r3 #4): each
+    batch runs ``near_dedup_increment`` against the accumulated seen-set
+    and appends survivors to ``{state_root}/kept``.
+
+    Why foreachBatch and not applyInPandasWithState: LSH dedup state is
+    keyed by band BUCKET, so one document's bands land in N independent
+    state groups whose verdicts must be combined by a SECOND stateful
+    operator — and chaining stateful operators requires event-time
+    watermarks this data doesn't have. foreachBatch instead reruns the
+    exact batch operators (minhash_duplicate_pairs + connected components)
+    per increment, so streaming and batch can never disagree about what
+    counts as a near-duplicate PAIR.
+
+    Semantics are FIRST-WINS — the only semantics a no-retraction stream
+    can offer: the output equals batch ``dedup_pages(mode='near')``
+    whenever no late page bridges two components that were separate when
+    their representatives were emitted (a bridge would require retracting
+    an already-emitted row; tests pin both the equality on bridge-free
+    corpora and the disclosed divergence case). State is the seen-set
+    parquet (url, text) under ``{state_root}/seen`` — O(distinct pages).
+
+    Returns the DataStreamWriter (caller starts/stops it)."""
+
+    def handle(batch_df, _batch_id):
+        spark = batch_df.sparkSession
+        seen_path = f"{state_root}/seen"
+        try:
+            seen = spark.read.parquet(seen_path)
+        except Exception:
+            seen = None
+        kept, processed = near_dedup_increment(batch_df, seen, threshold=threshold)
+        # materialize BEFORE touching the seen path: both lineages read it
+        kept = kept.persist()
+        kept.count()
+        kept.write.mode("append").parquet(f"{state_root}/kept")
+        processed.select("url", "text").write.mode("append").parquet(seen_path)
+        kept.unpersist()
+        processed.unpersist()
+
+    return pages_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", f"{state_root}/_chk"
+    )
+
+
 # ----------------------- exactly-once snapshot commits ----------------------
 
 

@@ -182,3 +182,43 @@ def test_domain_mix_weights(spark):
     assert rows["s2"]["sample_weight"] == pytest.approx(round(0.2**0.5 / z, 6))
     # weights over non-empty domains sum to 1
     assert sum(r["sample_weight"] for r in rows.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_entity_cooccurrence_boilerplate_skew_drill(spark):
+    """VERDICT r3 #10 (adversarial 100-TB guard): ONE pathological page
+    mentioning 10^4 entities (link-farm boilerplate) must not explode into
+    C(10^4,2) ~ 5*10^7 pairs. With max_entities_per_doc=50 the hot page
+    contributes exactly C(50,2) pairs over its 50 LOWEST entity ids
+    (deterministic truncation), normal pages' edges are untouched, and the
+    total output cardinality is exact — the cap bounds per-doc fan-out
+    BEFORE the explode, so the pair stream never carries the quadratic
+    blow-up."""
+    import pandas as pd
+
+    from kgforge.operators.graph import entity_cooccurrence
+
+    hot = pd.DataFrame(
+        {
+            "url": ["u://hot"] * 10_000,
+            "entity_id": [f"E{i:05d}" for i in range(10_000)],
+        }
+    )
+    normal = pd.DataFrame(
+        {
+            "url": ["u://a", "u://a", "u://b", "u://b", "u://b"],
+            "entity_id": ["E00001", "E00002", "E00001", "E00002", "XTAIL"],
+        }
+    )
+    m = spark.createDataFrame(pd.concat([hot, normal], ignore_index=True))
+    out = entity_cooccurrence(m, n_docs=3, max_entities_per_doc=50)
+    pairs = {(r["entity_a"], r["entity_b"]): r["co_docs"] for r in out.collect()}
+    # hot page: C(50,2) pairs; page b adds (E00001, XTAIL) and (E00002, XTAIL)
+    assert len(pairs) == 50 * 49 // 2 + 2
+    # the capped hot page never emits an entity beyond its 50 lowest ids
+    hot_side = {e for p in pairs for e in p if e != "XTAIL"}
+    assert max(hot_side) == "E00049"
+    # cross-page co-occurrence still counts every surviving page
+    assert pairs[("E00001", "E00002")] == 3
+    # pair expansion is the codegen array path, never a self-join blow-up
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -219,7 +219,7 @@ def test_multimodal_real_decode(spark):
     for i, r in rows.items():
         w, h = media_dims(i)
         cr, cg, cb = media_color(i)
-        assert r["fmt"] == ["ppm", "bmp", "png"][(i // 3) % 3]
+        assert r["fmt"] == ["ppm", "bmp", "png", "gif"][(i // 3) % 4]
         assert (r["width"], r["height"]) == (w, h)
         assert (r["thumb_w"], r["thumb_h"]) == (min(8, w), min(8, h))
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (float(cr), float(cg), float(cb))
@@ -346,3 +346,132 @@ def test_compact_stage(spark, tmp_path):
     rec = ms.load("r1", "parse")
     assert rec["compacted"] is True and rec["files_after"] == 1
     assert rec["files_before"] > 1
+
+
+def test_pipeline_span_dedup_stage(spark, tmp_path):
+    """span_dedup=True rewrites page TEXT with duplicated spans removed
+    (mirror pages' fully-duplicated bodies vanish; unique prose survives)
+    while the html channel — the RDF parse input — is untouched, and the
+    stage manifest records the rewrite."""
+    from kgforge.fixtures import pages_df
+    from kgforge.operators.text_stats import token_count_col
+    from kgforge.pipeline.run import run_pipeline, span_dedup_pages
+    from kgforge.sinks.materialize import ManifestStore
+
+    pages = pages_df(spark, 60).persist()
+    n_in = pages.count()
+    rewritten = span_dedup_pages(pages)
+    assert rewritten.count() == n_in  # a rewrite, never a row drop
+    tok = lambda df: df.select(  # noqa: E731
+        F.sum(token_count_col(F.col("text"))).alias("t")
+    ).collect()[0]["t"]
+    assert tok(rewritten) < tok(pages)  # planted mirrors = duplicated spans
+    # the mirror pair (22, 23) shares its FULL text: both copies collapse
+    mirror = rewritten.filter(F.col("url").endswith("/page/23")).collect()[0]
+    assert mirror["text"] == ""
+
+    out = run_pipeline(
+        pages, str(tmp_path / "w"), gazetteer=[], canonicalize=False,
+        span_dedup=True,
+    )
+    assert out["pages"].count() == n_in
+    # html-channel triples unaffected by the text rewrite
+    from kgforge.operators.parse import parse_pages
+
+    want = parse_pages(pages).filter(F.col("subject").isNotNull()).count()
+    got = out["triples"].filter(F.col("subject").isNotNull()).count()
+    assert got == want
+    rec = ManifestStore(str(tmp_path / "w" / "_manifests")).load("run1", "span_dedup")
+    assert rec["rows"] == n_in
+    pages.unpersist()
+
+
+def test_gif_decode_hand_built_stream():
+    """GIF LZW decode against a HAND-ASSEMBLED byte stream (independent of
+    the fixture encoder, so an encoder/decoder bug pair cannot cancel):
+    4x1 image, 2-color palette, indices [1,1,0,0]; codes
+    CLEAR,1,1,0 at 3 bits then 0,EOI at 4 bits (the width bump lands after
+    the decoder's table reaches 2^3), LSB-first -> bytes [76, 0, 5]."""
+    import numpy as np
+
+    from kgforge.operators.multimodal import decode_image
+
+    gif = (
+        b"GIF89a"
+        + bytes([4, 0, 1, 0, 0x80, 0, 0])  # LSD: w=4 h=1, GCT of 2 entries
+        + bytes([10, 20, 30, 200, 100, 50])  # palette: idx0, idx1
+        + bytes([0x2C, 0, 0, 0, 0, 4, 0, 1, 0, 0])  # image descriptor
+        + bytes([2])  # LZW min code size
+        + bytes([3, 76, 0, 5])  # one sub-block of LZW data
+        + bytes([0, 0x3B])  # terminator + trailer
+    )
+    fmt, img = decode_image(gif)
+    assert fmt == "gif"
+    want = np.array([[[200, 100, 50], [200, 100, 50], [10, 20, 30], [10, 20, 30]]])
+    assert img.shape == (1, 4, 3) and (img == want).all()
+
+
+def test_gif_roundtrip_exact():
+    """encode_gif -> decode_image is pixel-exact on noise images big enough
+    to grow the LZW dictionary through multiple width bumps, on solid
+    images, and on wide palettes (250 distinct colors)."""
+    import numpy as np
+
+    from kgforge.operators.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 2, size=(40, 60, 1)).repeat(3, axis=2).astype(np.uint8) * 255,
+        np.tile(np.array([9, 200, 33], dtype=np.uint8), (11, 13, 1)),
+        # 250 distinct colors, shuffled: exercises an 8-bit color table
+        np.array(
+            [[(c, (c * 7) % 256, (c * 13) % 256) for c in range(250)]], dtype=np.uint8
+        ).reshape(25, 10, 3),
+        rng.integers(0, 5, size=(64, 64)).astype(np.uint8)[..., None].repeat(3, 2) * 50,
+    ]
+    for img in cases:
+        fmt, got = decode_image(encode_gif(img))
+        assert fmt == "gif"
+        assert got.shape == img.shape and (got == img).all()
+
+
+def test_gif_unsupported_arms():
+    """Interlaced GIFs raise a disclosed error; JPEG remains the only
+    NotImplementedError format."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kgforge.operators.multimodal import decode_image, encode_gif
+
+    gif = bytearray(encode_gif(np.zeros((2, 2, 3), dtype=np.uint8)))
+    # image descriptor follows 6 (header) + 7 (LSD) + 6 (2-entry GCT) bytes;
+    # its packed byte (offset +9 inside the descriptor) gains the interlace bit
+    idx = 6 + 7 + 6 + 9
+    assert gif[idx - 9] == 0x2C
+    gif[idx] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_image(bytes(gif))
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)
+
+
+def test_gif_rows_in_media_fixture(spark):
+    """fake_media_df now rotates PPM/BMP/PNG/GIF; the GIF rows decode to the
+    same closed-form solid colors as every other format."""
+    from kgforge.operators.multimodal import (
+        fake_media_df,
+        image_features,
+        media_color,
+        media_dims,
+    )
+
+    media = fake_media_df(spark, 64).filter(F.col("kind") == "image")
+    rows = {r["media_id"]: r for r in
+            image_features(media, deterministic_fake=False).collect()}
+    gif_rows = {i: r for i, r in rows.items() if r["fmt"] == "gif"}
+    assert gif_rows, "rotation must produce GIF rows"
+    for i, r in gif_rows.items():
+        cr, cg, cb = media_color(i)
+        w, h = media_dims(i)
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (cr, cg, cb)

@@ -221,3 +221,117 @@ def test_streaming_validation_matches_batch(spark, tmp_path):
     assert b_rej.select(key).exceptAll(s_rej).count() == 0
     assert s_rej.count() > 0 and s_acc.count() > 0
     combined.unpersist()
+
+
+# --------------------------- streaming near-dedup ---------------------------
+
+def _nd_page(i, text):
+    import datetime as dt
+
+    return (
+        f"https://s.example.org/p{i:03d}",
+        dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+        b"<html></html>",
+        text,
+        "en",
+    )
+
+
+# high-gram-diversity deterministic texts (unique tokens, so char-3-gram
+# sets behave like the token sets and Jaccard lands where designed)
+_ND_BASE_A = " ".join(f"tok{i}q{(i * i) % 89}" for i in range(60))
+_ND_BASE_B = " ".join(f"oth{i}r{(i * i) % 83}" for i in range(60))
+_ND_BASE_C = " ".join(f"par{i}s{(i * i) % 79}" for i in range(60))
+_ND_BASE_D = " ".join(f"gra{i}h{(i * i) % 73}" for i in range(60))
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """VERDICT r3 #4: cross-micro-batch near-dup dedup == batch
+    dedup_pages(mode='near') on a bridge-free corpus (each near-dup cluster's
+    members may arrive in ANY batch; no late page merges two emitted
+    components). Three sequential availableNow runs over a shared checkpoint
+    pin the batch order."""
+    from kgforge.pipeline.run import dedup_pages
+    from kgforge.schema import PAGES_SCHEMA
+    from kgforge.streaming import near_dedup_each_batch, stream_pages
+
+    batches = [
+        [  # batch 1: one near-dup pair + two distinct
+            _nd_page(1, _ND_BASE_A + " tail one alpha"),
+            _nd_page(2, _ND_BASE_A + " tail two betaa"),
+            _nd_page(3, _ND_BASE_B + " ending x"),
+            _nd_page(4, _ND_BASE_C),
+        ],
+        [  # batch 2: exact dup of p1, near-dup of cluster A, new distinct
+            _nd_page(5, _ND_BASE_A + " tail one alpha"),
+            _nd_page(6, _ND_BASE_A + " tail thr gamma"),
+            _nd_page(7, _ND_BASE_D),
+        ],
+        [  # batch 3: near-dup of p3, exact dup of p7
+            _nd_page(8, _ND_BASE_B + " ending y"),
+            _nd_page(9, _ND_BASE_D),
+        ],
+    ]
+    landing = str(tmp_path / "nd_landing")
+    state = str(tmp_path / "nd_state")
+    for rows in batches:
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        q = (
+            near_dedup_each_batch(stream_pages(spark, landing), state, threshold=0.8)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {r["url"] for r in spark.read.parquet(f"{state}/kept").collect()}
+    all_pages = spark.createDataFrame(
+        [p for rows in batches for p in rows], PAGES_SCHEMA
+    )
+    want = {
+        r["url"] for r in dedup_pages(all_pages, mode="near", threshold=0.8).collect()
+    }
+    assert got == want
+    assert got == {f"https://s.example.org/p{i:03d}" for i in (1, 3, 4, 7)}
+
+
+def test_streaming_near_dedup_bridge_divergence(spark, tmp_path):
+    """The disclosed first-wins divergence: a late page bridging two
+    already-emitted components is DROPPED (attached to seen), but the two
+    emitted representatives cannot be retracted — batch rebuild keeps one."""
+    from kgforge.pipeline.run import dedup_pages
+    from kgforge.schema import PAGES_SCHEMA
+    from kgforge.streaming import near_dedup_increment
+
+    base = " ".join(f"brg{i}k{(i * i) % 71}" for i in range(60))
+    tail_a = " ".join(f"alp{i}z{(i * 3) % 17}" for i in range(12))
+    tail_b = " ".join(f"bet{i}y{(i * 5) % 19}" for i in range(12))
+    a = _nd_page(1, base + " " + tail_a)
+    b = _nd_page(2, base + " " + tail_b)
+    c = _nd_page(3, base + " " + tail_a + " " + tail_b)  # bridges a and b
+
+    seen = spark.createDataFrame([a, b], PAGES_SCHEMA).select("url", "text")
+    new = spark.createDataFrame([c], PAGES_SCHEMA)
+    kept, processed = near_dedup_increment(new, seen, threshold=0.8)
+    assert kept.count() == 0  # the bridge is dropped (near both seen pages)
+    assert processed.count() == 1
+    # batch rebuild collapses all three into one component
+    everything = spark.createDataFrame([a, b, c], PAGES_SCHEMA)
+    assert dedup_pages(everything, mode="near", threshold=0.8).count() == 1
+
+
+def test_near_dedup_increment_all_distinct(spark):
+    """No candidate pairs at all (empty edge set): every page survives."""
+    from kgforge.schema import PAGES_SCHEMA
+    from kgforge.streaming import near_dedup_increment
+
+    rows = [
+        _nd_page(1, _ND_BASE_A),
+        _nd_page(2, _ND_BASE_B),
+        _nd_page(3, _ND_BASE_C),
+    ]
+    kept, processed = near_dedup_increment(
+        spark.createDataFrame(rows, PAGES_SCHEMA), None, threshold=0.8
+    )
+    assert kept.count() == 3 and processed.count() == 3
