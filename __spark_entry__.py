@@ -1511,6 +1511,37 @@ def q_kg_sparql_path_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s", "t")
 
 
+def q_kg_sparql_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL path ALTERNATION ``(p|q)`` (W3C §9.1 PathAlternative) over an
+    inline two-relation graph: ``next`` edges i -> i+1 plus sparse ``alt``
+    edges i -> i+2 (every 5th node) — the alternation compiles to ONE
+    predicate-isin pattern, not a UNION of plans. Oracle: DuckDB UNION of
+    the two closed-form edge sets."""
+    from kgforge.operators.sparql import sparql_select
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    node = lambda c: F.concat(F.lit("urn:n:"), c.cast("string"))  # noqa: E731
+    obj = lambda c: F.struct(  # noqa: E731
+        node(c).alias("value"), F.lit("iri").alias("kind"),
+        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+    )
+    nxt = d.filter(F.col("i") % 8 != 7).select(
+        F.lit("u://fix").alias("url"), node(F.col("i")).alias("subject"),
+        F.lit("urn:p:next").alias("predicate"), obj(F.col("i") + 1).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    alt = d.filter(F.col("i") % 5 == 0).select(
+        F.lit("u://fix").alias("url"), node(F.col("i")).alias("subject"),
+        F.lit("urn:p:alt").alias("predicate"), obj(F.col("i") + 2).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    out = sparql_select(
+        nxt.unionByName(alt),
+        "SELECT DISTINCT ?s ?t WHERE { ?s (<urn:p:next>|<urn:p:alt>) ?t }",
+    )
+    return out.orderBy("s", "t")
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the host web graph (undirected view of
     host_edges — the crawl-partitioning primitive: a component is the unit
@@ -1599,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
+        "q_kg_sparql_alt": q_kg_sparql_alt,
         "q_kg_describe": q_kg_describe,
         "q_host_components": q_host_components,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -3025,6 +3057,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'urn:n:' || CAST(s AS VARCHAR) AS s,
                    'urn:n:' || CAST(t AS VARCHAR) AS t
             FROM cl ORDER BY s, t
+        """,
+        # path alternation = UNION of the two closed-form edge relations
+        "q_kg_sparql_alt": """
+            WITH e AS (
+              SELECT doc_id AS s, doc_id + 1 AS t FROM documents WHERE doc_id % 8 <> 7
+              UNION
+              SELECT doc_id AS s, doc_id + 2 AS t FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT DISTINCT 'urn:n:' || CAST(s AS VARCHAR) AS s,
+                   'urn:n:' || CAST(t AS VARCHAR) AS t
+            FROM e ORDER BY s, t
         """,
         # undirected reachability + min-label aggregation over the same
         # closed-form host edge set as q_kg_linkgraph: component label =

@@ -34,6 +34,9 @@ import os
 import sys
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # healthy-window single-thread references for the in-bench probe sizes
@@ -50,8 +53,6 @@ def host_probe(spark) -> dict:
     """~15 s single-thread health probe inside the bench session: returns
     {jvm_sec, pyudf_sec, jvm_ratio, pyudf_ratio, verdict}. Single-partition
     ranges so local[32] parallelism cannot mask a slow core."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 

@@ -362,11 +362,17 @@ _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{", re.IGNORECASE)
 _EXISTS_RE = re.compile(r"(?:FILTER\s+(NOT\s+)?EXISTS|(MINUS))\s*\{", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
 # a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name,
-# with an optional +/* closure suffix (bounded transitive closure)
+# OR a parenthesized alternation (p|q|...), each with an optional +/*
+# closure suffix (bounded transitive closure). '|' cannot appear inside an
+# IRIREF (grammar-excluded char), so the alternation split is safe.
+_PATH_ATOM = r"(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)"
+_PATH_ELEM = (
+    r"(?:\^?" + _PATH_ATOM
+    + r"|\(\s*" + _PATH_ATOM + r"(?:\s*\|\s*" + _PATH_ATOM + r")*\s*\))[+*]?"
+)
 _PATH_STMT_RE = re.compile(
     r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)\s+"
-    r"((?:\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?)"
-    r"(?:\s*/\s*\^?(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?)*)\s+"
+    r"(" + _PATH_ELEM + r"(?:\s*/\s*" + _PATH_ELEM + r")*)\s+"
     r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|\"(?:[^\"\\]|\\.)*\"|[+-]?\d+(?:\.\d+)?"
     r"|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)"
 )
@@ -514,10 +520,12 @@ def _compile_bind_expr(expr: str, bind: dict):
 def _desugar_patterns(body: str, prefixes: dict | None) -> list:
     """Triple patterns with property-path desugaring: ``p/q`` sequences
     expand through fresh intermediate variables, ``^p`` swaps the pattern's
-    endpoints (W3C SPARQL 1.1 §9.1 path translation), and ``p+``/``p*``
-    closure elements compile to a pattern whose predicate slot is the tuple
-    ``("closure", iri, include_zero)`` — joined against the bounded
-    transitive-closure table instead of the fact table (``_closure_table``)."""
+    endpoints (W3C SPARQL 1.1 §9.1 path translation), ``(p|q)``
+    alternations compile to a predicate-isin pattern (``("alt", iris)``),
+    and ``p+``/``p*``/``(p|q)+`` closure elements compile to a pattern
+    whose predicate slot is ``("closure", iris, include_zero)`` — joined
+    against the bounded transitive-closure table instead of the fact table
+    (``_closure_table``)."""
     patterns = []
     fresh = [0]
 
@@ -525,16 +533,24 @@ def _desugar_patterns(body: str, prefixes: dict | None) -> list:
         fresh[0] += 1
         return ("var", f"?__pp{fresh[0]}")
 
+    def iri_of(tok):
+        pk, pv = _expand_term(tok.strip(), prefixes)
+        if pk != "iri":
+            raise SparqlUnsupported(f"predicate must be an IRI: {tok!r}")
+        return pv
+
+    elem_re = re.compile(
+        r"\^?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?"
+        r"|\([^()]*\)[+*]?"
+    )
     for sm in _PATH_STMT_RE.finditer(body):
         s = _expand_term(sm.group(1), prefixes)
         o = _expand_term(sm.group(3), prefixes)
         if s[0] == "this" or o[0] == "this":
             raise SparqlUnsupported("$this is only valid inside sh:sparql constraints")
-        # tokenize path elements (never str.split on '/', IRIs contain it)
-        elems = re.findall(
-            r"\^?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?",
-            sm.group(2),
-        )
+        # tokenize path elements (never str.split on '/', IRIs contain it;
+        # the (...) arm is paren-free inside, which _PATH_STMT_RE guarantees)
+        elems = elem_re.findall(sm.group(2))
         cur = s
         for n, el in enumerate(elems):
             inverse = el.startswith("^")
@@ -543,10 +559,20 @@ def _desugar_patterns(body: str, prefixes: dict | None) -> list:
             closure_suffix = el[-1] if el[-1] in "+*" else None
             if closure_suffix:
                 el = el[:-1]
-            pk, pv = _expand_term(el, prefixes)
-            if pk != "iri":
-                raise SparqlUnsupported(f"predicate must be an IRI: {el!r}")
-            pred = ("closure", pv, closure_suffix == "*") if closure_suffix else pv
+            if el.startswith("(") and el.endswith(")"):
+                iris = [iri_of(t) for t in el[1:-1].split("|")]
+                if inverse:
+                    raise SparqlUnsupported("^ on an alternation is outside the subset")
+                pred = (
+                    ("closure", iris, closure_suffix == "*")
+                    if closure_suffix
+                    else ("alt", iris)
+                )
+            else:
+                pv = iri_of(el)
+                pred = (
+                    ("closure", [pv], closure_suffix == "*") if closure_suffix else pv
+                )
             nxt = o if n == len(elems) - 1 else fresh_var()
             patterns.append((nxt, pred, cur) if inverse else (cur, pred, nxt))
             cur = nxt
@@ -757,8 +783,11 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
 _PATH_DOUBLINGS = 4  # p+/p* closures cover paths of up to 2**4 = 16 edges
 
 
-def _closure_table(data: DataFrame, iri: str, include_zero: bool, scoped: bool) -> DataFrame:
-    """Bounded transitive closure of one predicate, fact-table-shaped
+def _closure_table(
+    data: DataFrame, iris: list, include_zero: bool, scoped: bool
+) -> DataFrame:
+    """Bounded transitive closure of one predicate (or a (p|q) alternation
+    — the union of their edge sets), fact-table-shaped
     ([url,] subject, predicate, obj): distinct reachable pairs built by
     repeated path-doubling — k lazy self-joins cover 2**k hops with NO
     driver-side convergence probe, so query compilation stays plan-only
@@ -775,7 +804,7 @@ def _closure_table(data: DataFrame, iri: str, include_zero: bool, scoped: bool) 
     identical subplans dedup into ReusedExchange at runtime, so the
     doubling ladder's cost is logarithmic in path length."""
     cols = (["url"] if scoped else []) + ["subject", "obj"]
-    edges = data.filter(F.col("predicate") == F.lit(iri)).select(*cols).distinct()
+    edges = data.filter(F.col("predicate").isin(*iris)).select(*cols).distinct()
     closure = edges
     for _ in range(_PATH_DOUBLINGS):
         on = F.col("cx.obj") == F.col("cy.subject")
@@ -802,7 +831,7 @@ def _closure_table(data: DataFrame, iri: str, include_zero: bool, scoped: bool) 
             *ucol, F.col("n").alias("subject"), F.col("n").alias("obj")
         )
         closure = closure.unionByName(zero).distinct()
-    return closure.withColumn("predicate", F.lit(iri))
+    return closure.withColumn("predicate", F.lit("|".join(iris)))
 
 
 def _join_bgp(cur, kept, bind, data, patterns, url_var=None):
@@ -827,9 +856,12 @@ def _join_bgp(cur, kept, bind, data, patterns, url_var=None):
         (sk, sv), pred, (ok_, ov) = remaining.pop(pick)
         ordinal[0] += 1
         a = f"b{id(remaining) % 9973}_{ordinal[0]}"
-        if isinstance(pred, tuple):  # ("closure", iri, include_zero)
+        if isinstance(pred, tuple) and pred[0] == "closure":  # (kind, iris, zero)
             side = _closure_table(data, pred[1], pred[2], scoped=url_var is not None)
             cond = F.lit(True)
+        elif isinstance(pred, tuple):  # ("alt", iris): predicate alternation
+            side = data
+            cond = F.col(f"{a}.predicate").isin(*pred[1])
         else:
             side = data
             cond = F.col(f"{a}.predicate") == F.lit(pred)
@@ -1016,7 +1048,8 @@ def sparql_select(
     one fact-table join, predicate equality pushed to the scan), FILTER
     (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN),
     property-path sequences ``p/q`` and inverses ``^p`` (desugared to
-    fresh-variable patterns, W3C §9.1), bounded closures ``p+``/``p*``
+    fresh-variable patterns, W3C §9.1), alternations ``(p|q)`` (predicate
+    isin), bounded closures ``p+``/``p*``/``(p|q)+``
     (lazy path-doubling closure table, paths <= 16 edges — see
     ``_closure_table``), one level of OPTIONAL (left outer
     join on the shared variables), top-level UNION of plain groups
@@ -1157,7 +1190,7 @@ def parse_sparql_construct(text: str, prefixes: dict | None = None) -> dict:
         pred_tok = sm.group(2).strip()
         # a '/' inside <...> is part of the IRI, not a path separator
         residue = re.sub(r"<[^>]*>", "", pred_tok)
-        if any(c in residue for c in "/+*") or pred_tok.startswith("^"):
+        if any(c in residue for c in "/+*|(") or pred_tok.startswith("^"):
             raise SparqlUnsupported("property paths are not allowed in templates")
         s = _expand_term(sm.group(1), prefixes)
         pk, pv = _expand_term(sm.group(2), prefixes)

@@ -647,3 +647,65 @@ def test_sparql_describe_rejections(spark):
         sparql_describe(t, "DESCRIBE ?a")
     with _pt.raises(SparqlUnsupported):  # iri with WHERE
         sparql_describe(t, f"DESCRIBE <p1> WHERE {{ ?s <{NAME}> ?n }}")
+
+
+# ------------------------------------------- property-path closures + alternation
+
+
+def test_sparql_path_closure_plus(spark):
+    """p+ over a 5-node chain with a detached pair: all forward-reachable
+    ordered pairs, nothing across the gap (bounded path-doubling)."""
+    from kgforge.operators.sparql import sparql_select
+
+    rows = [(f"n{i}", "ex:next", f"n{i+1}", "iri") for i in range(4)]
+    rows += [("z0", "ex:next", "z1", "iri")]
+    out = sparql_select(
+        _triples_df(spark, rows),
+        "SELECT DISTINCT ?s ?t WHERE { ?s <ex:next>+ ?t }",
+    )
+    got = {(r["s"], r["t"]) for r in out.collect()}
+    want = {(f"n{i}", f"n{j}") for i in range(5) for j in range(5) if i < j}
+    want |= {("z0", "z1")}
+    assert got == want
+
+
+def test_sparql_path_closure_star_zero_length(spark):
+    """p* adds the zero-length arm: (x, x) for EVERY graph term (subjects
+    and objects of any predicate, W3C §9.3), plus the p+ pairs."""
+    from kgforge.operators.sparql import sparql_select
+
+    rows = [
+        ("a", "ex:next", "b", "iri"),
+        ("b", "ex:next", "c", "iri"),
+        ("q", "ex:other", "r", "iri"),  # terms only; no ex:next edges
+    ]
+    out = sparql_select(
+        _triples_df(spark, rows),
+        "SELECT DISTINCT ?s ?t WHERE { ?s <ex:next>* ?t }",
+    )
+    got = {(r["s"], r["t"]) for r in out.collect()}
+    want = {(x, x) for x in "abcqr"} | {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got == want
+
+
+def test_sparql_path_alternation_and_closure_over_alt(spark):
+    """(p|q) is one predicate-isin pattern; (p|q)+ closes over the UNION
+    edge set — a path may mix the two predicates."""
+    from kgforge.operators.sparql import sparql_select
+
+    rows = [
+        ("a", "ex:p", "b", "iri"),
+        ("b", "ex:q", "c", "iri"),
+        ("c", "ex:r", "d", "iri"),  # not in the alternation
+    ]
+    t = _triples_df(spark, rows)
+    one = sparql_select(t, "SELECT DISTINCT ?s ?t WHERE { ?s (<ex:p>|<ex:q>) ?t }")
+    assert {(r["s"], r["t"]) for r in one.collect()} == {("a", "b"), ("b", "c")}
+    closed = sparql_select(t, "SELECT DISTINCT ?s ?t WHERE { ?s (<ex:p>|<ex:q>)+ ?t }")
+    assert {(r["s"], r["t"]) for r in closed.collect()} == {
+        ("a", "b"), ("b", "c"), ("a", "c")
+    }
+    # inverse-of-alternation is refused (either arm of the compiler: the
+    # statement fails to parse, or the desugar rejects the ^ marker)
+    with pytest.raises(Exception, match="alternation|no basic graph patterns"):
+        sparql_select(t, "SELECT ?s ?t WHERE { ?s ^(<ex:p>|<ex:q>) ?t }")
