@@ -1560,6 +1560,51 @@ def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(und).orderBy("node")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 A1.1): per-document metrics,
+    per-rule pass flags, overall keep. Pure codegen column expressions;
+    the DuckDB twin recomputes every metric from the same text with list
+    lambdas. min_words=5 / min_stop_hits=1 so the short synthetic word-soup
+    docs exercise both keep outcomes (published defaults stay the operator
+    defaults)."""
+    from kgforge.operators.quality import gopher_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_profile(docs, min_words=5, min_stop_hits=1).orderBy("doc_id")
+
+
+def q_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation for entity linking over an AMBIGUOUS gazetteer
+    (every 5th entity has a rival sharing its surface): one row per
+    (mention span, candidate entity) with priors and candidate counts.
+    Span detection identical to q_kg_mentions; the oracle extends the
+    closed-form mention reconstruction with the rival-candidate closed
+    form (A-entities: shifted-Knuth priors, next type in cycle)."""
+    from kgforge.fixtures import ambiguous_gazetteer_rows, pages_from_documents
+    from kgforge.operators.mentions import detect_mention_candidates
+
+    pages = pages_from_documents(spark, sf_dir)
+    return detect_mention_candidates(pages, ambiguous_gazetteer_rows()).orderBy(
+        "url", "start", "entity_id"
+    )
+
+
+def q_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disambiguating entity linking (argmax of prior x context-cosine over
+    each span's candidate set, margin = best - runner-up). The choice
+    depends on crc32 feature-hash embeddings (not ANSI-SQL-expressible),
+    so this query takes the driver's rows-only check; the chosen entities,
+    scores and margins are value-asserted against an independent
+    pure-Python reimplementation in tests/test_entity_linking.py."""
+    from kgforge.fixtures import ambiguous_gazetteer_rows, pages_from_documents
+    from kgforge.operators.mentions import link_mentions
+
+    pages = pages_from_documents(spark, sf_dir)
+    return link_mentions(pages, ambiguous_gazetteer_rows()).orderBy(
+        "url", "start", "entity_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1642,6 +1687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triangles": q_kg_triangles,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
+        "q_gopher_quality": q_gopher_quality,
+        "q_entity_candidates": q_entity_candidates,
+        "q_entity_linking": q_entity_linking,
     }
 
 
@@ -1724,16 +1772,17 @@ _DD_TPLS = (
 )
 
 
-def _dd_mentions_sql() -> str:
-    """DuckDB twin of detect_mentions over pages_from_documents: rebuilds the
-    extracted page text ('Doc i\\n' + doc text + ' ' + woven sentences — the
-    documents corpus is verified free of tags/entities/newlines/multi-spaces,
-    so kgforge.html.extract_text is the identity on it) and derives each
-    woven mention's offsets via strpos (every surface occurs exactly once per
-    page; verified against the matcher at sf0.001 and sf0.01). Mirrors the
-    i%29 near-duplicate branch: visible text borrowed from page i-1 with the
-    first 'the' replaced by 'that' (regexp_replace sans 'g' = replace-first).
-    Order-preserving dedup is spelled out because list_distinct reorders."""
+def _dd_mention_ctes() -> str:
+    """Shared CTE block (WITH d .. page) for the mention-position oracles:
+    rebuilds the extracted page text ('Doc i\\n' + doc text + ' ' + woven
+    sentences — the documents corpus is verified free of
+    tags/entities/newlines/multi-spaces, so kgforge.html.extract_text is the
+    identity on it); each woven mention's offsets derive via strpos (every
+    surface occurs exactly once per page; verified against the matcher at
+    sf0.001 and sf0.01). Mirrors the i%29 near-duplicate branch: visible
+    text borrowed from page i-1 with the first 'the' replaced by 'that'
+    (regexp_replace sans 'g' = replace-first). Order-preserving dedup is
+    spelled out because list_distinct reorders."""
     return f"""
         WITH d AS (SELECT doc_id AS i, text FROM documents),
         v AS (SELECT i, text, CASE WHEN i%29=0 AND i>0 THEN i-1 ELSE i END AS s FROM d),
@@ -1768,13 +1817,53 @@ def _dd_mentions_sql() -> str:
           SELECT i,
             'Doc ' || CAST(i AS VARCHAR) || chr(10) || text || ' ' ||
             CASE WHEN i%29=0 AND i>0 THEN regexp_replace(vtext, 'the', 'that') ELSE vtext END AS ext
-          FROM vis)
+          FROM vis)"""
+
+
+def _dd_mentions_sql() -> str:
+    """DuckDB twin of detect_mentions over pages_from_documents (see
+    ``_dd_mention_ctes`` for the shared page/offset reconstruction)."""
+    return f"""{_dd_mention_ctes()}
         SELECT 'https://ex' || CAST(su.i%97 AS VARCHAR) || '.example.org/doc/' || CAST(su.i AS VARCHAR) AS url,
                su.surface,
                CAST(strpos(p.ext, su.surface) - 1 AS INT) AS start,
                CAST(strpos(p.ext, su.surface) - 1 + length(su.surface) AS INT) AS "end",
                'E' || lpad(CAST(su.k AS VARCHAR), 4, '0') AS entity_id
         FROM surf su JOIN page p ON su.i = p.i
+        ORDER BY url, start, entity_id
+    """
+
+
+def _dd_entity_candidates_sql() -> str:
+    """DuckDB twin of detect_mention_candidates over the AMBIGUOUS
+    gazetteer: the shared mention reconstruction joined with the
+    closed-form candidate set — the base E-entity (Knuth prior, k%3 type
+    cycle) plus, for k%5=0 surfaces, the rival A-entity
+    (7919-shifted Knuth prior, (k+1)%3 type)."""
+    return f"""{_dd_mention_ctes()},
+        cand AS (
+          SELECT k,
+                 'E' || lpad(CAST(k AS VARCHAR), 4, '0') AS entity_id,
+                 'http://schema.org/' || CASE k%3 WHEN 0 THEN 'Person'
+                    WHEN 1 THEN 'Organization' ELSE 'Place' END AS type_uri,
+                 round(0.5 + (k*2654435761 % 1000)/2000.0, 4) AS prior,
+                 CASE WHEN k%5=0 THEN 2 ELSE 1 END AS n_candidates
+          FROM (SELECT DISTINCT k FROM surf)
+          UNION ALL
+          SELECT k,
+                 'A' || lpad(CAST(k AS VARCHAR), 4, '0'),
+                 'http://schema.org/' || CASE (k+1)%3 WHEN 0 THEN 'Person'
+                    WHEN 1 THEN 'Organization' ELSE 'Place' END,
+                 round(0.5 + ((k*2654435761 + 7919) % 1000)/2000.0, 4),
+                 2
+          FROM (SELECT DISTINCT k FROM surf) WHERE k%5=0)
+        SELECT 'https://ex' || CAST(su.i%97 AS VARCHAR) || '.example.org/doc/' || CAST(su.i AS VARCHAR) AS url,
+               su.surface,
+               CAST(strpos(p.ext, su.surface) - 1 AS INT) AS start,
+               CAST(strpos(p.ext, su.surface) - 1 + length(su.surface) AS INT) AS "end",
+               c.entity_id, c.type_uri, c.prior,
+               CAST(c.n_candidates AS INT) AS n_candidates
+        FROM surf su JOIN page p ON su.i = p.i JOIN cand c ON su.k = c.k
         ORDER BY url, start, entity_id
     """
 
@@ -3161,4 +3250,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT cls AS class_uri, CAST(count(*) AS BIGINT) AS n_entities
             FROM all_types GROUP BY cls ORDER BY class_uri
         """,
+        "q_gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t,
+                     list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                                 x -> x != '') AS tk,
+                     string_split(coalesce(text, ''), chr(10)) AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(tk) AS INT) AS n_words,
+                CASE WHEN len(tk) > 0 THEN round(
+                  CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                  / len(tk), 6) ELSE 0.0 END AS mean_word_len,
+                CASE WHEN len(tk) > 0 THEN round(
+                  ( (length(t) - length(replace(t, '#', '')))
+                    + (length(t) - length(replace(t, '...', ''))) / 3.0 )
+                  / len(tk), 6) ELSE 0.0 END AS symbol_ratio,
+                round(CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+                  / len(lines), 6) AS bullet_frac,
+                round(CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE)
+                  / len(lines), 6) AS ellipsis_frac,
+                CASE WHEN len(tk) > 0 THEN round(
+                  CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / len(tk), 6) ELSE 0.0 END AS alpha_frac,
+                CAST(len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(list_transform(tk, x -> lower(x)), w)))
+                  AS INT) AS stop_hits
+              FROM base),
+            flagged AS (
+              SELECT *,
+                CASE WHEN n_words >= 5 AND n_words <= 100000 THEN 1 ELSE 0 END AS ok_words,
+                CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS ok_word_len,
+                CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS ok_symbols,
+                CASE WHEN bullet_frac <= 0.9 THEN 1 ELSE 0 END AS ok_bullets,
+                CASE WHEN ellipsis_frac <= 0.3 THEN 1 ELSE 0 END AS ok_ellipsis,
+                CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS ok_alpha,
+                CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS ok_stopwords
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                   ellipsis_frac, alpha_frac, stop_hits, ok_words, ok_word_len,
+                   ok_symbols, ok_bullets, ok_ellipsis, ok_alpha, ok_stopwords,
+                   CASE WHEN ok_words + ok_word_len + ok_symbols + ok_bullets
+                             + ok_ellipsis + ok_alpha + ok_stopwords = 7
+                        THEN 1 ELSE 0 END AS keep
+            FROM flagged ORDER BY doc_id
+        """,
+        "q_entity_candidates": _dd_entity_candidates_sql(),
     }

@@ -55,6 +55,25 @@ def gazetteer_rows() -> list[tuple[str, str, str, float]]:
     ]
 
 
+def ambiguous_gazetteer_rows() -> list[tuple[str, str, str, float]]:
+    """Gazetteer with one-surface/many-entities ambiguity: every entity
+    k % 5 == 0 gains a rival candidate ``A{k}`` sharing its surface but
+    carrying the next type in the cycle and an independently-drawn prior
+    (shifted Knuth stream) — the entity-LINKING fixture; detection fixtures
+    keep using the unambiguous ``gazetteer_rows``."""
+    rows = gazetteer_rows()
+    for k in range(0, N_ENTITIES, 5):
+        rows.append(
+            (
+                f"A{k:04d}",
+                entity_surface(k),
+                "http://schema.org/" + _KIND[(k + 1) % 3],
+                round(0.5 + ((k * 2654435761 + 7919) % 1000) / 2000.0, 4),
+            )
+        )
+    return rows
+
+
 def page_entities(i: int) -> list[int]:
     """2-5 deterministic entity ids per page; ~10% carry the hot entity."""
     n = 2 + (i * 7) % 4

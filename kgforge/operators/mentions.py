@@ -164,6 +164,13 @@ class GazetteerMatcher:
         self.by_surface: dict[str, tuple[str, str, float]] = {}
         for eid, surface, type_uri, prior in self.entries:
             self.by_surface.setdefault(surface.lower(), (eid, type_uri, prior))
+        # full candidate sets for ambiguous surfaces (entity LINKING, not just
+        # detection): eid-sorted for determinism regardless of entry order
+        self.candidates_by_surface: dict[str, list[tuple[str, str, float]]] = {}
+        for eid, surface, type_uri, prior in sorted(self.entries, key=lambda e: e[0]):
+            self.candidates_by_surface.setdefault(surface.lower(), []).append(
+                (eid, type_uri, prior)
+            )
         surfaces = [e[1].lower() for e in self.entries]
         if backend == "auto":
             backend = "ac" if len(self.by_surface) >= AC_SURFACE_THRESHOLD else "regex"
@@ -177,6 +184,15 @@ class GazetteerMatcher:
             self.regex = re.compile(rf"(?<![\w]){pattern}(?![\w])", re.I) if pattern else None
         self.entity_ids = [e[0] for e in self.entries]
         self.emb = np.stack([hash_embedding(e[1]) for e in self.entries]) if self.entries else np.zeros((0, EMB_DIM))
+        # linking embeddings: surface + type descriptor, so two entities
+        # sharing a surface still get DISTINCT vectors (the disambiguation
+        # signal; plain self.emb is surface-only and identical across an
+        # ambiguous candidate set)
+        self.link_emb = (
+            np.stack([hash_embedding(f"{e[1]} {e[2]}") for e in self.entries])
+            if self.entries
+            else np.zeros((0, EMB_DIM))
+        )
         self.eid_to_row = {eid: i for i, eid in enumerate(self.entity_ids)}
 
     def _find_ac(self, text: str) -> list[tuple[str, int, int, str, str, float]]:
@@ -285,3 +301,143 @@ def mention_triples(mentions: DataFrame, min_score: float = 0.25) -> DataFrame:
             F.lit(None).cast("string").alias("error"),
         )
     )
+
+
+CANDIDATES_SCHEMA = (
+    "url string, surface string, start int, end int, entity_id string, "
+    "type_uri string, prior double, n_candidates int"
+)
+
+LINKED_SCHEMA = (
+    "url string, surface string, start int, end int, entity_id string, "
+    "score double, margin double, n_candidates int"
+)
+
+
+def detect_mention_candidates(pages: DataFrame, gazetteer: list[tuple[str, str, str, float]]) -> DataFrame:
+    """Candidate-generation half of entity linking: every (span, candidate
+    entity) pair for ambiguous gazetteer surfaces (one surface -> many
+    entity ids), with the surface-level candidate count. Span detection is
+    identical to ``detect_mentions`` (leftmost-longest, word-boundary,
+    case-insensitive); candidates are eid-ordered. Pure dictionary lookups
+    after the scan — SQL-oracle-able, unlike the embedding-scored choice."""
+    spark: SparkSession = pages.sparkSession
+    bc = spark.sparkContext.broadcast(GazetteerMatcher(gazetteer))
+
+    def fn(batches):
+        matcher = bc.value
+        for pdf in batches:
+            urls, surfaces, starts, ends, eids, types, priors, ncands = (
+                [], [], [], [], [], [], [], [])
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for surf, s, e, _eid, _t, _p in matcher.find(text or ""):
+                    cands = matcher.candidates_by_surface[surf.lower()]
+                    for ceid, ctype, cprior in cands:
+                        urls.append(url)
+                        surfaces.append(surf)
+                        starts.append(s)
+                        ends.append(e)
+                        eids.append(ceid)
+                        types.append(ctype)
+                        priors.append(cprior)
+                        ncands.append(len(cands))
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "surface": pd.Series(surfaces, dtype="object"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "entity_id": pd.Series(eids, dtype="object"),
+                    "type_uri": pd.Series(types, dtype="object"),
+                    "prior": pd.Series(priors, dtype="float64"),
+                    "n_candidates": pd.Series(ncands, dtype="int32"),
+                }
+            )
+
+    return pages.select("url", "text").mapInPandas(fn, schema=CANDIDATES_SCHEMA)
+
+
+def link_mentions(
+    pages: DataFrame,
+    gazetteer: list[tuple[str, str, str, float]],
+    context_window: int = 80,
+) -> DataFrame:
+    """Disambiguating entity linker: per detected span, score every
+    candidate entity sharing the surface with
+    ``prior * (0.5 + 0.5 * cosine(context_emb, candidate_link_emb))`` and
+    keep the argmax (ties break to the smaller entity_id). ``margin`` is
+    best minus runner-up score (= best score when unambiguous) — the usual
+    link-confidence signal a downstream KG-fusion stage thresholds on.
+
+    Batched like ``detect_mentions``: one (candidates x dim) gather + one
+    einsum per Arrow batch; the per-mention argmax is a vectorized pandas
+    group-rank, never a per-row Python loop over the batch."""
+    spark: SparkSession = pages.sparkSession
+    bc = spark.sparkContext.broadcast(GazetteerMatcher(gazetteer))
+
+    empty = pd.DataFrame(
+        {
+            "url": pd.Series([], dtype="object"),
+            "surface": pd.Series([], dtype="object"),
+            "start": pd.Series([], dtype="int32"),
+            "end": pd.Series([], dtype="int32"),
+            "entity_id": pd.Series([], dtype="object"),
+            "score": pd.Series([], dtype="float64"),
+            "margin": pd.Series([], dtype="float64"),
+            "n_candidates": pd.Series([], dtype="int32"),
+        }
+    )
+
+    def fn(batches):
+        matcher = bc.value
+        for pdf in batches:
+            # mention-level arrays (index m) + candidate-level arrays
+            urls, surfaces, starts, ends, ctxs = [], [], [], [], []
+            c_m, c_eids = [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                t = text or ""
+                for surf, s, e, _eid, _t, _p in matcher.find(t):
+                    m = len(urls)
+                    urls.append(url)
+                    surfaces.append(surf)
+                    starts.append(s)
+                    ends.append(e)
+                    ctxs.append(t[max(0, s - context_window) : e + context_window])
+                    for ceid, _ct, _cp in matcher.candidates_by_surface[surf.lower()]:
+                        c_m.append(m)
+                        c_eids.append(ceid)
+            if not urls:
+                yield empty
+                continue
+            ctx_m = np.stack([hash_embedding(c) for c in ctxs])  # (m, dim)
+            rows = np.array([matcher.eid_to_row[e] for e in c_eids])
+            cand_m = matcher.link_emb[rows]  # (c, dim)
+            midx = np.array(c_m)
+            cos = np.einsum("ij,ij->i", ctx_m[midx], cand_m)
+            priors = np.array([matcher.entries[r][3] for r in rows])
+            score = np.round(priors * (0.5 + 0.5 * np.clip(cos, -1.0, 1.0)), 6)
+            cd = pd.DataFrame({"m": midx, "entity_id": c_eids, "score": score})
+            cd = cd.sort_values(["m", "score", "entity_id"], ascending=[True, False, True])
+            cd["rank"] = cd.groupby("m").cumcount()
+            ncand = cd.groupby("m")["m"].transform("size")
+            cd["n_candidates"] = ncand
+            best = cd[cd["rank"] == 0].set_index("m")
+            snd = cd[cd["rank"] == 1].set_index("m")["score"]
+            margin = np.round(
+                best["score"] - snd.reindex(best.index).fillna(0.0), 6
+            )
+            mi = best.index.to_numpy()
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series([urls[i] for i in mi], dtype="object"),
+                    "surface": pd.Series([surfaces[i] for i in mi], dtype="object"),
+                    "start": pd.Series([starts[i] for i in mi], dtype="int32"),
+                    "end": pd.Series([ends[i] for i in mi], dtype="int32"),
+                    "entity_id": best["entity_id"].to_numpy(),
+                    "score": best["score"].to_numpy(),
+                    "margin": margin.to_numpy(),
+                    "n_candidates": best["n_candidates"].astype("int32").to_numpy(),
+                }
+            )
+
+    return pages.select("url", "text").mapInPandas(fn, schema=LINKED_SCHEMA)
