@@ -1542,6 +1542,80 @@ def q_kg_sparql_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s", "t")
 
 
+def _next_alt_triples(spark: SparkSession, sf_dir: str):
+    """The two-relation inline graph shared by the path-feature queries:
+    ``next`` edges i -> i+1 inside blocks of 8, sparse ``alt`` edges
+    i -> i+2 on every 5th node (same closed form as q_kg_sparql_alt)."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    node = lambda c: F.concat(F.lit("urn:n:"), c.cast("string"))  # noqa: E731
+    obj = lambda c: F.struct(  # noqa: E731
+        node(c).alias("value"), F.lit("iri").alias("kind"),
+        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+    )
+    nxt = d.filter(F.col("i") % 8 != 7).select(
+        F.lit("u://fix").alias("url"), node(F.col("i")).alias("subject"),
+        F.lit("urn:p:next").alias("predicate"), obj(F.col("i") + 1).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    alt = d.filter(F.col("i") % 5 == 0).select(
+        F.lit("u://fix").alias("url"), node(F.col("i")).alias("subject"),
+        F.lit("urn:p:alt").alias("predicate"), obj(F.col("i") + 2).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    return nxt, alt
+
+
+def q_kg_sparql_negpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL NEGATED property set ``!p`` (W3C §9.1 NegatedPropertySet)
+    over the two-relation inline graph: ``!<urn:p:alt>`` must surface
+    exactly the ``next`` edges — compiled as ONE scan-pushed NOT-isin on
+    the predicate column, never a UNION over the predicate vocabulary.
+    Oracle: DuckDB closed-form next-edge relation."""
+    from kgforge.operators.sparql import sparql_select
+
+    nxt, alt = _next_alt_triples(spark, sf_dir)
+    out = sparql_select(
+        nxt.unionByName(alt),
+        "SELECT DISTINCT ?s ?t WHERE { ?s !<urn:p:alt> ?t }",
+    )
+    return out.orderBy("s", "t")
+
+
+def q_kg_sparql_zeroone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL ZERO-OR-ONE path ``p?`` (W3C §9.3 ZeroOrOnePath) over the
+    inline next-edge chain graph: the edge set PLUS the zero-length arm
+    (x, x) for every term in the graph — compiled as a closure table with
+    NO doubling joins (p? never pays the path-doubling ladder). Oracle:
+    DuckDB union of the closed-form edge relation and the identity over
+    its endpoint set."""
+    from kgforge.operators.sparql import sparql_select
+
+    nxt, _ = _next_alt_triples(spark, sf_dir)
+    out = sparql_select(nxt, "SELECT DISTINCT ?s ?t WHERE { ?s <urn:p:next>? ?t }")
+    return out.orderBy("s", "t")
+
+
+def q_kg_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP_CONCAT + HAVING surface over the two-relation inline
+    graph: per-subject sorted out-neighbour list (GROUP_CONCAT DISTINCT
+    with an explicit SEPARATOR — sorted per group, so the string is a pure
+    function of the group) and out-degree, HAVING-filtered to subjects
+    with >= 2 distinct targets (exactly the nodes carrying both a next and
+    an alt edge). Oracle: DuckDB string_agg(... ORDER BY ...) + count over
+    the identical closed-form edge set."""
+    from kgforge.operators.sparql import sparql_select
+
+    nxt, alt = _next_alt_triples(spark, sf_dir)
+    out = sparql_select(
+        nxt.unionByName(alt),
+        """SELECT ?s (GROUP_CONCAT(DISTINCT ?o; SEPARATOR=",") AS ?outs)
+                  (COUNT(DISTINCT ?o) AS ?n_out)
+           WHERE { ?s (<urn:p:next>|<urn:p:alt>) ?o }
+           GROUP BY ?s HAVING (?n_out >= 2)""",
+    )
+    return out.orderBy("s")
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the host web graph (undirected view of
     host_edges — the crawl-partitioning primitive: a component is the unit
@@ -1676,6 +1750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
         "q_kg_sparql_alt": q_kg_sparql_alt,
+        "q_kg_sparql_negpath": q_kg_sparql_negpath,
+        "q_kg_sparql_zeroone": q_kg_sparql_zeroone,
+        "q_kg_sparql_groupconcat": q_kg_sparql_groupconcat,
         "q_kg_describe": q_kg_describe,
         "q_host_components": q_host_components,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -3157,6 +3234,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT 'urn:n:' || CAST(s AS VARCHAR) AS s,
                    'urn:n:' || CAST(t AS VARCHAR) AS t
             FROM e ORDER BY s, t
+        """,
+        # negated property set !alt = everything EXCEPT alt-edges, i.e. the
+        # closed-form next-edge relation alone
+        "q_kg_sparql_negpath": """
+            SELECT DISTINCT 'urn:n:' || CAST(doc_id AS VARCHAR) AS s,
+                   'urn:n:' || CAST(doc_id + 1 AS VARCHAR) AS t
+            FROM documents WHERE doc_id % 8 <> 7 ORDER BY s, t
+        """,
+        # p? = the edge relation UNION the zero-length identity arm over
+        # every term of the graph (subjects and objects of the edge set)
+        "q_kg_sparql_zeroone": """
+            WITH e AS (
+              SELECT doc_id AS s, doc_id + 1 AS t FROM documents
+              WHERE doc_id % 8 <> 7
+            ),
+            nodes AS (SELECT s AS n FROM e UNION SELECT t FROM e)
+            SELECT DISTINCT 'urn:n:' || CAST(s AS VARCHAR) AS s,
+                   'urn:n:' || CAST(t AS VARCHAR) AS t
+            FROM (SELECT s, t FROM e UNION SELECT n, n FROM nodes)
+            ORDER BY s, t
+        """,
+        # sorted out-neighbour list + out-degree per subject, kept only when
+        # the subject carries both edge kinds (n_out >= 2); string_agg with
+        # ORDER BY mirrors the engine's sorted GROUP_CONCAT determinism
+        "q_kg_sparql_groupconcat": """
+            WITH e AS (
+              SELECT 'urn:n:' || CAST(doc_id AS VARCHAR) AS s,
+                     'urn:n:' || CAST(doc_id + 1 AS VARCHAR) AS t
+              FROM documents WHERE doc_id % 8 <> 7
+              UNION
+              SELECT 'urn:n:' || CAST(doc_id AS VARCHAR),
+                     'urn:n:' || CAST(doc_id + 2 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            g AS (
+              SELECT s, string_agg(t, ',' ORDER BY t) AS outs,
+                     CAST(count(DISTINCT t) AS BIGINT) AS n_out
+              FROM e GROUP BY s
+            )
+            SELECT s, outs, n_out FROM g WHERE n_out >= 2 ORDER BY s
         """,
         # undirected reachability + min-label aggregation over the same
         # closed-form host edge set as q_kg_linkgraph: component label =

@@ -336,6 +336,7 @@ def sparql_constraint_violations(
 _SELECT_RE = re.compile(
     r"^SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*"
     r"(?:GROUP\s+BY\s+((?:\?[A-Za-z_][A-Za-z0-9_]*\s*)+))?\s*"
+    r"(?:HAVING\s*\(\s*([^()]+?)\s*\))?\s*"
     r"(?:ORDER\s+BY\s+((?:(?:ASC|DESC)\s*\(\s*\?[A-Za-z_][A-Za-z0-9_]*\s*\)\s*"
     r"|\?[A-Za-z_][A-Za-z0-9_]*\s*)+))?\s*"
     r"(?:LIMIT\s+(\d+))?\s*$",
@@ -354,21 +355,26 @@ _VALUES_RE = re.compile(
 )
 _UNION_SPLIT_RE = re.compile(r"\}\s*UNION\s*\{", re.IGNORECASE)
 _PROJ_ITEM_RE = re.compile(
-    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?"
+    r"(\*|\?[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:;\s*SEPARATOR\s*=\s*\"((?:[^\"\\]|\\.)*)\"\s*)?\)"
     r"\s+AS\s+\?([A-Za-z_][A-Za-z0-9_]*)\s*\)|\?([A-Za-z_][A-Za-z0-9_]*)",
     re.IGNORECASE,
 )
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{", re.IGNORECASE)
 _EXISTS_RE = re.compile(r"(?:FILTER\s+(NOT\s+)?EXISTS|(MINUS))\s*\{", re.IGNORECASE)
 _ASK_RE = re.compile(r"^ASK\s*(?:WHERE\s*)?\{(.*)\}\s*$", re.IGNORECASE | re.DOTALL)
-# a path element: optional ^ inverse marker on an IRI / 'a' / prefixed name,
-# OR a parenthesized alternation (p|q|...), each with an optional +/*
-# closure suffix (bounded transitive closure). '|' cannot appear inside an
-# IRIREF (grammar-excluded char), so the alternation split is safe.
+# a path element: optional ! negated-property-set or ^ inverse marker on an
+# IRI / 'a' / prefixed name, OR a (optionally !-negated) parenthesized
+# alternation (p|q|...), each with an optional +/*/? suffix (bounded
+# transitive closure / zero-or-one). '|' cannot appear inside an IRIREF
+# (grammar-excluded char), so the alternation split is safe. The ? suffix
+# only binds when directly attached to the element (whitespace separates it
+# from a following ?var object).
 _PATH_ATOM = r"(?:a|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)"
 _PATH_ELEM = (
-    r"(?:\^?" + _PATH_ATOM
-    + r"|\(\s*" + _PATH_ATOM + r"(?:\s*\|\s*" + _PATH_ATOM + r")*\s*\))[+*]?"
+    r"(?:[!^]?" + _PATH_ATOM
+    + r"|!?\(\s*" + _PATH_ATOM + r"(?:\s*\|\s*" + _PATH_ATOM + r")*\s*\))[+*?]?"
 )
 _PATH_STMT_RE = re.compile(
     r"(\?[A-Za-z_][A-Za-z0-9_]*|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)\s+"
@@ -540,8 +546,8 @@ def _desugar_patterns(body: str, prefixes: dict | None) -> list:
         return pv
 
     elem_re = re.compile(
-        r"\^?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*]?"
-        r"|\([^()]*\)[+*]?"
+        r"[!^]?(?:a(?![A-Za-z0-9_])|<[^>]+>|[A-Za-z_][A-Za-z0-9_.-]*:[A-Za-z0-9_.-]+)[+*?]?"
+        r"|!?\([^()]*\)[+*?]?"
     )
     for sm in _PATH_STMT_RE.finditer(body):
         s = _expand_term(sm.group(1), prefixes)
@@ -554,25 +560,38 @@ def _desugar_patterns(body: str, prefixes: dict | None) -> list:
         cur = s
         for n, el in enumerate(elems):
             inverse = el.startswith("^")
-            if inverse:
+            negated = el.startswith("!")
+            if inverse or negated:
                 el = el[1:]
-            closure_suffix = el[-1] if el[-1] in "+*" else None
+            closure_suffix = el[-1] if el[-1] in "+*?" else None
             if closure_suffix:
                 el = el[:-1]
+            if negated and closure_suffix:
+                raise SparqlUnsupported(
+                    "closure over a negated property set is outside the subset"
+                )
             if el.startswith("(") and el.endswith(")"):
                 iris = [iri_of(t) for t in el[1:-1].split("|")]
                 if inverse:
                     raise SparqlUnsupported("^ on an alternation is outside the subset")
-                pred = (
-                    ("closure", iris, closure_suffix == "*")
-                    if closure_suffix
-                    else ("alt", iris)
-                )
+                if negated:
+                    pred = ("neg", iris)
+                elif closure_suffix == "?":
+                    pred = ("zeroone", iris)
+                elif closure_suffix:
+                    pred = ("closure", iris, closure_suffix == "*")
+                else:
+                    pred = ("alt", iris)
             else:
                 pv = iri_of(el)
-                pred = (
-                    ("closure", [pv], closure_suffix == "*") if closure_suffix else pv
-                )
+                if negated:
+                    pred = ("neg", [pv])
+                elif closure_suffix == "?":
+                    pred = ("zeroone", [pv])
+                elif closure_suffix:
+                    pred = ("closure", [pv], closure_suffix == "*")
+                else:
+                    pred = pv
             nxt = o if n == len(elems) - 1 else fresh_var()
             patterns.append((nxt, pred, cur) if inverse else (cur, pred, nxt))
             cur = nxt
@@ -738,16 +757,21 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
         raise SparqlUnsupported(f"not a standalone SELECT query: {text[:60]!r}")
     proj = []
     for pm in _PROJ_ITEM_RE.finditer(m.group(2)):
-        if pm.group(5):
-            proj.append(("var", pm.group(5)))
+        if pm.group(6):
+            proj.append(("var", pm.group(6)))
         else:
+            fn = pm.group(1).upper()
+            sep = pm.group(4)
+            if sep is not None and fn != "GROUP_CONCAT":
+                raise SparqlUnsupported("SEPARATOR is only valid on GROUP_CONCAT")
             proj.append(
                 (
                     "agg",
-                    pm.group(1).upper(),
+                    fn,
                     bool(pm.group(2)),
                     None if pm.group(3) == "*" else pm.group(3)[1:],
-                    pm.group(4),
+                    pm.group(5),
+                    re.sub(r"\\(.)", r"\1", sep) if sep is not None else " ",
                 )
             )
     if not proj:
@@ -764,8 +788,21 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
                 "non-aggregate projected variables must match GROUP BY exactly"
             )
     out_names = [p[1] if p[0] == "var" else p[4] for p in proj]
+    having = None
+    if m.group(5):
+        if not has_agg:
+            raise SparqlUnsupported("HAVING without an aggregate projection")
+        hm = _CMP_RE.match(m.group(5).strip())
+        if hm is None or hm.group(1) not in out_names:
+            raise SparqlUnsupported(
+                f"HAVING must compare a projected alias: {m.group(5)!r}"
+            )
+        rk, rv = _expand_term(hm.group(3).strip(), prefixes)
+        if rk not in ("num", "str"):
+            raise SparqlUnsupported(f"unsupported HAVING rhs {hm.group(3)!r}")
+        having = (hm.group(1), hm.group(2), rk, rv)
     order_by = []
-    for om in _ORDER_ITEM_RE.finditer(m.group(5) or ""):
+    for om in _ORDER_ITEM_RE.finditer(m.group(6) or ""):
         var = om.group(2) or om.group(3)
         if var not in out_names:
             raise SparqlUnsupported(f"ORDER BY variable ?{var} is not projected")
@@ -775,8 +812,9 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
         "distinct": bool(m.group(1)),
         "where": where,
         "group_by": group_by,
+        "having": having,
         "order_by": order_by,
-        "limit": int(m.group(6)) if m.group(6) else None,
+        "limit": int(m.group(7)) if m.group(7) else None,
     }
 
 
@@ -784,7 +822,8 @@ _PATH_DOUBLINGS = 4  # p+/p* closures cover paths of up to 2**4 = 16 edges
 
 
 def _closure_table(
-    data: DataFrame, iris: list, include_zero: bool, scoped: bool
+    data: DataFrame, iris: list, include_zero: bool, scoped: bool,
+    doublings: int = _PATH_DOUBLINGS,
 ) -> DataFrame:
     """Bounded transitive closure of one predicate (or a (p|q) alternation
     — the union of their edge sets), fact-table-shaped
@@ -806,7 +845,7 @@ def _closure_table(
     cols = (["url"] if scoped else []) + ["subject", "obj"]
     edges = data.filter(F.col("predicate").isin(*iris)).select(*cols).distinct()
     closure = edges
-    for _ in range(_PATH_DOUBLINGS):
+    for _ in range(doublings):
         on = F.col("cx.obj") == F.col("cy.subject")
         if scoped:
             on = on & (F.col("cx.url") == F.col("cy.url"))
@@ -859,6 +898,19 @@ def _join_bgp(cur, kept, bind, data, patterns, url_var=None):
         if isinstance(pred, tuple) and pred[0] == "closure":  # (kind, iris, zero)
             side = _closure_table(data, pred[1], pred[2], scoped=url_var is not None)
             cond = F.lit(True)
+        elif isinstance(pred, tuple) and pred[0] == "zeroone":  # p? (W3C §9.1
+            # ZeroOrOnePath): the single-step edge set plus the zero-length
+            # arm — a closure table with NO doubling joins, so p? never pays
+            # the path-doubling ladder.
+            side = _closure_table(
+                data, pred[1], True, scoped=url_var is not None, doublings=0
+            )
+            cond = F.lit(True)
+        elif isinstance(pred, tuple) and pred[0] == "neg":  # !p / !(p|q): any
+            # predicate OUTSIDE the set (W3C §9.1 NegatedPropertySet) — one
+            # scan-pushed NOT-isin, not a UNION over the predicate vocabulary.
+            side = data
+            cond = ~F.col(f"{a}.predicate").isin(*pred[1])
         elif isinstance(pred, tuple):  # ("alt", iris): predicate alternation
             side = data
             cond = F.col(f"{a}.predicate").isin(*pred[1])
@@ -1049,14 +1101,20 @@ def sparql_select(
     (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN),
     property-path sequences ``p/q`` and inverses ``^p`` (desugared to
     fresh-variable patterns, W3C §9.1), alternations ``(p|q)`` (predicate
-    isin), bounded closures ``p+``/``p*``/``(p|q)+``
+    isin), negated property sets ``!p``/``!(p|q)`` (predicate NOT-isin,
+    W3C §9.1 NegatedPropertySet — no closure over negation), zero-or-one
+    ``p?`` (edge set plus zero-length arm, no doubling ladder), bounded
+    closures ``p+``/``p*``/``(p|q)+``
     (lazy path-doubling closure table, paths <= 16 edges — see
     ``_closure_table``), one level of OPTIONAL (left outer
     join on the shared variables), top-level UNION of plain groups
     (null-padded unionByName), FILTER [NOT] EXISTS and MINUS over plain
     shared-variable groups (left semi / left anti join), single-var VALUES
     (isin filter), DISTINCT,
-    COUNT/SUM/MIN/MAX/AVG + GROUP BY (one hash aggregate), and
+    COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT(;SEPARATOR) + GROUP BY (one
+    hash aggregate; GROUP_CONCAT sorts each group's values so the result
+    is deterministic, SAMPLE takes min — both valid per W3C §18.5.1),
+    HAVING over one projected aggregate alias, and
     ORDER BY/LIMIT (TakeOrderedAndProject when both present).
 
     Scale: the fact table is scanned once per pattern (column-pruned to
@@ -1078,17 +1136,28 @@ def sparql_select(
         for p in q["proj"]:
             if p[0] != "agg":
                 continue
-            _, fn, distinct, var, alias = p
+            _, fn, distinct, var, alias, sep = p
             if fn == "COUNT" and var is None:
                 e = F.count(F.lit(1))
             else:
                 c = F.col(_need(var))
                 if fn == "COUNT":
                     e = F.count_distinct(c) if distinct else F.count(c)
+                elif fn == "GROUP_CONCAT":
+                    # SPARQL leaves concatenation order implementation-defined;
+                    # sorting the collected values makes the result a pure
+                    # function of the group (deterministic across partitionings
+                    # and oracle-able as string_agg(... ORDER BY ...)).
+                    vals = F.collect_set(c) if distinct else F.collect_list(c)
+                    e = F.array_join(F.array_sort(vals), sep)
+                elif fn == "SAMPLE":
+                    # "an arbitrary value from the group" (W3C §18.5.1.7) —
+                    # min() is a valid, deterministic choice.
+                    e = F.min(c)
                 else:
                     if distinct:
                         raise SparqlUnsupported(
-                            "DISTINCT is only supported inside COUNT"
+                            "DISTINCT is only supported inside COUNT/GROUP_CONCAT"
                         )
                     e = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[fn](
                         c.try_cast("double")
@@ -1097,6 +1166,16 @@ def sparql_select(
         out = cur.groupBy(*keys).agg(*aggs)
         order = [p[1] if p[0] == "var" else p[4] for p in q["proj"]]
         out = out.select(*order)
+        if q.get("having") is not None:
+            alias, op, rk, rv = q["having"]
+            lhs = F.col(alias).try_cast("double") if rk == "num" else F.col(alias)
+            rhs = F.lit(float(rv) if rk == "num" else rv)
+            out = out.filter(
+                {
+                    "=": lhs == rhs, "!=": lhs != rhs, "<": lhs < rhs,
+                    "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs,
+                }[op]
+            )
     else:
         out = cur.select(*[F.col(_need(p[1])).alias(p[1]) for p in q["proj"]])
         if q["distinct"]:

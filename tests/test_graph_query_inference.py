@@ -709,3 +709,105 @@ def test_sparql_path_alternation_and_closure_over_alt(spark):
     # statement fails to parse, or the desugar rejects the ^ marker)
     with pytest.raises(Exception, match="alternation|no basic graph patterns"):
         sparql_select(t, "SELECT ?s ?t WHERE { ?s ^(<ex:p>|<ex:q>) ?t }")
+
+
+# ----------------------- negated sets / p? / GROUP_CONCAT / SAMPLE / HAVING
+
+
+def test_sparql_negated_property_set(spark):
+    """!p and !(p|q) match any predicate OUTSIDE the set (W3C §9.1
+    NegatedPropertySet) — compiled as one NOT-isin on the fact scan."""
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [
+        ("a", "ex:p", "b", "iri"),
+        ("b", "ex:q", "c", "iri"),
+        ("c", "ex:r", "d", "iri"),
+    ])
+    got = sparql_select(t, "SELECT DISTINCT ?s ?t WHERE { ?s !<ex:p> ?t }")
+    assert {(r["s"], r["t"]) for r in got.collect()} == {("b", "c"), ("c", "d")}
+    got = sparql_select(t, "SELECT DISTINCT ?s ?t WHERE { ?s !(<ex:p>|<ex:q>) ?t }")
+    assert {(r["s"], r["t"]) for r in got.collect()} == {("c", "d")}
+    # closure over a negated set is refused, not silently misread
+    with pytest.raises(SparqlUnsupported, match="negated"):
+        sparql_select(t, "SELECT ?s ?t WHERE { ?s !(<ex:p>|<ex:q>)+ ?t }")
+
+
+def test_sparql_zero_or_one_path(spark):
+    """p? = the edge set plus the zero-length arm (x,x) for every graph
+    term (W3C §9.3 ZeroOrOnePath) — no path-doubling ladder in the plan."""
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("a", "ex:p", "b", "iri"),
+        ("b", "ex:p", "c", "iri"),
+        ("x", "ex:q", "y", "iri"),  # q-edge: contributes only zero arms
+    ])
+    got = sparql_select(t, "SELECT DISTINCT ?s ?t WHERE { ?s <ex:p>? ?t }")
+    assert {(r["s"], r["t"]) for r in got.collect()} == {
+        ("a", "b"), ("b", "c"),
+        ("a", "a"), ("b", "b"), ("c", "c"), ("x", "x"), ("y", "y"),
+    }
+    # in a sequence: knows/p? keeps the endpoint and its one-step extension
+    got = sparql_select(t, "SELECT DISTINCT ?s ?t WHERE { ?s <ex:p>/<ex:p>? ?t }")
+    assert {(r["s"], r["t"]) for r in got.collect()} == {
+        ("a", "b"), ("a", "c"), ("b", "c")
+    }
+
+
+def test_sparql_group_concat_and_sample(spark):
+    """GROUP_CONCAT sorts each group's values (deterministic, spec-valid);
+    DISTINCT dedups before the sort; SAMPLE takes min. SEPARATOR escapes
+    unquote (\\" -> ")."""
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [
+        ("a", KNOWS, "z", "iri"),
+        ("a", KNOWS, "b", "iri"),
+        ("a", KNOWS, "b", "iri"),
+        ("c", KNOWS, "d", "iri"),
+    ])
+    q = ('SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?os) WHERE '
+         f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s ORDER BY ?s")
+    got = [(r["s"], r["os"]) for r in sparql_select(t, q).collect()]
+    assert got == [("a", "b,b,z"), ("c", "d")]
+    q = ('SELECT ?s (GROUP_CONCAT(DISTINCT ?o; SEPARATOR="|") AS ?os) WHERE '
+         f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s ORDER BY ?s")
+    got = [(r["s"], r["os"]) for r in sparql_select(t, q).collect()]
+    assert got == [("a", "b|z"), ("c", "d")]
+    # default separator is a single space (W3C §18.5.1.7)
+    q = ("SELECT ?s (GROUP_CONCAT(?o) AS ?os) WHERE "
+         f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s ORDER BY ?s")
+    assert [r["os"] for r in sparql_select(t, q).collect()] == ["b b z", "d"]
+    q = ("SELECT ?s (SAMPLE(?o) AS ?one) WHERE "
+         f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s ORDER BY ?s")
+    got = [(r["s"], r["one"]) for r in sparql_select(t, q).collect()]
+    assert got == [("a", "b"), ("c", "d")]
+    with pytest.raises(SparqlUnsupported, match="SEPARATOR"):
+        sparql_select(t, 'SELECT ?s (COUNT(?o; SEPARATOR=",") AS ?n) WHERE '
+                      f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s")
+
+
+def test_sparql_having(spark):
+    """HAVING filters the aggregated solutions on a projected alias;
+    refused without an aggregate or over an unprojected name."""
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [
+        ("a", KNOWS, "b", "iri"),
+        ("a", KNOWS, "c", "iri"),
+        ("d", KNOWS, "e", "iri"),
+    ])
+    q = ("SELECT ?s (COUNT(?o) AS ?n) WHERE "
+         f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s HAVING (?n >= 2) ORDER BY ?s")
+    got = [(r["s"], r["n"]) for r in sparql_select(t, q).collect()]
+    assert got == [("a", 2)]
+    # string-typed HAVING over a GROUP_CONCAT alias also works
+    q = ('SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=",") AS ?os) WHERE '
+         f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s HAVING (?os = \"b,c\")")
+    assert [r["s"] for r in sparql_select(t, q).collect()] == ["a"]
+    with pytest.raises(SparqlUnsupported, match="HAVING"):
+        sparql_select(t, f"SELECT ?s ?o WHERE {{ ?s <{KNOWS}> ?o }} HAVING (?o > 1)")
+    with pytest.raises(SparqlUnsupported, match="HAVING"):
+        sparql_select(t, "SELECT ?s (COUNT(?o) AS ?n) WHERE "
+                      f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s HAVING (?zzz > 1)")
