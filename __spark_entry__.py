@@ -1616,6 +1616,69 @@ def q_kg_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s")
 
 
+def q_kg_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge FUSION (truth discovery): pages disagree about the same
+    (subject, predicate) — majority vote picks the winning object value,
+    ties break to the smallest value, confidence = winner share. The
+    inline corpus asserts value v(doc_id%3) about entity e(doc_id%40) from
+    page u://doc_id, so each entity key collects conflicting votes with a
+    closed form DuckDB reproduces exactly (window argmax). Engine side is
+    two combinable hash aggregates and NO window (min(struct(-votes,
+    value)) argmax — kgforge/operators/fusion.py), so hot entities collapse
+    map-side."""
+    from kgforge.operators.fusion import fuse_facts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    triples = d.select(
+        F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("urn:e:"), (F.col("doc_id") % 40).cast("string")).alias(
+            "subject"
+        ),
+        F.lit("urn:p:v").alias("predicate"),
+        F.struct(
+            F.concat(F.lit("v"), (F.col("doc_id") % 3).cast("string")).alias("value"),
+            F.lit("literal").alias("kind"),
+            F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        ).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    return fuse_facts(triples).orderBy("subject")
+
+
+def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two crawls: symmetric difference on the
+    (subject, predicate, object value) key, labelled added/removed —
+    unchanged facts never leave their scan (two left-anti joins, no
+    full-outer widening; kgforge/operators/fusion.py). Old snapshot =
+    even doc_ids, new = doc_ids divisible by 3, so doc_id%6==0 facts are
+    unchanged, %3-only facts are added, %2-only facts are removed —
+    closed-form EXCEPT relations in DuckDB."""
+    from kgforge.operators.fusion import kg_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def snap(df):
+        return df.select(
+            F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url"),
+            F.concat(F.lit("urn:e:"), F.col("doc_id").cast("string")).alias(
+                "subject"
+            ),
+            F.lit("urn:p:v").alias("predicate"),
+            F.struct(
+                F.concat(F.lit("v"), (F.col("doc_id") % 5).cast("string")).alias(
+                    "value"
+                ),
+                F.lit("literal").alias("kind"),
+                F.lit("").alias("datatype"), F.lit("").alias("lang"),
+            ).alias("object"),
+            F.lit("ok").alias("status"),
+        )
+
+    old = snap(d.filter(F.col("doc_id") % 2 == 0))
+    new = snap(d.filter(F.col("doc_id") % 3 == 0))
+    return kg_diff(old, new).orderBy("subject", "change")
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the host web graph (undirected view of
     host_edges — the crawl-partitioning primitive: a component is the unit
@@ -1753,6 +1816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_negpath": q_kg_sparql_negpath,
         "q_kg_sparql_zeroone": q_kg_sparql_zeroone,
         "q_kg_sparql_groupconcat": q_kg_sparql_groupconcat,
+        "q_kg_fuse": q_kg_fuse,
+        "q_kg_diff": q_kg_diff,
         "q_kg_describe": q_kg_describe,
         "q_host_components": q_host_components,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -3274,6 +3339,57 @@ def oracle_sql() -> dict[str, str]:
               FROM e GROUP BY s
             )
             SELECT s, outs, n_out FROM g WHERE n_out >= 2 ORDER BY s
+        """,
+        # majority-vote fusion: per-(s,p,value) page votes, then window
+        # argmax (votes desc, value asc) — mirrors the engine's combinable
+        # min(struct(-votes, value)) without a window
+        "q_kg_fuse": """
+            WITH t AS (
+              SELECT 'u://' || CAST(doc_id AS VARCHAR) AS url,
+                     'urn:e:' || CAST(doc_id % 40 AS VARCHAR) AS subject,
+                     'urn:p:v' AS predicate,
+                     'v' || CAST(doc_id % 3 AS VARCHAR) AS value
+              FROM documents
+            ),
+            pv AS (
+              SELECT subject, predicate, value,
+                     CAST(count(DISTINCT url) AS BIGINT) AS votes
+              FROM t GROUP BY subject, predicate, value
+            ),
+            f AS (
+              SELECT subject, predicate, value, votes,
+                     CAST(sum(votes) OVER w AS BIGINT) AS total_votes,
+                     CAST(count(*) OVER w AS BIGINT) AS n_values,
+                     row_number() OVER
+                       (PARTITION BY subject, predicate
+                        ORDER BY votes DESC, value ASC) AS rn
+              FROM pv
+              WINDOW w AS (PARTITION BY subject, predicate)
+            )
+            SELECT subject, predicate, value, votes, total_votes, n_values,
+                   CAST(votes AS DOUBLE) / total_votes AS confidence
+            FROM f WHERE rn = 1 ORDER BY subject
+        """,
+        # snapshot diff: EXCEPT in both directions over the closed-form
+        # even-doc_id (old) and 3-divisible (new) fact relations
+        "q_kg_diff": """
+            WITH facts AS (
+              SELECT 'urn:e:' || CAST(doc_id AS VARCHAR) AS subject,
+                     'urn:p:v' AS predicate,
+                     'v' || CAST(doc_id % 5 AS VARCHAR) AS value,
+                     doc_id
+              FROM documents
+            ),
+            old AS (SELECT DISTINCT subject, predicate, value FROM facts
+                    WHERE doc_id % 2 = 0),
+            new AS (SELECT DISTINCT subject, predicate, value FROM facts
+                    WHERE doc_id % 3 = 0)
+            SELECT subject, predicate, value, 'added' AS change
+            FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+            UNION ALL
+            SELECT subject, predicate, value, 'removed' AS change
+            FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+            ORDER BY subject, change
         """,
         # undirected reachability + min-label aggregation over the same
         # closed-form host edge set as q_kg_linkgraph: component label =

@@ -1,0 +1,116 @@
+"""Knowledge fusion: resolve conflicting assertions into one fact per
+(subject, predicate), and diff two KG snapshots.
+
+The reference parses each document in isolation and never reconciles what
+different pages claim about the same resource (its only cross-assertion
+rule is the shape-merge "later wins", src/Service/ShaclDocumentParser.php
+via kgforge/functions/merge.py). At web scale the same entity is described
+by thousands of pages that disagree, so KG construction needs a fusion
+stage: pick the most-supported object value per (s, p) — majority vote
+with a deterministic tie-break — plus a support/confidence measure the
+downstream consumer can threshold.
+
+Scale design:
+- ``fuse_facts``: two map-side-combinable hash aggregates, NO window.
+  Stage 1 groups by (s, p, o) -> vote counts (partial aggregation absorbs
+  the per-page duplication before the shuffle). Stage 2 groups by (s, p)
+  and picks argmax via ``min(struct(-votes, o, ...))`` — min over the
+  struct's lexicographic order = highest vote count, ties broken by the
+  SMALLEST object value, a pure function of the input (no
+  first()-under-nondeterminism). A hot subject (every page asserts
+  rdf:type on the homepage entity) collapses in stage 1's combiner, so the
+  stage-2 shuffle sees one row per distinct (s, p, o) — skew-immune.
+- ``kg_diff``: two left-anti joins on the (s, p, o-value) natural key —
+  each is one shuffle of each side, AQE picks broadcast when a snapshot
+  slice is small. No full-outer join (its null-handling would widen every
+  row); the union of the two anti-joins IS the symmetric difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fuse_facts", "kg_diff"]
+
+
+def fuse_facts(
+    triples: DataFrame,
+    min_votes: int = 1,
+    count_pages: bool = True,
+) -> DataFrame:
+    """One fused fact per (subject, predicate): the object value asserted
+    by the most pages (``count_pages``) or the most triple rows.
+
+    Output: subject, predicate, value (winning object), votes (support for
+    the winner), total_votes (all assertions on the key), n_values
+    (distinct candidate objects), confidence = votes / total_votes.
+    Ties break toward the lexicographically smallest value, so the result
+    is a pure function of the input multiset. ``min_votes`` drops fused
+    facts whose winner has fewer supporting votes than the floor.
+    """
+    votes = (
+        F.count_distinct(F.col("url"))
+        if count_pages
+        else F.count(F.lit(1))
+    )
+    per_value = (
+        triples.select(
+            "url", "subject", "predicate", F.col("object.value").alias("value")
+        )
+        .groupBy("subject", "predicate", "value")
+        .agg(votes.alias("votes"))
+    )
+    # argmax by (votes desc, value asc) as ONE combinable min(struct):
+    # -votes sorts descending support first, value breaks ties ascending.
+    best = F.min(
+        F.struct(
+            (-F.col("votes")).alias("neg_votes"),
+            F.col("value").alias("value"),
+        )
+    ).alias("best")
+    fused = (
+        per_value.groupBy("subject", "predicate")
+        .agg(
+            best,
+            F.sum("votes").alias("total_votes"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            "subject",
+            "predicate",
+            F.col("best.value").alias("value"),
+            (-F.col("best.neg_votes")).alias("votes"),
+            "total_votes",
+            "n_values",
+            (
+                (-F.col("best.neg_votes")).cast("double")
+                / F.col("total_votes").cast("double")
+            ).alias("confidence"),
+        )
+    )
+    if min_votes > 1:
+        fused = fused.filter(F.col("votes") >= min_votes)
+    return fused
+
+
+def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Symmetric difference of two triple snapshots on the
+    (subject, predicate, object value) natural key: one row per changed
+    fact with ``change`` = 'added' (in new only) or 'removed' (in old
+    only). Unchanged facts never leave their scan. Both sides are
+    DISTINCT-ed on the key first, so per-page duplication can't inflate
+    the diff."""
+    key = ["subject", "predicate", "value"]
+
+    def facts(df: DataFrame) -> DataFrame:
+        return df.select(
+            "subject", "predicate", F.col("object.value").alias("value")
+        ).distinct()
+
+    o, n = facts(old), facts(new)
+    added = n.join(o, on=key, how="left_anti").withColumn("change", F.lit("added"))
+    removed = o.join(n, on=key, how="left_anti").withColumn(
+        "change", F.lit("removed")
+    )
+    return added.unionByName(removed)
