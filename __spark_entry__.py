@@ -1679,6 +1679,42 @@ def q_kg_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_diff(old, new).orderBy("subject", "change")
 
 
+def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL shape INDUCTION — the inverse of the reference's parser:
+    infer per-(class, path) shape statistics (coverage, cardinality
+    bounds, node kind, sh:in candidates) from the corpus itself
+    (kgforge/operators/induction.py). Inline corpus: every doc is one
+    subject typed C(doc_id%3); p:a always (second value when doc_id%7==0),
+    p:b on even docs (iri, 3-value vocabulary -> sh:in candidate), p:c on
+    every 5th doc (unbounded vocabulary -> in_values NULL, and the plan's
+    semi-join prefilter keeps its values out of array state). Oracle:
+    DuckDB reproduces the full pipeline closed-form."""
+    from kgforge.operators.induction import induce_shapes
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    subj = F.concat(F.lit("urn:s:"), F.col("doc_id").cast("string"))
+    obj = lambda v, k: F.struct(  # noqa: E731
+        v.alias("value"), F.lit(k).alias("kind"),
+        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+    )
+    row = lambda df, p, v, k: df.select(  # noqa: E731
+        F.lit("u://fix").alias("url"), subj.alias("subject"),
+        F.lit(p).alias("predicate"), obj(v, k).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    triples = (
+        row(d, rdf_type, F.concat(F.lit("urn:C"), (F.col("doc_id") % 3).cast("string")), "iri")
+        .unionByName(row(d, "urn:p:a", F.concat(F.lit("v"), (F.col("doc_id") % 4).cast("string")), "literal"))
+        .unionByName(row(d.filter(F.col("doc_id") % 7 == 0), "urn:p:a", F.lit("w"), "literal"))
+        .unionByName(row(d.filter(F.col("doc_id") % 2 == 0), "urn:p:b",
+                         F.concat(F.lit("urn:o:"), (F.col("doc_id") % 3).cast("string")), "iri"))
+        .unionByName(row(d.filter(F.col("doc_id") % 5 == 0), "urn:p:c",
+                         F.concat(F.lit("u"), F.col("doc_id").cast("string")), "literal"))
+    )
+    return induce_shapes(triples).orderBy("target_class", "path")
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the host web graph (undirected view of
     host_edges — the crawl-partitioning primitive: a component is the unit
@@ -1818,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_groupconcat": q_kg_sparql_groupconcat,
         "q_kg_fuse": q_kg_fuse,
         "q_kg_diff": q_kg_diff,
+        "q_kg_induce": q_kg_induce,
         "q_kg_describe": q_kg_describe,
         "q_host_components": q_host_components,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -3390,6 +3427,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, value, 'removed' AS change
             FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
             ORDER BY subject, change
+        """,
+        # shape induction: per-subject cardinality -> per-(class,path)
+        # stats, value-vocabulary counts, sh:in candidate when <= 5 values
+        "q_kg_induce": """
+            WITH d AS (SELECT doc_id FROM documents),
+            types AS (
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR) AS subject,
+                     'urn:C' || CAST(doc_id % 3 AS VARCHAR) AS target_class
+              FROM d
+            ),
+            facts AS (
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR) AS subject,
+                     'urn:p:a' AS path,
+                     'v' || CAST(doc_id % 4 AS VARCHAR) AS value,
+                     'literal' AS kind FROM d
+              UNION ALL
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:a', 'w',
+                     'literal' FROM d WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:b',
+                     'urn:o:' || CAST(doc_id % 3 AS VARCHAR), 'iri'
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:c',
+                     'u' || CAST(doc_id AS VARCHAR), 'literal'
+              FROM d WHERE doc_id % 5 = 0
+            ),
+            members AS (
+              SELECT target_class, CAST(count(*) AS BIGINT) AS n_members
+              FROM types GROUP BY target_class
+            ),
+            per_subj AS (
+              SELECT subject, path, CAST(count(*) AS BIGINT) AS card,
+                     max(CASE WHEN kind = 'iri' THEN 1 ELSE 0 END) AS any_iri,
+                     max(CASE WHEN kind <> 'iri' THEN 1 ELSE 0 END) AS any_lit
+              FROM facts GROUP BY subject, path
+            ),
+            stats AS (
+              SELECT t.target_class, p.path,
+                     CAST(count(*) AS BIGINT) AS n_subjects,
+                     min(p.card) AS observed_min,
+                     CAST(max(p.card) AS BIGINT) AS max_count,
+                     max(p.any_iri) AS any_iri, max(p.any_lit) AS any_lit
+              FROM per_subj p JOIN types t ON t.subject = p.subject
+              GROUP BY t.target_class, p.path
+            ),
+            vals AS (
+              SELECT t.target_class, f.path,
+                     CAST(count(DISTINCT f.value) AS BIGINT)
+                       AS n_distinct_values,
+                     string_agg(DISTINCT f.value, ',' ORDER BY f.value)
+                       AS all_vals
+              FROM facts f JOIN types t ON t.subject = f.subject
+              GROUP BY t.target_class, f.path
+            )
+            SELECT s.target_class, s.path, m.n_members, s.n_subjects,
+                   CAST(s.n_subjects AS DOUBLE) / m.n_members AS coverage,
+                   CAST(CASE WHEN s.n_subjects < m.n_members THEN 0
+                             ELSE s.observed_min END AS BIGINT) AS min_count,
+                   s.max_count, v.n_distinct_values,
+                   CASE WHEN s.any_iri = 1 AND s.any_lit = 1 THEN 'mixed'
+                        WHEN s.any_iri = 1 THEN 'iri'
+                        ELSE 'literal' END AS node_kind,
+                   CASE WHEN v.n_distinct_values <= 5 THEN v.all_vals
+                        ELSE NULL END AS in_values
+            FROM stats s
+            JOIN members m ON m.target_class = s.target_class
+            JOIN vals v ON v.target_class = s.target_class AND v.path = s.path
+            ORDER BY s.target_class, s.path
         """,
         # undirected reachability + min-label aggregation over the same
         # closed-form host edge set as q_kg_linkgraph: component label =
