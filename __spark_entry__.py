@@ -1715,6 +1715,67 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_shapes(triples).orderBy("target_class", "path")
 
 
+def q_kg_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-literal NORMALIZATION (kgforge/operators/literals.py): xsd
+    numerics -> canonical double ("042"/"+42" meet), xsd:boolean ->
+    true/false (strict lexical space), xsd:date -> epoch days (strict ISO,
+    junk flagged invalid), language tags -> BCP 47 casing — all codegen
+    projection, no UDF, map-only. Inline corpus cycles datatype families
+    on doc_id%4 with planted invalids (n/a integers every 11th, month-13
+    dates every 13th, 'yes' booleans); the oracle reproduces every branch
+    closed-form in DuckDB."""
+    from kgforge.operators.literals import XSD, normalize_literals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    fam = F.col("doc_id") % 4
+    value = (
+        F.when(fam == 0,
+               F.when(F.col("doc_id") % 11 == 0, F.lit("n/a"))
+               .otherwise(((F.col("doc_id") * 7) % 1000).cast("string")))
+        .when(fam == 1,
+              F.element_at(F.array(*[F.lit(x) for x in
+                                     ["true", "false", "1", "0", "yes"]]),
+                           (F.col("doc_id") % 5 + 1).cast("int")))
+        .when(fam == 2,
+              F.when(F.col("doc_id") % 13 == 0, F.lit("2026-13-41"))
+              .otherwise(F.concat(
+                  F.lit("2026-"),
+                  F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+                  F.lit("-"),
+                  F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"))))
+        .otherwise(F.lit("hello"))
+    )
+    datatype = (
+        F.when(fam == 0, F.lit(XSD + "integer"))
+        .when(fam == 1, F.lit(XSD + "boolean"))
+        .when(fam == 2, F.lit(XSD + "date"))
+        .otherwise(F.lit(""))
+    )
+    lang = F.when(
+        fam == 3,
+        F.element_at(F.array(F.lit("EN-us"), F.lit("DE"), F.lit("")),
+                     (F.col("doc_id") % 3 + 1).cast("int")),
+    ).otherwise(F.lit(""))
+    triples = d.select(
+        F.lit("u://fix").alias("url"),
+        F.concat(F.lit("urn:s:"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("urn:p:v").alias("predicate"),
+        F.struct(
+            value.alias("value"), F.lit("literal").alias("kind"),
+            datatype.alias("datatype"), lang.alias("lang"),
+        ).alias("object"),
+        F.lit("ok").alias("status"),
+    )
+    # nullable columns ride the NaN-tolerant numeric compare (bool -> int);
+    # nullable strings coalesce to '' so both engines normalize identically
+    return normalize_literals(triples).select(
+        "subject", "lit_kind", F.col("object.value").alias("value"),
+        "num_value", F.col("bool_value").cast("int").alias("bool_value"),
+        "epoch_day", F.coalesce("lang_canonical", F.lit("")).alias("lang_canonical"),
+        "valid",
+    ).orderBy("subject")
+
+
 def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the host web graph (undirected view of
     host_edges — the crawl-partitioning primitive: a component is the unit
@@ -1855,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_fuse": q_kg_fuse,
         "q_kg_diff": q_kg_diff,
         "q_kg_induce": q_kg_induce,
+        "q_kg_literals": q_kg_literals,
         "q_kg_describe": q_kg_describe,
         "q_host_components": q_host_components,
         "q_paragraph_dedup": q_paragraph_dedup,
@@ -3496,6 +3558,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN members m ON m.target_class = s.target_class
             JOIN vals v ON v.target_class = s.target_class AND v.path = s.path
             ORDER BY s.target_class, s.path
+        """,
+        # literal normalization: every datatype family branch reproduced
+        # closed-form (strict integer regex, boolean lexical space, strict
+        # ISO date -> epoch days, BCP 47 lang casing for <=2-part tags)
+        "q_kg_literals": """
+            WITH t AS (
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR) AS subject,
+                     doc_id % 4 AS fam,
+                     CASE doc_id % 4
+                       WHEN 0 THEN CASE WHEN doc_id % 11 = 0 THEN 'n/a'
+                                        ELSE CAST((doc_id*7) % 1000 AS VARCHAR) END
+                       WHEN 1 THEN ['true','false','1','0','yes'][(doc_id % 5) + 1]
+                       WHEN 2 THEN CASE WHEN doc_id % 13 = 0 THEN '2026-13-41'
+                                        ELSE '2026-' ||
+                                             lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                                             || '-' ||
+                                             lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END
+                       ELSE 'hello' END AS value,
+                     CASE WHEN doc_id % 4 = 3
+                          THEN ['EN-us','DE',''][(doc_id % 3) + 1]
+                          ELSE '' END AS lang
+              FROM documents
+            ),
+            n AS (
+              SELECT subject, value, lang,
+                     CASE fam WHEN 0 THEN 'numeric' WHEN 1 THEN 'boolean'
+                              WHEN 2 THEN 'date' ELSE 'string' END AS lit_kind,
+                     CASE WHEN fam = 0 AND regexp_matches(value, '^[+-]?\\d+$')
+                          THEN TRY_CAST(value AS DOUBLE) END AS num_value,
+                     CASE WHEN fam = 1 THEN
+                       CASE WHEN value IN ('true','1') THEN 1
+                            WHEN value IN ('false','0') THEN 0 END
+                     END AS bool_value,
+                     CASE WHEN fam = 2 AND regexp_matches(value, '^\\d{4}-\\d{2}-\\d{2}$')
+                          THEN CAST(TRY_CAST(value AS DATE)
+                                    - DATE '1970-01-01' AS INTEGER) END AS epoch_day,
+                     CASE WHEN lang <> '' THEN
+                       CASE WHEN regexp_matches(lang, '^[^-]+-..$')
+                            THEN lower(split_part(lang, '-', 1)) || '-' ||
+                                 upper(split_part(lang, '-', 2))
+                            ELSE lower(lang) END
+                     ELSE '' END AS lang_canonical
+              FROM t
+            )
+            SELECT subject, lit_kind, value, num_value, bool_value, epoch_day,
+                   lang_canonical,
+                   CASE lit_kind
+                     WHEN 'numeric' THEN num_value IS NOT NULL
+                     WHEN 'boolean' THEN bool_value IS NOT NULL
+                     WHEN 'date' THEN epoch_day IS NOT NULL
+                     ELSE TRUE END AS valid
+            FROM n ORDER BY subject
         """,
         # undirected reachability + min-label aggregation over the same
         # closed-form host edge set as q_kg_linkgraph: component label =
