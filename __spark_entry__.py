@@ -1715,6 +1715,34 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_shapes(triples).orderBy("target_class", "path")
 
 
+def q_kg_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-wins fusion (kgforge/operators/fusion.py:latest_facts): per
+    (subject, predicate) the value of the NEWEST assertion, ties broken to
+    the largest value — one combinable max(struct) hash aggregate, no
+    window. Inline corpus: entity e(doc_id%40) is re-asserted by every doc
+    in its residue class with timestamp doc_id//2 (adjacent docs share a
+    timestamp -> exercised tie-break) and value v(doc_id%7); the oracle is
+    a DuckDB window argmax (ts desc, value desc)."""
+    from kgforge.operators.fusion import latest_facts
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    triples = d.select(
+        F.concat(F.lit("u://"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("urn:e:"), (F.col("doc_id") % 40).cast("string")).alias(
+            "subject"
+        ),
+        F.lit("urn:p:v").alias("predicate"),
+        F.struct(
+            F.concat(F.lit("v"), (F.col("doc_id") % 7).cast("string")).alias("value"),
+            F.lit("literal").alias("kind"),
+            F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        ).alias("object"),
+        F.lit("ok").alias("status"),
+        (F.col("doc_id") / F.lit(2)).cast("long").alias("fetched_at"),
+    )
+    return latest_facts(triples).orderBy("subject")
+
+
 def q_kg_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-literal NORMALIZATION (kgforge/operators/literals.py): xsd
     numerics -> canonical double ("042"/"+42" meet), xsd:boolean ->
@@ -1916,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_fuse": q_kg_fuse,
         "q_kg_diff": q_kg_diff,
         "q_kg_induce": q_kg_induce,
+        "q_kg_latest": q_kg_latest,
         "q_kg_literals": q_kg_literals,
         "q_kg_describe": q_kg_describe,
         "q_host_components": q_host_components,
@@ -3558,6 +3587,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN members m ON m.target_class = s.target_class
             JOIN vals v ON v.target_class = s.target_class AND v.path = s.path
             ORDER BY s.target_class, s.path
+        """,
+        # recency-wins fusion: window argmax (ts desc, value desc) over the
+        # closed-form assertion stream
+        "q_kg_latest": """
+            WITH t AS (
+              SELECT 'urn:e:' || CAST(doc_id % 40 AS VARCHAR) AS subject,
+                     'urn:p:v' AS predicate,
+                     'v' || CAST(doc_id % 7 AS VARCHAR) AS value,
+                     CAST(doc_id // 2 AS BIGINT) AS fetched_at
+              FROM documents
+            ),
+            r AS (
+              SELECT subject, predicate, value, fetched_at,
+                     CAST(count(*) OVER (PARTITION BY subject, predicate)
+                          AS BIGINT) AS n_versions,
+                     row_number() OVER
+                       (PARTITION BY subject, predicate
+                        ORDER BY fetched_at DESC, value DESC) AS rn
+              FROM t
+            )
+            SELECT subject, predicate, value, fetched_at AS as_of, n_versions
+            FROM r WHERE rn = 1 ORDER BY subject
         """,
         # literal normalization: every datatype family branch reproduced
         # closed-form (strict integer regex, boolean lexical space, strict

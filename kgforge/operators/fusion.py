@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuse_facts", "kg_diff"]
+__all__ = ["fuse_facts", "kg_diff", "latest_facts"]
 
 
 def fuse_facts(
@@ -114,3 +114,34 @@ def kg_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "change", F.lit("removed")
     )
     return added.unionByName(removed)
+
+
+def latest_facts(triples: DataFrame, ts_col: str = "fetched_at") -> DataFrame:
+    """Recency-wins fusion: per (subject, predicate) the object value from
+    the NEWEST assertion — the temporal complement to :func:`fuse_facts`
+    (majority vote): prices, titles and statuses change, so "most pages
+    agree" is wrong for volatile predicates and "latest crawl wins" is
+    right.
+
+    ``ts_col`` names the assertion-time column already on the triples
+    (e.g. the page's fetch time joined in by the pipeline). Output:
+    subject, predicate, value, as_of (the winning timestamp), n_versions
+    (total assertions seen). Ties on the timestamp break toward the
+    LARGEST value — max(struct) lexicographic order — so the result is a
+    pure function of the input, not of partition order. One combinable
+    hash aggregate, no window: a subject re-asserted by every crawl of a
+    hot page collapses map-side."""
+    best = F.max(
+        F.struct(F.col(ts_col).alias("as_of"), F.col("object.value").alias("value"))
+    ).alias("best")
+    return (
+        triples.groupBy("subject", "predicate")
+        .agg(best, F.count(F.lit(1)).alias("n_versions"))
+        .select(
+            "subject",
+            "predicate",
+            F.col("best.value").alias("value"),
+            F.col("best.as_of").alias("as_of"),
+            "n_versions",
+        )
+    )

@@ -93,3 +93,22 @@ def test_kg_diff_added_removed_unchanged(spark):
         ("e2", "gone2", "removed"),
     }
     assert kg_diff(old, old).count() == 0
+
+
+def test_latest_facts_recency_and_tie(spark):
+    from kgforge.operators.fusion import latest_facts
+
+    t = _triples(spark, [
+        ("u1", "e1", "p", "old"),
+        ("u2", "e1", "p", "mid"),
+        ("u3", "e1", "p", "new"),
+        ("u4", "e2", "p", "aa"),
+        ("u5", "e2", "p", "zz"),  # same ts as aa -> larger value wins
+    ]).withColumn(
+        "fetched_at",
+        F.when(F.col("url") == "u1", 10).when(F.col("url") == "u2", 20)
+        .when(F.col("url") == "u3", 30).otherwise(5),
+    )
+    got = {r["subject"]: r for r in latest_facts(t).collect()}
+    assert (got["e1"]["value"], got["e1"]["as_of"], got["e1"]["n_versions"]) == ("new", 30, 3)
+    assert (got["e2"]["value"], got["e2"]["as_of"]) == ("zz", 5)
