@@ -1715,6 +1715,25 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_shapes(triples).orderBy("target_class", "path")
 
 
+def q_kg_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER boolean connectives (W3C §17.4.1): || over a nested
+    && group, compiled to one Catalyst boolean expression pushed below the
+    join (try_cast keeps the non-numeric 'unknown' ages planted every 13th
+    page error-eliminated, not crashing). Oracle: the closed-form age
+    reconstruction with the same compound predicate in SQL."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT DISTINCT ?s ?age WHERE {
+             ?s <http://schema.org/age> ?age .
+             FILTER (?age < 30 || (?age >= 50 && ?age < 55))
+           }""",
+    )
+    return out.orderBy("s", "age")
+
+
 def q_kg_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-wins fusion (kgforge/operators/fusion.py:latest_facts): per
     (subject, predicate) the value of the NEWEST assertion, ties broken to
@@ -1944,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_fuse": q_kg_fuse,
         "q_kg_diff": q_kg_diff,
         "q_kg_induce": q_kg_induce,
+        "q_kg_sparql_filter": q_kg_sparql_filter,
         "q_kg_latest": q_kg_latest,
         "q_kg_literals": q_kg_literals,
         "q_kg_describe": q_kg_describe,
@@ -3184,6 +3204,21 @@ def oracle_sql() -> dict[str, str]:
                    age
             FROM knows JOIN ages ON knows.site = ages.site AND knows.ks = ages.k
             ORDER BY s, o, age
+        """,
+        # compound FILTER over the closed-form age relation: same entity-URI
+        # spelling as q_kg_sparql, predicate (age<30 OR 50<=age<55)
+        "q_kg_sparql_filter": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0
+                  FROM documents),
+            ages AS (SELECT DISTINCT site, e0, 20 + i % 60 AS age_n
+                     FROM base WHERE i % 13 <> 0 AND i % 17 <> 0
+                       AND (20 + i % 60 < 30
+                            OR (20 + i % 60 >= 50 AND 20 + i % 60 < 55)))
+            SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                     || lpad(CAST(e0 AS VARCHAR), 4, '0') AS s,
+                   CAST(age_n AS VARCHAR) AS age
+            FROM ages ORDER BY s, age
         """,
         # distinct knowing subjects per class: subjects of knows edges are
         # first-distinct entities of pages with a second one; class = k%3

@@ -140,7 +140,65 @@ _OPS = {
 }
 
 
+def _split_top_level(text: str, sep: str) -> list[str]:
+    """Split on a 2-char boolean connective at paren depth 0, outside
+    string literals (a CONTAINS/REGEX argument may contain '&&')."""
+    parts, depth, in_str, start, i = [], 0, False, 0, 0
+    while i < len(text):
+        c = text[i]
+        if in_str:
+            if c == "\\":
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+        elif c == '"':
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 2] == sep:
+            parts.append(text[start:i])
+            i += 2
+            start = i
+            continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _strip_outer_parens(text: str) -> str:
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth = 0
+        for i, c in enumerate(t):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i < len(t) - 1:
+                    return t  # the first '(' closes early: not an outer pair
+        t = t[1:-1].strip()
+    return t
+
+
 def _filter_cond(flt, bind):
+    # boolean connective nodes (W3C §17.4.1: || / && / !) recurse; leaves
+    # compile below
+    if flt[0] == "or":
+        cond = _filter_cond(flt[1][0], bind)
+        for sub in flt[1][1:]:
+            cond = cond | _filter_cond(sub, bind)
+        return cond
+    if flt[0] == "and":
+        cond = _filter_cond(flt[1][0], bind)
+        for sub in flt[1][1:]:
+            cond = cond & _filter_cond(sub, bind)
+        return cond
+    if flt[0] == "not":
+        return ~_filter_cond(flt[1], bind)
+
     def col(var):
         if var not in bind:
             raise SparqlUnsupported(f"FILTER over unbound var ?{var}")
@@ -598,24 +656,35 @@ def _desugar_patterns(body: str, prefixes: dict | None) -> list:
     return patterns
 
 
+def _parse_filter_expr(fx: str, prefixes: dict | None):
+    """One FILTER expression -> condition tree: ('or', [..]) / ('and',
+    [..]) / ('not', sub) nodes over the atomic-comparison leaves (W3C
+    §17.4.1 logical connectives; || binds looser than &&, ! tightest)."""
+    fx = _strip_outer_parens(fx)
+    ors = _split_top_level(fx, "||")
+    if len(ors) > 1:
+        return ("or", [_parse_filter_expr(p, prefixes) for p in ors])
+    ands = _split_top_level(fx, "&&")
+    if len(ands) > 1:
+        return ("and", [_parse_filter_expr(p, prefixes) for p in ands])
+    if fx.startswith("!") and not fx.startswith("!="):
+        return ("not", _parse_filter_expr(fx[1:], prefixes))
+    if (cm := _CONTAINS_RE.match(fx)) is not None:
+        return ("contains", cm.group(1), cm.group(2))
+    if (rm := _REGEX_RE.match(fx)) is not None:
+        return ("regex", rm.group(1), rm.group(2))
+    if (lm := _STRLEN_RE.match(fx)) is not None:
+        return ("strlen", lm.group(1), lm.group(2), int(lm.group(3)))
+    if (km := _CMP_RE.match(fx)) is not None:
+        rk, rv = _expand_term(km.group(3).strip(), prefixes)
+        if rk not in ("num", "str", "iri"):
+            raise SparqlUnsupported(f"unsupported FILTER rhs {km.group(3)!r}")
+        return ("cmp", km.group(1), km.group(2), rk, rv)
+    raise SparqlUnsupported(f"unsupported FILTER expression {fx!r}")
+
+
 def _parse_filters(raw_filters: list[str], prefixes: dict | None) -> list:
-    filters = []
-    for fx in raw_filters:
-        fx = fx.strip()
-        if (cm := _CONTAINS_RE.match(fx)) is not None:
-            filters.append(("contains", cm.group(1), cm.group(2)))
-        elif (rm := _REGEX_RE.match(fx)) is not None:
-            filters.append(("regex", rm.group(1), rm.group(2)))
-        elif (lm := _STRLEN_RE.match(fx)) is not None:
-            filters.append(("strlen", lm.group(1), lm.group(2), int(lm.group(3))))
-        elif (km := _CMP_RE.match(fx)) is not None:
-            rk, rv = _expand_term(km.group(3).strip(), prefixes)
-            if rk not in ("num", "str", "iri"):
-                raise SparqlUnsupported(f"unsupported FILTER rhs {km.group(3)!r}")
-            filters.append(("cmp", km.group(1), km.group(2), rk, rv))
-        else:
-            raise SparqlUnsupported(f"unsupported FILTER expression {fx!r}")
-    return filters
+    return [_parse_filter_expr(fx.strip(), prefixes) for fx in raw_filters]
 
 
 def _split_union_branches(body: str) -> list[str] | None:

@@ -811,3 +811,30 @@ def test_sparql_having(spark):
     with pytest.raises(SparqlUnsupported, match="HAVING"):
         sparql_select(t, "SELECT ?s (COUNT(?o) AS ?n) WHERE "
                       f"{{ ?s <{KNOWS}> ?o }} GROUP BY ?s HAVING (?zzz > 1)")
+
+
+def test_sparql_filter_connectives(spark):
+    """FILTER boolean connectives (W3C §17.4.1): || / && / ! with parens;
+    string literals containing '&&' must not split."""
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", AGE, "25", "literal"),
+        ("p2", AGE, "45", "literal"),
+        ("p3", AGE, "65", "literal"),
+        ("p4", AGE, "n/a", "literal"),
+        ("amp", NAME, "a && b", "literal"),
+    ])
+    q = f"SELECT ?s WHERE {{ ?s <{AGE}> ?a . FILTER (?a < 30 || ?a > 60) }}"
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p1", "p3"}
+    q = f"SELECT ?s WHERE {{ ?s <{AGE}> ?a . FILTER (?a > 30 && ?a < 60) }}"
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p2"}
+    q = f"SELECT ?s WHERE {{ ?s <{AGE}> ?a . FILTER (!(?a < 60)) }}"
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p3"}
+    # nesting: (A && B) || C
+    q = (f"SELECT ?s WHERE {{ ?s <{AGE}> ?a . "
+         "FILTER ((?a > 20 && ?a < 30) || ?a = 65) }")
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p1", "p3"}
+    # '&&' inside a CONTAINS string literal is not a connective
+    q = f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . FILTER (CONTAINS(?n, "&& b")) }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"amp"}
