@@ -1616,6 +1616,26 @@ def q_kg_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s")
 
 
+def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SUBQUERY (W3C §12, one level): the inner SELECT computes
+    per-subject out-degree over BOTH edge relations (aggregation evaluated
+    bottom-up), the outer BGP keeps the ``next`` edges and joins the
+    degree back on the shared ?s. Oracle: DuckDB next-edge relation joined
+    to the closed-form degree table."""
+    from kgforge.operators.sparql import sparql_select
+
+    nxt, alt = _next_alt_triples(spark, sf_dir)
+    out = sparql_select(
+        nxt.unionByName(alt),
+        """SELECT ?s ?t ?n WHERE {
+             ?s <urn:p:next> ?t .
+             { SELECT ?s (COUNT(?o) AS ?n)
+               WHERE { ?s (<urn:p:next>|<urn:p:alt>) ?o } GROUP BY ?s }
+           }""",
+    )
+    return out.orderBy("s", "t")
+
+
 def q_kg_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knowledge FUSION (truth discovery): pages disagree about the same
     (subject, predicate) — majority vote picks the winning object value,
@@ -1964,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_diff": q_kg_diff,
         "q_kg_induce": q_kg_induce,
         "q_kg_sparql_filter": q_kg_sparql_filter,
+        "q_kg_sparql_subquery": q_kg_sparql_subquery,
         "q_kg_latest": q_kg_latest,
         "q_kg_literals": q_kg_literals,
         "q_kg_describe": q_kg_describe,
@@ -3502,6 +3523,22 @@ def oracle_sql() -> dict[str, str]:
               FROM e GROUP BY s
             )
             SELECT s, outs, n_out FROM g WHERE n_out >= 2 ORDER BY s
+        """,
+        # subquery: next edges joined to the closed-form two-relation
+        # out-degree table (the inner SELECT's aggregation)
+        "q_kg_sparql_subquery": """
+            WITH e AS (
+              SELECT doc_id AS s, doc_id + 1 AS t FROM documents
+              WHERE doc_id % 8 <> 7
+              UNION
+              SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 5 = 0
+            ),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY s),
+            nxt AS (SELECT doc_id AS s, doc_id + 1 AS t FROM documents
+                    WHERE doc_id % 8 <> 7)
+            SELECT 'urn:n:' || CAST(nxt.s AS VARCHAR) AS s,
+                   'urn:n:' || CAST(nxt.t AS VARCHAR) AS t, deg.n
+            FROM nxt JOIN deg ON deg.s = nxt.s ORDER BY s, t
         """,
         # majority-vote fusion: per-(s,p,value) page votes, then window
         # argmax (votes desc, value asc) — mirrors the engine's combinable

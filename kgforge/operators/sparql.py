@@ -66,6 +66,15 @@ _STRLEN_RE = re.compile(
     r"^STRLEN\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*(<=|>=|!=|=|<|>)\s*(\d+)$",
     re.IGNORECASE,
 )
+_STRSTARTS_RE = re.compile(
+    r"^(STRSTARTS|STRENDS)\s*\(\s*\?([A-Za-z_][A-Za-z0-9_]*)\s*,"
+    r"\s*\"((?:[^\"\\]|\\.)*)\"\s*\)$",
+    re.IGNORECASE,
+)
+_IN_RE = re.compile(
+    r"^\?([A-Za-z_][A-Za-z0-9_]*)\s+(NOT\s+)?IN\s*\(([^()]*)\)$",
+    re.IGNORECASE,
+)
 
 
 class SparqlUnsupported(ValueError):
@@ -141,9 +150,10 @@ _OPS = {
 
 
 def _split_top_level(text: str, sep: str) -> list[str]:
-    """Split on a 2-char boolean connective at paren depth 0, outside
-    string literals (a CONTAINS/REGEX argument may contain '&&')."""
+    """Split on a separator token at paren depth 0, outside string
+    literals (a CONTAINS/REGEX argument may contain '&&' or ',')."""
     parts, depth, in_str, start, i = [], 0, False, 0, 0
+    w = len(sep)
     while i < len(text):
         c = text[i]
         if in_str:
@@ -158,9 +168,9 @@ def _split_top_level(text: str, sep: str) -> list[str]:
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and text[i : i + 2] == sep:
+        elif depth == 0 and text[i : i + w] == sep:
             parts.append(text[start:i])
-            i += 2
+            i += w
             start = i
             continue
         i += 1
@@ -210,6 +220,13 @@ def _filter_cond(flt, bind):
         return F.regexp_like(col(flt[1]), F.lit(flt[2]))
     if flt[0] == "strlen":
         return _OPS[flt[2]](F.length(col(flt[1])), F.lit(flt[3]))
+    if flt[0] == "strstarts":
+        return col(flt[1]).startswith(flt[2])
+    if flt[0] == "strends":
+        return col(flt[1]).endswith(flt[2])
+    if flt[0] == "in":
+        cond = col(flt[1]).isin(*flt[3])
+        return ~cond if flt[2] else cond
     _, var, op, rk, rv = flt
     if rk == "num":
         # try_cast, not cast: Catalyst pushes this filter below the
@@ -675,6 +692,18 @@ def _parse_filter_expr(fx: str, prefixes: dict | None):
         return ("regex", rm.group(1), rm.group(2))
     if (lm := _STRLEN_RE.match(fx)) is not None:
         return ("strlen", lm.group(1), lm.group(2), int(lm.group(3)))
+    if (sm := _STRSTARTS_RE.match(fx)) is not None:
+        return (sm.group(1).lower(), sm.group(2), sm.group(3))
+    if (im := _IN_RE.match(fx)) is not None:
+        terms = []
+        for tok in _split_top_level(im.group(3), ","):
+            tk, tv = _expand_term(tok.strip(), prefixes)
+            if tk not in ("str", "num", "iri"):
+                raise SparqlUnsupported(f"unsupported IN member {tok!r}")
+            terms.append(tv)
+        if not terms:
+            raise SparqlUnsupported("empty IN list")
+        return ("in", im.group(1), bool(im.group(2)), terms)
     if (km := _CMP_RE.match(fx)) is not None:
         rk, rv = _expand_term(km.group(3).strip(), prefixes)
         if rk not in ("num", "str", "iri"):
@@ -742,12 +771,46 @@ def _extract_values(body: str, prefixes: dict | None) -> tuple[str, list]:
     return _VALUES_RE.sub(repl, body), values
 
 
-def _parse_where(body: str, prefixes: dict | None) -> dict:
+_SUBSELECT_RE = re.compile(r"\{\s*SELECT\b", re.IGNORECASE)
+
+
+def _extract_subselects(body: str) -> tuple[str, list[str]]:
+    """Strip ``{ SELECT ... }`` subquery groups (balanced braces) out of
+    the body; returns (body, [subquery text without the outer braces])."""
+    groups = []
+    while True:
+        m = _SUBSELECT_RE.search(body)
+        if m is None:
+            return body, groups
+        depth, i = 1, m.end()
+        # m.end() sits after 'SELECT'; rewind to just after the '{'
+        inner_start = m.start() + body[m.start():].index("{") + 1
+        i = inner_start
+        while i < len(body) and depth > 0:
+            if body[i] == "{":
+                depth += 1
+            elif body[i] == "}":
+                depth -= 1
+            i += 1
+        if depth != 0:
+            raise SparqlUnsupported("unbalanced subquery braces")
+        groups.append(body[inner_start : i - 1].strip())
+        body = body[: m.start()] + body[i:]
+
+
+def _parse_where(body: str, prefixes: dict | None, allow_subselect: bool = True) -> dict:
     """One WHERE group -> {patterns, filters, optionals, values, union}.
     ``union`` is a list of branch dicts (each with patterns/filters/values)
     when the body is a top-level UNION of plain groups, else None."""
+    sub_bodies: list[str] = []
+    if _SUBSELECT_RE.search(body):
+        if not allow_subselect:
+            raise SparqlUnsupported("subqueries nest at most one level")
+        body, sub_bodies = _extract_subselects(body)
     branches = _split_union_branches(body)
     if branches is not None:
+        if sub_bodies:
+            raise SparqlUnsupported("subquery beside a top-level UNION")
         parsed = []
         for b in branches:
             if _OPTIONAL_RE.search(b) or "{" in _extract_filters(b)[0]:
@@ -811,10 +874,16 @@ def _parse_where(body: str, prefixes: dict | None) -> dict:
         "exists": exists,
         "binds": binds,
         "union": None,
+        "subselects": [
+            parse_sparql_select(t, prefixes, allow_subselect=False)
+            for t in sub_bodies
+        ],
     }
 
 
-def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
+def parse_sparql_select(
+    text: str, prefixes: dict | None = None, allow_subselect: bool = True
+) -> dict:
     """Compile a standalone SELECT (no $this focus anchor) into
     {proj, distinct, where, group_by, order_by, limit}. Executable subset:
     connected BGPs, the constraint-grammar FILTERs, property-path
@@ -845,7 +914,7 @@ def parse_sparql_select(text: str, prefixes: dict | None = None) -> dict:
             )
     if not proj:
         raise SparqlUnsupported("empty SELECT projection")
-    where = _parse_where(m.group(3), prefixes)
+    where = _parse_where(m.group(3), prefixes, allow_subselect=allow_subselect)
     group_by = [v[1:] for v in re.findall(r"\?[A-Za-z_][A-Za-z0-9_]*", m.group(4) or "")]
     has_agg = any(p[0] == "agg" for p in proj)
     if group_by and not has_agg:
@@ -1103,6 +1172,28 @@ def _where_solutions(
             cur = cur.unionByName(p)
         return cur, bind
     cur, bind = _group_solutions(data, where, seed=seed, url_var=url_var)
+    # subqueries (W3C §12): each compiles bottom-up to its own projected
+    # solution set (aggregation/modifiers applied INSIDE), then inner-joins
+    # the outer group on the shared projected variables; fresh projected
+    # names (e.g. aggregate aliases) become outer bindings.
+    for i, sq in enumerate(where.get("subselects", [])):
+        scur, sbind = _where_solutions(data, sq["where"], url_var=url_var)
+        sdf = _apply_select(scur, sbind, sq)
+        names = [p[1] if p[0] == "var" else p[4] for p in sq["proj"]]
+        sdf = sdf.select(*[F.col(v).alias(f"sq{i}_{v}") for v in names])
+        shared = [v for v in names if v in bind]
+        if not shared:
+            raise SparqlUnsupported(
+                "subquery shares no projected variable with the outer group"
+            )
+        on = None
+        for v in shared:
+            c = F.col(bind[v]) == F.col(f"sq{i}_{v}")
+            on = c if on is None else (on & c)
+        cur = cur.join(sdf, on, "inner").drop(*[f"sq{i}_{v}" for v in shared])
+        for v in names:
+            if v not in bind:
+                bind[v] = f"sq{i}_{v}"
     for og in where["optionals"]:
         obind: dict[str, str] = {}
         ocur, _ = _join_bgp(None, [], obind, data, og["patterns"], url_var=url_var)
@@ -1192,6 +1283,14 @@ def sparql_select(
     """
     q = parse_sparql_select(query, prefixes)
     cur, bind = _where_solutions(_fact_table(triples), q["where"])
+    return _apply_select(cur, bind, q)
+
+
+def _apply_select(cur: DataFrame, bind: dict, q: dict) -> DataFrame:
+    """Solution-set DF + bind -> projected/aggregated/modified result with
+    one output column per projected name. Shared by the top-level SELECT
+    and subqueries (W3C §12 — a subquery is a SELECT evaluated first, its
+    projection joined back to the outer group)."""
 
     def _need(v):
         if v not in bind:

@@ -838,3 +838,64 @@ def test_sparql_filter_connectives(spark):
     # '&&' inside a CONTAINS string literal is not a connective
     q = f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . FILTER (CONTAINS(?n, "&& b")) }}'
     assert {r["s"] for r in sparql_select(t, q).collect()} == {"amp"}
+
+
+def test_sparql_filter_in_strstarts_strends(spark):
+    """FILTER ?x IN (...) / NOT IN / STRSTARTS / STRENDS."""
+    from kgforge.operators.sparql import sparql_select
+
+    t = _triples_df(spark, [
+        ("p1", NAME, "Ann", "literal"),
+        ("p2", NAME, "Bob", "literal"),
+        ("p3", NAME, "Annette", "literal"),
+    ])
+    q = f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . FILTER (?n IN ("Ann", "Bob")) }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p1", "p2"}
+    q = f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . FILTER (?n NOT IN ("Ann", "Bob")) }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p3"}
+    q = f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . FILTER (STRSTARTS(?n, "Ann")) }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p1", "p3"}
+    q = f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . FILTER (STRENDS(?n, "tte")) }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p3"}
+    # connective composition with IN
+    q = (f'SELECT ?s WHERE {{ ?s <{NAME}> ?n . '
+         f'FILTER (?n IN ("Bob") || STRENDS(?n, "tte")) }}')
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"p2", "p3"}
+
+
+def test_sparql_subquery(spark):
+    """One-level subqueries (W3C §12): the inner SELECT evaluates
+    bottom-up (aggregation + modifiers inside), joins the outer group on
+    shared projected vars, and exports fresh aliases; deeper nesting and
+    disjoint subqueries are refused."""
+    from kgforge.operators.sparql import SparqlUnsupported, sparql_select
+
+    t = _triples_df(spark, [
+        ("a", KNOWS, "b", "iri"),
+        ("a", KNOWS, "c", "iri"),
+        ("b", KNOWS, "c", "iri"),
+        ("a", NAME, "Ann", "literal"),
+        ("b", NAME, "Bob", "literal"),
+        ("c", NAME, "Cyn", "literal"),
+    ])
+    q = f"""SELECT ?s ?nm ?n WHERE {{
+        ?s <{NAME}> ?nm .
+        {{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{KNOWS}> ?o }} GROUP BY ?s }}
+    }}"""
+    got = {(r["s"], r["nm"], r["n"]) for r in sparql_select(t, q).collect()}
+    # c knows nobody -> inner join drops it
+    assert got == {("a", "Ann", 2), ("b", "Bob", 1)}
+    # subquery HAVING composes
+    q = f"""SELECT ?s ?nm ?n WHERE {{
+        ?s <{NAME}> ?nm .
+        {{ SELECT ?s (COUNT(?o) AS ?n) WHERE {{ ?s <{KNOWS}> ?o }}
+          GROUP BY ?s HAVING (?n >= 2) }}
+    }}"""
+    assert [r["s"] for r in sparql_select(t, q).collect()] == ["a"]
+    with pytest.raises(SparqlUnsupported, match="one level"):
+        sparql_select(t, f"""SELECT ?s WHERE {{ ?s <{NAME}> ?x .
+          {{ SELECT ?s WHERE {{ ?s <{KNOWS}> ?y .
+            {{ SELECT ?s WHERE {{ ?s <{KNOWS}> ?z }} }} }} }} }}""")
+    with pytest.raises(SparqlUnsupported, match="shares no"):
+        sparql_select(t, f"""SELECT ?x WHERE {{ ?x <{NAME}> ?nm .
+          {{ SELECT ?q (COUNT(?o) AS ?n) WHERE {{ ?q <{KNOWS}> ?o }} GROUP BY ?q }} }}""")
