@@ -1616,6 +1616,20 @@ def q_kg_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s")
 
 
+def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume the domain-mix plan: domain_mix -> per-domain keep rates at
+    budget 0.5 -> deterministic Knuth-hash rate sampling
+    (kgforge/operators/sampling.py:rate_sample). Broadcast rates join (one
+    row per domain), codegen hash filter — the corpus never shuffles.
+    Oracle: DuckDB reproduces mix, rates, and the hash threshold
+    arithmetic exactly."""
+    from kgforge.operators.sampling import domain_mix, domain_rates, rate_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = domain_rates(domain_mix(docs), budget=0.5)
+    return rate_sample(docs, rates).select("doc_id", "source").orderBy("doc_id")
+
+
 def q_kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL SUBQUERY (W3C §12, one level): the inner SELECT computes
     per-subject out-degree over BOTH edge relations (aggregation evaluated
@@ -1985,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_induce": q_kg_induce,
         "q_kg_sparql_filter": q_kg_sparql_filter,
         "q_kg_sparql_subquery": q_kg_sparql_subquery,
+        "q_domain_sample": q_domain_sample,
         "q_kg_latest": q_kg_latest,
         "q_kg_literals": q_kg_literals,
         "q_kg_describe": q_kg_describe,
@@ -2790,6 +2805,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, n_tokens, round(share, 6) AS token_share,
                    round(pow(share, 0.5) / z, 6) AS sample_weight
             FROM sh CROSS JOIN z ORDER BY domain
+        """,
+        # rate sampling: the q_domain_mix chain (6-dp rounded) -> keep rate
+        # min(1, 0.5*w/s) -> Knuth hash threshold, all closed-form
+        "q_domain_sample": f"""
+            WITH per AS (SELECT source AS domain, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                            ELSE len({_DD_TOK}) END) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+            sh AS (SELECT domain, n_tokens / t AS share
+                   FROM per CROSS JOIN tot),
+            z AS (SELECT sum(pow(share, 0.5)) AS z FROM sh),
+            mix AS (SELECT domain, round(share, 6) AS token_share,
+                           round(pow(share, 0.5) / z, 6) AS sample_weight
+                    FROM sh CROSS JOIN z),
+            rates AS (SELECT domain,
+                             round(CASE WHEN token_share > 0
+                                   THEN least(1.0, 0.5 * sample_weight / token_share)
+                                   ELSE 0.0 END, 6) AS keep_rate
+                      FROM mix)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r ON r.domain = d.source
+            WHERE (d.doc_id * 2654435761) % 4294967296
+                  < r.keep_rate * 4294967296
+            ORDER BY d.doc_id
         """,
         # recursive-CTE transitive closure over the same exact-Jaccard pair
         # set that oracles q_minhash_dups; `reach` includes self via any

@@ -102,3 +102,44 @@ def domain_mix(
             ).alias("sample_weight"),
         )
     )
+
+
+def domain_rates(mix: DataFrame, budget: float = 0.5) -> DataFrame:
+    """(domain, keep_rate) realizing :func:`domain_mix`'s target
+    composition at ``budget`` fraction of the corpus tokens: a domain
+    whose target share (sample_weight) exceeds its natural share
+    (token_share) is kept at a higher rate, capped at 1.0 (you cannot
+    upsample past keeping everything with a filter — the remainder is an
+    epochs/repeat decision downstream). keep_rate = min(1, budget *
+    sample_weight / token_share), 6-dp rounded for engine independence;
+    degenerate zero-token domains keep nothing."""
+    rate = F.when(
+        F.col("token_share") > 0,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.col("sample_weight") / F.col("token_share"),
+        ),
+    ).otherwise(F.lit(0.0))
+    return mix.select("domain", F.round(rate, 6).alias("keep_rate"))
+
+
+def rate_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    domain_col: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-domain deterministic rate sampling — the stage that CONSUMES
+    the :func:`domain_mix` -> :func:`domain_rates` plan: keep a row iff
+    its Knuth key-hash falls under its domain's keep_rate. Decisions are a
+    pure function of (key, domain rate): partition-layout-free,
+    re-runnable, and oracle-able in ANSI SQL.
+
+    Scale: the rates table has one row per domain — broadcast join, no
+    shuffle of the corpus; the hash filter is codegen arithmetic."""
+    r = F.broadcast(rates.select(F.col("domain"), F.col("keep_rate")))
+    return (
+        docs.join(r, docs[domain_col] == r["domain"], "inner")
+        .filter(sample_hash_col(key) < F.col("keep_rate") * F.lit(float(_M32)))
+        .drop("domain", "keep_rate")
+    )

@@ -222,3 +222,29 @@ def test_entity_cooccurrence_boilerplate_skew_drill(spark):
     # pair expansion is the codegen array path, never a self-join blow-up
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_domain_rates_and_rate_sample(spark):
+    """domain_rates caps at 1.0 and zeroes empty domains; rate_sample
+    decisions are a pure function of (doc_id, rate) — layout-free — and
+    match the arithmetic hash threshold exactly."""
+    from kgforge.operators.sampling import (
+        _KNUTH, _M32, domain_mix, domain_rates, rate_sample,
+    )
+
+    rows = [(i, "big" if i < 80 else "small", "w " * 50) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    mix = domain_mix(docs)
+    rates = {r["domain"]: r["keep_rate"] for r in domain_rates(mix, budget=0.5).collect()}
+    # alpha=0.5 upsamples the tail: small's rate > big's; both <= 1
+    assert rates["small"] > rates["big"]
+    assert all(0 < v <= 1 for v in rates.values())
+    kept = rate_sample(docs, domain_rates(mix, budget=0.5)).collect()
+    expect = {
+        i for i, src, _ in rows
+        if (i * _KNUTH) % _M32 < rates[src] * _M32
+    }
+    assert {r["doc_id"] for r in kept} == expect
+    # repartitioned input -> identical decision set
+    kept2 = rate_sample(docs.repartition(7), domain_rates(mix, budget=0.5)).collect()
+    assert {r["doc_id"] for r in kept2} == expect
