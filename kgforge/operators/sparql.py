@@ -18,10 +18,13 @@ constraint path supports everything ``sparql_select`` does):
 where <group> is connected triple patterns (``$this`` compiles as a
 pre-bound variable anchored to each focus node — it may appear in subject
 OR object position; cartesian patterns are refused), property-path
-sequences ``p/q``, inverses ``^p``, and bounded closures ``p+``/``p*``,
-FILTER (comparisons with numeric try_cast, CONTAINS/REGEX/STRLEN), one
-level of OPTIONAL, top-level UNION of plain groups, FILTER [NOT]
-EXISTS / MINUS, single-variable VALUES, and BIND over the string-function
+sequences ``p/q``, inverses ``^p``, alternations ``(p|q)``, negated
+property sets ``!p``/``!(p|q)``, zero-or-one ``p?``, and bounded closures
+``p+``/``p*``, FILTER (comparisons with numeric try_cast,
+CONTAINS/REGEX/STRLEN/STRSTARTS/STRENDS/IN, boolean connectives
+``||``/``&&``/``!``), one level of OPTIONAL, top-level UNION of plain
+groups, FILTER [NOT] EXISTS / MINUS, single-variable VALUES, one level of
+``{{ SELECT ... }}`` subqueries, and BIND over the string-function
 subset. Predicates are IRIs, ``a``, or ``prefix:local`` names expanded
 through the constraint's own sh:prefixes declarations.
 
@@ -1270,7 +1273,9 @@ def sparql_select(
     join on the shared variables), top-level UNION of plain groups
     (null-padded unionByName), FILTER [NOT] EXISTS and MINUS over plain
     shared-variable groups (left semi / left anti join), single-var VALUES
-    (isin filter), DISTINCT,
+    (isin filter), one level of ``{ SELECT ... }`` subqueries (compiled
+    bottom-up, inner-joined on shared projected vars), FILTER boolean
+    connectives ``||``/``&&``/``!`` plus STRSTARTS/STRENDS/IN, DISTINCT,
     COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT(;SEPARATOR) + GROUP BY (one
     hash aggregate; GROUP_CONCAT sorts each group's values so the result
     is deterministic, SAMPLE takes min — both valid per W3C §18.5.1),
