@@ -1616,6 +1616,21 @@ def q_kg_sparql_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s")
 
 
+def q_emb_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic signed random projection 64 -> 8 dims (Achlioptas ±1
+    JL sketch; kgforge/operators/quantize.py:random_projection): the
+    projection matrix is Knuth-hash arithmetic, so the oracle computes the
+    identical matrix in SQL — pure codegen transform/aggregate over the
+    embedding array, no UDF, no shuffle."""
+    from kgforge.operators.quantize import random_projection
+
+    embs = _t(spark, sf_dir, "embeddings")
+    out = random_projection(embs, k=8)
+    return out.select(
+        "vec_id", *[F.col("proj")[i].alias(f"p{i}") for i in range(8)]
+    ).orderBy("vec_id")
+
+
 def q_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consume the domain-mix plan: domain_mix -> per-domain keep rates at
     budget 0.5 -> deterministic Knuth-hash rate sampling
@@ -2000,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_filter": q_kg_sparql_filter,
         "q_kg_sparql_subquery": q_kg_sparql_subquery,
         "q_domain_sample": q_domain_sample,
+        "q_emb_project": q_emb_project,
         "q_kg_latest": q_kg_latest,
         "q_kg_literals": q_kg_literals,
         "q_kg_describe": q_kg_describe,
@@ -2805,6 +2821,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, n_tokens, round(share, 6) AS token_share,
                    round(pow(share, 0.5) / z, 6) AS sample_weight
             FROM sh CROSS JOIN z ORDER BY domain
+        """,
+        # signed random projection: the identical Knuth-hash ±1 matrix in
+        # SQL lambdas (embedding[d+1]: DuckDB lists are 1-based)
+        "q_emb_project": """
+            SELECT vec_id, """ + ", ".join(
+            "round(list_sum(list_transform(range(0, len(embedding)), "
+            f"d -> CAST(embedding[d+1] AS DOUBLE) * (CASE WHEN (({j}*8191 + d)"
+            "*2654435761) % 4294967296 < 2147483648 THEN 1.0 ELSE -1.0 END))), 6)"
+            f" AS p{j}"
+            for j in range(8)
+        ) + """
+            FROM embeddings ORDER BY vec_id
         """,
         # rate sampling: the q_domain_mix chain (6-dp rounded) -> keep rate
         # min(1, 0.5*w/s) -> Knuth hash threshold, all closed-form

@@ -55,3 +55,53 @@ def quantize_embeddings(
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimensionality reduction: deterministic signed random projection
+# ---------------------------------------------------------------------------
+
+_KNUTH = 2654435761  # 2^32 / golden ratio (odd -> bijective mod 2^32)
+_M32 = 4294967296
+_M31 = 2147483648
+
+
+def projection_sign(j, d):
+    """±1 sign of projection row j, input dim d — Knuth-hash arithmetic,
+    so the 'random' matrix is a pure closed form both engines (and the
+    DuckDB oracle) compute identically; Achlioptas (2003) shows ±1 entries
+    satisfy the JL lemma like Gaussians."""
+    h = ((j * F.lit(8191) + d) * F.lit(_KNUTH)) % F.lit(_M32)
+    return F.when(h < F.lit(_M31), F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def random_projection(
+    embs: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project array<float> embeddings to ``k`` dimensions with a
+    deterministic ±1 matrix: out[j] = Σ_d emb[d] · sign(j, d).
+
+    Pure codegen — k transform+aggregate expressions over the array, no
+    UDF, no shuffle, composes with any scan (the JL-style sketch that
+    makes brute-force candidate scans k/D cheaper before exact rerank).
+    Output: id_col + proj (array<double>, length k, 6-dp rounded for
+    engine independence)."""
+    def row_term(j):
+        return lambda x, d: x * projection_sign(F.lit(j), d)
+
+    dims = []
+    for j in range(k):
+        term = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                row_term(j),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dims.append(F.round(term, 6))
+    return embs.select(F.col(id_col), F.array(*dims).alias("proj"))

@@ -74,3 +74,32 @@ def test_interval_join_inclusive_boundaries(spark):
         for r in interval_join(events, windows, "ts", "w_start", "w_end", 300).collect()
     )
     assert got == [1, 2]
+
+
+def test_random_projection_matches_numpy_and_jl(spark):
+    """random_projection equals an independent numpy reimplementation of
+    the closed-form ±1 matrix, and the sketch roughly preserves relative
+    distances (JL property) on a small sample."""
+    import numpy as np
+
+    from kgforge.operators.quantize import _KNUTH, _M31, _M32, random_projection
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 16).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = 12
+    got = {r["vec_id"]: np.array(r["proj"]) for r in random_projection(df, k=k).collect()}
+
+    sign = np.empty((k, 16))
+    for j in range(k):
+        for d in range(16):
+            sign[j, d] = 1.0 if ((j * 8191 + d) * _KNUTH) % _M32 < _M31 else -1.0
+    expect = vecs.astype(np.float64) @ sign.T
+    for i in range(20):
+        assert np.allclose(got[i], np.round(expect[i], 6), atol=1e-6)
+    # JL sanity: projected pairwise distances correlate with the originals
+    from itertools import combinations
+    orig = [np.linalg.norm(vecs[a] - vecs[b]) for a, b in combinations(range(20), 2)]
+    proj = [np.linalg.norm(got[a] - got[b]) for a, b in combinations(range(20), 2)]
+    assert np.corrcoef(orig, proj)[0, 1] > 0.4
