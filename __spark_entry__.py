@@ -1935,6 +1935,23 @@ def q_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match self-join (entity-resolution primitive): every
+    unordered customer-name pair within Levenshtein distance 1, found via
+    FastSS deletion-neighborhood blocking (complete — zero false negatives)
+    + built-in `levenshtein` verify, never an all-pairs comparison. The
+    DuckDB oracle IS the all-pairs comparison, so agreement proves the
+    blocking exact at this scale."""
+    from kgforge.operators.fuzzy import fuzzy_match_pairs
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        fuzzy_match_pairs(cust, id_col="c_custkey", name_col="c_name", max_distance=1)
+        .select("id_a", "id_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2032,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_quality": q_gopher_quality,
         "q_entity_candidates": q_entity_candidates,
         "q_entity_linking": q_entity_linking,
+        "q_fuzzy_match": q_fuzzy_match,
     }
 
 
@@ -3944,4 +3962,11 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged ORDER BY doc_id
         """,
         "q_entity_candidates": _dd_entity_candidates_sql(),
+        "q_fuzzy_match": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
+        """,
     }
