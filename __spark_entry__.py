@@ -1952,6 +1952,28 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (Bordes et al.
+    2013 filtered setting): k=2 deterministic md5-drawn corruptions of each
+    knows-edge object, uniform over the entity vocabulary via a
+    scale-correct dense index (range partition + local rank + broadcast
+    offsets — never a global window), minus corruptions that are true
+    triples. The DuckDB twin replays every md5 draw bit-for-bit on the
+    closed-form knows reconstruction, so agreement proves vocabulary
+    indexing, hashing, and the filtered anti-join all exact."""
+    from kgforge.operators.negatives import negative_samples
+
+    triples = _knows_triples(spark, sf_dir)
+    knows = triples.filter(
+        F.col("predicate") == "http://schema.org/knows"
+    ).select(
+        F.col("subject").alias("s"),
+        F.col("predicate").alias("p"),
+        F.col("object.value").alias("o"),
+    )
+    return negative_samples(knows, k=2, seed=42).orderBy("s", "o", "sample_i", "neg")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2050,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_candidates": q_entity_candidates,
         "q_entity_linking": q_entity_linking,
         "q_fuzzy_match": q_fuzzy_match,
+        "q_kg_negatives": q_kg_negatives,
     }
 
 
@@ -3968,5 +3991,47 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY id_a, id_b
+        """,
+        # filtered negative sampling over the closed-form knows graph: the
+        # md5(s␟p␟o␟i␟seed) draw, the row_number()-1 vocabulary index, and
+        # the anti-join against true triples replay the engine exactly
+        "q_kg_negatives": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows0 AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            pos AS (SELECT DISTINCT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'http://schema.org/knows' AS p,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows0),
+            vocab AS (SELECT DISTINCT entity FROM
+                       (SELECT s AS entity FROM pos UNION SELECT o FROM pos)),
+            idxv AS (SELECT entity,
+                            CAST(row_number() OVER (ORDER BY entity) - 1 AS BIGINT) AS idx
+                     FROM vocab),
+            cand AS (SELECT pos.s, pos.p, pos.o, CAST(r.i AS BIGINT) AS sample_i,
+                       CAST(concat('0x', substring(md5(
+                         pos.s || chr(31) || pos.p || chr(31) || pos.o || chr(31)
+                         || CAST(r.i AS VARCHAR) || chr(31) || '42'), 1, 15)) AS BIGINT)
+                       % (SELECT count(*) FROM vocab) AS _idx
+                     FROM pos, range(1, 3) AS r(i)),
+            neg AS (SELECT c.s, c.p, c.o, c.sample_i, iv.entity AS neg
+                    FROM cand c JOIN idxv iv ON c._idx = iv.idx
+                    WHERE iv.entity <> c.o)
+            SELECT nn.s, nn.p, nn.o, nn.sample_i, nn.neg
+            FROM neg nn ANTI JOIN pos t
+              ON nn.s = t.s AND nn.p = t.p AND nn.neg = t.o
+            ORDER BY s, o, sample_i, neg
         """,
     }
