@@ -1974,6 +1974,20 @@ def q_kg_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(knows, k=2, seed=42).orderBy("s", "o", "sample_i", "neg")
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight log p_target − log p_raw under hashed unigram+bigram LMs
+    (4096 md5 buckets, Laplace α=1), target model fit on the in-corpus
+    English subset. Bucket stats broadcast (≤4096 rows) so scoring stays
+    one broadcast join regardless of corpus size. The DuckDB twin replays
+    tokenization, every bucket hash, both smoothed models and the
+    weighted sum."""
+    from kgforge.operators.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en", buckets=4096).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2073,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_linking": q_entity_linking,
         "q_fuzzy_match": q_fuzzy_match,
         "q_kg_negatives": q_kg_negatives,
+        "q_dsir_weights": q_dsir_weights,
     }
 
 
@@ -4033,5 +4048,34 @@ def oracle_sql() -> dict[str, str]:
             FROM neg nn ANTI JOIN pos t
               ON nn.s = t.s AND nn.p = t.p AND nn.neg = t.o
             ORDER BY s, o, sample_i, neg
+        """,
+        # DSIR: hashed unigram+bigram importance weights, target = lang='en'
+        "q_dsir_weights": f"""
+            WITH t AS (SELECT doc_id, lang, {_DD_TOK} AS tk,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOK}) END AS n
+                       FROM documents),
+            uni AS (SELECT doc_id, lang, tk[i] AS g
+                    FROM t, UNNEST(range(1, n + 1)) AS r(i) WHERE n >= 1),
+            bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
+                   FROM t, UNNEST(range(1, n)) AS r(i) WHERE n >= 2),
+            g AS (SELECT doc_id, lang,
+                    CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            tot AS (SELECT count(*) AS n_raw,
+                           count(*) FILTER (WHERE lang = 'en') AS n_tgt FROM g),
+            st AS (SELECT b, count(*) AS cr,
+                          count(*) FILTER (WHERE lang = 'en') AS ct
+                   FROM g GROUP BY b),
+            lr AS (SELECT b,
+                     ln(ct + 1.0) - ln((SELECT n_tgt FROM tot) + 4096.0)
+                     - ln(cr + 1.0) + ln((SELECT n_raw FROM tot) + 4096.0) AS lrv
+                   FROM st),
+            db AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2),
+            w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                         sum(c * lr.lrv) AS dsir_weight
+                  FROM db JOIN lr USING (b) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
+                   coalesce(w.dsir_weight, 0.0) AS dsir_weight
+            FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id
         """,
     }
