@@ -1988,6 +1988,23 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, F.col("lang") == "en", buckets=4096).orderBy("doc_id")
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo): every part-name
+    pair within 3 positions of the global (p_name, p_partkey) sort order —
+    computed with the range-partition + local-rank + broadcast-offset
+    index (no single-partition window) and a block/probe equi-join that
+    finds each pair exactly once. Oracle: row_number() window + positional
+    self-join."""
+    from kgforge.operators.blocking import sorted_neighborhood_pairs
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        sorted_neighborhood_pairs(part, "p_partkey", "p_name", window=3)
+        .select("id_a", "id_b", "pos_dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2088,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": q_fuzzy_match,
         "q_kg_negatives": q_kg_negatives,
         "q_dsir_weights": q_dsir_weights,
+        "q_sorted_neighborhood": q_sorted_neighborhood,
     }
 
 
@@ -4077,5 +4095,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
                    coalesce(w.dsir_weight, 0.0) AS dsir_weight
             FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id
+        """,
+        "q_sorted_neighborhood": """
+            WITH r AS (SELECT p_partkey AS id, p_name AS key,
+                              row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS idx
+                       FROM part)
+            SELECT a.id AS id_a, b.id AS id_b, CAST(b.idx - a.idx AS BIGINT) AS pos_dist
+            FROM r a JOIN r b ON b.idx > a.idx AND b.idx - a.idx <= 3
+            ORDER BY id_a, id_b
         """,
     }
