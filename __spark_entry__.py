@@ -2005,6 +2005,27 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: nation-blocked customer
+    pairs scored by the log-likelihood match weight with supplied m- and
+    DATA-ESTIMATED u-probabilities (exact random-pair agreement rate per
+    field, clamped). The DuckDB twin recomputes every u from the same
+    value distributions and replays the per-pair CASE sum, so agreement
+    pins estimation and scoring end-to-end."""
+    from kgforge.operators.linkage import fellegi_sunter_scores
+
+    cust = _t(spark, sf_dir, "customer")
+    fields = {
+        "cc": F.substring(F.col("c_name"), 17, 2),
+        "bal": F.col("c_acctbal") >= 0,
+        "seg": F.col("c_mktsegment"),
+    }
+    return fellegi_sunter_scores(
+        cust, "c_custkey", ["c_nationkey"], fields,
+        {"cc": 0.95, "bal": 0.9, "seg": 0.85},
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2106,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_negatives": q_kg_negatives,
         "q_dsir_weights": q_dsir_weights,
         "q_sorted_neighborhood": q_sorted_neighborhood,
+        "q_record_linkage": q_record_linkage,
     }
 
 
@@ -4102,6 +4124,44 @@ def oracle_sql() -> dict[str, str]:
                        FROM part)
             SELECT a.id AS id_a, b.id AS id_b, CAST(b.idx - a.idx AS BIGINT) AS pos_dist
             FROM r a JOIN r b ON b.idx > a.idx AND b.idx - a.idx <= 3
+            ORDER BY id_a, id_b
+        """,
+        # Fellegi-Sunter: u = exact random-pair agreement per field (clamped
+        # to [eps, 1-eps]), weight = sum of per-field log-likelihood ratios
+        "q_record_linkage": """
+            WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk,
+                              substring(c_name, 17, 2) AS f_cc,
+                              (c_acctbal >= 0) AS f_bal,
+                              c_mktsegment AS f_seg
+                       FROM customer),
+            s_cc AS (SELECT sum(cnt * (cnt - 1.0)) AS s
+                     FROM (SELECT count(*) AS cnt FROM c GROUP BY f_cc)),
+            s_bal AS (SELECT sum(cnt * (cnt - 1.0)) AS s
+                      FROM (SELECT count(*) AS cnt FROM c GROUP BY f_bal)),
+            s_seg AS (SELECT sum(cnt * (cnt - 1.0)) AS s
+                      FROM (SELECT count(*) AS cnt FROM c GROUP BY f_seg)),
+            p AS (SELECT
+                    least(greatest((SELECT s FROM s_cc) / (n * (n - 1.0)),
+                                   1.0 / (n * (n - 1.0))),
+                          1.0 - 1.0 / (n * (n - 1.0))) AS u_cc,
+                    least(greatest((SELECT s FROM s_bal) / (n * (n - 1.0)),
+                                   1.0 / (n * (n - 1.0))),
+                          1.0 - 1.0 / (n * (n - 1.0))) AS u_bal,
+                    least(greatest((SELECT s FROM s_seg) / (n * (n - 1.0)),
+                                   1.0 / (n * (n - 1.0))),
+                          1.0 - 1.0 / (n * (n - 1.0))) AS u_seg
+                  FROM (SELECT CAST(count(*) AS DOUBLE) AS n FROM c))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(a.f_cc = b.f_cc AS INT) AS agree_cc,
+                   CAST(a.f_bal = b.f_bal AS INT) AS agree_bal,
+                   CAST(a.f_seg = b.f_seg AS INT) AS agree_seg,
+                   (CASE WHEN a.f_cc = b.f_cc THEN ln(0.95 / p.u_cc)
+                         ELSE ln(0.05 / (1.0 - p.u_cc)) END
+                    + CASE WHEN a.f_bal = b.f_bal THEN ln(0.9 / p.u_bal)
+                           ELSE ln(0.1 / (1.0 - p.u_bal)) END
+                    + CASE WHEN a.f_seg = b.f_seg THEN ln(0.85 / p.u_seg)
+                           ELSE ln(0.15 / (1.0 - p.u_seg)) END) AS match_weight
+            FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id, p
             ORDER BY id_a, id_b
         """,
     }
