@@ -2005,6 +2005,20 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k resampling of the importance
+    weights (k=100, seed 7) — keeping the k largest of w + Gumbel(0,1)
+    samples ∝ exp(w) without replacement (Kool et al. 2019). The global
+    top-k compiles to TakeOrderedAndProject (per-partition heaps), never a
+    full sort; the deterministic md5-Gumbel draw lets the DuckDB twin
+    replay the exact sample."""
+    from kgforge.operators.dsir import dsir_weights, gumbel_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs, F.col("lang") == "en", buckets=4096).drop("n_grams")
+    return gumbel_topk(w, k=100, seed=7)
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     pairs scored by the log-likelihood match weight with supplied m- and
@@ -2128,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_record_linkage": q_record_linkage,
+        "q_dsir_sample": q_dsir_sample,
     }
 
 
@@ -2327,6 +2342,39 @@ def _dd_jaccard_pairs_sql(threshold: float) -> str:
         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
               / len(list_distinct(list_concat(a.grams, b.grams))) >= {threshold}
         ORDER BY a, b
+    """
+
+
+def _dd_dsir_weights_sql() -> str:
+    """DSIR importance weights (no ORDER BY — shared by q_dsir_weights and
+    the Gumbel-top-k resample twin)."""
+    return f"""
+            WITH t AS (SELECT doc_id, lang, {_DD_TOK} AS tk,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOK}) END AS n
+                       FROM documents),
+            uni AS (SELECT doc_id, lang, tk[i] AS g
+                    FROM t, UNNEST(range(1, n + 1)) AS r(i) WHERE n >= 1),
+            bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
+                   FROM t, UNNEST(range(1, n)) AS r(i) WHERE n >= 2),
+            g AS (SELECT doc_id, lang,
+                    CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            tot AS (SELECT count(*) AS n_raw,
+                           count(*) FILTER (WHERE lang = 'en') AS n_tgt FROM g),
+            st AS (SELECT b, count(*) AS cr,
+                          count(*) FILTER (WHERE lang = 'en') AS ct
+                   FROM g GROUP BY b),
+            lr AS (SELECT b,
+                     ln(ct + 1.0) - ln((SELECT n_tgt FROM tot) + 4096.0)
+                     - ln(cr + 1.0) + ln((SELECT n_raw FROM tot) + 4096.0) AS lrv
+                   FROM st),
+            db AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2),
+            w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                         sum(c * lr.lrv) AS dsir_weight
+                  FROM db JOIN lr USING (b) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
+                   coalesce(w.dsir_weight, 0.0) AS dsir_weight
+            FROM documents d LEFT JOIN w USING (doc_id)
     """
 
 
@@ -4090,33 +4138,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s, o, sample_i, neg
         """,
         # DSIR: hashed unigram+bigram importance weights, target = lang='en'
-        "q_dsir_weights": f"""
-            WITH t AS (SELECT doc_id, lang, {_DD_TOK} AS tk,
-                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOK}) END AS n
-                       FROM documents),
-            uni AS (SELECT doc_id, lang, tk[i] AS g
-                    FROM t, UNNEST(range(1, n + 1)) AS r(i) WHERE n >= 1),
-            bi AS (SELECT doc_id, lang, tk[i] || ' ' || tk[i + 1] AS g
-                   FROM t, UNNEST(range(1, n)) AS r(i) WHERE n >= 2),
-            g AS (SELECT doc_id, lang,
-                    CAST(concat('0x', substring(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
-                  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-            tot AS (SELECT count(*) AS n_raw,
-                           count(*) FILTER (WHERE lang = 'en') AS n_tgt FROM g),
-            st AS (SELECT b, count(*) AS cr,
-                          count(*) FILTER (WHERE lang = 'en') AS ct
-                   FROM g GROUP BY b),
-            lr AS (SELECT b,
-                     ln(ct + 1.0) - ln((SELECT n_tgt FROM tot) + 4096.0)
-                     - ln(cr + 1.0) + ln((SELECT n_raw FROM tot) + 4096.0) AS lrv
-                   FROM st),
-            db AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2),
-            w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-                         sum(c * lr.lrv) AS dsir_weight
-                  FROM db JOIN lr USING (b) GROUP BY doc_id)
-            SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
-                   coalesce(w.dsir_weight, 0.0) AS dsir_weight
-            FROM documents d LEFT JOIN w USING (doc_id) ORDER BY doc_id
+        "q_dsir_weights": _dd_dsir_weights_sql() + " ORDER BY doc_id",
+        # Gumbel-top-k resampling over the same weights (seed 7, k 100)
+        "q_dsir_sample": f"""
+            WITH dw AS ({_dd_dsir_weights_sql()})
+            SELECT doc_id, dsir_weight,
+                   dsir_weight - ln(-ln(
+                     (CAST(CAST(concat('0x', substring(md5(
+                        CAST(doc_id AS VARCHAR) || chr(31) || '7'), 1, 15))
+                      AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0
+                   )) AS score
+            FROM dw ORDER BY score DESC, doc_id LIMIT 100
         """,
         "q_sorted_neighborhood": """
             WITH r AS (SELECT p_partkey AS id, p_name AS key,

@@ -37,12 +37,54 @@ from pyspark.sql import functions as F
 
 from .text_stats import _tokens_col, token_count_col, word_ngrams_col
 
-__all__ = ["dsir_weights"]
+__all__ = ["dsir_weights", "gumbel_topk"]
 
 
 def _bucket(col: Column, buckets: int) -> Column:
     return F.pmod(
         F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(buckets)
+    )
+
+
+_TWO60 = float(1 << 60)
+_SEP = "\x1f"
+
+
+def gumbel_topk(
+    weights: DataFrame,
+    k: int,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    weight_col: str = "dsir_weight",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling (Kool et al. 2019): taking the
+    k largest of w/T + Gumbel(0,1) samples k documents WITHOUT replacement
+    with probability ∝ exp(w/T) — the DSIR paper's selection step. The
+    Gumbel draw is -ln(-ln(u)) with u = (md5-hash(id ␟ seed) + 0.5) / 2^60,
+    so the sample is reproducible across engines and resumable across runs.
+
+    Scale: a global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps + one k-row driver merge), never a full sort. Ties break by id.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(_SEP, F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(_TWO60)
+    gumbel = -F.log(-F.log(u))
+    score = F.col(weight_col) / F.lit(float(temperature)) + gumbel
+    return (
+        weights.select(id_col, weight_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
     )
 
 

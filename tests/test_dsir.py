@@ -3,7 +3,7 @@
 import hashlib
 import math
 
-import pytest
+import pytest  # noqa: F401
 
 B = 64
 
@@ -57,6 +57,32 @@ def _py_dsir(docs):
         )
         out[did] = (sum(bs.values()), w)
     return out
+
+
+def test_gumbel_topk_matches_python(spark):
+    from kgforge.operators.dsir import dsir_weights, gumbel_topk
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, is_tgt boolean")
+    w = dsir_weights(df, F.col("is_tgt"), buckets=B)
+    got = [(r["doc_id"], r["score"]) for r in gumbel_topk(w, k=3, seed=5).collect()]
+
+    py_w = _py_dsir(DOCS)
+
+    def g(doc_id):
+        h = int(
+            hashlib.md5(f"{doc_id}\x1f5".encode()).hexdigest()[:15], 16
+        )
+        u = (float(h) + 0.5) / float(1 << 60)
+        return -math.log(-math.log(u))
+
+    scores = sorted(
+        ((did, py_w[did][1] + g(did)) for did in py_w),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [d for d, _ in got] == [d for d, _ in scores]
+    for (gd, gs), (ed, es) in zip(got, scores):
+        assert gs == pytest.approx(es, abs=1e-9)
 
 
 def test_dsir_matches_python(spark):
