@@ -2019,6 +2019,25 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk(w, k=100, seed=7)
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the host web graph: 3 rounds of DETERMINISTIC
+    synchronous label propagation (most-frequent neighbor label, ties to
+    the smallest — the async classic is order-dependent and
+    unreproducible). Each round is one join + two combinable aggregates
+    (the no-window min(struct(-count, label)) argmax). Oracle: the same
+    three rounds unrolled as SQL CTEs over the closed-form host edges."""
+    from kgforge.operators.community import label_propagation
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    und = edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return (
+        label_propagation(und, iterations=3)
+        .select("node", F.col("label").alias("community"))
+        .orderBy("node")
+    )
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     pairs scored by the log-likelihood match weight with supplied m- and
@@ -2143,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_record_linkage": q_record_linkage,
         "q_dsir_sample": q_dsir_sample,
+        "q_host_communities": q_host_communities,
     }
 
 
@@ -3970,6 +3990,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, min(m) AS component
             FROM reach GROUP BY n ORDER BY node
+        """,
+        # synchronous LPA unrolled 3 rounds over the same closed-form host
+        # graph; per-round argmax = row_number over (count DESC, label)
+        "q_host_communities": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            und AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            m1 AS (SELECT u.dst AS node, l.label, count(*) AS c
+                   FROM und u JOIN l0 l ON u.src = l.node GROUP BY 1, 2),
+            l1 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY c DESC, label) AS rn
+                     FROM m1) WHERE rn = 1),
+            m2 AS (SELECT u.dst AS node, l.label, count(*) AS c
+                   FROM und u JOIN l1 l ON u.src = l.node GROUP BY 1, 2),
+            l2 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY c DESC, label) AS rn
+                     FROM m2) WHERE rn = 1),
+            m3 AS (SELECT u.dst AS node, l.label, count(*) AS c
+                   FROM und u JOIN l2 l ON u.src = l.node GROUP BY 1, 2),
+            l3 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY c DESC, label) AS rn
+                     FROM m3) WHERE rn = 1)
+            SELECT node, label AS community FROM l3 ORDER BY node
         """,
         # 3-way self-join triangle enumeration (a<b<c canonical order) over
         # the same closed-form co-occurrence edge set the engine derives
