@@ -2038,6 +2038,23 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the host graph: 2 walks x 3
+    steps from every host, each step md5-deterministic (uniform over the
+    current node's neighbors) so the corpus is reproducible and resumable.
+    Per step: two node-keyed equi-joins, neighbor index = per-node window
+    (partition size = degree). Oracle: the same three steps unrolled in
+    SQL with identical hash draws."""
+    from kgforge.operators.links import extract_links, host_edges
+    from kgforge.operators.walks import random_walks
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    und = edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return random_walks(und, num_walks=2, walk_length=3, seed=13).orderBy(
+        "start", "walk_id"
+    )
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     pairs scored by the log-likelihood match weight with supplied m- and
@@ -2163,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_record_linkage": q_record_linkage,
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
+        "q_host_walks": q_host_walks,
     }
 
 
@@ -3990,6 +4008,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, min(m) AS component
             FROM reach GROUP BY n ORDER BY node
+        """,
+        # deterministic random walks: 3 md5-driven steps unrolled over the
+        # closed-form host graph (neighbor index = per-node row_number)
+        "q_host_walks": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            und AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+            nbr AS (SELECT src, dst,
+                           CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                                AS BIGINT) AS i
+                    FROM und),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+            w0 AS (SELECT start, CAST(w.i AS BIGINT) AS walk_id,
+                          start AS cur, start AS path
+                   FROM (SELECT DISTINCT src AS start FROM und),
+                        UNNEST(range(1, 3)) AS w(i)),
+            w1 AS (SELECT w0.start, w0.walk_id, nbr.dst AS cur,
+                          w0.path || '>' || nbr.dst AS path
+                   FROM w0
+                   JOIN deg ON deg.src = w0.cur
+                   JOIN nbr ON nbr.src = w0.cur AND nbr.i =
+                     CAST(concat('0x', substring(md5(w0.start || chr(31)
+                       || CAST(w0.walk_id AS VARCHAR) || chr(31) || '1'
+                       || chr(31) || '13'), 1, 15)) AS BIGINT) % deg.deg),
+            w2 AS (SELECT w1.start, w1.walk_id, nbr.dst AS cur,
+                          w1.path || '>' || nbr.dst AS path
+                   FROM w1
+                   JOIN deg ON deg.src = w1.cur
+                   JOIN nbr ON nbr.src = w1.cur AND nbr.i =
+                     CAST(concat('0x', substring(md5(w1.start || chr(31)
+                       || CAST(w1.walk_id AS VARCHAR) || chr(31) || '2'
+                       || chr(31) || '13'), 1, 15)) AS BIGINT) % deg.deg),
+            w3 AS (SELECT w2.start, w2.walk_id, nbr.dst AS cur,
+                          w2.path || '>' || nbr.dst AS path
+                   FROM w2
+                   JOIN deg ON deg.src = w2.cur
+                   JOIN nbr ON nbr.src = w2.cur AND nbr.i =
+                     CAST(concat('0x', substring(md5(w2.start || chr(31)
+                       || CAST(w2.walk_id AS VARCHAR) || chr(31) || '3'
+                       || chr(31) || '13'), 1, 15)) AS BIGINT) % deg.deg)
+            SELECT start, walk_id, path FROM w3 ORDER BY start, walk_id
         """,
         # synchronous LPA unrolled 3 rounds over the same closed-form host
         # graph; per-round argmax = row_number over (count DESC, label)
