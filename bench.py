@@ -233,6 +233,10 @@ def main():
         "q_kg_cooccur",
         "q_domain_mix",
         "q_kg_ntriples",
+        "q_fuzzy_match",
+        "q_sorted_neighborhood",
+        "q_record_linkage",
+        "q_dsir_weights",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
