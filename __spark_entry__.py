@@ -2055,6 +2055,42 @@ def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instance-based predicate alignment for multi-source KG fusion:
+    predicate pairs ranked by Jaccard overlap of their distinct
+    object-value sets. The inline corpus asserts urn:p:email over v0..v59,
+    urn:p:mail over v30..v69 (intersection 30, union 70 → J≈0.43) and a
+    disjoint urn:p:age family that must be filtered out. Combinable counts
+    + a value-keyed self-join only; oracle recomputes sets and Jaccard in
+    SQL."""
+    from kgforge.operators.fusion import align_predicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pv = (
+        d.select(
+            F.lit("urn:p:email").alias("predicate"),
+            F.concat(F.lit("v"), (F.col("doc_id") % 60).cast("string")).alias("value"),
+        )
+        .unionByName(
+            d.select(
+                F.lit("urn:p:mail").alias("predicate"),
+                F.concat(F.lit("v"), ((F.col("doc_id") % 40) + 30).cast("string")).alias(
+                    "value"
+                ),
+            )
+        )
+        .unionByName(
+            d.select(
+                F.lit("urn:p:age").alias("predicate"),
+                F.concat(F.lit("a"), (F.col("doc_id") % 20).cast("string")).alias(
+                    "value"
+                ),
+            )
+        )
+    )
+    return align_predicates(pv, min_jaccard=0.05).orderBy("pred_a", "pred_b")
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     pairs scored by the log-likelihood match weight with supplied m- and
@@ -2181,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
         "q_host_walks": q_host_walks,
+        "q_kg_align": q_kg_align,
     }
 
 
@@ -4008,6 +4045,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, min(m) AS component
             FROM reach GROUP BY n ORDER BY node
+        """,
+        # predicate alignment: Jaccard of distinct value sets per pair
+        "q_kg_align": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            pv AS (
+              SELECT 'urn:p:email' AS p, 'v' || CAST(i % 60 AS VARCHAR) AS v FROM d
+              UNION ALL
+              SELECT 'urn:p:mail', 'v' || CAST((i % 40) + 30 AS VARCHAR) FROM d
+              UNION ALL
+              SELECT 'urn:p:age', 'a' || CAST(i % 20 AS VARCHAR) FROM d),
+            vp AS (SELECT DISTINCT p, v FROM pv),
+            sizes AS (SELECT p, count(*) AS n FROM vp GROUP BY p),
+            inter AS (SELECT a.p AS pred_a, b.p AS pred_b,
+                             CAST(count(*) AS BIGINT) AS n_shared
+                      FROM vp a JOIN vp b ON a.v = b.v AND a.p < b.p
+                      GROUP BY 1, 2)
+            SELECT i.pred_a, i.pred_b, CAST(sa.n AS BIGINT) AS n_a,
+                   CAST(sb.n AS BIGINT) AS n_b, i.n_shared,
+                   i.n_shared / (sa.n + sb.n - i.n_shared) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.p = i.pred_a
+            JOIN sizes sb ON sb.p = i.pred_b
+            WHERE i.n_shared / (sa.n + sb.n - i.n_shared) >= 0.05
+              AND i.n_shared >= 1
+            ORDER BY pred_a, pred_b
         """,
         # deterministic random walks: 3 md5-driven steps unrolled over the
         # closed-form host graph (neighbor index = per-node row_number)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fuse_facts", "kg_diff", "latest_facts"]
+__all__ = ["align_predicates", "fuse_facts", "kg_diff", "latest_facts"]
 
 
 def fuse_facts(
@@ -145,3 +145,50 @@ def latest_facts(triples: DataFrame, ts_col: str = "fetched_at") -> DataFrame:
             "n_versions",
         )
     )
+
+
+def align_predicates(
+    pred_values: DataFrame,
+    pred_col: str = "predicate",
+    value_col: str = "value",
+    min_jaccard: float = 0.1,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Schema alignment for multi-source KG fusion: predicate pairs ranked
+    by Jaccard overlap of their DISTINCT object-value sets — the standard
+    instance-based matcher for "this source says urn:p:email, that one
+    says urn:p:mail" before fuse_facts can merge them.
+
+    Input is any (predicate, value) DataFrame (extra columns ignored).
+    Output: pred_a < pred_b, n_a, n_b, n_shared, jaccard.
+
+    Scale: the only fan-out is the value-keyed self-join of the DISTINCT
+    (value, predicate) relation — a value shared by k predicates yields
+    C(k,2) pair rows, and k is bounded by the predicate vocabulary (tiny
+    next to the corpus), so pair volume is O(distinct values · avg k²/2).
+    Set sizes and intersections are combinable counts; no windows, no
+    driver state.
+    """
+    vp = pred_values.select(
+        F.col(pred_col).alias("_p"), F.col(value_col).alias("_v")
+    ).distinct()
+    sizes = vp.groupBy("_p").agg(F.count("*").alias("_n"))
+    a, b = vp.alias("a"), vp.alias("b")
+    inter = (
+        a.join(b, F.col("a._v") == F.col("b._v"))
+        .filter(F.col("a._p") < F.col("b._p"))
+        .groupBy(F.col("a._p").alias("pred_a"), F.col("b._p").alias("pred_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("_p").alias("pred_a"), F.col("_n").alias("n_a"))
+    sb = sizes.select(F.col("_p").alias("pred_b"), F.col("_n").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "pred_a")
+        .join(F.broadcast(sb), "pred_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter((F.col("jaccard") >= min_jaccard) & (F.col("n_shared") >= min_shared))
+    )
+    return out.select("pred_a", "pred_b", "n_a", "n_b", "n_shared", "jaccard")
