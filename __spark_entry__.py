@@ -2055,6 +2055,20 @@ def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the DIRECTED host graph,
+    2 iterations: auth = L2-normalized sum of in-neighbor hubs, hub =
+    L2-normalized sum of out-neighbor (updated) auths. Norms are 1-row
+    aggregates crossJoin-broadcast into the plan — no per-iteration driver
+    collect. Oracle: both iterations unrolled with scalar-subquery norms."""
+    from kgforge.operators.graph import hits
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    e = edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return hits(e, iterations=2).orderBy("node")
+
+
 def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-based predicate alignment for multi-source KG fusion:
     predicate pairs ranked by Jaccard overlap of their distinct
@@ -2218,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_communities": q_host_communities,
         "q_host_walks": q_host_walks,
         "q_kg_align": q_kg_align,
+        "q_host_hits": q_host_hits,
     }
 
 
@@ -4045,6 +4060,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, min(m) AS component
             FROM reach GROUP BY n ORDER BY node
+        """,
+        # HITS unrolled 2 iterations over the directed closed-form host
+        # graph; L2 norms as scalar subqueries
+        "q_host_hits": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            s0 AS (SELECT node, 1.0 AS auth, 1.0 AS hub FROM nodes),
+            a1r AS (SELECT n.node, coalesce(sum(s.hub), 0.0) AS ra
+                    FROM nodes n
+                    LEFT JOIN e ON e.dst = n.node
+                    LEFT JOIN s0 s ON s.node = e.src
+                    GROUP BY n.node),
+            a1 AS (SELECT node, ra / (SELECT sqrt(sum(ra*ra)) FROM a1r) AS auth
+                   FROM a1r),
+            h1r AS (SELECT n.node, coalesce(sum(a.auth), 0.0) AS rh
+                    FROM nodes n
+                    LEFT JOIN e ON e.src = n.node
+                    LEFT JOIN a1 a ON a.node = e.dst
+                    GROUP BY n.node),
+            h1 AS (SELECT node, rh / (SELECT sqrt(sum(rh*rh)) FROM h1r) AS hub
+                   FROM h1r),
+            a2r AS (SELECT n.node, coalesce(sum(h.hub), 0.0) AS ra
+                    FROM nodes n
+                    LEFT JOIN e ON e.dst = n.node
+                    LEFT JOIN h1 h ON h.node = e.src
+                    GROUP BY n.node),
+            a2 AS (SELECT node, ra / (SELECT sqrt(sum(ra*ra)) FROM a2r) AS auth
+                   FROM a2r),
+            h2r AS (SELECT n.node, coalesce(sum(a.auth), 0.0) AS rh
+                    FROM nodes n
+                    LEFT JOIN e ON e.src = n.node
+                    LEFT JOIN a2 a ON a.node = e.dst
+                    GROUP BY n.node),
+            h2 AS (SELECT node, rh / (SELECT sqrt(sum(rh*rh)) FROM h2r) AS hub
+                   FROM h2r)
+            SELECT a2.node, a2.auth, h2.hub
+            FROM a2 JOIN h2 USING (node) ORDER BY node
         """,
         # predicate alignment: Jaccard of distinct value sets per pair
         "q_kg_align": """

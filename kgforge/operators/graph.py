@@ -290,3 +290,58 @@ def entity_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge set,
+    fixed iteration count: auth(v) = Σ hub(u) over in-edges then L2-
+    normalized, hub(u) = Σ auth(v) over out-edges (using the UPDATED
+    authorities, per the classic formulation) then L2-normalized.
+
+    The L2 norms are 1-row aggregates crossJoin-broadcast back into the
+    plan (the domain_mix idiom) — no driver collect per iteration, so the
+    whole run is one lazy plan. Nodes with no in-edges (resp. out-edges)
+    get score 0 from the left join. Fixed small iteration count keeps the
+    job deterministic and the oracle unrollable.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct().persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    scores = nodes.select("node", F.lit(1.0).alias("auth"), F.lit(1.0).alias("hub"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(scores.select(F.col("node"), F.col("hub")), e["_s"] == F.col("node"))
+            .groupBy("_d")
+            .agg(F.sum("hub").alias("_ra"))
+        )
+        a = nodes.join(a_raw, nodes["node"] == a_raw["_d"], "left").select(
+            "node", F.coalesce("_ra", F.lit(0.0)).alias("_ra")
+        )
+        a_norm = a.agg(F.sqrt(F.sum(F.col("_ra") * F.col("_ra"))).alias("_za"))
+        a = a.crossJoin(a_norm).select(
+            "node", (F.col("_ra") / F.col("_za")).alias("auth")
+        )
+        h_raw = (
+            e.join(a, e["_d"] == a["node"])
+            .groupBy("_s")
+            .agg(F.sum("auth").alias("_rh"))
+        )
+        h = nodes.join(h_raw, nodes["node"] == h_raw["_s"], "left").select(
+            "node", F.coalesce("_rh", F.lit(0.0)).alias("_rh")
+        )
+        h_norm = h.agg(F.sqrt(F.sum(F.col("_rh") * F.col("_rh"))).alias("_zh"))
+        h = h.crossJoin(h_norm).select(
+            "node", (F.col("_rh") / F.col("_zh")).alias("hub")
+        )
+        scores = a.join(h, "node").select("node", "auth", "hub")
+    # e/nodes stay persisted for the same single-action reason as pagerank
+    return scores
