@@ -2105,6 +2105,18 @@ def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return align_predicates(pv, min_jaccard=0.05).orderBy("pred_a", "pred_b")
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split decision hashes the
+    near-dup CLUSTER id (MinHash-LSH pairs → connected components, same
+    construction as q_cluster_canonical), so no near-duplicate ever
+    straddles the boundary (Lee et al. 2022 §6's eval-inflation failure).
+    Oracle: recursive-CTE closure + the identical md5 split hash."""
+    from kgforge.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, val_pct=10, seed=21).orderBy("doc_id")
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage: nation-blocked customer
     pairs scored by the log-likelihood match weight with supplied m- and
@@ -2233,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_walks": q_host_walks,
         "q_kg_align": q_kg_align,
         "q_host_hits": q_host_hits,
+        "q_leakage_split": q_leakage_split,
     }
 
 
@@ -3273,6 +3286,31 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ).replace("{NTOK}", _dd_token_count("text")),
+        # leakage-safe split: same closure as q_cluster_canonical, split
+        # hashed from the cluster id so clusters are split-atomic
+        "q_leakage_split": """
+            WITH RECURSIVE p AS ({PAIRS}),
+            e2 AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+              SELECT a AS node, b AS r FROM e2
+              UNION
+              SELECT reach.node, e2.b FROM reach JOIN e2 ON reach.r = e2.a
+            ),
+            m AS (SELECT node AS doc_id, min(r) AS cluster_id
+                  FROM reach GROUP BY node),
+            lab AS (SELECT d.doc_id,
+                           coalesce(m.cluster_id, d.doc_id) AS cluster_id
+                    FROM documents d LEFT JOIN m USING (doc_id))
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CASE WHEN CAST(concat('0x', substring(md5(
+                          'split' || chr(31) || CAST(cluster_id AS VARCHAR)
+                          || chr(31) || '21'), 1, 15)) AS BIGINT) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM lab ORDER BY doc_id
+        """.replace(
+            "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
+        ),
         # exact duplicated-substring spans: sliding 8-token windows whose
         # gram recurs corpus-wide, merged gaps-and-islands into maximal spans
         "q_span_dedup": f"""

@@ -143,3 +143,75 @@ def rate_sample(
         .filter(sample_hash_col(key) < F.col("keep_rate") * F.lit(float(_M32)))
         .drop("domain", "keep_rate")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    val_pct: int = 10,
+    seed: int = 21,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/validation split that can NEVER leak a near-duplicate across
+    the boundary: the split decision is hashed from the document's
+    near-dup CLUSTER id, not the document id, so every member of a cluster
+    lands on the same side (the failure mode this prevents — val examples
+    whose near-copies sit in train — silently inflates eval scores at
+    scale, cf. Lee et al. 2022 §6).
+
+    `clusters` is an optional (id, cluster_id) DataFrame (e.g. from
+    minhash pairs + connected_components); documents not covered are
+    singletons (cluster = own id). When omitted, it is derived here with
+    the repo's default MinHash-LSH + CC pipeline — the same construction
+    as q_cluster_canonical, so labels are the min member id.
+
+    Split = 'val' iff md5('split' ␟ cluster ␟ seed) mod 100 < val_pct —
+    deterministic, layout-free, resumable, and replayable by a SQL oracle.
+    Output: (id, cluster_id, split).
+    """
+    if not 0 <= val_pct <= 100:
+        raise ValueError(f"val_pct must be in [0, 100], got {val_pct}")
+    if clusters is None:
+        from .canonicalize import connected_components
+        from .dedup import minhash_duplicate_pairs
+
+        pairs = minhash_duplicate_pairs(docs, id_col=id_col, text_col=text_col)
+        pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+        comp = connected_components(
+            pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+        )
+        clusters = comp.select(
+            F.col("node").cast("bigint").alias(id_col),
+            F.col("component").cast("bigint").alias("cluster_id"),
+        )
+    lab = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit("split"),
+                        F.col("cluster_id").cast("string"),
+                        F.lit(str(seed)),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return lab.withColumn(
+        "split", F.when(h < val_pct, F.lit("val")).otherwise(F.lit("train"))
+    )
