@@ -2069,6 +2069,44 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(e, iterations=2).orderBy("node")
 
 
+def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph ingestion: per-doc N-Quads content (closed-form in
+    doc_id — a knows edge and a bnode ref in graph urn:g:{i%5}, a name
+    literal in the default graph) parsed by the REAL N-Quads parser inside
+    one mapInPandas Arrow scan (per-row status, never a thrown job). The
+    DuckDB twin reconstructs every quad row including seq, graph and term
+    kind, so agreement pins the whole parse path."""
+    from kgforge.operators.quads import parse_quad_docs
+
+    i = F.col("doc_id")
+    m = lambda e: e.cast("string")  # noqa: E731
+    line1 = F.concat(
+        F.lit("<urn:e:"), m(i % 50), F.lit("> <urn:p:knows> <urn:e:"),
+        m((i * 3 + 1) % 50), F.lit("> <urn:g:"), m(i % 5), F.lit("> ."),
+    )
+    line2 = F.concat(
+        F.lit("<urn:e:"), m(i % 50), F.lit('> <urn:p:name> "n'), m(i % 20), F.lit('" .')
+    )
+    line3 = F.concat(
+        F.lit("_:b0 <urn:p:ref> <urn:e:"), m(i % 50), F.lit("> <urn:g:"),
+        m(i % 5), F.lit("> ."),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("q://"), m(i)).alias("url"),
+        F.concat_ws("\n", line1, line2, line3).alias("content"),
+    )
+    q = parse_quad_docs(docs)
+    return (
+        q.filter(F.col("status") == "ok")
+        .select(
+            "url", "seq", "graph", "subject", "predicate",
+            F.col("object.value").alias("o_value"),
+            F.col("object.kind").alias("o_kind"),
+        )
+        .orderBy("url", "seq")
+    )
+
+
 def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-based predicate alignment for multi-source KG fusion:
     predicate pairs ranked by Jaccard overlap of their distinct
@@ -2246,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_align": q_kg_align,
         "q_host_hits": q_host_hits,
         "q_leakage_split": q_leakage_split,
+        "q_kg_quads": q_kg_quads,
     }
 
 
@@ -4146,6 +4185,28 @@ def oracle_sql() -> dict[str, str]:
                    FROM h2r)
             SELECT a2.node, a2.auth, h2.hub
             FROM a2 JOIN h2 USING (node) ORDER BY node
+        """,
+        # N-Quads scan: every parsed quad row reconstructed closed-form
+        "q_kg_quads": """
+            WITH d AS (SELECT doc_id AS i FROM documents)
+            SELECT 'q://' || CAST(i AS VARCHAR) AS url, CAST(0 AS BIGINT) AS seq,
+                   'urn:g:' || CAST(i % 5 AS VARCHAR) AS graph,
+                   'urn:e:' || CAST(i % 50 AS VARCHAR) AS subject,
+                   'urn:p:knows' AS predicate,
+                   'urn:e:' || CAST((i * 3 + 1) % 50 AS VARCHAR) AS o_value,
+                   'iri' AS o_kind
+            FROM d
+            UNION ALL
+            SELECT 'q://' || CAST(i AS VARCHAR), CAST(1 AS BIGINT), '',
+                   'urn:e:' || CAST(i % 50 AS VARCHAR), 'urn:p:name',
+                   'n' || CAST(i % 20 AS VARCHAR), 'literal'
+            FROM d
+            UNION ALL
+            SELECT 'q://' || CAST(i AS VARCHAR), CAST(2 AS BIGINT),
+                   'urn:g:' || CAST(i % 5 AS VARCHAR), '_:b0', 'urn:p:ref',
+                   'urn:e:' || CAST(i % 50 AS VARCHAR), 'iri'
+            FROM d
+            ORDER BY url, seq
         """,
         # predicate alignment: Jaccard of distinct value sets per pair
         "q_kg_align": """
