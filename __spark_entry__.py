@@ -2069,15 +2069,9 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(e, iterations=2).orderBy("node")
 
 
-def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Named-graph ingestion: per-doc N-Quads content (closed-form in
-    doc_id — a knows edge and a bnode ref in graph urn:g:{i%5}, a name
-    literal in the default graph) parsed by the REAL N-Quads parser inside
-    one mapInPandas Arrow scan (per-row status, never a thrown job). The
-    DuckDB twin reconstructs every quad row including seq, graph and term
-    kind, so agreement pins the whole parse path."""
-    from kgforge.operators.quads import parse_quad_docs
-
+def _quad_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form N-Quads corpus: per doc a knows edge and a bnode ref in
+    graph urn:g:{i%5}, plus a name literal in the default graph."""
     i = F.col("doc_id")
     m = lambda e: e.cast("string")  # noqa: E731
     line1 = F.concat(
@@ -2091,11 +2085,21 @@ def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("_:b0 <urn:p:ref> <urn:e:"), m(i % 50), F.lit("> <urn:g:"),
         m(i % 5), F.lit("> ."),
     )
-    docs = _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("q://"), m(i)).alias("url"),
         F.concat_ws("\n", line1, line2, line3).alias("content"),
     )
-    q = parse_quad_docs(docs)
+
+
+def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph ingestion: the closed-form N-Quads corpus parsed by the
+    REAL N-Quads parser inside one mapInPandas Arrow scan (per-row status,
+    never a thrown job). The DuckDB twin reconstructs every quad row
+    including seq, graph and term kind, so agreement pins the whole parse
+    path."""
+    from kgforge.operators.quads import parse_quad_docs
+
+    q = parse_quad_docs(_quad_docs(spark, sf_dir))
     return (
         q.filter(F.col("status") == "ok")
         .select(
@@ -2105,6 +2109,22 @@ def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("url", "seq")
     )
+
+
+def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH clause with W3C dataset semantics: the knows BGP is
+    scoped to named graph urn:g:2 (docs with doc_id%5==2 only) — compiled
+    as a graph filter on the quad scan + the full SPARQL engine on the
+    per-graph triple view. Oracle: the closed-form quad reconstruction
+    filtered to i%5=2."""
+    from kgforge.operators.quads import parse_quad_docs, sparql_select_quads
+
+    quads = parse_quad_docs(_quad_docs(spark, sf_dir))
+    out = sparql_select_quads(
+        quads,
+        "SELECT DISTINCT ?s ?o WHERE { GRAPH <urn:g:2> { ?s <urn:p:knows> ?o } }",
+    )
+    return out.orderBy("s", "o")
 
 
 def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2285,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_hits": q_host_hits,
         "q_leakage_split": q_leakage_split,
         "q_kg_quads": q_kg_quads,
+        "q_kg_sparql_graph": q_kg_sparql_graph,
     }
 
 
@@ -4207,6 +4228,13 @@ def oracle_sql() -> dict[str, str]:
                    'urn:e:' || CAST(i % 50 AS VARCHAR), 'iri'
             FROM d
             ORDER BY url, seq
+        """,
+        # GRAPH-scoped BGP over the closed-form quad corpus (i%5 = 2)
+        "q_kg_sparql_graph": """
+            WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 5 = 2)
+            SELECT DISTINCT 'urn:e:' || CAST(i % 50 AS VARCHAR) AS s,
+                   'urn:e:' || CAST((i * 3 + 1) % 50 AS VARCHAR) AS o
+            FROM d ORDER BY s, o
         """,
         # predicate alignment: Jaccard of distinct value sets per pair
         "q_kg_align": """

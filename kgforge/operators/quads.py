@@ -24,7 +24,7 @@ from ..rdf.nquads import parse_nquads
 from ..rdf.turtle import TurtleParseError
 from ..schema import OBJECT_STRUCT
 
-__all__ = ["QUADS_SCHEMA", "parse_quad_docs", "quads_to_triples"]
+__all__ = ["QUADS_SCHEMA", "parse_quad_docs", "quads_to_triples", "sparql_select_quads"]
 
 S = StringType()
 
@@ -102,3 +102,40 @@ def quads_to_triples(quads: DataFrame, graph: str | None = None) -> DataFrame:
     if graph is not None:
         out = out.filter(out["graph"] == graph)
     return out.select("url", "seq", "subject", "predicate", "object", "status")
+
+
+_GRAPH_RE = None  # compiled lazily below
+
+
+def sparql_select_quads(quads: DataFrame, query: str) -> DataFrame:
+    """SPARQL over a quad dataset with W3C dataset semantics for the
+    supported form: ``SELECT ... WHERE { GRAPH <iri> { ...group... } }``
+    scopes the group to that named graph; a query WITHOUT a GRAPH clause
+    matches the DEFAULT graph only (W3C SPARQL §13.1 — named-graph triples
+    are invisible to plain patterns). Variable graphs (GRAPH ?g) are not
+    supported — enumerate graphs upstream (they are per-source metadata)
+    and union the per-graph results.
+
+    Compiles to: graph filter on the quad scan (a partition-pruning
+    predicate once quads are materialized partitioned by graph) + the full
+    sparql_select engine on the resulting triple view.
+    """
+    import re
+
+    from .sparql import sparql_select
+
+    global _GRAPH_RE
+    if _GRAPH_RE is None:
+        _GRAPH_RE = re.compile(
+            r"^(?P<head>.*?WHERE\s*\{)\s*GRAPH\s*<(?P<g>[^>]*)>\s*\{"
+            r"(?P<body>.*)\}\s*\}\s*(?P<tail>(?:ORDER|LIMIT|GROUP|HAVING).*)?$",
+            re.IGNORECASE | re.DOTALL,
+        )
+    if re.search(r"GRAPH\s*\?", query, re.IGNORECASE):
+        raise ValueError("GRAPH ?var is unsupported — enumerate graphs upstream")
+    m = _GRAPH_RE.match(query.strip())
+    if m:
+        triples = quads_to_triples(quads, graph=m.group("g"))
+        rewritten = f"{m.group('head')} {m.group('body')} }} {m.group('tail') or ''}"
+        return sparql_select(triples, rewritten)
+    return sparql_select(quads_to_triples(quads, graph=""), query)

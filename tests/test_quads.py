@@ -65,3 +65,37 @@ def test_parse_quad_docs_and_graph_view(spark):
     assert {r["subject"] for r in default} == {"urn:e:2", "urn:e:3"}
     merged = quads_to_triples(parse_quad_docs(docs)).collect()
     assert len(merged) == 5
+
+
+def test_sparql_select_quads_graph_scoping(spark):
+    from kgforge.operators.quads import parse_quad_docs, sparql_select_quads
+
+    docs = spark.createDataFrame([("u1", NQ)], "url string, content string")
+    quads = parse_quad_docs(docs)
+    # GRAPH <urn:g:a>: the knows edge lives only there
+    got = sparql_select_quads(
+        quads,
+        "SELECT ?s ?o WHERE { GRAPH <urn:g:a> { ?s <urn:p:knows> ?o } }",
+    ).collect()
+    assert [(r["s"], r["o"]) for r in got] == [("urn:e:1", "urn:e:2")]
+    # no GRAPH clause -> default graph ONLY: knows is invisible, age is not
+    assert (
+        sparql_select_quads(
+            quads, "SELECT ?s ?o WHERE { ?s <urn:p:knows> ?o }"
+        ).count()
+        == 0
+    )
+    ages = sparql_select_quads(
+        quads, "SELECT ?s ?age WHERE { ?s <urn:p:age> ?age }"
+    ).collect()
+    assert [(r["s"], r["age"]) for r in ages] == [("urn:e:2", "31")]
+
+
+def test_sparql_select_quads_rejects_graph_var(spark):
+    from kgforge.operators.quads import parse_quad_docs, sparql_select_quads
+
+    docs = spark.createDataFrame([("u1", NQ)], "url string, content string")
+    with pytest.raises(ValueError):
+        sparql_select_quads(
+            parse_quad_docs(docs), "SELECT ?g WHERE { GRAPH ?g { ?s ?p ?o } }"
+        )
