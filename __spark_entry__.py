@@ -2127,6 +2127,25 @@ def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("s", "o")
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog cardinality sketch over the corpus token
+    stream (p=6, deterministic md5 registers — rerunning over any
+    partitioning yields the identical sketch) next to the exact distinct
+    count. The register table is one map-side-combinable groupBy capped at
+    64 rows; the DuckDB twin replays every register and the estimator
+    (incl. the small-range branch decision) bit-for-bit."""
+    from kgforge.operators.sketches import hll_estimate, hll_registers
+    from kgforge.operators.text_stats import _tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.explode(_tokens_col(F.col("text"))).alias("tok")
+    )
+    est = hll_estimate(hll_registers(toks, "tok", p=6), p=6)
+    exact = toks.agg(F.countDistinct("tok").alias("exact"))
+    return est.crossJoin(exact)
+
+
 def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-based predicate alignment for multi-source KG fusion:
     predicate pairs ranked by Jaccard overlap of their distinct
@@ -2306,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_leakage_split": q_leakage_split,
         "q_kg_quads": q_kg_quads,
         "q_kg_sparql_graph": q_kg_sparql_graph,
+        "q_distinct_sketch": q_distinct_sketch,
     }
 
 
@@ -4228,6 +4248,32 @@ def oracle_sql() -> dict[str, str]:
                    'urn:e:' || CAST(i % 50 AS VARCHAR), 'iri'
             FROM d
             ORDER BY url, seq
+        """,
+        # HLL sketch: every register + the estimator replayed exactly
+        "q_distinct_sketch": f"""
+            WITH t AS (SELECT {_DD_TOK} AS tk,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOK}) END AS n
+                       FROM documents),
+            tok AS (SELECT tk[i] AS v
+                    FROM t, UNNEST(range(1, n + 1)) AS r(i) WHERE n >= 1),
+            h AS (SELECT CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
+                  FROM tok),
+            reg AS (SELECT h % 64 AS bucket,
+                           max(CASE WHEN (h >> 6) = 0 THEN 55
+                                    ELSE 55 - length(bin(h >> 6)) END) AS rho
+                    FROM h GROUP BY 1),
+            agg AS (SELECT CAST(count(*) AS BIGINT) AS n_set,
+                           sum(pow(2.0, -rho)) AS s FROM reg),
+            ex AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS exact FROM tok)
+            SELECT 64 AS m, n_set,
+                   CASE WHEN (CAST('0.709' AS DOUBLE) * 64 * 64)
+                             / (s + (64 - n_set)) <= 160.0
+                         AND (64 - n_set) > 0
+                        THEN 64.0 * ln(64.0 / (64 - n_set))
+                        ELSE (CAST('0.709' AS DOUBLE) * 64 * 64)
+                             / (s + (64 - n_set)) END AS estimate,
+                   exact
+            FROM agg, ex
         """,
         # GRAPH-scoped BGP over the closed-form quad corpus (i%5 = 2)
         "q_kg_sparql_graph": """
