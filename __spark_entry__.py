@@ -2146,6 +2146,39 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(exact)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter estimation over the corpus token stream
+    (depth 3 × width 256, deterministic md5 row hashes): every distinct
+    token's estimate next to its exact count — est >= exact always, equal
+    unless the token collided in all 3 rows. The sketch is <= 768 rows at
+    any corpus size and broadcast for lookups; the DuckDB twin replays
+    every counter and min."""
+    from kgforge.operators.sketches import cms_lookup, cms_table
+    from kgforge.operators.text_stats import _tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        F.explode(_tokens_col(F.col("text"))).alias("tok")
+    )
+    cms = cms_table(toks, "tok", depth=3, width=256)
+    est = cms_lookup(cms, toks, "tok", depth=3, width=256)
+    exact = toks.groupBy("tok").agg(F.count("*").cast("long").alias("exact"))
+    return est.join(exact, "tok").orderBy("tok")
+
+
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) uniform document sample: the 50 smallest md5(doc_id)
+    rows — mergeable (bottomk of unioned per-partition bottomks == the
+    direct sketch), deterministic under any partitioning, compiled to
+    TakeOrderedAndProject. Oracle: the same hash + ORDER BY LIMIT."""
+    from kgforge.operators.sketches import bottomk_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return bottomk_sample(docs, "doc_id", 50).select(
+        "doc_id", "lang", F.col("_h").alias("h")
+    )
+
+
 def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-based predicate alignment for multi-source KG fusion:
     predicate pairs ranked by Jaccard overlap of their distinct
@@ -2326,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_quads": q_kg_quads,
         "q_kg_sparql_graph": q_kg_sparql_graph,
         "q_distinct_sketch": q_distinct_sketch,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_bottomk_sample": q_bottomk_sample,
     }
 
 
@@ -4274,6 +4309,33 @@ def oracle_sql() -> dict[str, str]:
                              / (s + (64 - n_set)) END AS estimate,
                    exact
             FROM agg, ex
+        """,
+        # Count-Min: every counter + per-token min replayed exactly
+        "q_heavy_hitters": f"""
+            WITH t AS (SELECT {_DD_TOK} AS tk,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOK}) END AS n
+                       FROM documents),
+            tok AS (SELECT tk[i] AS v
+                    FROM t, UNNEST(range(1, n + 1)) AS r(i) WHERE n >= 1),
+            pr AS (SELECT v, CAST(r.i AS BIGINT) AS row,
+                     CAST(concat('0x', substring(md5(v || chr(31)
+                       || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS pos
+                   FROM tok, UNNEST(range(0, 3)) AS r(i)),
+            tab AS (SELECT row, pos, CAST(count(*) AS BIGINT) AS cnt
+                    FROM pr GROUP BY 1, 2),
+            probe AS (SELECT DISTINCT v, row, pos FROM pr),
+            est AS (SELECT v, CAST(min(coalesce(tab.cnt, 0)) AS BIGINT) AS est
+                    FROM probe LEFT JOIN tab USING (row, pos) GROUP BY v),
+            ex AS (SELECT v, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY v)
+            SELECT est.v AS tok, est.est, ex.exact
+            FROM est JOIN ex USING (v) ORDER BY tok
+        """,
+        # bottom-k (KMV) sample: same hash + ORDER BY LIMIT
+        "q_bottomk_sample": """
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM documents ORDER BY h, doc_id LIMIT 50
         """,
         # GRAPH-scoped BGP over the closed-form quad corpus (i%5 = 2)
         "q_kg_sparql_graph": """

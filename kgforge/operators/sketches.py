@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_merge", "hll_estimate"]
+__all__ = ["bottomk_sample", "cms_lookup", "cms_table", "hll_registers", "hll_merge", "hll_estimate"]
 
 # alpha_m for small m (HLL paper §4); >=128 uses the closed form
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
@@ -88,3 +88,62 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return agg.select(F.lit(m).alias("m"), "n_set", est.alias("estimate"))
+
+
+def cms_table(df: DataFrame, col: str, depth: int = 3, width: int = 256) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a depth×width
+    counter table — (row, pos, cnt), <= depth·width rows at any corpus
+    size, built by one map-side-combinable groupBy over a depth-way
+    explode. Merge = elementwise sum (union the tables, groupBy sum).
+    Deterministic row hashes (md5(v ␟ row)) make the sketch replayable."""
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    rows = df.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    pos = F.pmod(
+        _hash60(F.concat_ws("\x1f", F.col("_v"), F.col("row").cast("string"))),
+        F.lit(width),
+    )
+    return (
+        rows.select("row", pos.alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame, keys: DataFrame, key_col: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates: est = min over rows of the key's counter
+    (>= true count, never under). The sketch is <= depth·width rows, so the
+    probe join broadcasts it regardless of how many keys are probed."""
+    probes = keys.select(F.col(key_col)).distinct().select(
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    pos = F.pmod(
+        _hash60(F.concat_ws("\x1f", F.col(key_col), F.col("row").cast("string"))),
+        F.lit(width),
+    )
+    probes = probes.withColumn("pos", pos)
+    joined = probes.join(F.broadcast(cms), ["row", "pos"], "left").select(
+        key_col, F.coalesce("cnt", F.lit(0)).alias("_c")
+    )
+    return joined.groupBy(key_col).agg(F.min("_c").cast("long").alias("est"))
+
+
+def bottomk_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Mergeable uniform sample WITHOUT a shuffle of the corpus: keep the k
+    rows with the smallest md5(key) — a bottom-k (KMV) sketch, so
+    bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) exactly and samples
+    from different partitions/days combine losslessly. Compiles to
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    Deterministic: same corpus → same sample, any partitioning."""
+    h = _hash60(F.col(key_col).cast("string"))
+    return (
+        df.withColumn("_h", h)
+        .orderBy(F.col("_h"), F.col(key_col))
+        .limit(k)
+    )

@@ -62,3 +62,68 @@ def test_estimate_small_range_correction(spark):
     empty = 64 - row["n_set"]
     assert empty > 0
     assert row["estimate"] == pytest.approx(64 * math.log(64 / empty), abs=1e-9)
+
+
+def _py_cms_pos(v, row, width):
+    return int(hashlib.md5(f"{v}\x1f{row}".encode()).hexdigest()[:15], 16) % width
+
+
+def test_cms_never_underestimates_and_matches_python(spark):
+    from kgforge.operators.sketches import cms_lookup, cms_table
+
+    vals = ["a"] * 40 + ["b"] * 10 + [f"rare{i}" for i in range(60)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    cms = cms_table(df, "v", depth=3, width=32)
+    # python reference counters
+    counters = {}
+    for v in vals:
+        for row in range(3):
+            key = (row, _py_cms_pos(v, row, 32))
+            counters[key] = counters.get(key, 0) + 1
+    got_tab = {(r["row"], r["pos"]): r["cnt"] for r in cms.collect()}
+    assert got_tab == counters
+    keys = spark.createDataFrame([(v,) for v in set(vals)], "v string")
+    est = {r["v"]: r["est"] for r in cms_lookup(cms, keys, "v", depth=3, width=32).collect()}
+    true = {v: vals.count(v) for v in set(vals)}
+    for v in true:
+        assert est[v] >= true[v]
+        assert est[v] == min(
+            counters.get((row, _py_cms_pos(v, row, 32)), 0) for row in range(3)
+        )
+    # heavy hitter estimated within the CMS epsilon bound (e·N, e = e/width)
+    assert est["a"] - true["a"] <= math.ceil(math.e / 32 * len(vals))
+
+
+def test_cms_merge_is_elementwise_sum(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.sketches import cms_table
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "v string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, "v string")
+    merged = (
+        cms_table(a, "v", 3, 32)
+        .unionByName(cms_table(b, "v", 3, 32))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    direct = cms_table(a.unionByName(b), "v", 3, 32)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_bottomk_merge_property_and_determinism(spark):
+    from kgforge.operators.sketches import bottomk_sample
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(0, 80)], "url string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(80, 200)], "url string")
+    u = a.unionByName(b)
+    direct = [r["url"] for r in bottomk_sample(u, "url", 10).collect()]
+    via_parts = bottomk_sample(
+        bottomk_sample(a, "url", 10).unionByName(bottomk_sample(b, "url", 10)),
+        "url",
+        10,
+    )
+    assert [r["url"] for r in via_parts.collect()] == direct
+    # determinism under repartition
+    re = [r["url"] for r in bottomk_sample(u.repartition(7), "url", 10).collect()]
+    assert re == direct
