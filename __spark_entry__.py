@@ -2179,6 +2179,22 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis): 40 docs
+    drawn ∝ token count via deterministic md5-uniform keys u^(1/w) — the
+    shuffle-free TakeOrderedAndProject sample generalizing bottom-k.
+    Oracle: identical keys + ORDER BY LIMIT."""
+    from kgforge.operators.sketches import weighted_sample
+    from kgforge.operators.text_stats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).cast("double").alias("weight")
+    )
+    return weighted_sample(docs, "doc_id", "weight", 40).select(
+        "doc_id", "weight", F.col("_es_key").alias("es_key")
+    )
+
+
 def q_kg_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Instance-based predicate alignment for multi-source KG fusion:
     predicate pairs ranked by Jaccard overlap of their distinct
@@ -2361,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_sketch": q_distinct_sketch,
         "q_heavy_hitters": q_heavy_hitters,
         "q_bottomk_sample": q_bottomk_sample,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -4336,6 +4353,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                         AS BIGINT) AS h
             FROM documents ORDER BY h, doc_id LIMIT 50
+        """,
+        # Efraimidis-Spirakis weighted sample: identical keys + top-k
+        "q_weighted_sample": """
+            WITH t AS (SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w
+                       FROM documents)
+            SELECT doc_id, CAST(w AS DOUBLE) AS weight,
+                   pow((CAST(CAST(concat('0x', substring(md5(
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                        + 0.5) / 1152921504606846976.0, 1.0 / w) AS es_key
+            FROM t WHERE w > 0 ORDER BY es_key DESC, doc_id LIMIT 40
         """,
         # GRAPH-scoped BGP over the closed-form quad corpus (i%5 = 2)
         "q_kg_sparql_graph": """

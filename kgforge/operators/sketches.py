@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bottomk_sample", "cms_lookup", "cms_table", "hll_registers", "hll_merge", "hll_estimate"]
+__all__ = ["bottomk_sample", "cms_lookup", "cms_table", "hll_registers", "hll_merge", "hll_estimate", "weighted_sample"]
 
 # alpha_m for small m (HLL paper §4); >=128 uses the closed form
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
@@ -145,5 +145,27 @@ def bottomk_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     return (
         df.withColumn("_h", h)
         .orderBy(F.col("_h"), F.col(key_col))
+        .limit(k)
+    )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    each row gets key u^(1/w) with u = deterministic md5-uniform(0,1); the
+    k LARGEST keys are a weighted sample without replacement — the
+    one-pass, mergeable, shuffle-free generalization of bottomk_sample
+    (same TakeOrderedAndProject plan). Rows with weight <= 0 are excluded
+    (their inclusion probability is 0). Deterministic: same corpus and
+    weights → same sample under any partitioning."""
+    u = (
+        _hash60(F.col(key_col).cast("string")).cast("double") + 0.5
+    ) / F.lit(float(1 << 60))
+    es_key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", es_key)
+        .orderBy(F.desc("_es_key"), F.col(key_col))
         .limit(k)
     )

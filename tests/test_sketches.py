@@ -127,3 +127,35 @@ def test_bottomk_merge_property_and_determinism(spark):
     # determinism under repartition
     re = [r["url"] for r in bottomk_sample(u.repartition(7), "url", 10).collect()]
     assert re == direct
+
+
+def test_weighted_sample_matches_python_and_favors_heavy(spark):
+    from kgforge.operators.sketches import weighted_sample
+
+    rows = [(f"d{i}", 1.0 if i < 90 else 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, w double")
+    got = [r["id"] for r in weighted_sample(df, "id", "w", 10).collect()]
+
+    def key(i, w):
+        h = int(hashlib.md5(f"d{i}".encode()).hexdigest()[:15], 16)
+        u = (float(h) + 0.5) / float(1 << 60)
+        return u ** (1.0 / w)
+
+    expect = sorted(
+        ((f"d{i}", key(i, w)) for i, (_, w) in enumerate(rows)),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert got == [d for d, _ in expect]
+    # the 10 heavy rows dominate the sample
+    heavy = sum(1 for d in got if int(d[1:]) >= 90)
+    assert heavy >= 7
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from kgforge.operators.sketches import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 0.0), ("b", -1.0), ("c", 2.0)], "id string, w double"
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", "w", 3).collect()]
+    assert got == ["c"]
