@@ -932,6 +932,20 @@ def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_host", "dst_host")
 
 
+def q_host_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected host graph: top-50
+    non-adjacent host pairs by Σ 1/ln(deg) over common neighbors, hub
+    wedge-centers capped (the web-scale fan-out guard). Oracle rebuilds
+    the closed-form edge set from doc_id arithmetic and replays the exact
+    wedge-sum formulation."""
+    from kgforge.operators.graph import adamic_adar
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    und = edges.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b"))
+    return adamic_adar(und, top_n=50)
+
+
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation over the link fixture: how the web labels
     each target URL — (dst_url, anchor, n_links, n_src_hosts). The oracle
@@ -2317,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_canonical": q_url_canonical,
         "q_kg_links": q_kg_links,
         "q_kg_linkgraph": q_kg_linkgraph,
+        "q_host_aa": q_host_aa,
         "q_anchor_texts": q_anchor_texts,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
@@ -3316,6 +3331,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # Adamic-Adar over the same closed-form host graph: undirected
+        # distinct non-self edges, wedge sum 1/ln(deg), non-adjacent top-50
+        "q_host_aa": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            e0 AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS x,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS y FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                  FROM e0 WHERE x <> y),
+            adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b AS w, a AS n FROM e),
+            deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+            wadj AS (SELECT adj.w, adj.n, 1.0 / ln(deg) AS contrib
+                     FROM adj JOIN deg USING (w) WHERE deg BETWEEN 2 AND 10000),
+            pairs AS (
+              SELECT x.n AS a, y.n AS b, round(sum(x.contrib), 6) AS aa_score
+              FROM wadj x JOIN wadj y ON x.w = y.w AND x.n < y.n
+              GROUP BY x.n, y.n
+            )
+            SELECT p.a, p.b, p.aa_score FROM pairs p
+            LEFT JOIN e ON e.a = p.a AND e.b = p.b
+            WHERE e.a IS NULL
+            ORDER BY aa_score DESC, p.a, p.b LIMIT 50
         """,
         # anchor aggregation closed form: the 4 navigational links carry
         # anchors a/i/p/s; expected (dst_url, anchor) aggregates are pure

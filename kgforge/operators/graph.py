@@ -345,3 +345,56 @@ def hits(
         scores = a.join(h, "node").select("node", "auth", "hub")
     # e/nodes stay persisted for the same single-action reason as pagerank
     return scores
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_n: int = 50,
+    max_degree: int | None = 10_000,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over an undirected
+    edge list (a, b): for every NON-adjacent pair sharing at least one
+    neighbor, score = Σ_w 1/ln(deg(w)) over common neighbors w. Returns the
+    top_n pairs as (a, b, aa_score), a < b, ordered (score desc, a, b).
+
+    Scale shape: the wedge join fans out quadratically in the degree of the
+    SHARED neighbor, so hubs are the hazard — exactly AA's own insight that
+    hubs carry ~no signal (1/ln(deg) → 0). ``max_degree`` drops wedge
+    centers above the cap BEFORE the self-join (the standard web-graph
+    guard; a 10^7-degree hub would otherwise emit 10^14 pairs for a
+    near-zero score contribution). Degree-1 centers are skipped too
+    (ln(1) = 0 and they form no wedge). Everything else is one degree agg,
+    one neighbor self-join keyed on the center, one pair agg, and one
+    left-anti join against the existing edges — all codegen, AQE-managed,
+    top_n via TakeOrderedAndProject (no global sort materialized).
+    """
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # adjacency oriented both ways, keyed by the wedge center w
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count("*").alias("deg"))
+    centers = deg.filter(F.col("deg") >= 2)
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    wadj = adj.join(centers, "w").withColumn(
+        "contrib", F.lit(1.0) / F.log(F.col("deg").cast("double"))
+    )
+    pairs = (
+        wadj.alias("x")
+        .join(
+            wadj.alias("y"),
+            (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n")),
+        )
+        .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+        .agg(F.round(F.sum(F.col("x.contrib")), 6).alias("aa_score"))
+    )
+    return (
+        pairs.join(e, ["a", "b"], "left_anti")
+        .orderBy(F.desc("aa_score"), "a", "b")
+        .limit(top_n)
+    )
