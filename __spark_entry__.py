@@ -354,6 +354,17 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs_blocked(emb, threshold=0.35, num_blocks=4).orderBy("a", "b")
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: one nearest-seed clustering pass (seeds =
+    8 lowest-id vectors) + within-cluster cosine prune at 0.4, greedy
+    lowest-id-wins. Oracle replays assignment (QUALIFY argmax with seed
+    tie-break) and the prune rule value-for-value."""
+    from kgforge.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup(emb, n_clusters=8, threshold=0.4).orderBy("vec_id")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid norms (vector agg via posexplode —
     relational formulation shared with the oracle)."""
@@ -2299,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_sim_topk": q_sim_topk,
         "q_emb_neardup": q_emb_neardup,
+        "q_semdedup": q_semdedup,
         "q_emb_centroids": q_emb_centroids,
         "q_minhash_dups": q_minhash_dups,
         "q_simhash_dups": q_simhash_dups,
@@ -2854,6 +2866,37 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
             ORDER BY a, b
+        """,
+        # SemDeDup: nearest-of-8-seed assignment (QUALIFY argmax, rounded
+        # cosine, seed-index tie-break) + lowest-id-wins prune at 0.4
+        "q_semdedup": """
+            WITH seeds AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+                       CAST(embedding AS DOUBLE[]) AS seed
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            assign AS (
+                SELECT e.vec_id, s.j AS cluster
+                FROM embeddings e CROSS JOIN seeds s
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), s.seed), 6) DESC, s.j
+                ) = 1
+            ),
+            dropped AS (
+                SELECT DISTINCT b.vec_id AS vid
+                FROM assign a JOIN assign b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+                WHERE round(list_cosine_similarity(
+                    CAST(ea.embedding AS DOUBLE[]),
+                    CAST(eb.embedding AS DOUBLE[])), 6) >= 0.4
+            )
+            SELECT a.vec_id, a.cluster,
+                   a.vec_id NOT IN (SELECT vid FROM dropped) AS kept
+            FROM assign a ORDER BY a.vec_id
         """,
         "q_emb_centroids": """
             SELECT label,

@@ -552,3 +552,70 @@ def lsh_topk(
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication — cluster the
+    embedding space, then prune within-cluster near-duplicates. Returns
+    every row as (id_col, cluster, kept); kept=false iff some LOWER-id row
+    in the same cluster has cosine >= threshold (greedy lowest-id-wins,
+    the deterministic stand-in for the paper's keep-one-per-group rule).
+
+    Deterministic, oracle-replicable formulation: centers are the
+    n_clusters lowest-id vectors and assignment is ONE nearest-center pass
+    (the k-means init step; swap in ivf_train_centroids for Lloyd-refined
+    centers when exact replay isn't required). Assignment = broadcast
+    crossJoin against the k-row center table + a map-side-combining
+    min(struct(-cos, j)) per row — cosine rounded before the argmax so two
+    engines agree, center index as the tie-break. The within-cluster
+    verify join is the same bounded shape as the LSH-bucket verify:
+    work ∝ Σ cluster², never corpus all-pairs — SemDeDup's own scaling
+    argument is that n_clusters grows with the corpus so clusters stay
+    bounded. No driver state beyond the k collected seed vectors.
+    """
+    spark = embeddings.sparkSession
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    )
+    seeds_df = spark.createDataFrame(
+        [(j, [float(x) for x in r[0]]) for j, r in enumerate(seed_rows)],
+        "j int, seed array<double>",
+    )
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    scored = e.crossJoin(F.broadcast(seeds_df)).select(
+        "vid",
+        "vec",
+        F.struct(
+            (-F.round(cosine_col(F.col("vec"), F.col("seed")), round_digits)).alias("nc"),
+            F.col("j"),
+        ).alias("key"),
+    )
+    assigned = (
+        scored.groupBy("vid")
+        .agg(F.min("key")["j"].alias("cluster"), F.first("vec").alias("vec"))
+        .persist()
+    )
+    dropped = (
+        assigned.alias("x")
+        .join(assigned.alias("y"), ["cluster"])
+        .filter(F.col("x.vid") < F.col("y.vid"))
+        .filter(
+            F.round(cosine_col(F.col("x.vec"), F.col("y.vec")), round_digits)
+            >= threshold
+        )
+        .select(F.col("y.vid").alias("vid"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+    )
