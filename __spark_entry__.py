@@ -943,6 +943,18 @@ def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_host", "dst_host")
 
 
+def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror / duplicate-site detection: host pairs whose outlink target
+    sets overlap with Jaccard >= 0.25 (exact posting-list join). The
+    fixture's link arithmetic is host-constant mod 97 (679 = 7*97), so
+    each host's target set is exactly {self, 7s+1, 11s+3} and the oracle
+    rebuilds every set closed-form."""
+    from kgforge.operators.links import extract_links, host_edges, mirror_hosts
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    return mirror_hosts(edges, threshold=0.25).orderBy("host_a", "host_b")
+
+
 def q_host_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction over the undirected host graph: top-50
     non-adjacent host pairs by Σ 1/ln(deg) over common neighbors, hub
@@ -2344,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_links": q_kg_links,
         "q_kg_linkgraph": q_kg_linkgraph,
         "q_host_aa": q_host_aa,
+        "q_host_mirrors": q_host_mirrors,
         "q_anchor_texts": q_anchor_texts,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
@@ -3374,6 +3387,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # Mirror hosts: exact Jaccard over the closed-form outlink target
+        # sets {self, 7s+1, 11s+3} (self arms included, distinct collapses)
+        "q_host_mirrors": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            e0 AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS h,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS t FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            sets AS (SELECT DISTINCT h, t FROM e0),
+            sizes AS (SELECT h, count(*) AS n FROM sets GROUP BY h),
+            inter AS (
+              SELECT x.h AS host_a, y.h AS host_b, CAST(count(*) AS BIGINT) AS n_common
+              FROM sets x JOIN sets y ON x.t = y.t AND x.h < y.h
+              GROUP BY x.h, y.h
+            )
+            SELECT i.host_a, i.host_b, i.n_common,
+                   round(CAST(i.n_common AS DOUBLE)
+                         / (sa.n + sb.n - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.h = i.host_a
+            JOIN sizes sb ON sb.h = i.host_b
+            WHERE round(CAST(i.n_common AS DOUBLE)
+                        / (sa.n + sb.n - i.n_common), 6) >= 0.25
+            ORDER BY i.host_a, i.host_b
         """,
         # Adamic-Adar over the same closed-form host graph: undirected
         # distinct non-self edges, wedge sum 1/ln(deg), non-adjacent top-50

@@ -210,3 +210,60 @@ def host_edges(links: DataFrame, drop_self: bool = False) -> DataFrame:
     if drop_self:
         edges = edges.filter(F.col("src_host") != F.col("dst_host"))
     return edges
+
+
+def mirror_hosts(
+    edges: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """Mirror / duplicate-site detection: host pairs whose OUTLINK TARGET
+    SETS overlap with Jaccard >= threshold — the structural twin of text
+    near-dup (a mirrored site links to the same places even when its HTML
+    differs in boilerplate). Returns (host_a, host_b, n_common, jaccard),
+    host_a < host_b, exact Jaccard over distinct target sets.
+
+    Scale shape: one distinct, one posting-list self-join keyed on the
+    TARGET (the same inverted-index shape as the n-gram Jaccard join), one
+    pair agg, then the size join. The hazard is a ubiquitous target (the
+    analytics host every site links to) whose posting list pairs
+    quadratically; ``df_cap`` drops targets linked from more than df_cap
+    hosts BEFORE set sizes are computed, so the result stays exact over
+    the capped universe — ubiquitous targets carry no mirror signal, same
+    argument as the stopword cap in lexical dedup. All codegen; the pair
+    agg combines map-side.
+    """
+    sets = edges.select(F.col(src).alias("h"), F.col(dst).alias("t")).distinct()
+    if df_cap is not None:
+        keep = (
+            sets.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("t")
+        )
+        sets = sets.join(keep, "t").select("h", "t")
+    sizes = sets.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sets.alias("x")
+        .join(sets.alias("y"), "t")
+        .filter(F.col("x.h") < F.col("y.h"))
+        .groupBy(F.col("x.h").alias("host_a"), F.col("y.h").alias("host_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(sizes.select(F.col("h").alias("host_a"), F.col("n").alias("_na")), "host_a")
+        .join(sizes.select(F.col("h").alias("host_b"), F.col("n").alias("_nb")), "host_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "host_a", "host_b", "n_common", "jaccard"
+    )
