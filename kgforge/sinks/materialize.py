@@ -91,6 +91,54 @@ class ManifestStore:
         return True
 
 
+def zorder_key_col(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Attach a Z-order (Morton) clustering key ``_zkey`` interleaving the
+    bits of min/max-normalized numeric columns — the multi-dimensional
+    data-skipping layout (Delta OPTIMIZE ZORDER / Iceberg sort orders):
+    range-clustering on ``_zkey`` makes per-file min/max ranges narrow in
+    EVERY listed column at once, where single-column range clustering only
+    narrows its own column.
+
+    Per-column bounds are one 1-row aggregate crossJoin-broadcast back
+    into the plan (no driver collect); normalization to [0, 2^bits) then
+    bit interleaving are pure codegen (bits * n_cols shift/mask terms).
+    NULLs sort to cell 0. Columns must be numeric (cast to double);
+    ``bits * len(cols)`` must stay <= 63."""
+    if bits * len(cols) > 63:
+        raise ValueError("zorder key would overflow int64: reduce bits or columns")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_zmin_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_zmax_{c}"),
+        ]
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        rng = F.col(f"_zmax_{c}") - F.col(f"_zmin_{c}")
+        s = (
+            F.when(
+                rng > 0,
+                F.floor(
+                    (F.col(c).cast("double") - F.col(f"_zmin_{c}")) / rng * top
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        scaled.append(F.coalesce(F.least(s, F.lit(top)), F.lit(0)))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            key = key + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * len(cols) + j
+            )
+    return out.withColumn("_zkey", key).drop(
+        *[f"_zmin_{c}" for c in cols], *[f"_zmax_{c}" for c in cols]
+    )
+
+
 def write_stage(
     df: DataFrame,
     path: str,
@@ -102,17 +150,29 @@ def write_stage(
     num_partitions: int | None = None,
     input_fingerprint: str | None = None,
     stats_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> DataFrame:
     """Range-repartition -> write parquet -> lineage rows -> file-level
     min/max skipping stats (on the range columns, whose per-file ranges
     the range partitioning makes narrow) -> manifest. Returns the re-read
-    DataFrame (checkpointed lineage cut)."""
+    DataFrame (checkpointed lineage cut). ``zorder_cols`` switches the
+    layout to Z-order clustering (multi-column skipping; see
+    zorder_key_col) — stats are then written for every z-ordered column."""
     spark = df.sparkSession
     if manifests.is_complete(run_id, stage, input_fingerprint):
         return spark.read.parquet(path)
     t0 = time.time()
-    if range_cols:
-        n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    if zorder_cols:
+        df = (
+            zorder_key_col(df, zorder_cols)
+            .repartitionByRange(n, F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+        if stats_cols is None:
+            stats_cols = zorder_cols
+    elif range_cols:
         df = df.repartitionByRange(n, *[F.col(c) for c in range_cols])
     writer = df.write.mode("overwrite")
     if partition_by:
