@@ -943,6 +943,48 @@ def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_host", "dst_host")
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion: deterministic urlset/sitemapindex XML built from
+    doc_id arithmetic — exercises entity-decoded <loc>, RFC 3986 relative
+    resolution, canonicalization (case/port/fragment/param-sort), W3C
+    lastmod dates, priority parsing, and index-vs-urlset kinds. Oracle
+    reconstructs every row closed-form."""
+    from kgforge.operators.sitemaps import parse_sitemaps
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = (i % 97).cast("string")
+    sm_url = F.concat(
+        F.lit("https://ex"), s, F.lit(".example.org/sm/"), i.cast("string"), F.lit(".xml")
+    )
+    day1 = F.lpad(((i % 28) + 1).cast("string"), 2, "0")
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>/art/"), (i % 500).cast("string"),
+        F.lit("?b=2&amp;a="), (i % 13).cast("string"),
+        F.lit("</loc><lastmod>2024-01-"), day1,
+        F.lit("T09:30:00Z</lastmod><priority>0."), (i % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://EX"), s,
+        F.lit(".EXAMPLE.ORG:443/page/"), i.cast("string"),
+        F.lit("#frag</loc><changefreq>daily</changefreq></url></urlset>"),
+    )
+    day2 = F.lpad(((i % 9) + 1).cast("string"), 2, "0")
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>sitemaps/child"), i.cast("string"),
+        F.lit(".xml</loc><lastmod>2024-02-"), day2,
+        F.lit("</lastmod></sitemap></sitemapindex>"),
+    )
+    pages = docs.select(
+        sm_url.alias("url"),
+        F.when(i % 7 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    out = parse_sitemaps(pages)
+    # ISO string for the cross-engine hash (pandas prints date vs datetime
+    # dtypes differently); the operator itself keeps the typed DATE column
+    return out.withColumn(
+        "lastmod_date", F.col("lastmod_date").cast("string")
+    ).orderBy("sitemap_url", "loc")
+
+
 def q_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror / duplicate-site detection: host pairs whose outlink target
     sets overlap with Jaccard >= 0.25 (exact posting-list join). The
@@ -2357,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_linkgraph": q_kg_linkgraph,
         "q_host_aa": q_host_aa,
         "q_host_mirrors": q_host_mirrors,
+        "q_sitemap_urls": q_sitemap_urls,
         "q_anchor_texts": q_anchor_texts,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
@@ -3387,6 +3430,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # Sitemap closed form: entity-decoded relative loc (params sorted,
+        # b=2 after a=N), case/port/fragment canonicalization, index kind
+        "q_sitemap_urls": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            rows_ AS (
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/sm/'
+                       || CAST(i AS VARCHAR) || '.xml' AS sitemap_url,
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' AS host,
+                     'url' AS kind,
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/art/'
+                       || CAST(i % 500 AS VARCHAR) || '?a=' || CAST(i % 13 AS VARCHAR)
+                       || '&b=2' AS loc,
+                     CAST(make_date(2024, 1, CAST(i % 28 AS INT) + 1) AS VARCHAR) AS lastmod_date,
+                     CAST(NULL AS VARCHAR) AS changefreq,
+                     (i % 10) / 10.0 AS priority
+              FROM d WHERE i % 7 <> 0
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/sm/'
+                       || CAST(i AS VARCHAR) || '.xml',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'url',
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/page/'
+                       || CAST(i AS VARCHAR),
+                     CAST(NULL AS DATE), 'daily', CAST(NULL AS DOUBLE)
+              FROM d WHERE i % 7 <> 0
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/sm/'
+                       || CAST(i AS VARCHAR) || '.xml',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'sitemap',
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/sm/sitemaps/child'
+                       || CAST(i AS VARCHAR) || '.xml',
+                     make_date(2024, 2, CAST(i % 9 AS INT) + 1),
+                     CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+              FROM d WHERE i % 7 = 0
+            )
+            SELECT * FROM rows_ ORDER BY sitemap_url, loc
         """,
         # Mirror hosts: exact Jaccard over the closed-form outlink target
         # sets {self, 7s+1, 11s+3} (self arms included, distinct collapses)
