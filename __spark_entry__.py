@@ -943,6 +943,42 @@ def q_kg_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src_host", "dst_host")
 
 
+def q_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical extraction over closed-form pages: both attribute
+    orders, relative + messy-absolute targets, tracking-param stripping,
+    self-detection. One third of pages declare a cluster pointer, one
+    third a self-canonical spelled messily, one third nothing."""
+    from kgforge.operators.links import extract_canonical
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = (i % 97).cast("string")
+    url = F.concat(
+        F.lit("https://ex"), s, F.lit(".example.org/p/"), i.cast("string")
+    )
+    html = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit('<html><link rel="canonical" href="/p/'),
+                (i % 50).cast("string"),
+                F.lit('"><body>x</body></html>'),
+            ),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("<link href='https://EX"), s,
+                F.lit(".EXAMPLE.ORG/p/"), i.cast("string"),
+                F.lit("?utm_source=t' rel='canonical'>"),
+            ),
+        )
+        .otherwise(F.lit("<html><body>no declaration</body></html>"))
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return extract_canonical(pages).orderBy("url")
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap ingestion: deterministic urlset/sitemapindex XML built from
     doc_id arithmetic — exercises entity-decoded <loc>, RFC 3986 relative
@@ -2400,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_aa": q_host_aa,
         "q_host_mirrors": q_host_mirrors,
         "q_sitemap_urls": q_sitemap_urls,
+        "q_rel_canonical": q_rel_canonical,
         "q_anchor_texts": q_anchor_texts,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
@@ -3430,6 +3467,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
             FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+        """,
+        # rel=canonical closed form: i%3==0 cluster pointer (self iff
+        # i < 50), i%3==1 messy self-canonical, i%3==2 no row
+        "q_rel_canonical": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            r AS (
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/p/'
+                       || CAST(i AS VARCHAR) AS url,
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/p/'
+                       || CAST(i % 50 AS VARCHAR) AS canonical_url,
+                     (i = i % 50) AS is_self
+              FROM d WHERE i % 3 = 0
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/p/'
+                       || CAST(i AS VARCHAR),
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/p/'
+                       || CAST(i AS VARCHAR),
+                     TRUE
+              FROM d WHERE i % 3 = 1
+            )
+            SELECT url, canonical_url, is_self FROM r ORDER BY url
         """,
         # Sitemap closed form: entity-decoded relative loc (params sorted,
         # b=2 after a=N), case/port/fragment canonicalization, index kind

@@ -267,3 +267,46 @@ def mirror_hosts(
     return scored.filter(F.col("jaccard") >= threshold).select(
         "host_a", "host_b", "n_common", "jaccard"
     )
+
+
+# <link rel="canonical" href="..."> in either attribute order
+_CANON_REL_FIRST = (
+    r"""(?is)<link\b[^>]*?\brel\s*=\s*["']canonical["'][^>]*?\bhref\s*=\s*["']([^"']+)["']"""
+)
+_CANON_HREF_FIRST = (
+    r"""(?is)<link\b[^>]*?\bhref\s*=\s*["']([^"']+)["'][^>]*?\brel\s*=\s*["']canonical["']"""
+)
+
+
+def extract_canonical(
+    pages: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """(url, canonical_url, is_self): the page's own ``<link
+    rel="canonical">`` declaration — the web's explicit duplicate-cluster
+    hint (Google's canonicalization signal; the cheap pre-filter that
+    collapses parameter/mirror variants BEFORE content dedup ever runs).
+    Pages without a declaration contribute no rows. The href resolves
+    against the page URL and runs through the same canonical_url_col
+    machinery as links, so canonical targets join directly against
+    harvested link/sitemap URLs. Both attribute orders are matched
+    (rel-then-href and href-then-rel); first declaration wins. Pure
+    codegen, map-only."""
+    html_str = F.decode(F.col(html_col), "UTF-8")
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(html_str, _CANON_REL_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html_str, _CANON_HREF_FIRST, 1), F.lit("")),
+    )
+    out = (
+        pages.select(F.col(url_col).alias("url"), href.alias("_href"))
+        .filter(F.col("_href").isNotNull())
+        .select(
+            "url",
+            canonical_url_col(
+                resolve_href_col(F.col("_href"), F.col("url"))
+            ).alias("canonical_url"),
+        )
+        .filter(F.col("canonical_url").isNotNull())
+    )
+    return out.withColumn(
+        "is_self", F.col("canonical_url") == canonical_url_col(F.col("url"))
+    )
