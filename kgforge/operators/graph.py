@@ -368,10 +368,14 @@ def adamic_adar(
     left-anti join against the existing edges — all codegen, AQE-managed,
     top_n via TakeOrderedAndProject (no global sort materialized).
     """
+    # persisted: e feeds the adjacency twice, the anti join, and (via adj)
+    # the degree agg — without the cut the upstream edge derivation (often
+    # a full page-parse lineage) re-runs up to 8x across the self-joins
     e = (
         edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     # adjacency oriented both ways, keyed by the wedge center w
     adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
@@ -381,9 +385,10 @@ def adamic_adar(
     centers = deg.filter(F.col("deg") >= 2)
     if max_degree is not None:
         centers = centers.filter(F.col("deg") <= max_degree)
+    # persisted: wadj is both sides of the wedge self-join
     wadj = adj.join(centers, "w").withColumn(
         "contrib", F.lit(1.0) / F.log(F.col("deg").cast("double"))
-    )
+    ).persist()
     pairs = (
         wadj.alias("x")
         .join(

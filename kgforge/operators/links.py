@@ -235,7 +235,9 @@ def mirror_hosts(
     argument as the stopword cap in lexical dedup. All codegen; the pair
     agg combines map-side.
     """
-    sets = edges.select(F.col(src).alias("h"), F.col(dst).alias("t")).distinct()
+    # persisted: sets is both sides of the posting-list self-join AND the
+    # size aggregate — the cut keeps the upstream link harvest single-pass
+    sets = edges.select(F.col(src).alias("h"), F.col(dst).alias("t")).distinct().persist()
     if df_cap is not None:
         keep = (
             sets.groupBy("t")
