@@ -2379,6 +2379,44 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-bearing corpus from doc_id (codegen concat): every
+    doc gains one email and one IPv4, every 3rd an SSN-style id, every 2nd
+    a phone — the oracle rebuilds the identical strings closed-form."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), i.cast("string"),
+        F.lit("@mail"), (i % 7).cast("string"), F.lit(".example.com"),
+        F.lit(" from 10."), (i % 200).cast("string"),
+        F.lit("."), (i % 250).cast("string"),
+        F.lit("."), ((i % 9) + 1).cast("string"),
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit(" id 123-45-"), F.lpad((i % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit(" call +1 (415) 555-01"), F.lpad((i % 100).cast("string"), 2, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", enriched.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / SSN ids / phones): per-doc match counts
+    plus the redacted text, counted-then-redacted sequentially so no rule
+    double-counts another's digits. Pure map-only codegen (regexp_count +
+    regexp_replace chain, no shuffle); patterns stay in the Java-regex ∩
+    RE2 dialect so the DuckDB twin replays the identical chain."""
+    from kgforge.operators.pii import scrub_pii
+
+    return scrub_pii(_pii_docs(spark, sf_dir), keep_cols=["doc_id"]).orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2486,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_record_linkage": q_record_linkage,
+        "q_pii_scrub": q_pii_scrub,
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
         "q_host_walks": q_host_walks,
@@ -4979,5 +5018,38 @@ def oracle_sql() -> dict[str, str]:
                            ELSE ln(0.15 / (1.0 - p.u_seg)) END) AS match_weight
             FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id, p
             ORDER BY id_a, id_b
+        """,
+        # PII scrub: identical enrichment closed-form, then the identical
+        # sequential count-then-redact regex chain (each rule counts on the
+        # text as redacted by the previous rules); patterns are in the
+        # Java-regex ∩ RE2 common dialect so both engines agree exactly
+        "q_pii_scrub": """
+            WITH e AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                          || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                          || '.' || CAST(doc_id % 250 AS VARCHAR)
+                          || '.' || CAST((doc_id % 9) + 1 AS VARCHAR)
+                          || CASE WHEN doc_id % 3 = 0
+                                  THEN ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                  ELSE '' END
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN ' call +1 (415) 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                                  ELSE '' END AS t0
+              FROM documents),
+            r1 AS (SELECT doc_id, t0,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+                   FROM e),
+            r2 AS (SELECT *, regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS t2 FROM r1),
+            r3 AS (SELECT *, regexp_replace(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t3 FROM r2),
+            r4 AS (SELECT *, regexp_replace(t3, '\\+?\\d[-\\d\\s().]{7,}\\d', '[PHONE]', 'g') AS t4 FROM r3)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ip,
+                   CAST(len(regexp_extract_all(t2, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(t3, '\\+?\\d[-\\d\\s().]{7,}\\d')) AS INT) AS n_phone,
+                   t4 AS redacted
+            FROM r4 ORDER BY doc_id
         """,
     }
