@@ -2417,6 +2417,34 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleaning over deterministically-dirtied documents: zero-width
+    chars, BOM, C0 controls, DEL, NBSP runs, CRLF tails, and DECOMPOSED
+    accents (e+U+0301) injected closed-form from doc_id; the cleaner strips
+    controls (codegen), NFC-composes (the one Arrow pandas-UDF hop — the
+    JVM has no normalize builtin), and collapses whitespace (codegen).
+    The DuckDB twin rebuilds the identical dirty string with chr() and
+    replays the chain via nfc_normalize, so composed-form equality is
+    checked byte-for-byte."""
+    from kgforge.operators.cleaning import clean_text_cols
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    messy = F.concat(
+        F.col("text"),
+        F.lit("\t zero\u200Bwidth bom\uFEFF ctrl\x07del\x7F cafe\u0301"),
+        F.when(i % 2 == 0, F.lit(" voila\u0300")).otherwise(F.lit(" plain")),
+        F.lit("\u00A0\u00A0end  \r\n"),
+    )
+    cleaned = clean_text_cols(messy)
+    return docs.select(
+        "doc_id",
+        F.length(messy).alias("n_chars_raw"),
+        cleaned.alias("cleaned"),
+        F.length(cleaned).alias("n_chars_clean"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2525,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sorted_neighborhood": q_sorted_neighborhood,
         "q_record_linkage": q_record_linkage,
         "q_pii_scrub": q_pii_scrub,
+        "q_text_clean": q_text_clean,
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
         "q_host_walks": q_host_walks,
@@ -5051,5 +5080,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t3, '\\+?\\d[-\\d\\s().]{7,}\\d')) AS INT) AS n_phone,
                    t4 AS redacted
             FROM r4 ORDER BY doc_id
+        """,
+        # unicode cleaning: identical dirty-string construction via chr(),
+        # identical strip/normalize/collapse chain (nfc_normalize = the
+        # pandas-UDF's unicodedata.normalize('NFC'))
+        "q_text_clean": """
+            WITH m AS (
+              SELECT doc_id,
+                     text || chr(9) || ' zero' || chr(8203) || 'width bom' || chr(65279)
+                          || ' ctrl' || chr(7) || 'del' || chr(127)
+                          || ' cafe' || chr(769)
+                          || CASE WHEN doc_id % 2 = 0 THEN ' voila' || chr(768) ELSE ' plain' END
+                          || chr(160) || chr(160) || 'end  ' || chr(13) || chr(10) AS raw
+              FROM documents),
+            c AS (
+              SELECT doc_id, raw,
+                     trim(regexp_replace(
+                       nfc_normalize(
+                         regexp_replace(
+                           regexp_replace(raw, '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+                       '[\\s\\x{00A0}]+', ' ', 'g')) AS cleaned
+              FROM m)
+            SELECT doc_id,
+                   CAST(length(raw) AS INT) AS n_chars_raw,
+                   cleaned,
+                   CAST(length(cleaned) AS INT) AS n_chars_clean
+            FROM c ORDER BY doc_id
         """,
     }
