@@ -2445,6 +2445,41 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist audit over subdomain-bearing pages
+    (sub{i%5}.ex{i%97}.example.org): one registrable-domain entry blocks
+    every subdomain under it (suffix semantics), one exact-host entry
+    blocks a single subdomain, one entry matches nothing. Suffix expansion
+    is codegen transform/sequence; the match is an explode + broadcast
+    semi-join (blocklist = always the broadcast side). Oracle: the blocked
+    predicate in closed form from doc_id."""
+    from kgforge.operators.blocklist import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://sub"), (i % 5).cast("string"),
+        F.lit(".ex"), (i % 97).cast("string"),
+        F.lit(".example.org/p/"), i.cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [
+            ("ex3.example.org",),   # registrable-domain: blocks all sub*
+            ("ex17.example.org",),
+            ("ex44.example.org",),
+            ("sub2.ex9.example.org",),  # exact host
+            ("example.net",),       # matches nothing in this corpus
+        ],
+        "domain string",
+    )
+    return (
+        blocklist_filter(pages, blocked, keep_blocked=True)
+        .select("doc_id", "url", "blocked")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2554,6 +2589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_record_linkage": q_record_linkage,
         "q_pii_scrub": q_pii_scrub,
         "q_text_clean": q_text_clean,
+        "q_blocklist_filter": q_blocklist_filter,
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
         "q_host_walks": q_host_walks,
@@ -5107,5 +5143,17 @@ def oracle_sql() -> dict[str, str]:
                    cleaned,
                    CAST(length(cleaned) AS INT) AS n_chars_clean
             FROM c ORDER BY doc_id
+        """,
+        # blocklist: blocked iff any dot-suffix of the host is a blocklist
+        # entry — in this corpus exactly when ex{i%97} ∈ {3,17,44} (domain
+        # entries cover all subdomains) or the one exact host matches
+        "q_blocklist_filter": """
+            SELECT doc_id,
+                   'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+                     || '.ex' || CAST(doc_id % 97 AS VARCHAR)
+                     || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+                   (doc_id % 97 IN (3, 17, 44)
+                    OR (doc_id % 5 = 2 AND doc_id % 97 = 9)) AS blocked
+            FROM documents ORDER BY doc_id
         """,
     }
