@@ -2480,6 +2480,20 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear quality classifier, trained AND scored
+    in-query: closed-form Naive-Bayes log-count-ratio weights (NBSVM's NB
+    half) over md5-bucketed tokens with label = (lang = 'en'), then
+    broadcast-join scoring through a sigmoid. The DuckDB twin replays the
+    full train+score path — bucket hashing, Laplace-smoothed log-odds,
+    class-prior bias, per-doc dot product — value-for-value."""
+    from kgforge.operators.classifier import nb_train_weights, score_documents
+
+    docs = _t(spark, sf_dir, "documents").withColumn("is_en", F.col("lang") == "en")
+    weights, bias = nb_train_weights(docs, "is_en", buckets=1024)
+    return score_documents(docs, weights, bias, buckets=1024).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2590,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_text_clean": q_text_clean,
         "q_blocklist_filter": q_blocklist_filter,
+        "q_nb_classifier": q_nb_classifier,
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
         "q_host_walks": q_host_walks,
@@ -5155,5 +5170,43 @@ def oracle_sql() -> dict[str, str]:
                    (doc_id % 97 IN (3, 17, 44)
                     OR (doc_id % 5 = 2 AND doc_id % 97 = 9)) AS blocked
             FROM documents ORDER BY doc_id
+        """,
+        # NB classifier: identical md5→int64 bucket hashing, Laplace
+        # log-odds weights, class-prior bias, per-doc dot product, sigmoid
+        # of the ROUNDED score (mirrors the Spark rounding order)
+        "q_nb_classifier": """
+            WITH tok AS (
+              SELECT doc_id, (lang = 'en') AS y,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+              FROM documents),
+            tb AS (
+              SELECT doc_id, y,
+                     CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket,
+                     count(*) AS n
+              FROM tok WHERE tok <> '' GROUP BY 1, 2, 3),
+            pb AS (
+              SELECT bucket,
+                     sum(CASE WHEN y THEN n ELSE 0 END) AS pos,
+                     sum(CASE WHEN NOT y THEN n ELSE 0 END) AS neg
+              FROM tb GROUP BY 1),
+            tot AS (SELECT sum(pos) AS tp, sum(neg) AS tn FROM pb),
+            cls AS (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+                           sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
+                    FROM documents),
+            w AS (
+              SELECT bucket,
+                     ln((pos + 1.0) / (tp + 1024.0)) - ln((neg + 1.0) / (tn + 1024.0)) AS weight
+              FROM pb, tot),
+            dot AS (
+              SELECT tb.doc_id, sum(tb.n * w.weight) AS d
+              FROM tb JOIN w USING (bucket) GROUP BY 1),
+            s AS (
+              SELECT d.doc_id,
+                     round(coalesce(dot.d, 0.0) + (SELECT ln(CAST(np AS DOUBLE) / nn) FROM cls), 6) AS score
+              FROM documents d LEFT JOIN dot ON d.doc_id = dot.doc_id)
+            SELECT doc_id, score,
+                   round(1.0 / (1.0 + exp(-score)), 6) AS prob,
+                   (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
+            FROM s ORDER BY doc_id
         """,
     }
