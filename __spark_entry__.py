@@ -2383,7 +2383,9 @@ def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PII-bearing corpus from doc_id (codegen concat): every
     doc gains one email and one IPv4, every 3rd an SSN-style id, every 2nd
     a phone — the oracle rebuilds the identical strings closed-form."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from kgforge.operators.util import rebalance
+
+    docs = rebalance(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     i = F.col("doc_id")
     enriched = F.concat(
         F.col("text"),
@@ -2427,8 +2429,9 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the chain via nfc_normalize, so composed-form equality is
     checked byte-for-byte."""
     from kgforge.operators.cleaning import clean_text_cols
+    from kgforge.operators.util import rebalance
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = rebalance(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     i = F.col("doc_id")
     messy = F.concat(
         F.col("text"),

@@ -237,6 +237,11 @@ def main():
         "q_sorted_neighborhood",
         "q_record_linkage",
         "q_dsir_weights",
+        "q_semdedup",
+        "q_pii_scrub",
+        "q_text_clean",
+        "q_blocklist_filter",
+        "q_nb_classifier",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
