@@ -482,6 +482,30 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML microdata extraction (itemscope/itemprop/itemtype/itemid — the
+    third embedded-structured-data syntax on crawl pages, and historically
+    the most common schema.org carrier). Pages carry a deterministic
+    microdata Product block per doc_id (fixtures._microdata_payload
+    documents the closed-form triple inventory); the scan is the same fused
+    mapInPandas page parser as q_kg_triples, dispatched by payload
+    detection. Per-predicate triple counts + distinct object values."""
+    from kgforge.fixtures import microdata_pages_from_documents
+    from kgforge.operators.parse import parse_pages
+
+    pages = microdata_pages_from_documents(spark, sf_dir)
+    return (
+        parse_pages(pages)
+        .filter(F.col("subject").isNotNull())
+        .groupBy("predicate")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.col("object.value")).alias("nd"),
+        )
+        .orderBy("predicate")
+    )
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.parse import extract_shapes_df, parse_pages
@@ -2526,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf": q_knn_ivf,
         "q_kg_shapes": q_kg_shapes,
         "q_kg_triples": q_kg_triples,
+        "q_kg_microdata": q_kg_microdata,
         "q_kg_validate": q_kg_validate,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
@@ -3135,6 +3160,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_ps,
                    'violation' AS severity
             FROM documents ORDER BY url, uri
+        """,
+        "q_kg_microdata": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            per AS (
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                     COUNT(*) + COUNT(*) FILTER (WHERE i%3=0) AS n,
+                     CASE WHEN COUNT(*) FILTER (WHERE i%3=0) > 0 THEN 2 ELSE 1 END AS nd
+              FROM d
+              UNION ALL SELECT 'http://schema.org/name', COUNT(*), COUNT(DISTINCT i) FROM d
+              UNION ALL SELECT 'http://schema.org/sku', COUNT(*), COUNT(DISTINCT i) FROM d
+              UNION ALL SELECT 'http://schema.org/url', COUNT(*), COUNT(DISTINCT i) FROM d
+              UNION ALL SELECT 'http://schema.org/releaseDate', COUNT(*), COUNT(DISTINCT 1 + i%28) FROM d
+              UNION ALL SELECT 'http://schema.org/offers',
+                     COUNT(*) FILTER (WHERE i%3=0),
+                     CASE WHEN COUNT(*) FILTER (WHERE i%3=0) > 0 THEN 1 ELSE 0 END FROM d
+              UNION ALL SELECT 'http://schema.org/price',
+                     COUNT(*) FILTER (WHERE i%3=0),
+                     COUNT(DISTINCT (i*7)%100) FILTER (WHERE i%3=0) FROM d)
+            SELECT predicate, CAST(n AS BIGINT) AS n, CAST(nd AS BIGINT) AS nd
+            FROM per WHERE n > 0 ORDER BY predicate
         """,
         "q_kg_triples": f"""
             WITH d AS (SELECT doc_id AS i, len({_DD_ENTS}) AS ne FROM documents),

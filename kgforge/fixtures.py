@@ -313,6 +313,67 @@ def pages_from_documents(spark, sf_dir: str):
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
+def _microdata_payload(i: int) -> str:
+    """Deterministic schema.org microdata block for doc i — the third
+    embedded-structured-data syntax (after JSON-LD and RDFa) on real crawl
+    pages. Closed-form triple inventory (the q_kg_microdata DuckDB oracle
+    reconstructs it from doc_id alone):
+
+    subject S = https://ex{i%97}.example.org/prod/{i} (itemid):
+      S rdf:type schema:Product
+      S schema:name        "Product {i}"           (text capture, nested <b>)
+      S schema:sku         "SKU-{i}"               (meta/content)
+      S schema:url         "/item/{i}"             (relative a/href, no base)
+      S schema:releaseDate "2026-01-{1+i%28:02d}"  (time/datetime)
+    and when i%3==0 a nested anonymous Offer B = _:m1:
+      S schema:offers B ; B rdf:type schema:Offer ;
+      B schema:price "{(i*7)%100}.99"              (meta/content)
+    """
+    day = 1 + i % 28
+    parts = [
+        '<div itemscope itemtype="http://schema.org/Product" '
+        f'itemid="https://ex{i % 97}.example.org/prod/{i}">',
+        f'<span itemprop="name">Product <b>{i}</b></span>',
+        f'<meta itemprop="sku" content="SKU-{i}">',
+        f'<a itemprop="url" href="/item/{i}">item {i}</a>',
+        f'<time itemprop="releaseDate" datetime="2026-01-{day:02d}">Jan {day}</time>',
+    ]
+    if i % 3 == 0:
+        parts.append(
+            '<div itemprop="offers" itemscope itemtype="http://schema.org/Offer">'
+            f'<meta itemprop="price" content="{(i * 7) % 100}.99"></div>'
+        )
+    parts.append("</div>")
+    return "".join(parts)
+
+
+def microdata_pages_from_documents(spark, sf_dir: str):
+    """documents -> pages whose embedded structured data is HTML microdata
+    (itemscope/itemprop) instead of a <script> payload. Same distributed
+    generation contract as pages_from_documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(doc_id)
+                html = (
+                    "<html><head><title>Doc %d</title></head><body>"
+                    "<nav><a href='/'>Home</a></nav>%s<p>%s</p>"
+                    "<footer>Copyright 2026 Example.</footer></body></html>"
+                    % (i, _microdata_payload(i), text)
+                )
+                url = f"https://ex{i % 97}.example.org/doc/{i}"
+                ts = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+                    seconds=i % 2592000
+                )
+                rows.append((url, ts, html.encode("utf-8"), extract_text(html), lang))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
 def reference_fixture_pages(spark, fixtures_glob: str = "/root/reference/tests/Fixtures/**/*.ttl"):
     """Test-only: the reference's golden TTL fixtures as pages rows (read at
     runtime from the read-only reference checkout; content is DATA, not code)."""

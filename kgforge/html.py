@@ -66,6 +66,7 @@ _SCRIPT_PAYLOAD_RE = re.compile(
     re.S | re.I,
 )
 _RDFA_HINT_RE = re.compile(r"\b(?:typeof|property|vocab)\s*=", re.I)
+_MICRODATA_HINT_RE = re.compile(r"\bitemscope\b", re.I)
 
 _TYPE_TO_FMT = {
     "text/turtle": "turtle",
@@ -83,6 +84,9 @@ def find_rdf_payloads(html: bytes | str | None) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     for m in _SCRIPT_PAYLOAD_RE.finditer(html):
         out.append((_TYPE_TO_FMT[m.group("type").lower()], m.group("body").strip()))
-    if _RDFA_HINT_RE.search(_SCRIPT_PAYLOAD_RE.sub("", html)):
+    stripped = _SCRIPT_PAYLOAD_RE.sub("", html)
+    if _RDFA_HINT_RE.search(stripped):
         out.append(("rdfa", html))
+    if _MICRODATA_HINT_RE.search(stripped):
+        out.append(("microdata", html))
     return out

@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 
 from .jsonld import parse_jsonld
+from .microdata import parse_microdata
 from .ntriples import parse_ntriples
 from .rdfa import parse_rdfa
 from .turtle import parse_turtle
@@ -28,6 +29,7 @@ FORMAT_RDFXML = "rdf/xml"
 FORMAT_JSONLD = "json-ld"
 FORMAT_NTRIPLES = "ntriples"
 FORMAT_RDFA = "rdfa"
+FORMAT_MICRODATA = "microdata"
 
 _TURTLE_RE = re.compile(r"(?:^|\n)\s*(?:@prefix|@base|prefix\s+[\w-]*\s*:|base\s+<)", re.I)
 _NT_LINE_RE = re.compile(r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+.+\.\s*$")
@@ -66,6 +68,7 @@ _PARSERS = {
     FORMAT_JSONLD: lambda c: parse_jsonld(c),
     FORMAT_NTRIPLES: lambda c: parse_ntriples(c),
     FORMAT_RDFA: lambda c: parse_rdfa(c),
+    FORMAT_MICRODATA: lambda c: parse_microdata(c),
 }
 
 
