@@ -506,6 +506,22 @@ def q_kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational -> RDF triples per the W3C Direct Mapping (the
+    structured-source half of KG construction: lift catalog tables into the
+    same triple stream the page parsers emit). nation (FK -> region) and
+    region mapped in one pass each — a pure codegen explode that fuses into
+    the parquet scan, no shuffle until the presentation sort."""
+    from kgforge.operators.direct_mapping import direct_map_table
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    triples = direct_map_table(
+        nation, "Nation", ["n_nationkey"], fks={"n_regionkey": ("Region", "r_regionkey")}
+    ).unionByName(direct_map_table(region, "Region", ["r_regionkey"]))
+    return triples.orderBy("subject", "predicate", "object")
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.parse import extract_shapes_df, parse_pages
@@ -2551,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_shapes": q_kg_shapes,
         "q_kg_triples": q_kg_triples,
         "q_kg_microdata": q_kg_microdata,
+        "q_kg_direct_map": q_kg_direct_map,
         "q_kg_validate": q_kg_validate,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
@@ -3160,6 +3177,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_ps,
                    'violation' AS severity
             FROM documents ORDER BY url, uri
+        """,
+        "q_kg_direct_map": """
+            WITH nat AS (SELECT 'http://kg.example.org/dm/Nation/n_nationkey=' || n_nationkey AS s, * FROM nation),
+            reg AS (SELECT 'http://kg.example.org/dm/Region/r_regionkey=' || r_regionkey AS s, * FROM region),
+            t AS (
+              SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                     'http://kg.example.org/dm/Nation' AS o, 'iri' AS k, '' AS d FROM nat
+              UNION ALL SELECT s, 'http://kg.example.org/dm/Nation#n_nationkey',
+                     CAST(n_nationkey AS VARCHAR), 'literal', 'http://www.w3.org/2001/XMLSchema#integer' FROM nat
+              UNION ALL SELECT s, 'http://kg.example.org/dm/Nation#n_name', n_name, 'literal', '' FROM nat
+              UNION ALL SELECT s, 'http://kg.example.org/dm/Nation#n_regionkey',
+                     CAST(n_regionkey AS VARCHAR), 'literal', 'http://www.w3.org/2001/XMLSchema#integer' FROM nat
+              UNION ALL SELECT s, 'http://kg.example.org/dm/Nation#ref-n_regionkey',
+                     'http://kg.example.org/dm/Region/r_regionkey=' || n_regionkey, 'iri', '' FROM nat
+              UNION ALL SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'http://kg.example.org/dm/Region', 'iri', '' FROM reg
+              UNION ALL SELECT s, 'http://kg.example.org/dm/Region#r_regionkey',
+                     CAST(r_regionkey AS VARCHAR), 'literal', 'http://www.w3.org/2001/XMLSchema#integer' FROM reg
+              UNION ALL SELECT s, 'http://kg.example.org/dm/Region#r_name', r_name, 'literal', '' FROM reg)
+            SELECT s AS subject, p AS predicate, o AS object, k AS object_kind, d AS datatype
+            FROM t ORDER BY subject, predicate, object
         """,
         "q_kg_microdata": """
             WITH d AS (SELECT doc_id AS i FROM documents),
