@@ -522,6 +522,19 @@ def q_kg_direct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples.orderBy("subject", "predicate", "object")
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG / SCD2: collapse the per-user event-type observation
+    stream into validity-interval runs ([valid_from, valid_to), n_obs,
+    is_current). Key-partitioned windows only — no global sort until the
+    presentation orderBy."""
+    from kgforge.operators.history import scd2_history
+
+    events = _t(spark, sf_dir, "events")
+    return scd2_history(
+        events.select("user_id", "event_type", "ts"), ["user_id"], "event_type", "ts"
+    ).orderBy("user_id", "valid_from", "value")
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.parse import extract_shapes_df, parse_pages
@@ -2568,6 +2581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_triples": q_kg_triples,
         "q_kg_microdata": q_kg_microdata,
         "q_kg_direct_map": q_kg_direct_map,
+        "q_scd2_history": q_scd2_history,
         "q_kg_validate": q_kg_validate,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
@@ -3177,6 +3191,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_ps,
                    'violation' AS severity
             FROM documents ORDER BY url, uri
+        """,
+        "q_scd2_history": """
+            WITH o AS (
+              SELECT user_id, event_type AS value, ts,
+                     CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS strt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+            ),
+            r AS (SELECT *, sum(strt) OVER (PARTITION BY user_id ORDER BY ts, value) AS run FROM o),
+            runs AS (
+              SELECT user_id, run, min(value) AS value, min(ts) AS valid_from,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM r GROUP BY user_id, run)
+            SELECT user_id, value, valid_from,
+                   lead(valid_from) OVER wk AS valid_to, n_obs,
+                   (lead(valid_from) OVER wk IS NULL) AS is_current
+            FROM runs
+            WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from, run)
+            ORDER BY user_id, valid_from, value
         """,
         "q_kg_direct_map": """
             WITH nat AS (SELECT 'http://kg.example.org/dm/Nation/n_nationkey=' || n_nationkey AS s, * FROM nation),

@@ -1,0 +1,79 @@
+"""Temporal KG: collapse an observation stream into validity intervals
+(SCD2 / "triple versioning").
+
+A crawl re-visits pages: the same (subject, predicate) is observed many
+times, sometimes with a new object value. A KG that stores only the latest
+value loses history; one that stores every observation explodes. The
+standard warehouse answer is SCD2 — keep one row per *value run* with
+``[valid_from, valid_to)`` bounds — and it applies verbatim to triples
+keyed by (subject, predicate) observed at ``warc_ts``. The reference has no
+temporal story (single-shot file parser, /root/reference/src/
+ShaclParser.php); this is part of the engine's corpus generalization
+(BASELINE.json north_star: resumable corpus-scale pipeline over recrawls).
+
+Semantics (deterministic, the DuckDB oracle mirrors them exactly):
+
+- Observations are ordered per key by (ts, value) — the value tiebreak
+  makes same-timestamp duplicates deterministic.
+- A *run* is a maximal streak of consecutive observations with the same
+  value. Each run emits one row: ``valid_from`` = first observation ts of
+  the run, ``valid_to`` = first ts of the NEXT run (NULL for the last run
+  = still current), ``n_obs`` = observations in the run, ``is_current``.
+- A value that disappears and later returns starts a NEW run (this is what
+  distinguishes SCD2 from distinct-values).
+
+Scale shape: both windows are partitioned by the key — never a global
+window — so the whole operator is one hash-partition shuffle on the key
+followed by codegen window evaluation and a filter. Hot keys (an entity
+re-crawled millions of times) are bounded by the crawl's per-url revisit
+cadence, orders of magnitude below partition capacity; skewed key sets
+beyond that are AQE territory, not a new plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_history(
+    obs: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Observations -> SCD2 value runs per key.
+
+    Returns key_cols + (value, valid_from, valid_to, n_obs, is_current).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    val = F.col(value_col)
+
+    # run boundaries: value differs (null-safely) from the previous
+    # observation; lag of a constant distinguishes "no previous row" from
+    # "previous value is NULL"
+    marked = obs.select(
+        *key_cols,
+        val.alias("value"),
+        F.col(ts_col).alias("_ts"),
+        (
+            F.lag(F.lit(1)).over(w).isNull()
+            | ~F.lag(val).over(w).eqNullSafe(val)
+        ).alias("_start"),
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy("_ts", "value")
+    marked = marked.withColumn("_run", F.sum(F.col("_start").cast("long")).over(w2))
+
+    runs = marked.groupBy(*key_cols, "_run").agg(
+        F.first("value").alias("value"),
+        F.min("_ts").alias("valid_from"),
+        F.count("*").alias("n_obs"),
+    )
+
+    wk = Window.partitionBy(*key_cols).orderBy("valid_from", "_run")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wk))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_run")
+        .select(*key_cols, "value", "valid_from", "valid_to", "n_obs", "is_current")
+    )

@@ -1,0 +1,75 @@
+"""SCD2 validity intervals — hand-computed run collapsing."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators.history import scd2_history
+
+
+def ts(m):
+    return datetime.datetime(2026, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def obs(spark):
+    rows = [
+        # key k1: a a b a  -> 3 runs (a returns => NEW run)
+        ("s1", "p", "a", ts(0)),
+        ("s1", "p", "a", ts(1)),
+        ("s1", "p", "b", ts(2)),
+        ("s1", "p", "a", ts(3)),
+        # key k2: single observation
+        ("s2", "p", "x", ts(5)),
+    ]
+    return spark.createDataFrame(rows, "subject string, predicate string, obj string, ts timestamp")
+
+
+def test_runs_collapse_and_reopen(spark, obs):
+    out = scd2_history(obs, ["subject", "predicate"], "obj", "ts")
+    k1 = [
+        (r.value, r.valid_from.minute, r.valid_to.minute if r.valid_to else None, r.n_obs, r.is_current)
+        for r in out.filter(F.col("subject") == "s1").orderBy("valid_from").collect()
+    ]
+    assert k1 == [
+        ("a", 0, 2, 2, False),
+        ("b", 2, 3, 1, False),
+        ("a", 3, None, 1, True),
+    ]
+
+
+def test_single_observation_is_current(spark, obs):
+    r = scd2_history(obs, ["subject", "predicate"], "obj", "ts").filter(
+        F.col("subject") == "s2"
+    ).first()
+    assert (r.value, r.valid_to, r.n_obs, r.is_current) == ("x", None, 1, True)
+
+
+def test_null_values_form_their_own_runs(spark):
+    rows = [("k", None, ts(0)), ("k", None, ts(1)), ("k", "v", ts(2))]
+    df = spark.createDataFrame(rows, "k string, v string, ts timestamp")
+    out = scd2_history(df, ["k"], "v", "ts").orderBy("valid_from").collect()
+    assert [(r.value, r.n_obs) for r in out] == [(None, 2), ("v", 1)]
+
+
+def test_same_timestamp_ties_are_deterministic(spark):
+    rows = [("k", "b", ts(0)), ("k", "a", ts(0)), ("k", "b", ts(1))]
+    df = spark.createDataFrame(rows, "k string, v string, ts timestamp")
+    out = scd2_history(df, ["k"], "v", "ts").orderBy("valid_from", "value").collect()
+    # ordered by (ts, value): a@0, b@0, b@1 -> runs a[0,0) then b[0,..)
+    assert [(r.value, r.n_obs, r.is_current) for r in out] == [
+        ("a", 1, False),
+        ("b", 2, True),
+    ]
+
+
+def test_no_global_window_in_plan(spark, obs):
+    plan = (
+        scd2_history(obs, ["subject", "predicate"], "obj", "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every Exchange must be hashpartitioning on the key — no SinglePartition
+    assert "SinglePartition" not in plan
