@@ -535,6 +535,28 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment structure of the embedding corpus: the
+    64x64 population covariance via per-batch numpy Gramian partials (one
+    GEMM per Arrow batch, one d+d^2-double row per batch shuffled — corpus-
+    size-free reduction). Upper triangle as (i, j, cov). The
+    eigendecomposition consumer (pca_components/pca_project) is pinned
+    against numpy in tests/test_pca.py; the distributed part is oracled
+    here value-for-value."""
+    from kgforge.operators.pca import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        covariance_matrix(emb)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.round("cov", 6).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.parse import extract_shapes_df, parse_pages
@@ -2582,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_microdata": q_kg_microdata,
         "q_kg_direct_map": q_kg_direct_map,
         "q_scd2_history": q_scd2_history,
+        "q_emb_covariance": q_emb_covariance,
         "q_kg_validate": q_kg_validate,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
@@ -3191,6 +3214,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_ps,
                    'violation' AS severity
             FROM documents ORDER BY url, uri
+        """,
+        "q_emb_covariance": """
+            WITH idx AS (SELECT UNNEST(range(64)) AS i),
+            v AS (SELECT e.vec_id, idx.i, CAST(e.embedding[idx.i + 1] AS DOUBLE) AS x
+                  FROM embeddings e, idx)
+            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+                   ROUND(AVG(a.x*b.x) - AVG(a.x)*AVG(b.x), 6) AS cov
+            FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i ORDER BY i, j
         """,
         "q_scd2_history": """
             WITH o AS (
