@@ -40,10 +40,17 @@ markup; deliberate omissions documented at the end):
   URL-kind values resolve against ``base`` when relative; an element whose
   URL attribute is missing emits nothing (spec: no value).
 
-Omissions (disclosed, not silent): ``itemref`` (cross-element property
-grafting by id — vanishingly rare in crawl data and requires a second
-document pass) and per-property language tags (microdata has no lang-tag
-story in the RDF note's core mapping; literals emit with lang='').
+- ``itemref`` (cross-element property grafting by id): supported one level
+  deep — referenced elements (and their subtrees) are replayed with the
+  referring item as context, exactly as if they were its children. Itemrefs
+  found *inside* a referenced fragment are deliberately not chased (the
+  spec's loop guard, trivially sufficient at one level), and a fragment
+  that is also inside the item's own subtree would double-emit (the spec
+  forbids authoring that shape).
+
+Omissions (disclosed, not silent): per-property language tags (microdata
+has no lang-tag story in the RDF note's core mapping; literals emit with
+lang='').
 """
 
 from __future__ import annotations
@@ -135,23 +142,128 @@ def parse_microdata(html: str, base: str = "") -> tuple[list[tuple], dict[str, s
             return iri(vocab + name)
         return None
 
-    root = _Frame("", None, "")
-    stack = [root]
+    # itemref work list: (subject, vocab, [element ids]) gathered during the
+    # main walk, replayed over the referenced fragments afterwards
+    pending_refs: list[tuple] = []
+
+    def walk(chunk: str, root: _Frame, collect_refs: bool) -> None:
+        stack = [root]
+        pos = 0
+        for m in _TAG_RE.finditer(chunk):
+            text = chunk[pos : m.start()]
+            if text:
+                for fr in stack:
+                    if fr.capture is not None:
+                        fr.capture.append(text)
+            pos = m.end()
+            closing, tag, rawattrs, selfclose = m.groups()
+            tag = tag.lower()
+            if closing:
+                for idx in range(len(stack) - 1, 0, -1):
+                    if stack[idx].tag == tag:
+                        while len(stack) > idx:
+                            _finish(stack.pop(), triples)
+                        break
+                continue
+            if tag in ("script", "style"):
+                end = re.search(rf"</{tag}\s*>", chunk[pos:], re.I)
+                if end:
+                    pos += end.end()
+                continue
+
+            parent = stack[-1]
+            attrs = _parse_attrs(rawattrs)
+            frame = _Frame(tag, parent.item, parent.vocab)
+
+            is_scope = "itemscope" in attrs
+            prop_names = attrs.get("itemprop", "").split()
+
+            subject = None
+            vocab = parent.vocab
+            if is_scope:
+                itemid = attrs.get("itemid", "").strip()
+                subject = resolve_url(itemid) if itemid else new_bnode()
+                types = [t for t in attrs.get("itemtype", "").split() if _ABS_IRI_RE.match(t)]
+                for t in types:
+                    triples.append((subject, iri(RDF_TYPE), iri(t)))
+                vocab = _vocab_of(types[0]) if types else parent.vocab
+                frame.item = subject
+                frame.vocab = vocab
+                refs = attrs.get("itemref", "").split()
+                if refs and collect_refs:
+                    pending_refs.append((subject, vocab, refs))
+
+            if prop_names and parent.item is not None:
+                preds = [p for p in (prop_iri(n, parent.vocab) for n in prop_names) if p]
+                if preds:
+                    if is_scope:
+                        for p in preds:
+                            triples.append((parent.item, p, subject))
+                    elif tag in _URL_ATTR:
+                        ref = attrs.get(_URL_ATTR[tag], "").strip()
+                        if ref:
+                            val = resolve_url(ref)
+                            for p in preds:
+                                triples.append((parent.item, p, val))
+                    elif tag == "meta":
+                        val = literal(attrs.get("content", ""))
+                        for p in preds:
+                            triples.append((parent.item, p, val))
+                    elif tag == "time" and attrs.get("datetime", "").strip():
+                        val = literal(attrs["datetime"].strip())
+                        for p in preds:
+                            triples.append((parent.item, p, val))
+                    elif tag == "data" and attrs.get("value", "").strip():
+                        val = literal(attrs["value"].strip())
+                        for p in preds:
+                            triples.append((parent.item, p, val))
+                    else:
+                        # text-valued: capture descendant text until close tag
+                        frame.capture = []
+                        frame.pending = (parent.item, preds)
+
+            if tag in _VOID_TAGS or selfclose:
+                _finish(frame, triples)
+            else:
+                stack.append(frame)
+
+        while len(stack) > 1:
+            _finish(stack.pop(), triples)
+
+    walk(html, _Frame("", None, ""), collect_refs=True)
+
+    if pending_refs:
+        frags = _id_fragments(html)
+        for subject, vocab, refs in pending_refs:
+            for rid in refs:
+                frag = frags.get(rid)
+                if frag is not None:
+                    # one-level replay: the fragment's own itemscopes emit
+                    # normally, but their itemrefs are NOT chased (loop guard)
+                    walk(frag, _Frame("", subject, vocab), collect_refs=False)
+    return triples, {}
+
+
+def _id_fragments(html: str) -> dict[str, str]:
+    """id attribute -> the element's outer HTML (open tag through matching
+    close; the single tag itself for void/self-closing elements). First id
+    wins; elements never explicitly closed extend to their parent's close."""
+    frags: dict[str, str] = {}
+    open_stack: list[tuple] = []  # (tag, id_or_None, start_offset)
     pos = 0
     for m in _TAG_RE.finditer(html):
-        text = html[pos : m.start()]
-        if text:
-            for fr in stack:
-                if fr.capture is not None:
-                    fr.capture.append(text)
+        if m.start() < pos:  # inside a skipped script/style body
+            continue
         pos = m.end()
         closing, tag, rawattrs, selfclose = m.groups()
         tag = tag.lower()
         if closing:
-            for idx in range(len(stack) - 1, 0, -1):
-                if stack[idx].tag == tag:
-                    while len(stack) > idx:
-                        _finish(stack.pop(), triples)
+            for idx in range(len(open_stack) - 1, -1, -1):
+                if open_stack[idx][0] == tag:
+                    for _t, eid, start in open_stack[idx:]:
+                        if eid is not None and eid not in frags:
+                            frags[eid] = html[start : m.end()]
+                    del open_stack[idx:]
                     break
             continue
         if tag in ("script", "style"):
@@ -159,63 +271,16 @@ def parse_microdata(html: str, base: str = "") -> tuple[list[tuple], dict[str, s
             if end:
                 pos += end.end()
             continue
-
-        parent = stack[-1]
-        attrs = _parse_attrs(rawattrs)
-        frame = _Frame(tag, parent.item, parent.vocab)
-
-        is_scope = "itemscope" in attrs
-        prop_names = attrs.get("itemprop", "").split()
-
-        subject = None
-        vocab = parent.vocab
-        if is_scope:
-            itemid = attrs.get("itemid", "").strip()
-            subject = resolve_url(itemid) if itemid else new_bnode()
-            types = [t for t in attrs.get("itemtype", "").split() if _ABS_IRI_RE.match(t)]
-            for t in types:
-                triples.append((subject, iri(RDF_TYPE), iri(t)))
-            vocab = _vocab_of(types[0]) if types else parent.vocab
-            frame.item = subject
-            frame.vocab = vocab
-
-        if prop_names and parent.item is not None:
-            preds = [p for p in (prop_iri(n, parent.vocab) for n in prop_names) if p]
-            if preds:
-                if is_scope:
-                    for p in preds:
-                        triples.append((parent.item, p, subject))
-                elif tag in _URL_ATTR:
-                    ref = attrs.get(_URL_ATTR[tag], "").strip()
-                    if ref:
-                        val = resolve_url(ref)
-                        for p in preds:
-                            triples.append((parent.item, p, val))
-                elif tag == "meta":
-                    val = literal(attrs.get("content", ""))
-                    for p in preds:
-                        triples.append((parent.item, p, val))
-                elif tag == "time" and attrs.get("datetime", "").strip():
-                    val = literal(attrs["datetime"].strip())
-                    for p in preds:
-                        triples.append((parent.item, p, val))
-                elif tag == "data" and attrs.get("value", "").strip():
-                    val = literal(attrs["value"].strip())
-                    for p in preds:
-                        triples.append((parent.item, p, val))
-                else:
-                    # text-valued: capture descendant text until the close tag
-                    frame.capture = []
-                    frame.pending = (parent.item, preds)
-
+        eid = _parse_attrs(rawattrs).get("id", "").strip() or None
         if tag in _VOID_TAGS or selfclose:
-            _finish(frame, triples)
+            if eid is not None and eid not in frags:
+                frags[eid] = html[m.start() : m.end()]
         else:
-            stack.append(frame)
-
-    while len(stack) > 1:
-        _finish(stack.pop(), triples)
-    return triples, {}
+            open_stack.append((tag, eid, m.start()))
+    for _t, eid, start in open_stack:
+        if eid is not None and eid not in frags:
+            frags[eid] = html[start:]
+    return frags
 
 
 def _finish(frame: _Frame, triples: list) -> None:

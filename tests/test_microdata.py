@@ -198,3 +198,66 @@ def test_jsonld_script_body_not_double_scanned_for_microdata():
         "</script></body></html>"
     )
     assert [fmt for fmt, _ in find_rdf_payloads(html)] == ["json-ld"]
+
+
+def test_itemref_grafts_external_properties():
+    ts = triples(
+        '<div itemscope itemtype="http://schema.org/Person" '
+        'itemid="http://ex.org/p" itemref="extra meta1"></div>'
+        '<p id="extra"><span itemprop="jobTitle">Engineer</span></p>'
+        '<meta id="meta1" itemprop="age" content="30">'
+    )
+    rows = spo(ts)
+    assert ("http://ex.org/p", SCHEMA + "jobTitle", "Engineer") in rows
+    assert ("http://ex.org/p", SCHEMA + "age", "30") in rows
+
+
+def test_itemref_root_element_itself_carries_itemprop():
+    ts = triples(
+        '<div itemscope itemtype="http://schema.org/Person" '
+        'itemid="http://ex.org/p" itemref="n"></div>'
+        '<span id="n" itemprop="name">Ada</span>'
+    )
+    assert ("http://ex.org/p", SCHEMA + "name", "Ada") in spo(ts)
+
+
+def test_itemref_shared_by_two_items():
+    ts = triples(
+        '<div itemscope itemtype="http://schema.org/Person" itemid="http://ex.org/a" itemref="n"></div>'
+        '<div itemscope itemtype="http://schema.org/Person" itemid="http://ex.org/b" itemref="n"></div>'
+        '<meta id="n" itemprop="memberOf" content="Team">'
+    )
+    rows = spo(ts)
+    assert ("http://ex.org/a", SCHEMA + "memberOf", "Team") in rows
+    assert ("http://ex.org/b", SCHEMA + "memberOf", "Team") in rows
+
+
+def test_itemref_missing_id_and_nested_itemref_not_chased():
+    ts = triples(
+        '<div itemscope itemtype="http://schema.org/Person" '
+        'itemid="http://ex.org/p" itemref="ghost frag"></div>'
+        '<div id="frag">'
+        '<div itemprop="knows" itemscope itemtype="http://schema.org/Person" itemref="frag2">'
+        '<span itemprop="name">B</span></div></div>'
+        '<meta id="frag2" itemprop="age" content="9">'
+    )
+    rows = spo(ts)
+    # the fragment's itemscope is an item of the document in its own right
+    # (_:m1, parsed by the main walk, linked to nothing) AND is replayed as
+    # the referring item's property value (_:m2)
+    assert ("http://ex.org/p", SCHEMA + "knows", "_:m2") in rows
+    assert ("_:m2", SCHEMA + "name", "B") in rows
+    assert ("_:m1", SCHEMA + "name", "B") in rows
+    # ...but its own itemref is NOT chased (one-level loop guard): the
+    # main-walk item grafts frag2's property, the replayed copy does not
+    assert ("_:m1", SCHEMA + "age", "9") in rows
+    assert ("_:m2", SCHEMA + "age", "9") not in rows
+
+
+def test_itemref_vocab_inherited_from_referring_item():
+    ts = triples(
+        '<div itemscope itemtype="http://ex.org/v#Widget" '
+        'itemid="http://ex.org/w" itemref="sz"></div>'
+        '<span id="sz" itemprop="size">L</span>'
+    )
+    assert ("http://ex.org/w", "http://ex.org/v#size", "L") in spo(ts)
