@@ -557,6 +557,23 @@ def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch 64 -> 8 dims with the hash-derived
+    deterministic sign matrix (Achlioptas +-1 entries from md5 parity — the
+    repo's standard cross-engine key convention), so DuckDB rebuilds the
+    identical matrix in SQL and the projection is value-oracled. Map-only:
+    one GEMM per Arrow batch, matrix rides the closure."""
+    from kgforge.operators.pca import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        jl_project(emb, k=8, dim=64, round_digits=5)
+        .select("vec_id", F.posexplode("pc").alias("j", "y"))
+        .select("vec_id", F.col("j").cast("long").alias("j"), "y")
+        .orderBy("vec_id", "j")
+    )
+
+
 def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.parse import extract_shapes_df, parse_pages
@@ -2605,6 +2622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_direct_map": q_kg_direct_map,
         "q_scd2_history": q_scd2_history,
         "q_emb_covariance": q_emb_covariance,
+        "q_emb_jl_project": q_emb_jl_project,
         "q_kg_validate": q_kg_validate,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
@@ -3214,6 +3232,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS INT) AS n_ps,
                    'violation' AS severity
             FROM documents ORDER BY url, uri
+        """,
+        "q_emb_jl_project": """
+            WITH idx AS (SELECT UNNEST(range(64)) AS i),
+            ks AS (SELECT UNNEST(range(8)) AS j),
+            r AS (SELECT idx.i, ks.j,
+                    (CASE WHEN CAST(concat('0x', substring(md5(idx.i || chr(31) || ks.j), 1, 15)) AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END) / sqrt(8.0) AS w
+                  FROM idx, ks),
+            v AS (SELECT e.vec_id, idx.i, CAST(e.embedding[idx.i + 1] AS DOUBLE) AS x
+                  FROM embeddings e, idx)
+            SELECT v.vec_id, CAST(r.j AS BIGINT) AS j, ROUND(SUM(v.x * r.w), 5) AS y
+            FROM v JOIN r ON v.i = r.i
+            GROUP BY v.vec_id, r.j ORDER BY vec_id, j
         """,
         "q_emb_covariance": """
             WITH idx AS (SELECT UNNEST(range(64)) AS i),

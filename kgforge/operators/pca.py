@@ -136,6 +136,53 @@ def pca_components(
     return mean, comps
 
 
+def jl_sign_matrix(dim: int, k: int) -> np.ndarray:
+    """Deterministic Johnson-Lindenstrauss sign matrix R[dim, k]: entry
+    (i, j) is +-1/sqrt(k) by the parity of the repo's standard md5-hex ->
+    int64 key (md5(f"{i}\\x1f{j}")[:15] as hex). Achlioptas (2003) shows
+    +-1 entries satisfy the JL lemma; deriving them from a hash instead of
+    an RNG makes the sketch reproducible across engines — DuckDB rebuilds
+    the identical matrix in SQL, so the projection is value-oracle-able."""
+    import hashlib
+
+    R = np.empty((dim, k), dtype=np.float64)
+    for i in range(dim):
+        for j in range(k):
+            h = int(hashlib.md5(f"{i}\x1f{j}".encode()).hexdigest()[:15], 16)
+            R[i, j] = 1.0 if h % 2 == 0 else -1.0
+    return R / np.sqrt(k)
+
+
+def jl_project(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """-> (id_col, pc array<double>[k]): distance-preserving JL sketch.
+
+    Map-only: the k x dim matrix rides the closure (a few KB), projection
+    is one numpy GEMM per Arrow batch — the cheap front-end for ANN
+    pre-filtering or dedup blocking when d is large."""
+    R = jl_sign_matrix(dim, k)
+
+    def proj(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = X @ R
+            if round_digits is not None:
+                P = P.round(round_digits)
+            yield pd.DataFrame({id_col: pdf[id_col], "pc": list(map(list, P))})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        proj, schema=f"{id_col} long, pc array<double>"
+    )
+
+
 def pca_project(
     emb: DataFrame,
     k: int,

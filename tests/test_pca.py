@@ -70,3 +70,38 @@ def test_partial_reduction_is_corpus_size_free(spark, data):
     # one partial row per non-empty input partition, not per input row
     assert 0 < len(parts) <= 5
     assert sum(p.n for p in parts) == 200
+
+
+def test_jl_projection_matches_numpy_and_preserves_distances(spark):
+    import numpy as np
+    from kgforge.operators.pca import jl_project, jl_sign_matrix
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    R = jl_sign_matrix(64, 16)
+    got = {r.vec_id: np.asarray(r.pc) for r in jl_project(df, k=16, dim=64).collect()}
+    truth = X @ R
+    for i in range(300):
+        assert got[i] == pytest.approx(truth[i], abs=1e-12)
+    # JL property: pairwise sq-distances preserved within a loose factor
+    pairs = [(0, 1), (5, 99), (200, 250), (17, 18)]
+    for a, b in pairs:
+        d_orig = ((X[a] - X[b]) ** 2).sum()
+        d_proj = ((truth[a] - truth[b]) ** 2).sum()
+        assert 0.35 < d_proj / d_orig < 1.9
+
+
+def test_jl_sign_matrix_is_deterministic_and_balanced():
+    import numpy as np
+    from kgforge.operators.pca import jl_sign_matrix
+
+    A = jl_sign_matrix(64, 8)
+    B = jl_sign_matrix(64, 8)
+    assert (A == B).all()
+    signs = np.sign(A)
+    # md5 parity should be near-balanced
+    assert abs(signs.sum()) < 0.25 * signs.size
