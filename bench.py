@@ -242,6 +242,11 @@ def main():
         "q_text_clean",
         "q_blocklist_filter",
         "q_nb_classifier",
+        "q_kg_microdata",
+        "q_kg_direct_map",
+        "q_scd2_history",
+        "q_emb_covariance",
+        "q_emb_jl_project",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
