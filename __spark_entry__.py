@@ -365,6 +365,59 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, n_clusters=8, threshold=0.4).orderBy("vec_id")
 
 
+def _kge_tables(spark: SparkSession, sf_dir: str):
+    """Deterministic KG-embedding eval fixtures over the embeddings table:
+    entities = every vector; relations r in {0,1,2} reuse the embeddings of
+    vec_id 0..2; 50 closed-form test triples (h=i, r=i%3, t=(7i+13)%n) plus
+    one extra known-positive tail per query ((11h+5)%n) to make the
+    filtered setting bite. n comes from a 1-row count agg crossJoined in —
+    never a driver collect — so the generator is SF-independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    entities = emb.select(F.col("vec_id").alias("ent"), F.col("embedding").alias("emb"))
+    relations = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("rel"), F.col("embedding").alias("emb")
+    )
+    n = emb.agg(F.count("*").alias("_n"))
+    base = spark.range(0, 50).crossJoin(n)
+    test = base.select(
+        F.col("id").alias("h"),
+        (F.col("id") % 3).alias("r"),
+        ((F.col("id") * 7 + 13) % F.col("_n")).alias("t"),
+    )
+    extra = base.select(
+        F.col("id").alias("h"),
+        (F.col("id") % 3).alias("r"),
+        ((F.col("id") * 11 + 5) % F.col("_n")).alias("t"),
+    )
+    positives = test.unionByName(extra).distinct()
+    return test, entities, relations, positives
+
+
+def q_kge_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered DistMult tail ranking (Bordes et al. eval protocol): rank =
+    1 + count of strictly-better-scoring candidate entities (ties -> lower
+    id), computed by ONE streaming scan of the entity table against a
+    broadcast query batch — no global per-query sort. Oracle: DuckDB
+    list_dot_product replay with the identical rounding and tie-break."""
+    from kgforge.operators.kge import filtered_rank
+
+    test, entities, relations, positives = _kge_tables(spark, sf_dir)
+    return filtered_rank(
+        test, entities, relations, positives, score="distmult"
+    ).orderBy("h", "r")
+
+
+def q_kge_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered TransE tail ranking (-L2 of h+r-t), same count-based rank
+    scheme. Oracle: DuckDB -list_distance replay."""
+    from kgforge.operators.kge import filtered_rank
+
+    test, entities, relations, positives = _kge_tables(spark, sf_dir)
+    return filtered_rank(
+        test, entities, relations, positives, score="transe"
+    ).orderBy("h", "r")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid norms (vector agg via posexplode —
     relational formulation shared with the oracle)."""
@@ -1338,6 +1391,20 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _cooccurrence_edges(_knows_triples(spark, sf_dir))
     return triangle_counts(edges).orderBy("node")
+
+
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient cc(v) = 2T(v)/(deg(v)(deg(v)-1)) on the
+    entity co-occurrence graph — the standard small-world cohesion signal
+    (Watts-Strogatz); in a KG it separates tight community entities from
+    pure hubs (HOT_ENTITY's coefficient collapses toward 0 while clique
+    members sit near 1). Compact-forward triangles + one degree agg + one
+    node-keyed left join. Oracle: DuckDB computes the identical exact
+    integer ratio, bit-agreeing in IEEE double."""
+    from kgforge.operators.graph import clustering_coefficient
+
+    edges = _cooccurrence_edges(_knows_triples(spark, sf_dir))
+    return clustering_coefficient(edges).orderBy("node")
 
 
 def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2611,6 +2678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_topk": q_sim_topk,
         "q_emb_neardup": q_emb_neardup,
         "q_semdedup": q_semdedup,
+        "q_kge_rank": q_kge_rank,
+        "q_kge_transe": q_kge_transe,
         "q_emb_centroids": q_emb_centroids,
         "q_minhash_dups": q_minhash_dups,
         "q_simhash_dups": q_simhash_dups,
@@ -2691,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_dedup": q_incremental_dedup,
         "q_phrase_search": q_phrase_search,
         "q_kg_triangles": q_kg_triangles,
+        "q_kg_clustering": q_kg_clustering,
         "q_kg_khop": q_kg_khop,
         "q_kg_inference": q_kg_inference,
         "q_gopher_quality": q_gopher_quality,
@@ -3178,6 +3248,82 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
             ORDER BY a, b
+        """,
+        # filtered KGE tail ranking: identical closed-form test triples,
+        # rounded scores, count-based rank with the (score, id) tie-break
+        "q_kge_rank": """
+            WITH n AS (SELECT count(*) AS n FROM embeddings),
+            t0 AS (SELECT CAST(u.i AS BIGINT) AS h, CAST(u.i % 3 AS BIGINT) AS r,
+                          CAST((u.i * 7 + 13) % n.n AS BIGINT) AS t
+                   FROM UNNEST(range(0, 50)) AS u(i), n),
+            pos AS (SELECT h, r, t FROM t0
+                    UNION
+                    SELECT t0.h, t0.r, CAST((t0.h * 11 + 5) % n.n AS BIGINT)
+                    FROM t0, n),
+            ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT t0.h, t0.r, t0.t,
+                         list_transform(range(1, 65), k -> he.v[k] * re.v[k]) AS hr,
+                         round(list_dot_product(
+                             list_transform(range(1, 65), k -> he.v[k] * re.v[k]),
+                             te.v), 6) AS score
+                  FROM t0 JOIN ev he ON he.vec_id = t0.h
+                          JOIN ev re ON re.vec_id = t0.r
+                          JOIN ev te ON te.vec_id = t0.t),
+            cand AS (SELECT q.h, q.r, q.t, q.score, e.vec_id AS e,
+                            round(list_dot_product(q.hr, e.v), 6) AS cscore
+                     FROM q JOIN ev e ON TRUE
+                     WHERE e.vec_id = q.t OR NOT EXISTS (
+                        SELECT 1 FROM pos p
+                        WHERE p.h = q.h AND p.r = q.r AND p.t = e.vec_id))
+            SELECT h, r, t, score,
+                   CAST(1 + sum(CASE WHEN cscore > score
+                                       OR (cscore = score AND e < t)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS rank,
+                   1.0 / CAST(1 + sum(CASE WHEN cscore > score
+                                             OR (cscore = score AND e < t)
+                                           THEN 1 ELSE 0 END) AS DOUBLE) AS rr,
+                   CAST(CASE WHEN 1 + sum(CASE WHEN cscore > score
+                                                 OR (cscore = score AND e < t)
+                                               THEN 1 ELSE 0 END) <= 10
+                             THEN 1 ELSE 0 END AS INTEGER) AS hit10
+            FROM cand GROUP BY h, r, t, score ORDER BY h, r
+        """,
+        "q_kge_transe": """
+            WITH n AS (SELECT count(*) AS n FROM embeddings),
+            t0 AS (SELECT CAST(u.i AS BIGINT) AS h, CAST(u.i % 3 AS BIGINT) AS r,
+                          CAST((u.i * 7 + 13) % n.n AS BIGINT) AS t
+                   FROM UNNEST(range(0, 50)) AS u(i), n),
+            pos AS (SELECT h, r, t FROM t0
+                    UNION
+                    SELECT t0.h, t0.r, CAST((t0.h * 11 + 5) % n.n AS BIGINT)
+                    FROM t0, n),
+            ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT t0.h, t0.r, t0.t,
+                         list_transform(range(1, 65), k -> he.v[k] + re.v[k]) AS hpr,
+                         round(-list_distance(
+                             list_transform(range(1, 65), k -> he.v[k] + re.v[k]),
+                             te.v), 6) AS score
+                  FROM t0 JOIN ev he ON he.vec_id = t0.h
+                          JOIN ev re ON re.vec_id = t0.r
+                          JOIN ev te ON te.vec_id = t0.t),
+            cand AS (SELECT q.h, q.r, q.t, q.score, e.vec_id AS e,
+                            round(-list_distance(q.hpr, e.v), 6) AS cscore
+                     FROM q JOIN ev e ON TRUE
+                     WHERE e.vec_id = q.t OR NOT EXISTS (
+                        SELECT 1 FROM pos p
+                        WHERE p.h = q.h AND p.r = q.r AND p.t = e.vec_id))
+            SELECT h, r, t, score,
+                   CAST(1 + sum(CASE WHEN cscore > score
+                                       OR (cscore = score AND e < t)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS rank,
+                   1.0 / CAST(1 + sum(CASE WHEN cscore > score
+                                             OR (cscore = score AND e < t)
+                                           THEN 1 ELSE 0 END) AS DOUBLE) AS rr,
+                   CAST(CASE WHEN 1 + sum(CASE WHEN cscore > score
+                                                 OR (cscore = score AND e < t)
+                                               THEN 1 ELSE 0 END) <= 10
+                             THEN 1 ELSE 0 END AS INTEGER) AS hit10
+            FROM cand GROUP BY h, r, t, score ORDER BY h, r
         """,
         # SemDeDup: nearest-of-8-seed assignment (QUALIFY argmax, rounded
         # cosine, seed-index tie-break) + lowest-id-wins prune at 0.4
@@ -5074,6 +5220,34 @@ def oracle_sql() -> dict[str, str]:
                       UNION ALL SELECT z FROM tris)
             SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
             FROM nodes GROUP BY node ORDER BY node
+        """,
+        # same edge set; deg from both endpoints, triangles left-joined so
+        # triangle-free nodes keep cc=0; the ratio is exact-int/exact-int
+        # in IEEE double, so Spark and DuckDB bit-agree
+        "q_kg_clustering": f"""
+            WITH d AS (SELECT doc_id AS i, unnest({_DD_ENTS}) AS k FROM documents),
+            ents AS (SELECT DISTINCT i, 'https://kg.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0') AS ent FROM d),
+            edges AS (SELECT DISTINCT x.ent AS a, y.ent AS b
+                      FROM ents x JOIN ents y ON x.i = y.i AND x.ent < y.ent),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                      SELECT a AS node FROM edges
+                      UNION ALL SELECT b FROM edges) GROUP BY node),
+            tris AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                     FROM edges e1
+                     JOIN edges e2 ON e1.b = e2.a
+                     JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                     FROM (SELECT x AS node FROM tris UNION ALL SELECT y FROM tris
+                           UNION ALL SELECT z FROM tris) GROUP BY node)
+            SELECT d.node, d.deg,
+                   CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   CASE WHEN d.deg >= 2
+                        THEN (2.0 * coalesce(t.n_triangles, 0))
+                             / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+            ORDER BY d.node
         """,
         # recursive-CTE BFS with min-hop semantics; UNION (not UNION ALL)
         # bounds the walk at distinct (node, hops) pairs

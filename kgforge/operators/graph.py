@@ -403,3 +403,51 @@ def adamic_adar(
         .orderBy(F.desc("aa_score"), "a", "b")
         .limit(top_n)
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Undirected edge list (a, b) -> (node, deg, n_triangles, clustering)
+    local clustering coefficient: cc(v) = 2*T(v) / (deg(v) * (deg(v)-1)),
+    the fraction of a node's neighbor pairs that are themselves connected
+    (Watts & Strogatz 1998). Nodes with deg < 2 get 0.0 by convention.
+
+    Built on :func:`triangle_counts` (degree-oriented compact-forward
+    enumeration — per-source fan-out bounded O(sqrt(m)) on power-law web
+    graphs), plus one degree aggregation and one node-keyed left join to
+    credit triangle-free nodes a 0. Both sides of that join are already
+    node-keyed aggregates, so AQE plans it without an extra exchange
+    beyond the agg shuffles; everything stays in whole-stage codegen.
+
+    The division is exact-integer-over-exact-integer in IEEE double, so
+    any engine computing the same formula bit-agrees — which is what the
+    DuckDB oracle asserts value-for-value.
+    """
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # feeds the degree agg AND the triangle enumeration
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    tris = triangle_counts(e)
+    return (
+        deg.join(tris, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2.0) * F.col("n_triangles"))
+                / (F.col("deg") * (F.col("deg") - F.lit(1))).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
