@@ -806,6 +806,18 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: 3 PageRank iterations over the word
+    word-adjacency (window=2) graph, built by ONE in-row transform over
+    the token array — no posexplode self-join — then vocabulary-sized
+    power iterations. Oracle: DuckDB replays the adjacency build and all
+    three iterations; both engines rank on the ROUNDED score."""
+    from kgforge.operators.ranking import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, top_n=20, iterations=3)
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF; ranks
     computed over the rounded score so they are engine-independent."""
@@ -2765,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_corpus_filter": q_corpus_filter,
         "q_event_pagerank": q_event_pagerank,
+        "q_textrank_keywords": q_textrank_keywords,
         "q_tfidf_terms": q_tfidf_terms,
         "q_stratified_sample": q_stratified_sample,
         "q_decontaminate": q_decontaminate,
@@ -3717,6 +3730,66 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY nd.node
             )
             SELECT node, ROUND(pr, 9) AS pr FROM r3 ORDER BY node
+        """,
+        # TextRank: identical adjacency build (window=2, ^[a-z]{4,}$ words)
+        # + the same 3-iteration PageRank replay; rank on the ROUNDED score
+        "q_textrank_keywords": r"""
+            WITH tok AS (
+                SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+                FROM documents
+                WHERE len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 2
+            ),
+            adj AS (
+                SELECT tk[i] AS w1, tk[i+1] AS w2
+                FROM tok, UNNEST(range(1, len(tk))) AS u(i)
+            ),
+            filt AS (
+                SELECT least(w1, w2) AS src, greatest(w1, w2) AS dst
+                FROM adj
+                WHERE regexp_matches(w1, '^[a-z]{4,}$')
+                  AND regexp_matches(w2, '^[a-z]{4,}$')
+                  AND w1 <> w2
+            ),
+            eg AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                   FROM filt GROUP BY 1, 2),
+            sym AS (SELECT src, dst, w FROM eg
+                    UNION ALL SELECT dst, src, w FROM eg),
+            agg AS (SELECT src, dst, SUM(w) AS w FROM sym GROUP BY 1, 2),
+            outw AS (SELECT src, SUM(w) AS wout FROM agg GROUP BY 1),
+            e AS (SELECT a.src, a.dst, a.w / o.wout AS p
+                  FROM agg a JOIN outw o USING (src)),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+            r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS pr FROM nodes),
+            r1 AS (
+                SELECT nd.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                FROM nodes nd
+                LEFT JOIN e ON e.dst = nd.node
+                LEFT JOIN r0 r ON r.node = e.src
+                GROUP BY nd.node
+            ),
+            r2 AS (
+                SELECT nd.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                FROM nodes nd
+                LEFT JOIN e ON e.dst = nd.node
+                LEFT JOIN r1 r ON r.node = e.src
+                GROUP BY nd.node
+            ),
+            r3 AS (
+                SELECT nd.node,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT c FROM nn)
+                       + CAST(0.85 AS DOUBLE) * COALESCE(SUM(r.pr * e.p), 0) AS pr
+                FROM nodes nd
+                LEFT JOIN e ON e.dst = nd.node
+                LEFT JOIN r2 r ON r.node = e.src
+                GROUP BY nd.node
+            )
+            SELECT node AS word, ROUND(pr, 9) AS pr FROM r3
+            ORDER BY ROUND(pr, 9) DESC, node LIMIT 20
         """,
         # rank is computed over the ROUNDED score in both engines so a
         # 1-ulp ln() difference can't flip an ordering

