@@ -274,6 +274,36 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE learning's inner statistic: adjacent-symbol pair counts over
+    the word-frequency table (chars + '</w>'-terminated last symbol),
+    top 20 by (count desc, a, b) — i.e. exactly the argmax competition of
+    merge iteration 0. ONE corpus-shaped word agg, then everything is
+    vocabulary-sized. Oracle: DuckDB replays symbolization + pair agg."""
+    from kgforge.operators.bpe import pair_counts, word_counts, _symbolize
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pair_counts(_symbolize(word_counts(docs)))
+        .orderBy(F.desc("pair_cnt"), "a", "b")
+        .limit(20)
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge learning, 10 merges: iterative argmax over the
+    vocab table, one bounded 1-row collect per merge, merge application as
+    a codegen left fold — genuinely non-SQL-expressible (each iteration's
+    input depends on the previous argmax), so this entry is rows-only;
+    the algorithm itself is value-pinned against a pure-Python reference
+    in tests/test_bpe.py and its iteration-0 statistic is hash-verified by
+    q_bpe_pairs."""
+    from kgforge.operators.bpe import bpe_learn, merges_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return merges_df(spark, bpe_learn(docs, num_merges=10))
+
+
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic + quality scoring."""
     from kgforge.operators.text_stats import lang_id_col, quality_score_col
@@ -2745,6 +2775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hourly_events": q_hourly_events,
         "q_dedup_exact": q_dedup_exact,
         "q_text_tokens": q_text_tokens,
+        "q_bpe_pairs": q_bpe_pairs,
+        "q_bpe_merges": q_bpe_merges,
         "q_lang_quality": q_lang_quality,
         "q_fingerprint": q_fingerprint,
         "q_repetition_stats": q_repetition_stats,
@@ -3235,6 +3267,28 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_quality": f"""
             SELECT doc_id, {_dd_lang_id()} AS lang_pred, {_dd_quality()} AS quality
             FROM documents ORDER BY doc_id
+        """,
+        # BPE iteration-0 pair statistic: identical symbolization (chars,
+        # '</w>' glued to the final char) and word-frequency weighting
+        "q_bpe_pairs": r"""
+            WITH w AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+                    FROM documents)
+                WHERE word <> '' GROUP BY word
+            ),
+            ch AS (SELECT cnt, regexp_split_to_array(word, '') AS c FROM w),
+            syms AS (SELECT cnt,
+                            CASE WHEN len(c) = 1
+                                 THEN [c[1] || '</w>']
+                                 ELSE list_append(c[1:len(c)-1], c[len(c)] || '</w>')
+                            END AS s
+                     FROM ch),
+            pairs AS (SELECT s[i] AS a, s[i+1] AS b, cnt
+                      FROM syms, UNNEST(range(1, len(s))) AS u(i))
+            SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+            FROM pairs GROUP BY a, b
+            ORDER BY pair_cnt DESC, a, b LIMIT 20
         """,
         "q_fingerprint": """
             SELECT doc_id,
