@@ -247,6 +247,11 @@ def main():
         "q_scd2_history",
         "q_emb_covariance",
         "q_emb_jl_project",
+        "q_kg_clustering",
+        "q_kge_rank",
+        "q_kg_turtle",
+        "q_textrank_keywords",
+        "q_bpe_merges",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
