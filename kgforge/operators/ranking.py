@@ -97,6 +97,10 @@ def textrank_keywords(
         )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("weight"))
+        # persisted: normalize_edges consumes the edge table twice (the
+        # row-stochastic join reads it on both sides) — without the cut
+        # the corpus-shaped tokenize+pair agg runs twice
+        .persist()
     )
     t = normalize_edges(edges, symmetrize=True)
     pr = pagerank(t, iterations=iterations, damping=damping)
