@@ -448,6 +448,28 @@ def q_kge_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("h", "r")
 
 
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: top-20 centroid-distance vectors
+    (rounded per-dim means, rounded distances, id tie-break) — the data-
+    curation pre-filter that keeps off-distribution vectors out of dedup
+    and ANN indexes. Oracle: DuckDB replays means + distances."""
+    from kgforge.operators.similarity import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, top_n=20)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document from three shared regex counters
+    — pure codegen quality scoring."""
+    from kgforge.operators.text_stats import readability_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", readability_col(F.col("text")).alias("flesch")
+    ).orderBy("doc_id")
+
+
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid norms (vector agg via posexplode —
     relational formulation shared with the oracle)."""
@@ -2787,6 +2809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kge_rank": q_kge_rank,
         "q_kge_transe": q_kge_transe,
         "q_emb_centroids": q_emb_centroids,
+        "q_emb_outliers": q_emb_outliers,
+        "q_readability": q_readability,
         "q_minhash_dups": q_minhash_dups,
         "q_simhash_dups": q_simhash_dups,
         "q_knn_lsh": q_knn_lsh,
@@ -3485,6 +3509,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id, a.cluster,
                    a.vec_id NOT IN (SELECT vid FROM dropped) AS kept
             FROM assign a ORDER BY a.vec_id
+        """,
+        # per-dim means ROUNDED before distances (sum-order bridge), then
+        # distances rounded before the top-n order — both engines identical
+        "q_emb_outliers": """
+            WITH d AS (
+                SELECT vec_id, u.i AS i, CAST(embedding[u.i] AS DOUBLE) AS x
+                FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+            ),
+            m AS (SELECT i, round(avg(x), 6) AS m FROM d GROUP BY i)
+            SELECT vec_id,
+                   round(sqrt(sum((x - m) * (x - m))), 6) AS dist
+            FROM d JOIN m USING (i)
+            GROUP BY vec_id
+            ORDER BY dist DESC, vec_id LIMIT 20
+        """,
+        "q_readability": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN NULL ELSE
+                     round(206.835
+                       - 1.015 * (CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                                  / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+                       - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+                                 / len(regexp_split_to_array(trim(text), '\\s+'))), 4)
+                   END AS flesch
+            FROM documents ORDER BY doc_id
         """,
         "q_emb_centroids": """
             SELECT label,

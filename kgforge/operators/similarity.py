@@ -636,3 +636,40 @@ def semdedup(
         "cluster",
         F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
     )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding outlier detection for data curation: distance to the
+    corpus centroid, top_n farthest vectors (vec_id tie-break). Flags
+    mis-embedded / off-distribution documents before they poison dedup or
+    ANN structures.
+
+    Relational formulation (posexplode + per-dim avg + join + per-vector
+    agg) so the oracle shares it exactly: the per-dim mean is ROUNDED
+    before distances (cross-engine sum-order bridge, same regime as
+    q_emb_centroids), distances rounded again before the top-n order.
+    Shuffles: one d-keyed agg (64 groups — tiny), one broadcast join of
+    the 64-row mean table back onto the exploded corpus, one id-keyed
+    agg; top-n via TakeOrderedAndProject, never a global sort. At 10^9
+    vectors everything is one scan + map-side-combined aggs."""
+    d = emb.select(
+        F.col(id_col), F.posexplode(vec_col).alias("_i", "_x")
+    ).withColumn("_x", F.col("_x").cast("double"))
+    means = d.groupBy("_i").agg(F.round(F.avg("_x"), round_digits).alias("_m"))
+    dist = (
+        d.join(F.broadcast(means), "_i")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("_x") - F.col("_m")) * (F.col("_x") - F.col("_m")))),
+                round_digits,
+            ).alias("dist")
+        )
+    )
+    return dist.orderBy(F.desc("dist"), id_col).limit(top_n)

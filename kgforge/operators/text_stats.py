@@ -175,3 +175,27 @@ def repetition_stats(
             F.round(F.col("dup_trigram_count") / F.col("total_trigrams"), 6),
         )
     )
+
+
+def readability_col(text_col):
+    """Flesch reading ease (Flesch 1948) from three regex counts — a
+    standard document-quality signal for corpus filtering. Heuristic
+    counters shared verbatim with the SQL oracle: words = whitespace
+    tokens, sentences = [.!?]+ runs (min 1), syllables = [aeiouy]+ vowel
+    groups in the lowercased text (min 1). Pure codegen; empty/blank text
+    scores NULL. Score = 206.835 - 1.015*(W/S) - 84.6*(Y/W), rounded 4."""
+    t = F.trim(text_col)
+    words = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    sentences = F.greatest(F.regexp_count(text_col, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(
+        F.regexp_count(F.lower(text_col), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    return F.when(
+        words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+            - F.lit(84.6) * (syllables.cast("double") / words.cast("double")),
+            4,
+        ),
+    )
