@@ -2491,6 +2491,51 @@ def _quad_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trig_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form TriG corpus: a default-graph name literal, a GRAPH-
+    keyword knows block, and a bare-label age block (typed integer, final
+    '.' omitted — the optional-dot production) per doc."""
+    i = F.col("doc_id")
+    m = lambda e: e.cast("string")  # noqa: E731
+    hdr = F.lit("@prefix e: <urn:e:> .")
+    l1 = F.concat(
+        F.lit("e:"), m(i % 50), F.lit(' <urn:p:name> "n'), m(i % 20), F.lit('" .')
+    )
+    l2 = F.concat(
+        F.lit("GRAPH <urn:g:"), m(i % 5), F.lit("> { e:"), m(i % 50),
+        F.lit(" <urn:p:knows> e:"), m((i * 3 + 1) % 50), F.lit(" . }"),
+    )
+    l3 = F.concat(
+        F.lit("<urn:g:"), m((i + 1) % 5), F.lit("> { e:"), m(i % 50),
+        F.lit(" <urn:p:age> "), m(i % 90), F.lit(" }"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("trig://"), m(i)).alias("url"),
+        F.concat_ws("\n", hdr, l1, l2, l3).alias("content"),
+    )
+
+
+def q_kg_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG ingestion: the closed-form TriG corpus (prefix directive,
+    GRAPH keyword block, bare-label block with optional final dot, typed
+    integer literal) parsed by the REAL TriG parser in the same quad scan
+    as N-Quads — format sniffed per document. Oracle: DuckDB reconstructs
+    every quad row including seq, graph, expansion of the e: prefix, and
+    the xsd:integer object kind."""
+    from kgforge.operators.quads import parse_quad_docs
+
+    q = parse_quad_docs(_trig_docs(spark, sf_dir))
+    return (
+        q.filter(F.col("status") == "ok")
+        .select(
+            "url", "seq", "graph", "subject", "predicate",
+            F.col("object.value").alias("o_value"),
+            F.col("object.kind").alias("o_kind"),
+        )
+        .orderBy("url", "seq")
+    )
+
+
 def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-graph ingestion: the closed-form N-Quads corpus parsed by the
     REAL N-Quads parser inside one mapInPandas Arrow scan (per-row status,
@@ -2914,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_hits": q_host_hits,
         "q_leakage_split": q_leakage_split,
         "q_kg_quads": q_kg_quads,
+        "q_kg_trig": q_kg_trig,
         "q_kg_sparql_graph": q_kg_sparql_graph,
         "q_distinct_sketch": q_distinct_sketch,
         "q_heavy_hitters": q_heavy_hitters,
@@ -5287,6 +5333,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'q://' || CAST(i AS VARCHAR), CAST(2 AS BIGINT),
                    'urn:g:' || CAST(i % 5 AS VARCHAR), '_:b0', 'urn:p:ref',
                    'urn:e:' || CAST(i % 50 AS VARCHAR), 'iri'
+            FROM d
+            ORDER BY url, seq
+        """,
+        # TriG replay: prefix expansion, block graph labels, typed integer
+        "q_kg_trig": """
+            WITH d AS (SELECT doc_id AS i FROM documents)
+            SELECT 'trig://' || CAST(i AS VARCHAR) AS url, CAST(0 AS BIGINT) AS seq,
+                   '' AS graph,
+                   'urn:e:' || CAST(i % 50 AS VARCHAR) AS subject,
+                   'urn:p:name' AS predicate,
+                   'n' || CAST(i % 20 AS VARCHAR) AS o_value,
+                   'literal' AS o_kind
+            FROM d
+            UNION ALL
+            SELECT 'trig://' || CAST(i AS VARCHAR), CAST(1 AS BIGINT),
+                   'urn:g:' || CAST(i % 5 AS VARCHAR),
+                   'urn:e:' || CAST(i % 50 AS VARCHAR), 'urn:p:knows',
+                   'urn:e:' || CAST((i * 3 + 1) % 50 AS VARCHAR), 'iri'
+            FROM d
+            UNION ALL
+            SELECT 'trig://' || CAST(i AS VARCHAR), CAST(2 AS BIGINT),
+                   'urn:g:' || CAST((i + 1) % 5 AS VARCHAR),
+                   'urn:e:' || CAST(i % 50 AS VARCHAR), 'urn:p:age',
+                   CAST(i % 90 AS VARCHAR), 'literal'
             FROM d
             ORDER BY url, seq
         """,

@@ -16,6 +16,8 @@ scan the architecture already budgets for).
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -44,12 +46,34 @@ QUADS_SCHEMA = StructType(
 _COLS = [f.name for f in QUADS_SCHEMA.fields]
 
 
+def _detect_quad_format(content: str) -> str:
+    """'trig' when the document carries TriG-only constructs (directives,
+    prefixed names, or graph blocks), else 'nquads'. N-Quads lines never
+    contain '{', '@prefix', or bare PNAMEs, so the check is a cheap scan of
+    the first non-comment chars."""
+    for line in content.split("\n"):
+        ls = line.strip()
+        if not ls or ls.startswith("#"):
+            continue
+        if ls.startswith(("@prefix", "@base", "PREFIX", "BASE", "GRAPH", "{")):
+            return "trig"
+        # '{' outside string literals opens a graph block (an N-Quads
+        # literal may legitimately contain one — mask strings first)
+        if "{" in re.sub(r'"(?:[^"\\]|\\.)*"', '""', ls):
+            return "trig"
+        return "nquads"
+    return "nquads"
+
+
 def parse_quad_docs(
     docs: DataFrame, url_col: str = "url", content_col: str = "content"
 ) -> DataFrame:
-    """(url, N-Quads text) -> QUADS_SCHEMA rows. Bad documents yield one
-    status='parse_error' row; empty ones status='empty' — the scan never
-    throws."""
+    """(url, N-Quads or TriG text) -> QUADS_SCHEMA rows. Per-document
+    format sniffing (N-Quads lines can't carry TriG-only syntax); bad
+    documents yield one status='parse_error' row; empty ones
+    status='empty' — the scan never throws."""
+    from ..rdf.trig import parse_trig
+
     src = docs.select(url_col, content_col)
 
     def fn(batches):
@@ -71,7 +95,10 @@ def parse_quad_docs(
                     blank(url, "empty", None)
                     continue
                 try:
-                    quads, _ = parse_nquads(content)
+                    if _detect_quad_format(content) == "trig":
+                        quads, _ = parse_trig(content)
+                    else:
+                        quads, _ = parse_nquads(content)
                 except TurtleParseError as exc:
                     blank(url, "parse_error", str(exc)[:200])
                     continue

@@ -21,6 +21,7 @@ from .jsonld import parse_jsonld
 from .microdata import parse_microdata
 from .ntriples import parse_ntriples
 from .rdfa import parse_rdfa
+from .trig import trig_default_graph
 from .turtle import parse_turtle
 from .xmlrdf import parse_rdfxml
 
@@ -30,9 +31,18 @@ FORMAT_JSONLD = "json-ld"
 FORMAT_NTRIPLES = "ntriples"
 FORMAT_RDFA = "rdfa"
 FORMAT_MICRODATA = "microdata"
+FORMAT_TRIG = "trig"
 
 _TURTLE_RE = re.compile(r"(?:^|\n)\s*(?:@prefix|@base|prefix\s+[\w-]*\s*:|base\s+<)", re.I)
 _NT_LINE_RE = re.compile(r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+.+\.\s*$")
+# TriG = Turtle + graph blocks: a '{' outside string literals (or a
+# top-level GRAPH keyword) distinguishes the two
+_STRING_MASK_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
+_GRAPH_KW_RE = re.compile(r"(?:^|\n)\s*GRAPH\s*[<_a-zA-Z]", re.I)
+
+
+def _has_graph_block(content: str) -> bool:
+    return "{" in _STRING_MASK_RE.sub('""', content)
 
 
 class ParseError(ValueError):
@@ -48,14 +58,19 @@ def detect_format(content: str) -> str:
         raise ParseError("empty content")
     stripped = content.lstrip()
     if _TURTLE_RE.search(content):
-        return FORMAT_TURTLE
+        return FORMAT_TRIG if _has_graph_block(content) else FORMAT_TURTLE
     if "<rdf:RDF" in content or "<RDF" in content:
         return FORMAT_RDFXML
     if stripped.startswith(("{", "[")) and '"@context"' in content:
         return FORMAT_JSONLD
+    if _GRAPH_KW_RE.search(content) and _has_graph_block(content):
+        return FORMAT_TRIG
     lines = [ln for ln in content.split("\n") if ln.strip() and not ln.lstrip().startswith("#")]
     if lines and all(_NT_LINE_RE.match(ln) for ln in lines):
         return FORMAT_NTRIPLES
+    # bare TriG graph block without directives: '<g> {' / '{' opener
+    if stripped.startswith(("<", "{")) and _has_graph_block(content) and "." in content:
+        return FORMAT_TRIG
     # bare turtle without directives (full-IRI statements)
     if stripped.startswith("<") and "." in content:
         return FORMAT_TURTLE
@@ -63,6 +78,7 @@ def detect_format(content: str) -> str:
 
 
 _PARSERS = {
+    FORMAT_TRIG: lambda c: trig_default_graph(c),
     FORMAT_TURTLE: parse_turtle,
     FORMAT_RDFXML: lambda c: parse_rdfxml(c),
     FORMAT_JSONLD: lambda c: parse_jsonld(c),

@@ -61,7 +61,7 @@ _TOKEN_RE = re.compile(
   | (?P<HATHAT>\^\^)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_:%\\./+#-]*[A-Za-z0-9_:%/+#-]|[A-Za-z_][A-Za-z0-9_.-]*?:|:[A-Za-z0-9_:%\\./+#-]*[A-Za-z0-9_:%/+#-]|:)
   | (?P<KEYWORD>[A-Za-z][A-Za-z]*)
-  | (?P<PUNCT>[;,.\[\]()])
+  | (?P<PUNCT>[;,.\[\](){}])
     """,
     re.VERBOSE,
 )
