@@ -2827,6 +2827,37 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(docs, weights, bias, buckets=1024).orderBy("doc_id")
 
 
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-scale histogram (HDR-style: 16 linear sub-buckets per
+    power of two) of document token counts — the corpus-profiling sketch a
+    100-TB pipeline ships per shard and merges by summing. The bucket
+    function is exact integer/bit arithmetic (exponent = length(bin(v))-1,
+    sub-bucket = the 4 bits below the leading bit), never a float log, so
+    DuckDB replays it value-for-value as (v*16)//(1<<e)-16. ONE
+    map-side-combinable groupBy; output is sketch-sized (<= 64*16 rows)
+    whatever the corpus size."""
+    from kgforge.operators.sketches import log_histogram
+    from kgforge.operators.text_stats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(token_count_col(F.col("text")).alias("v"))
+    return log_histogram(toks, "v").orderBy("bucket")
+
+
+def q_token_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 token-count estimates read off the log-histogram sketch
+    (bucket lower bound — a deterministic under-estimate within 1/16
+    relative error). The window cumsum runs over the <= 1024-row sketch,
+    never over data rows; DuckDB replays the identical cumsum + dyadic
+    lower-bound arithmetic."""
+    from kgforge.operators.sketches import histogram_quantiles, log_histogram
+    from kgforge.operators.text_stats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(token_count_col(F.col("text")).alias("v"))
+    return histogram_quantiles(log_histogram(toks, "v")).orderBy("q")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2965,6 +2996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_bottomk_sample": q_bottomk_sample,
         "q_weighted_sample": q_weighted_sample,
+        "q_token_histogram": q_token_histogram,
+        "q_token_hist_quantiles": q_token_hist_quantiles,
     }
 
 
@@ -5908,5 +5941,44 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS prob,
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # HDR-style log histogram: exact integer bucket arithmetic —
+        # exponent from the binary-string length, sub-bucket via
+        # (v*16)//(2^e)-16 (identical to Spark's leading-bits read)
+        "q_token_histogram": f"""
+            WITH v AS (SELECT {_dd_token_count()} AS v FROM documents),
+            b AS (SELECT CAST(CASE WHEN v < 1 THEN -1
+                    ELSE (length(bin(v))-1)*16
+                         + ((CAST(v AS BIGINT)*16) // (CAST(1 AS BIGINT) << (length(bin(v))-1)) - 16)
+                    END AS BIGINT) AS bucket
+                  FROM v WHERE v IS NOT NULL AND v >= 0)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "q_token_hist_quantiles": f"""
+            WITH v AS (SELECT {_dd_token_count()} AS v FROM documents),
+            b AS (SELECT CAST(CASE WHEN v < 1 THEN -1
+                    ELSE (length(bin(v))-1)*16
+                         + ((CAST(v AS BIGINT)*16) // (CAST(1 AS BIGINT) << (length(bin(v))-1)) - 16)
+                    END AS BIGINT) AS bucket
+                  FROM v WHERE v IS NOT NULL AND v >= 0),
+            h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bucket),
+            c AS (SELECT bucket, n,
+                         CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+                         CAST(sum(n) OVER () AS DOUBLE) AS tot
+                  FROM h),
+            l AS (SELECT cum, tot,
+                         CASE WHEN bucket < 0 THEN 0.0
+                              ELSE power(2.0, bucket // 16)
+                                   * (1.0 + CAST(bucket % 16 AS DOUBLE) / 16.0)
+                         END AS lo
+                  FROM c)
+            SELECT q, est FROM (
+              SELECT CAST(0.5 AS DOUBLE) AS q, min(lo) AS est FROM l WHERE cum >= ceil(tot * 0.5)
+              UNION ALL
+              SELECT CAST(0.9 AS DOUBLE), min(lo) FROM l WHERE cum >= ceil(tot * 0.9)
+              UNION ALL
+              SELECT CAST(0.99 AS DOUBLE), min(lo) FROM l WHERE cum >= ceil(tot * 0.99)
+            ) ORDER BY q
         """,
     }

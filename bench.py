@@ -252,6 +252,8 @@ def main():
         "q_kg_turtle",
         "q_textrank_keywords",
         "q_bpe_merges",
+        "q_token_histogram",
+        "q_token_hist_quantiles",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

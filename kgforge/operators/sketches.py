@@ -169,3 +169,81 @@ def weighted_sample(
         .orderBy(F.desc("_es_key"), F.col(key_col))
         .limit(k)
     )
+
+
+def log_histogram(df: DataFrame, col: str, precision: int = 16) -> DataFrame:
+    """Mergeable log-scale histogram (HDR-histogram-style) over a
+    non-negative integer column -> (bucket bigint, n bigint).
+
+    Bucketing (``precision`` = 2^b sub-buckets per power of two — a fixed
+    <= 1/precision relative error at any magnitude): value v >= 1 lands in
+    bucket e*precision + sub, where e = floor(log2(v)) is computed EXACTLY
+    as length(bin(v)) - 1 (never a float log — cross-engine log2 rounding
+    at power-of-two boundaries would shift a bucket), and sub is the b
+    bits directly below the leading bit, read straight out of the binary
+    string: conv(rpad(substring(bin(v), 2, b), b, '0'), 2, 10). 0 -> bucket
+    -1; NULL/negative rows are dropped. Pure integer/string arithmetic —
+    any engine replays it bit-identically (the DuckDB twin can use
+    (v * precision) // (1 << e) - precision, the same value).
+
+    Scale: ONE map-side-combinable groupBy — the table is <= 64*precision
+    rows whatever the corpus size; per-shard/per-day histograms merge by
+    summing n on bucket (same property the HLL register table has).
+    """
+    b = precision.bit_length() - 1
+    if precision <= 0 or (1 << b) != precision:
+        raise ValueError("precision must be a power of two")
+    v = F.col("_lh_v")
+    e = (F.length(F.bin(v)) - 1).cast("bigint")
+    sub = F.conv(F.rpad(F.substring(F.bin(v), 2, b), b, "0"), 2, 10).cast("bigint")
+    bucket = F.when(v < 1, F.lit(-1)).otherwise(e * precision + sub).cast("bigint")
+    return (
+        df.select(F.col(col).cast("bigint").alias("_lh_v"))
+        .filter(v.isNotNull() & (v >= 0))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def histogram_merge(*tables: DataFrame) -> DataFrame:
+    """Union per-shard histograms and re-sum — the mergeability property."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99), precision: int = 16
+) -> DataFrame:
+    """(bucket, n) -> (q, est): quantile estimates from the histogram —
+    the bucket's LOWER BOUND value (2^(bucket div precision) *
+    (1 + (bucket mod precision)/precision); bucket -1 -> 0), i.e. a
+    deterministic under-estimate within 1/precision relative error.
+
+    Plan: one window cumsum over the (tiny, <= 64*precision-row) histogram
+    — a single-partition sort of sketch rows, never of data rows — then a
+    min() per requested quantile. Cross-engine determinism: rank
+    boundaries are integer counts, bounds are exact dyadic doubles.
+    """
+    from pyspark.sql import Window
+
+    total = hist.agg(F.sum("n").alias("_tot"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("n").over(w)).crossJoin(F.broadcast(total))
+    lo = F.when(F.col("bucket") < 0, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.col("bucket") / precision))
+        * (F.lit(1.0) + (F.col("bucket") % precision).cast("double") / precision)
+    )
+    parts = []
+    for q in qs:
+        parts.append(
+            cum.filter(F.col("_cum") >= F.ceil(F.col("_tot") * F.lit(q)))
+            .agg(F.min(lo).alias("est"))
+            .select(F.lit(q).alias("q"), "est")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

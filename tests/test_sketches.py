@@ -159,3 +159,68 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = [r["id"] for r in weighted_sample(df, "id", "w", 3).collect()]
     assert got == ["c"]
+
+
+# --------------------------- log histogram (HDR) ---------------------------
+
+
+def _py_bucket(v, p=16):
+    if v < 1:
+        return -1
+    e = v.bit_length() - 1
+    return e * p + ((v * p) >> e) - p
+
+
+def test_log_histogram_buckets_match_python(spark):
+    from collections import Counter
+
+    from kgforge.operators.sketches import log_histogram
+
+    vals = list(range(0, 2000)) + [2**k for k in range(40)] + [2**k - 1 for k in range(2, 40)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["bucket"]: r["n"] for r in log_histogram(df, "v").collect()}
+    assert got == dict(Counter(_py_bucket(v) for v in vals))
+
+
+def test_log_histogram_drops_null_negative_requires_pow2(spark):
+    import pytest as _pytest
+
+    from kgforge.operators.sketches import log_histogram
+
+    df = spark.createDataFrame([(None,), (-5,), (0,), (1,)], "v long")
+    got = {r["bucket"]: r["n"] for r in log_histogram(df, "v").collect()}
+    assert got == {-1: 1, 0: 1}  # null and -5 dropped; 0 -> -1; 1 -> 0
+    with _pytest.raises(ValueError):
+        log_histogram(df, "v", precision=12)
+
+
+def test_log_histogram_merge_equals_whole(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.sketches import histogram_merge, log_histogram
+
+    whole = spark.range(0, 5000).select(F.col("id").alias("v"))
+    a = spark.range(0, 1700).select(F.col("id").alias("v"))
+    b = spark.range(1700, 5000).select(F.col("id").alias("v"))
+    got = {
+        r["bucket"]: r["n"]
+        for r in histogram_merge(log_histogram(a, "v"), log_histogram(b, "v")).collect()
+    }
+    want = {r["bucket"]: r["n"] for r in log_histogram(whole, "v").collect()}
+    assert got == want
+
+
+def test_histogram_quantiles_lower_bound_within_relative_error(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.sketches import histogram_quantiles, log_histogram
+
+    n = 10000
+    df = spark.range(1, n + 1).select(F.col("id").alias("v"))
+    got = {r["q"]: r["est"] for r in histogram_quantiles(log_histogram(df, "v")).collect()}
+    vals = list(range(1, n + 1))
+    for q, est in got.items():
+        true = vals[math.ceil(q * n) - 1]
+        # est is the bucket LOWER bound: est <= true < est * (1 + 1/16) + 1
+        assert est <= true, (q, est, true)
+        assert true < est * (1.0 + 1.0 / 16.0) + 1.0, (q, est, true)
