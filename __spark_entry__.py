@@ -1447,6 +1447,33 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-style personalized PageRank over the same extracted host
+    graph: restart mass returns to a 3-host seed set instead of the
+    uniform vector, so scores measure proximity to the trusted seeds
+    (crawl prioritization / seed-set expansion). Identical per-iteration
+    plan shape as q_host_pagerank; the oracle unrolls the same three
+    seeded iterations in SQL."""
+    from kgforge.operators.graph import normalize_edges, personalized_pagerank
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    t = normalize_edges(edges, symmetrize=True)
+    seeds = spark.createDataFrame(
+        [("ex0.example.org",), ("ex1.example.org",), ("ex2.example.org",)],
+        "node string",
+    )
+    return (
+        personalized_pagerank(t, seeds, iterations=3, damping=0.85)
+        .select("node", F.round("ppr", 9).alias("ppr"))
+        .orderBy("node")
+    )
+
+
 def q_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 token counts per language (linear-interpolation
     percentile, identical to ANSI PERCENTILE_CONT / DuckDB quantile_cont)."""
@@ -2827,6 +2854,33 @@ def q_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(docs, weights, bias, buckets=1024).orderBy("doc_id")
 
 
+def q_kg_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural (1-WL color-refinement) graph dedup over the per-page
+    RDF graphs: value-BLIND fingerprints collapse pages whose embedded
+    graphs are isomorphic up to IRI/literal renaming and bnode labels —
+    the mirror/template-farm signal text dedup can't see. Output is the
+    induced PARTITION (one row per equivalence class: min doc_id + size),
+    which is representation-free, so the DuckDB twin verifies it by
+    deriving each page's structural class closed-form from doc_id
+    (entity-type group multiset + violation branch + knows edge) — proven
+    equal to the WL partition (tests pin the equivalence on 500 docs)."""
+    from kgforge.operators.graphsig import wl_fingerprints
+
+    triples = _knows_triples(spark, sf_dir)
+    fps = wl_fingerprints(triples, rounds=3, value_blind=True)
+    doc = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    return (
+        fps.select(doc.alias("doc_id"), "fingerprint")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("class_rep"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        .select("class_rep", "n_docs")
+        .orderBy("class_rep")
+    )
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-scale histogram (HDR-style: 16 linear sub-buckets per
     power of two) of document token counts — the corpus-profiling sketch a
@@ -2998,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_token_histogram": q_token_histogram,
         "q_token_hist_quantiles": q_token_hist_quantiles,
+        "q_host_ppr": q_host_ppr,
+        "q_kg_graph_fingerprint": q_kg_graph_fingerprint,
     }
 
 
@@ -4673,6 +4729,81 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN r2 r ON r.node = e.src
                    GROUP BY nd.node)
             SELECT node, ROUND(pr, 9) AS pr FROM r3 ORDER BY node
+        """,
+        # personalized (seeded) PageRank: same closed-form host graph,
+        # restart vector 1/3 on ex0/ex1/ex2, ppr_0 = r
+        "q_host_ppr": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+            ),
+            eg AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                   FROM raw GROUP BY src, dst),
+            sym AS (SELECT src, dst, w FROM eg
+                    UNION ALL SELECT dst AS src, src AS dst, w FROM eg),
+            agg AS (SELECT src, dst, SUM(w) AS w FROM sym GROUP BY 1, 2),
+            outw AS (SELECT src, SUM(w) AS wout FROM agg GROUP BY 1),
+            e AS (SELECT a.src, a.dst, a.w / o.wout AS p
+                  FROM agg a JOIN outw o USING (src)),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            rv AS (SELECT node,
+                       CASE WHEN node IN ('ex0.example.org','ex1.example.org','ex2.example.org')
+                            THEN 1.0/3.0 ELSE 0.0 END AS r
+                   FROM nodes),
+            r0 AS (SELECT node, r AS ppr FROM rv),
+            r1 AS (SELECT nd.node, 0.15 * nd.r
+                       + 0.85 * COALESCE(SUM(r.ppr * e.p), 0) AS ppr
+                   FROM rv nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN r0 r ON r.node = e.src
+                   GROUP BY nd.node, nd.r),
+            r2 AS (SELECT nd.node, 0.15 * nd.r
+                       + 0.85 * COALESCE(SUM(r.ppr * e.p), 0) AS ppr
+                   FROM rv nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN r1 r ON r.node = e.src
+                   GROUP BY nd.node, nd.r),
+            r3 AS (SELECT nd.node, 0.15 * nd.r
+                       + 0.85 * COALESCE(SUM(r.ppr * e.p), 0) AS ppr
+                   FROM rv nd
+                   LEFT JOIN e ON e.dst = nd.node
+                   LEFT JOIN r2 r ON r.node = e.src
+                   GROUP BY nd.node, nd.r)
+            SELECT node, ROUND(ppr, 9) AS ppr FROM r3 ORDER BY node
+        """,
+        # WL structural partition, derived closed-form: a page's value-blind
+        # graph class is (violation branch, sorted multiset over entity
+        # types of (alias count, carries targetClass/e0, carries knows
+        # target)) — proven equal to the 1-WL partition in tests
+        "q_kg_graph_fingerprint": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            e AS (SELECT i, list_transform(range(0, 2 + (i*7)%4),
+                    j -> CASE WHEN j=0 AND i%10=3 THEN 0 ELSE (i*31 + 17*j)%1000 END) AS raw FROM d),
+            ded AS (SELECT i, list_filter(raw, (x, j) -> list_position(raw[1:j-1], x) = 0) AS ents FROM e),
+            grp AS (SELECT i,
+                CASE WHEN i%13=0 THEN 'u' WHEN i%17=0 THEN 'd' ELSE 'a' END AS branch,
+                list_transform(ents, k -> k%3) AS types FROM ded),
+            tk AS (SELECT g.i, g.branch, u.t AS t, count(*) AS cnt,
+                    max(CASE WHEN u.t = g.types[1] THEN 1 ELSE 0 END) AS is0,
+                    max(CASE WHEN len(g.types) >= 2 AND u.t = g.types[2] THEN 1 ELSE 0 END) AS is1
+                   FROM grp g, UNNEST(g.types) AS u(t)
+                   GROUP BY g.i, g.branch, u.t),
+            key AS (SELECT i, branch || '|' ||
+                      string_agg(lpad(CAST(cnt AS VARCHAR),3,'0') || CAST(is0 AS VARCHAR) || CAST(is1 AS VARCHAR),
+                                 ',' ORDER BY cnt, is0, is1) AS ck
+                    FROM tk GROUP BY i, branch)
+            SELECT CAST(min(i) AS BIGINT) AS class_rep, CAST(count(*) AS BIGINT) AS n_docs
+            FROM key GROUP BY ck ORDER BY class_rep
         """,
         # frontier: four closed-form link targets per doc; link 4 always
         # hits the crawled set and must vanish through the anti-join

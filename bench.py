@@ -254,6 +254,8 @@ def main():
         "q_bpe_merges",
         "q_token_histogram",
         "q_token_hist_quantiles",
+        "q_host_ppr",
+        "q_kg_graph_fingerprint",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -248,3 +248,58 @@ def test_domain_rates_and_rate_sample(spark):
     # repartitioned input -> identical decision set
     kept2 = rate_sample(docs.repartition(7), domain_rates(mix, budget=0.5)).collect()
     assert {r["doc_id"] for r in kept2} == expect
+
+
+def test_personalized_pagerank_matches_python_and_conserves_mass(spark):
+    from pyspark.sql import functions as F
+
+    from kgforge.operators.graph import normalize_edges, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "d", 2.0)],
+        "src string, dst string, weight double",
+    )
+    t = normalize_edges(edges, symmetrize=True)
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["ppr"]
+        for r in personalized_pagerank(t, seeds, iterations=3).collect()
+    }
+    # python replay of the same symmetrized transition table
+    w = {}
+    for s, d_, wt in [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("a", "d", 2.0)]:
+        w[(s, d_)] = w.get((s, d_), 0.0) + wt
+        w[(d_, s)] = w.get((d_, s), 0.0) + wt
+    out = {}
+    for (s, d_), wt in w.items():
+        out[s] = out.get(s, 0.0) + wt
+    p = {(s, d_): wt / out[s] for (s, d_), wt in w.items()}
+    nodes = sorted(out)
+    r = {n: (1.0 if n == "a" else 0.0) for n in nodes}
+    ppr = dict(r)
+    for _ in range(3):
+        nxt = {}
+        for n in nodes:
+            mass = sum(ppr[s] * p[(s, d_)] for (s, d_) in p if d_ == n)
+            nxt[n] = 0.15 * r[n] + 0.85 * mass
+        ppr = nxt
+    for n in nodes:
+        assert abs(got[n] - ppr[n]) < 1e-12, (n, got[n], ppr[n])
+    # restart to a dangling-free graph conserves probability mass
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # seed outscores everything else at short horizons
+    assert got["a"] == max(got.values())
+
+
+def test_personalized_pagerank_empty_seeds_raises(spark):
+    import pytest as _pytest
+
+    from kgforge.operators.graph import normalize_edges, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, weight double"
+    )
+    t = normalize_edges(edges, symmetrize=True)
+    seeds = spark.createDataFrame([], "node string")
+    with _pytest.raises(ValueError):
+        personalized_pagerank(t, seeds)
