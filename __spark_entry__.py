@@ -945,6 +945,60 @@ def q_kg_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cooccurrence(m, n_docs=n_docs).orderBy("entity_a", "entity_b")
 
 
+def q_kg_distant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision relation labeling (Mintz 2009): every
+    co-mentioned entity pair per page becomes an RE training candidate,
+    labeled by the canonical KG facts (knows edges canonicalized through
+    owl:sameAs). Pair expansion is the shared codegen array path (no
+    doc self-join); facts normalize to unordered keys so the label join
+    is ONE hash equi-join. Oracle: closed-form mention entities (doc_id
+    arithmetic) x closed-form knows facts, identical normalization."""
+    from kgforge.fixtures import gazetteer_rows, pages_from_documents
+    from kgforge.operators.distant import distant_supervision_pairs
+    from kgforge.operators.mentions import detect_mentions
+    from kgforge.operators.parse import parse_pages
+
+    # both lineages (mentions + triples) read the same synthesized pages;
+    # persist so the mapInPandas page build runs once
+    pages = pages_from_documents(spark, sf_dir).persist()
+    m = detect_mentions(pages, gazetteer_rows())
+    triples = parse_pages(pages)
+    knows = triples.filter(
+        F.col("predicate") == "http://schema.org/knows"
+    ).select(F.col("subject").alias("s_alias"), F.col("object")["value"].alias("o_alias"))
+    sameas = (
+        triples.filter(
+            F.col("predicate") == "http://www.w3.org/2002/07/owl#sameAs"
+        )
+        .select(
+            F.col("subject").alias("alias"),
+            F.regexp_extract(F.col("object")["value"], r"(E\d{4})$", 1).alias("canon"),
+        )
+        .distinct()
+    )
+    facts = (
+        knows.join(sameas.withColumnRenamed("alias", "s_alias"), "s_alias")
+        .withColumnRenamed("canon", "subj")
+        .join(
+            sameas.withColumnRenamed("alias", "o_alias").withColumnRenamed(
+                "canon", "obj"
+            ),
+            "o_alias",
+        )
+        .select("subj", F.lit("knows").alias("pred"), "obj")
+        .distinct()
+    )
+    out = distant_supervision_pairs(m, facts, doc_col="url")
+    doc = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    return out.select(
+        doc.alias("doc_id"),
+        "entity_a",
+        "entity_b",
+        F.array_join("relations", ",").alias("relation_list"),
+        "label",
+    ).orderBy("doc_id", "entity_a", "entity_b")
+
+
 def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF EXPORT: serialize a deterministic mixed-kind triple set (plain +
     lang-tagged + typed literals, IRI + bnode subjects/objects, and an
@@ -1354,6 +1408,27 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     lm = unigram_lm_train(docs)
     return unigram_lm_score(docs, lm, broadcast_model=False).orderBy("doc_id")
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. §4.4): per
+    language, documents bucket by LM-score terciles. Cutoffs come from a
+    cumulative sum over the per-(lang, rounded-score) HISTOGRAM — never a
+    per-language sort of document rows — then broadcast back for a pure
+    comparison. Ties land in the better bucket. The oracle replays
+    train + score + histogram cumsum with identical rounding."""
+    from kgforge.operators.lm_score import (
+        ccnet_buckets,
+        unigram_lm_score,
+        unigram_lm_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = unigram_lm_train(docs)
+    scored = unigram_lm_score(docs, lm, broadcast_model=False).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ccnet_buckets(scored).orderBy("doc_id")
 
 
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3054,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_hist_quantiles": q_token_hist_quantiles,
         "q_host_ppr": q_host_ppr,
         "q_kg_graph_fingerprint": q_kg_graph_fingerprint,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_kg_distant": q_kg_distant,
     }
 
 
@@ -4138,6 +4215,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN dfc fb ON fb.e = entity_b
             ORDER BY entity_a, entity_b
         """,
+        # distant supervision: mention pairs from the s-perturbed visible
+        # text, facts from doc i's own turtle (ents[0] knows ents[1]),
+        # both canonicalized to E#### ids; label = pair has a fact
+        "q_kg_distant": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            v AS (SELECT i, CASE WHEN i%29=0 AND i>0 THEN i-1 ELSE i END AS s FROM d),
+            raw AS (
+              SELECT i, list_transform(range(0, 2+(s*7)%4),
+                j -> CASE WHEN j=0 AND s%10=3 THEN 0 ELSE (s*31+17*j)%1000 END) AS r
+              FROM v),
+            de AS (SELECT DISTINCT i, 'E' || lpad(CAST(k AS VARCHAR), 4, '0') AS e
+                   FROM raw, LATERAL unnest(r) t(k)),
+            pairs AS (SELECT x.i, x.e AS entity_a, y.e AS entity_b
+                      FROM de x JOIN de y ON x.i = y.i AND x.e < y.e),
+            fraw AS (
+              SELECT i, list_transform(range(0, 2+(i*7)%4),
+                j -> CASE WHEN j=0 AND i%10=3 THEN 0 ELSE (i*31+17*j)%1000 END) AS r
+              FROM d),
+            fded AS (SELECT i, list_filter(r, (x, j) -> list_position(r[1:j-1], x) = 0) AS ents FROM fraw),
+            fact AS (SELECT DISTINCT
+                        'E' || lpad(CAST(ents[1] AS VARCHAR), 4, '0') AS s,
+                        'E' || lpad(CAST(ents[2] AS VARCHAR), 4, '0') AS o
+                     FROM fded WHERE len(ents) >= 2),
+            norm AS (SELECT least(s, o) AS entity_a, greatest(s, o) AS entity_b,
+                            CASE WHEN s < o THEN 'knows' ELSE 'knows^-1' END AS rel
+                     FROM fact WHERE s <> o),
+            rels AS (SELECT entity_a, entity_b,
+                            array_to_string(list_sort(list(DISTINCT rel)), ',') AS relation_list
+                     FROM norm GROUP BY 1, 2)
+            SELECT CAST(p.i AS BIGINT) AS doc_id, p.entity_a, p.entity_b,
+                   coalesce(r.relation_list, '') AS relation_list,
+                   (r.relation_list IS NOT NULL) AS label
+            FROM pairs p LEFT JOIN rels r USING (entity_a, entity_b)
+            ORDER BY doc_id, entity_a, entity_b
+        """,
         # ECHAR replace chain mirrored exactly (backslash first); DuckDB
         # single-quoted strings are escape-free, so '\' is one backslash
         "q_kg_ntriples": r"""
@@ -4660,6 +4772,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(logp) AS sum_logp, avg(logp) AS avg_logp
             FROM toks JOIN lm USING (token)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # CCNet terciles: identical train+score, then the per-(lang,
+        # rounded-score) histogram cumsum picks cut1/cut2 (ties -> better
+        # bucket), exactly the Spark plan's arithmetic
+        "q_ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+              FROM documents WHERE trim(text) <> ''
+            ),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T, count(*) AS V FROM counts),
+            lm AS (SELECT token, ln((c + 0.5) / (T + 0.5 * (V + 1))) AS logp
+                   FROM counts, tot),
+            sc AS (SELECT t.doc_id, round(avg(logp), 6) AS score_r
+                   FROM toks t JOIN lm USING (token) GROUP BY t.doc_id),
+            base AS (SELECT s.doc_id, d.lang, s.score_r
+                     FROM sc s JOIN documents d USING (doc_id)),
+            hist AS (SELECT lang, score_r, count(*) AS cnt
+                     FROM base GROUP BY lang, score_r),
+            nl AS (SELECT lang, sum(cnt) AS n FROM hist GROUP BY lang),
+            cum AS (SELECT h.lang, h.score_r, h.cnt, nl.n,
+                           sum(h.cnt) OVER (PARTITION BY h.lang ORDER BY h.score_r DESC
+                                            ROWS UNBOUNDED PRECEDING) AS ccnt
+                    FROM hist h JOIN nl USING (lang)),
+            cuts AS (SELECT lang,
+                            max(CASE WHEN ccnt >= ceil(n * (1.0/3.0)) THEN score_r END) AS cut1,
+                            max(CASE WHEN ccnt >= ceil(n * (1.0/3.0 + 1.0/3.0)) THEN score_r END) AS cut2
+                     FROM cum GROUP BY lang)
+            SELECT b.doc_id, b.lang, b.score_r,
+                   CASE WHEN b.score_r >= c.cut1 THEN 'head'
+                        WHEN b.score_r >= c.cut2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM base b JOIN cuts c USING (lang)
+            ORDER BY b.doc_id
         """,
         # windows: chunk k = tokens [k*48+1, k*48+64], stride 48 = 64-16;
         # n_chunks = 1 + ceil(max(0, n-64)/48)

@@ -256,6 +256,8 @@ def main():
         "q_token_hist_quantiles",
         "q_host_ppr",
         "q_kg_graph_fingerprint",
+        "q_ccnet_buckets",
+        "q_kg_distant",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -279,6 +279,43 @@ def k_hop(
     return visited
 
 
+def comention_pairs(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    entity_col: str = "entity_id",
+    max_entities_per_doc: int | None = None,
+) -> DataFrame:
+    """(doc, entity_a, entity_b) for every unordered pair of entities
+    co-mentioned in a document (entity_a < entity_b). ONE doc-keyed agg
+    builds the sorted distinct entity list; pair expansion is a codegen
+    array expression (transform x slice -> flatten -> explode), NOT a
+    self-join, so per-doc cost is bounded by ``max_entities_per_doc``
+    (deterministic lowest-id truncation). Shared by entity_cooccurrence
+    and distant-supervision labeling."""
+    de = mentions.select(doc_col, entity_col).distinct()
+    ents = F.array_sort(F.collect_set(entity_col))
+    per_doc = de.groupBy(doc_col).agg(ents.alias("es"))
+    if max_entities_per_doc is not None:
+        per_doc = per_doc.withColumn("es", F.slice("es", 1, max_entities_per_doc))
+    e = F.col("es")
+    pair_arrays = F.flatten(
+        F.transform(
+            e,
+            lambda a, i: F.transform(
+                F.slice(e, i + F.lit(2), F.greatest(F.size(e) - i - F.lit(1), F.lit(0))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return per_doc.select(
+        F.col(doc_col), F.explode(pair_arrays).alias("p")
+    ).select(
+        doc_col,
+        F.col("p.a").alias("entity_a"),
+        F.col("p.b").alias("entity_b"),
+    )
+
+
 def entity_cooccurrence(
     mentions: DataFrame,
     n_docs: int,
@@ -312,23 +349,9 @@ def entity_cooccurrence(
     """
     de = mentions.select(doc_col, entity_col).distinct()
     df_counts = de.groupBy(entity_col).agg(F.count("*").alias("df"))
-    ents = F.array_sort(F.collect_set(entity_col))
-    per_doc = de.groupBy(doc_col).agg(ents.alias("es"))
-    if max_entities_per_doc is not None:
-        per_doc = per_doc.withColumn("es", F.slice("es", 1, max_entities_per_doc))
-    e = F.col("es")
-    pair_arrays = F.flatten(
-        F.transform(
-            e,
-            lambda a, i: F.transform(
-                F.slice(e, i + F.lit(2), F.greatest(F.size(e) - i - F.lit(1), F.lit(0))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
     pairs = (
-        per_doc.select(F.explode(pair_arrays).alias("p"))
-        .groupBy(F.col("p.a").alias("entity_a"), F.col("p.b").alias("entity_b"))
+        comention_pairs(mentions, doc_col, entity_col, max_entities_per_doc)
+        .groupBy("entity_a", "entity_b")
         .agg(F.count("*").alias("co_docs"))
         .filter(F.col("co_docs") >= min_co_docs)
     )

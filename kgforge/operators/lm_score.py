@@ -92,3 +92,66 @@ def unigram_lm_score(
         F.sum("logp").alias("sum_logp"),
         F.avg("logp").alias("avg_logp"),
     )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "avg_logp",
+    head_frac: float = 1.0 / 3.0,
+    middle_frac: float = 1.0 / 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. §4.4): per language,
+    the best ``head_frac`` of documents by LM score -> 'head', the next
+    ``middle_frac`` -> 'middle', the rest -> 'tail'. Input rows carry
+    (id, lang, score); output (id, lang, score_r, bucket).
+
+    Scale design — NO per-language sort of data rows: scores are rounded
+    to ``decimals`` (also what makes the boundary robust to cross-engine
+    last-ulp float drift), aggregated to a per-(lang, score) HISTOGRAM,
+    and the cutoffs come from a cumulative sum over histogram rows only —
+    the window partitions by language and touches score-cardinality rows
+    (bounded by score-range * 10^decimals), not document rows. Cutoffs
+    broadcast back; assignment is a pure comparison. Tie semantics:
+    every document sharing the boundary score lands in the better bucket
+    (deterministic, slightly overfills head/middle).
+    """
+    from pyspark.sql import Window
+
+    s_r = F.round(F.col(score_col), decimals)
+    base = scored.select(
+        F.col(id_col), F.col(lang_col), s_r.alias("score_r")
+    )
+    hist = base.groupBy(lang_col, "score_r").agg(F.count(F.lit(1)).alias("cnt"))
+    n = hist.groupBy(lang_col).agg(F.sum("cnt").alias("n"))
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("score_r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("ccnt", F.sum("cnt").over(w)).join(n, lang_col)
+    cuts = cum.groupBy(lang_col).agg(
+        F.max(
+            F.when(
+                F.col("ccnt") >= F.ceil(F.col("n") * F.lit(head_frac)),
+                F.col("score_r"),
+            )
+        ).alias("cut1"),
+        F.max(
+            F.when(
+                F.col("ccnt")
+                >= F.ceil(F.col("n") * F.lit(head_frac + middle_frac)),
+                F.col("score_r"),
+            )
+        ).alias("cut2"),
+    )
+    bucket = (
+        F.when(F.col("score_r") >= F.col("cut1"), F.lit("head"))
+        .when(F.col("score_r") >= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return base.join(F.broadcast(cuts), lang_col).select(
+        id_col, lang_col, "score_r", bucket.alias("bucket")
+    )

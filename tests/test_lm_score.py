@@ -69,3 +69,28 @@ def test_in_distribution_scores_higher(spark):
         ).collect()
     }
     assert scored[100] > scored[101]
+
+
+def test_ccnet_buckets_terciles_and_ties(spark):
+    from kgforge.operators.lm_score import ccnet_buckets
+
+    # 9 docs in one language, distinct scores -3..-11 -> clean 3/3/3 split
+    rows = [(i, "en", float(-3 - i)) for i in range(9)]
+    # a second language where ALL docs tie -> everyone lands in head
+    rows += [(100 + i, "de", -5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logp double")
+    got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    assert [got[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert all(got[100 + i] == "head" for i in range(4))
+
+
+def test_ccnet_buckets_languages_are_independent(spark):
+    from kgforge.operators.lm_score import ccnet_buckets
+
+    # identical score distributions per language -> identical bucket layout,
+    # regardless of the other language's presence
+    rows = [(i, "en", float(-i)) for i in range(6)]
+    rows += [(10 + i, "fr", float(-i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logp double")
+    got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
+    assert [got[i] for i in range(6)] == [got[10 + i] for i in range(6)]
