@@ -123,6 +123,10 @@ def wl_colors(
     """
     nodes, edges = _nodes_and_edges(triples, value_blind)
     nodes = nodes.persist()
+    # edges feed TWO joins per round (subject-side and object-side
+    # messages); unpersisted, each reference would re-run the upstream
+    # parse (a mapInPandas corpus scan) — 2*rounds times
+    edges = edges.persist()
     for _ in range(rounds):
         # edges and nodes share lineage (both derive from `triples`), so
         # rename the node side before joining to keep attributes distinct

@@ -121,9 +121,13 @@ def ccnet_buckets(
     from pyspark.sql import Window
 
     s_r = F.round(F.col(score_col), decimals)
+    # persisted: the rounded score table is read TWICE (histogram build +
+    # final bucket assignment); unpersisted, the upstream LM scoring
+    # (token explode + model join) would run once per consumer. At
+    # cluster scale write it as a stage table instead.
     base = scored.select(
         F.col(id_col), F.col(lang_col), s_r.alias("score_r")
-    )
+    ).persist()
     hist = base.groupBy(lang_col, "score_r").agg(F.count(F.lit(1)).alias("cnt"))
     n = hist.groupBy(lang_col).agg(F.sum("cnt").alias("n"))
     w = (
