@@ -2956,6 +2956,26 @@ def q_kg_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-KEY HyperLogLog: distinct-token estimate per language next to
+    the exact count — the grouped form of q_distinct_sketch (one
+    map-side-combinable agg on (lang, bucket), <= 64 register rows per
+    language; shard sketches merge per key). The DuckDB twin replays
+    every grouped register and the estimator branch bit-for-bit."""
+    from kgforge.operators.sketches import hll_estimate_by, hll_registers_by
+    from kgforge.operators.text_stats import _tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.trim("text") != "").select(
+        "lang", F.explode(_tokens_col(F.col("text"))).alias("tok")
+    )
+    est = hll_estimate_by(hll_registers_by(toks, ["lang"], "tok", p=6), ["lang"], p=6)
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("long").alias("exact")
+    )
+    return est.join(exact, "lang").orderBy("lang")
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-scale histogram (HDR-style: 16 linear sub-buckets per
     power of two) of document token counts — the corpus-profiling sketch a
@@ -3131,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_graph_fingerprint": q_kg_graph_fingerprint,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_kg_distant": q_kg_distant,
+        "q_lang_distinct_sketch": q_lang_distinct_sketch,
     }
 
 
@@ -6218,6 +6239,34 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS prob,
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # grouped HLL: q_distinct_sketch's registers + estimator, keyed by
+        # language (GROUP BY lang everywhere)
+        "q_lang_distinct_sketch": f"""
+            WITH t AS (SELECT lang, {_DD_TOK} AS tk,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len({_DD_TOK}) END AS n
+                       FROM documents),
+            tok AS (SELECT lang, tk[i] AS v
+                    FROM t, UNNEST(range(1, n + 1)) AS r(i) WHERE n >= 1),
+            h AS (SELECT lang, CAST(concat('0x', substring(md5(v), 1, 15)) AS BIGINT) AS h
+                  FROM tok),
+            reg AS (SELECT lang, h % 64 AS bucket,
+                           max(CASE WHEN (h >> 6) = 0 THEN 55
+                                    ELSE 55 - length(bin(h >> 6)) END) AS rho
+                    FROM h GROUP BY 1, 2),
+            agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_set,
+                           sum(pow(2.0, -rho)) AS s FROM reg GROUP BY lang),
+            ex AS (SELECT lang, CAST(count(DISTINCT v) AS BIGINT) AS exact
+                   FROM tok GROUP BY lang)
+            SELECT agg.lang, 64 AS m, n_set,
+                   CASE WHEN (CAST('0.709' AS DOUBLE) * 64 * 64)
+                             / (s + (64 - n_set)) <= 160.0
+                         AND (64 - n_set) > 0
+                        THEN 64.0 * ln(64.0 / (64 - n_set))
+                        ELSE (CAST('0.709' AS DOUBLE) * 64 * 64)
+                             / (s + (64 - n_set)) END AS estimate,
+                   exact
+            FROM agg JOIN ex USING (lang) ORDER BY lang
         """,
         # HDR-style log histogram: exact integer bucket arithmetic —
         # exponent from the binary-string length, sub-bucket via

@@ -27,7 +27,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bottomk_sample", "cms_lookup", "cms_table", "hll_registers", "hll_merge", "hll_estimate", "weighted_sample"]
+__all__ = [
+    "bottomk_sample",
+    "cms_lookup",
+    "cms_table",
+    "histogram_merge",
+    "histogram_quantiles",
+    "hll_estimate",
+    "hll_estimate_by",
+    "hll_merge",
+    "hll_registers",
+    "hll_registers_by",
+    "log_histogram",
+    "weighted_sample",
+]
 
 # alpha_m for small m (HLL paper §4); >=128 uses the closed form
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
@@ -58,6 +71,57 @@ def hll_registers(df: DataFrame, col: str, p: int = 6) -> DataFrame:
         .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_registers_by(
+    df: DataFrame, group_cols: list[str], col: str, p: int = 6
+) -> DataFrame:
+    """GROUPED register tables: (group..., bucket, rho), <= 2^p rows per
+    key — the per-key cardinality sketch (distinct URLs per host,
+    distinct tokens per language). Same determinism and merge algebra as
+    the global sketch: per-shard grouped tables merge with a bucket-wise
+    max per key; the agg is map-side combinable on (group, bucket)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    width = 60 - p
+    h = _hash60(F.col(col))
+    bucket = F.pmod(h, F.lit(m))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """(group..., m, n_set, estimate) per key from a grouped register
+    table — identical estimator arithmetic to hll_estimate (incl. the
+    small-range linear-counting branch), one combinable agg per key."""
+    m = 1 << p
+    alpha = _alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_set"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+    )
+    raw = F.lit(alpha * m * m) / (
+        F.coalesce(F.col("_s"), F.lit(0.0)) + (F.lit(m) - F.col("n_set"))
+    )
+    zeros = F.lit(m) - F.col("n_set")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.lit(m).alias("m"), "n_set", est.alias("estimate")
     )
 
 

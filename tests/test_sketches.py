@@ -224,3 +224,50 @@ def test_histogram_quantiles_lower_bound_within_relative_error(spark):
         # est is the bucket LOWER bound: est <= true < est * (1 + 1/16) + 1
         assert est <= true, (q, est, true)
         assert true < est * (1.0 + 1.0 / 16.0) + 1.0, (q, est, true)
+
+
+def test_grouped_hll_matches_global_per_key(spark):
+    from kgforge.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    rows = [("g1", f"a{i}") for i in range(200)] + [("g2", f"b{i}") for i in range(37)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r["g"]: (r["n_set"], r["estimate"])
+        for r in hll_estimate_by(hll_registers_by(df, ["g"], "v"), ["g"]).collect()
+    }
+    for g in ("g1", "g2"):
+        solo = hll_estimate(
+            hll_registers(df.filter(df.g == g), "v")
+        ).collect()[0]
+        assert got[g] == (solo["n_set"], solo["estimate"])
+
+
+def test_grouped_hll_merge_per_key(spark):
+    from kgforge.operators.sketches import hll_registers_by
+
+    a = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(100)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(50, 150)], "g string, v string"
+    )
+    whole = a.unionByName(b)
+    import pyspark.sql.functions as F
+
+    merged = (
+        hll_registers_by(a, ["g"], "v")
+        .unionByName(hll_registers_by(b, ["g"], "v"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    got = {(r["g"], r["bucket"]): r["rho"] for r in merged.collect()}
+    want = {
+        (r["g"], r["bucket"]): r["rho"]
+        for r in hll_registers_by(whole, ["g"], "v").collect()
+    }
+    assert got == want
