@@ -2956,6 +2956,59 @@ def q_kg_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF canonicalization (URDNA-style, WL-color-derived bnode labels):
+    canonicalize every page's graph TWICE — once as parsed, once after an
+    adversarial blank-node relabeling — and assert the canonical texts
+    are byte-identical. Output (doc_id, identical, n_lines); the oracle
+    pins identical=true for every page and the closed-form line count
+    (15 + 3·|ents| + [|ents| >= 2] — shape scaffold + per-entity triples
+    + violation + knows). The equality check runs IN-plan (array compare
+    of sorted line sets), so the driver hash covers the real invariant."""
+    from kgforge.rdf.c14n import canonical_ntriples
+
+    triples = _knows_triples(spark, sf_dir).persist()
+    subj2 = F.when(
+        F.col("subject").startswith("_:"),
+        F.concat(F.lit("_:zz"), F.regexp_replace(F.col("subject"), "^_:", "")),
+    ).otherwise(F.col("subject"))
+    o = F.col("object")
+    obj2 = F.when(
+        o["kind"] == "bnode",
+        F.struct(
+            F.concat(F.lit("zz"), F.regexp_replace(o["value"], "^_:", "")).alias(
+                "value"
+            ),
+            F.lit("bnode").alias("kind"),
+            F.lit(None).cast("string").alias("datatype"),
+            F.lit(None).cast("string").alias("lang"),
+        ),
+    ).otherwise(o)
+    relabeled = triples.select(
+        "url", subj2.alias("subject"), "predicate", obj2.alias("object")
+    )
+
+    def canon_sets(t, name):
+        return (
+            canonical_ntriples(t)
+            .groupBy("url")
+            .agg(F.array_sort(F.collect_list("line")).alias(name))
+        )
+
+    a = canon_sets(triples, "lines_a")
+    b = canon_sets(relabeled, "lines_b")
+    doc = F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint")
+    return (
+        a.join(b, "url")
+        .select(
+            doc.alias("doc_id"),
+            (F.col("lines_a") == F.col("lines_b")).alias("identical"),
+            F.size("lines_a").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_lang_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-KEY HyperLogLog: distinct-token estimate per language next to
     the exact count — the grouped form of q_distinct_sketch (one
@@ -3152,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_kg_distant": q_kg_distant,
         "q_lang_distinct_sketch": q_lang_distinct_sketch,
+        "q_kg_canonical": q_kg_canonical,
     }
 
 
@@ -6239,6 +6293,17 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS prob,
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # canonicalization invariant: identical must hold everywhere; the
+        # line count is closed-form from the fixture's triple inventory
+        "q_kg_canonical": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            e AS (SELECT i, list_transform(range(0, 2 + (i*7)%4),
+                    j -> CASE WHEN j=0 AND i%10=3 THEN 0 ELSE (i*31 + 17*j)%1000 END) AS raw FROM d),
+            ded AS (SELECT i, list_filter(raw, (x, j) -> list_position(raw[1:j-1], x) = 0) AS ents FROM e)
+            SELECT CAST(i AS BIGINT) AS doc_id, TRUE AS identical,
+                   CAST(15 + 3*len(ents) + CASE WHEN len(ents) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS n_lines
+            FROM ded ORDER BY doc_id
         """,
         # grouped HLL: q_distinct_sketch's registers + estimator, keyed by
         # language (GROUP BY lang everywhere)
