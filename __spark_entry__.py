@@ -2956,6 +2956,19 @@ def q_kg_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel view -> click -> purchase over the events
+    stream: per user, the earliest strictly-increasing completion chain.
+    Every stage is a user-keyed min-agg + co-partitioned join (map-side
+    combinable — the reduce side sees user cardinality, never event
+    cardinality; no per-user sort or window). Oracle replays the same
+    step-frontier chain with strict-inequality joins."""
+    from kgforge.operators.funnel import funnel_steps
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_steps(events, ["view", "click", "purchase"]).orderBy("user_id")
+
+
 def q_kg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF canonicalization (URDNA-style, WL-color-derived bnode labels):
     canonicalize every page's graph TWICE — once as parsed, once after an
@@ -3206,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_distant": q_kg_distant,
         "q_lang_distinct_sketch": q_lang_distinct_sketch,
         "q_kg_canonical": q_kg_canonical,
+        "q_funnel": q_funnel,
     }
 
 
@@ -6293,6 +6307,22 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS prob,
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # funnel: step-k frontier = min ts strictly after step-(k-1)
+        "q_funnel": """
+            WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT e.user_id, min(e.ts) AS t1
+                   FROM events e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+            SELECT s0.user_id, t0, t1, t2,
+                   1 + (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)
+                     + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS steps_completed
+            FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+            ORDER BY user_id
         """,
         # canonicalization invariant: identical must hold everywhere; the
         # line count is closed-form from the fixture's triple inventory
