@@ -2956,6 +2956,56 @@ def q_kg_graph_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation metrics (MRR, DCG@10, NDCG@10, hits@10) per query
+    over a deterministic 3-query run: ranked lists are hash-ordered
+    top-20s built from three TakeOrderedAndProject passes (never a
+    corpus-wide ranking window), graded qrels are closed-form from
+    doc_id. The metrics operator is the real surface under test; DuckDB
+    replays ranking + judgments + Järvelin-Kekäläinen arithmetic."""
+    from kgforge.operators.ranking import ranking_metrics
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    KNUTH, M32 = 2654435761, 4294967296
+    parts = []
+    for q in range(3):
+        h = ((F.col("doc_id") + F.lit(q * 31)) * F.lit(KNUTH)) % F.lit(M32)
+        parts.append(
+            docs.select(F.lit(q).alias("query_id"), "doc_id", h.alias("_h"))
+            .orderBy("_h", "doc_id")
+            .limit(20)
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("_h", "doc_id")
+    res = res.withColumn("rank", F.row_number().over(w)).drop("_h")
+    qrels = None
+    for q in range(3):
+        r = docs.filter((F.col("doc_id") + q) % 7 == 0).select(
+            F.lit(q).alias("query_id"),
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 3).cast("int").alias("rel"),
+        )
+        qrels = r if qrels is None else qrels.unionByName(r)
+    return ranking_metrics(res, qrels, k=10).orderBy("query_id")
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain hard token caps (the 'at most N tokens of domain X'
+    mixture stage): keep documents in deterministic hash order until the
+    domain's running count crosses the budget. The running cumsum is the
+    two-phase (bucketed) prefix sum — no domain-wide sort of document
+    rows. Oracle replays the same Knuth-hash order and exclusive cumsum
+    in one SQL window (oracle-side scale is irrelevant)."""
+    from kgforge.operators.sampling import domain_quota
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_quota(docs, budget_tokens=2000).orderBy("doc_id")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel view -> click -> purchase over the events
     stream: per user, the earliest strictly-increasing completion chain.
@@ -3220,6 +3270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_distinct_sketch": q_lang_distinct_sketch,
         "q_kg_canonical": q_kg_canonical,
         "q_funnel": q_funnel,
+        "q_domain_quota": q_domain_quota,
+        "q_search_eval": q_search_eval,
     }
 
 
@@ -6307,6 +6359,57 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS prob,
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # IR metrics: hash-ranked top-20s + closed-form graded qrels,
+        # Järvelin-Kekäläinen DCG with the identical rounding chain
+        "q_search_eval": """
+            WITH qn AS (SELECT unnest([0, 1, 2]) AS query_id),
+            ranked AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY ((doc_id + query_id*31) * 2654435761) % 4294967296, doc_id)
+                       AS INT) AS rnk
+              FROM documents, qn),
+            res AS (SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= 20),
+            qrels AS (SELECT query_id, doc_id,
+                             CAST(1 + doc_id % 3 AS DOUBLE) AS rel
+                      FROM documents, qn WHERE (doc_id + query_id) % 7 = 0),
+            j AS (SELECT r.query_id, r.rnk, q.rel
+                  FROM res r LEFT JOIN qrels q USING (query_id, doc_id)
+                  WHERE r.rnk <= 10),
+            perq AS (SELECT query_id,
+                       round(coalesce(max(CASE WHEN rel > 0 THEN 1.0/rnk END), 0), 6) AS rr,
+                       round(sum(coalesce(rel, 0) / log2(rnk + 1.0)), 6) AS dcg,
+                       CAST(count(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS hits
+                     FROM j GROUP BY query_id),
+            ideal AS (SELECT query_id, rel,
+                             row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, doc_id ASC) AS i
+                      FROM qrels WHERE rel > 0),
+            idcgs AS (SELECT query_id, round(sum(rel / log2(i + 1.0)), 6) AS idcg
+                      FROM ideal WHERE i <= 10 GROUP BY query_id)
+            SELECT p.query_id, p.rr, p.dcg,
+                   coalesce(d.idcg, 0.0) AS idcg,
+                   CASE WHEN coalesce(d.idcg, 0.0) > 0
+                        THEN round(p.dcg / d.idcg, 6) ELSE 0.0 END AS ndcg,
+                   p.hits
+            FROM perq p LEFT JOIN idcgs d USING (query_id)
+            ORDER BY p.query_id
+        """,
+        # domain quota: same Knuth hash order, one exclusive window cumsum
+        "q_domain_quota": f"""
+            WITH b AS (SELECT doc_id, source AS domain,
+                       {_dd_token_count()} AS n_tokens,
+                       (doc_id * 2654435761) % 4294967296 AS k
+                       FROM documents),
+            c AS (SELECT doc_id, domain, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             PARTITION BY domain ORDER BY k, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                  FROM b)
+            SELECT doc_id, domain, n_tokens, cum_before,
+                   cum_before < 2000 AS kept
+            FROM c ORDER BY doc_id
         """,
         # funnel: step-k frontier = min ts strictly after step-(k-1)
         "q_funnel": """

@@ -109,3 +109,76 @@ def textrank_keywords(
         .orderBy(F.desc("pr"), "word")
         .limit(top_n)
     )
+
+
+def ranking_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """IR quality metrics per query: (query_id, rr, dcg, idcg, ndcg,
+    hits) — reciprocal rank of the first relevant result, DCG@k /
+    ideal-DCG@k / their ratio, and the relevant-result count in the top
+    k. Standard definitions (Järvelin & Kekäläinen): dcg = sum rel_i /
+    log2(rank_i + 1); idcg ranks the query's qrels by rel desc (doc-id
+    tiebreak). Queries with no relevant documents report rr/dcg/ndcg 0.
+
+    Scale shape: results are top-k-bounded per query, so the metric aggs
+    are query-keyed and map-side combinable; the only window runs over
+    QRELS per query (judgment lists, bounded by assessment effort, never
+    corpus-sized). Doubles round to 6 so ln-ulp drift can't flip a
+    comparison downstream.
+    """
+    joined = results.filter(F.col(rank_col) <= k).join(
+        qrels.select(
+            F.col(query_col), F.col(doc_col), F.col(rel_col).cast("double").alias("_rel")
+        ),
+        [query_col, doc_col],
+        "left",
+    )
+    rel = F.coalesce("_rel", F.lit(0.0))
+    per_q = joined.groupBy(query_col).agg(
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(rel > 0, F.lit(1.0) / F.col(rank_col).cast("double"))
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+        F.round(
+            F.sum(rel / F.log2(F.col(rank_col).cast("double") + F.lit(1.0))), 6
+        ).alias("dcg"),
+        F.sum(F.when(rel > 0, 1).otherwise(0)).cast("bigint").alias("hits"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("_rel"), F.col(doc_col).asc()
+    )
+    ideal = (
+        qrels.select(
+            F.col(query_col),
+            F.col(doc_col),
+            F.col(rel_col).cast("double").alias("_rel"),
+        )
+        .filter(F.col("_rel") > 0)
+        .withColumn("_i", F.row_number().over(w))
+        .filter(F.col("_i") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.round(
+                F.sum(F.col("_rel") / F.log2(F.col("_i").cast("double") + F.lit(1.0))),
+                6,
+            ).alias("idcg")
+        )
+    )
+    out = per_q.join(ideal, query_col, "left")
+    idcg = F.coalesce("idcg", F.lit(0.0))
+    ndcg = F.when(idcg > 0, F.round(F.col("dcg") / idcg, 6)).otherwise(F.lit(0.0))
+    return out.select(
+        query_col, "rr", "dcg", idcg.alias("idcg"), ndcg.alias("ndcg"), "hits"
+    )

@@ -215,3 +215,66 @@ def leakage_safe_split(
     return lab.withColumn(
         "split", F.when(h < val_pct, F.lit("val")).otherwise(F.lit("train"))
     )
+
+
+def domain_quota(
+    docs: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """Hard per-domain token caps: keep each domain's documents — in the
+    deterministic key-hash order every sampler here uses — until the
+    domain's running token count reaches ``budget_tokens`` (the document
+    that CROSSES the budget is still kept, so every non-empty domain
+    contributes at least one document). The quota stage a mixture recipe
+    ("at most N tokens of domain X") compiles to after ``domain_mix``
+    picks the proportions.
+
+    Scale shape — the packing.py two-phase cumsum, per domain: the hash
+    order key is uniform, so its high bits RANGE-partition each domain's
+    order; phase 1 windows over (domain, hash-bucket) sub-partitions,
+    phase 2 computes bucket offsets on the (domain, bucket) totals table
+    (domain-cardinality * 2^(32-bucket_bits) rows — metadata-sized), and
+    the exclusive prefix sum is intra + offset. No domain-wide or global
+    sort of document rows anywhere, so a hot domain cannot straddle one
+    window partition.
+
+    Output: (id, domain, n_tokens, cum_before, kept)."""
+    from .text_stats import token_count_col
+
+    k = sample_hash_col(id_col)
+    base = docs.select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        k.alias("_k"),
+    ).withColumn("_bucket", F.shiftright("_k", 32 - bucket_bits))
+
+    w_in = (
+        Window.partitionBy("domain", "_bucket")
+        .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = base.withColumn(
+        "_cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    totals = base.groupBy("domain", "_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    w_b = (
+        Window.partitionBy("domain")
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # totals is (domain, bucket)-sized metadata: this window never sees docs
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("domain", "_bucket", "_offset")
+    cum = (F.col("_cum_in") + F.col("_offset")).alias("cum_before")
+    return intra.join(offsets, ["domain", "_bucket"]).select(
+        id_col,
+        "domain",
+        "n_tokens",
+        cum,
+        (F.col("_cum_in") + F.col("_offset") < F.lit(budget_tokens)).alias("kept"),
+    )

@@ -303,3 +303,44 @@ def test_personalized_pagerank_empty_seeds_raises(spark):
     seeds = spark.createDataFrame([], "node string")
     with _pytest.raises(ValueError):
         personalized_pagerank(t, seeds)
+
+
+def test_domain_quota_matches_python_cumsum_and_crossing_doc_kept(spark):
+    from kgforge.operators.sampling import domain_quota
+
+    rows = [(i, "d1" if i % 2 == 0 else "d2", "w " * (5 * (i + 1))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["cum_before"], r["kept"])
+        for r in domain_quota(df, budget_tokens=30).collect()
+    }
+    # python replay: same Knuth order, exclusive cumsum per domain
+    KNUTH, M32 = 2654435761, 4294967296
+    doms = {}
+    for i, d, t in rows:
+        doms.setdefault(d, []).append((i, len(t.split())))
+    for d, docs in doms.items():
+        docs.sort(key=lambda x: ((x[0] * KNUTH) % M32, x[0]))
+        cum = 0
+        for i, n in docs:
+            assert got[i] == (cum, cum < 30), (i, got[i], cum)
+            cum += n
+    # every domain keeps at least its first document, and the document
+    # crossing the budget is kept while the next one is dropped
+    for d, docs in doms.items():
+        kept = [i for i, _ in docs if got[i][1]]
+        assert kept, d
+        first_drop = next((i for i, _ in docs if not got[i][1]), None)
+        if first_drop is not None:
+            assert got[first_drop][0] >= 30
+
+
+def test_domain_quota_bucketing_invariant(spark):
+    """The two-phase cumsum must agree across bucket granularities."""
+    from kgforge.operators.sampling import domain_quota
+
+    rows = [(i, f"d{i % 3}", "tok " * (i % 7 + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = {r["doc_id"]: r["cum_before"] for r in domain_quota(df, 40, bucket_bits=20).collect()}
+    b = {r["doc_id"]: r["cum_before"] for r in domain_quota(df, 40, bucket_bits=4).collect()}
+    assert a == b

@@ -146,3 +146,51 @@ def test_prebuilt_index_plan_only_and_identical(spark):
     assert got == base
     assert [r.doc_id for r in q2.collect()] == ["d1", "d3"]
     idx.unpersist()
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from kgforge.operators.ranking import ranking_metrics
+
+    res = spark.createDataFrame(
+        [(0, "d1", 1), (0, "d2", 2), (0, "d3", 3), (1, "d1", 1), (1, "d2", 2)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, "d2", 2), (0, "d3", 1), (0, "d9", 3), (1, "dX", 1)],
+        "query_id int, doc_id string, rel int",
+    )
+    got = {r["query_id"]: r.asDict() for r in ranking_metrics(res, qrels, k=3).collect()}
+    # q0: first relevant at rank 2 -> rr = 0.5
+    assert got[0]["rr"] == 0.5
+    dcg = 2 / math.log2(3) + 1 / math.log2(4)
+    idcg = 3 / math.log2(2) + 2 / math.log2(3) + 1 / math.log2(4)
+    assert abs(got[0]["dcg"] - round(dcg, 6)) < 1e-9
+    assert abs(got[0]["idcg"] - round(idcg, 6)) < 1e-9
+    assert abs(got[0]["ndcg"] - round(round(dcg, 6) / round(idcg, 6), 6)) < 1e-9
+    assert got[0]["hits"] == 2
+    # q1: no retrieved doc is relevant -> zeros, idcg from its 1 judged doc
+    assert got[1]["rr"] == 0.0 and got[1]["dcg"] == 0.0 and got[1]["hits"] == 0
+    assert got[1]["ndcg"] == 0.0 and got[1]["idcg"] == 1.0
+
+
+def test_ranking_metrics_k_cut_and_perfect_ranking(spark):
+    from kgforge.operators.ranking import ranking_metrics
+
+    res = spark.createDataFrame(
+        [(0, f"d{i}", i) for i in range(1, 21)],
+        "query_id int, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, "d1", 1), (0, "d15", 1)], "query_id int, doc_id string, rel int"
+    )
+    got = ranking_metrics(res, qrels, k=10).collect()[0]
+    # d15 is outside the k=10 cut: only d1 counts, and the IDEAL list
+    # still contains both judged docs (ndcg < 1 punishes the miss)
+    assert got["hits"] == 1 and got["rr"] == 1.0
+    assert got["ndcg"] < 1.0
+    perfect = ranking_metrics(
+        res, spark.createDataFrame([(0, "d1", 1)], "query_id int, doc_id string, rel int"), k=10
+    ).collect()[0]
+    assert perfect["ndcg"] == 1.0
