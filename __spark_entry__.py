@@ -2557,6 +2557,24 @@ def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks (p=2 return-averse, q=0.5
+    DFS-leaning) over the host graph: the weighted neighbor pick is an
+    Efraimidis-Spirakis argmax with per-candidate md5 uniforms, and the
+    chosen p/q hit exactly-rounded IEEE key paths (u*u / sqrt(u)), so the
+    DuckDB oracle replays every draw bitwise. Per step: one neighbor
+    expansion join + one prev-adjacency equi-join + one combinable
+    min(struct) argmax."""
+    from kgforge.operators.links import extract_links, host_edges
+    from kgforge.operators.walks import node2vec_walks
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    und = edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return node2vec_walks(
+        und, num_walks=2, walk_length=3, p=2.0, q=0.5, seed=13
+    ).orderBy("start", "walk_id")
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities (Kleinberg) over the DIRECTED host graph,
     2 iterations: auth = L2-normalized sum of in-neighbor hubs, hub =
@@ -3272,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_domain_quota": q_domain_quota,
         "q_search_eval": q_search_eval,
+        "q_host_node2vec": q_host_node2vec,
     }
 
 
@@ -6359,6 +6378,70 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-score)), 6) AS prob,
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
+        """,
+        # node2vec: step 1 = DeepWalk's uniform draw; steps 2-3 pick the
+        # ES-argmax with exact keys (u*u return / u adjacent / sqrt(u) far)
+        "q_host_node2vec": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            und AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+            nbr AS (SELECT src, dst,
+                           CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                                AS BIGINT) AS i
+                    FROM und),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+            w0 AS (SELECT start, CAST(w.i AS BIGINT) AS walk_id
+                   FROM (SELECT DISTINCT src AS start FROM und),
+                        UNNEST(range(1, 3)) AS w(i)),
+            w1 AS (SELECT w0.start, w0.walk_id, w0.start AS prev, nbr.dst AS cur,
+                          w0.start || '>' || nbr.dst AS path
+                   FROM w0
+                   JOIN deg ON deg.src = w0.start
+                   JOIN nbr ON nbr.src = w0.start AND nbr.i =
+                     CAST(concat('0x', substring(md5(w0.start || chr(31)
+                       || CAST(w0.walk_id AS VARCHAR) || chr(31) || '1'
+                       || chr(31) || '13'), 1, 15)) AS BIGINT) % deg.deg),
+            c2 AS (SELECT w1.start, w1.walk_id, w1.prev, w1.cur, w1.path,
+                          nbr.dst AS x, (a.src IS NOT NULL) AS adj,
+                          (CAST(concat('0x', substring(md5(w1.start || chr(31)
+                            || CAST(w1.walk_id AS VARCHAR) || chr(31) || '2'
+                            || chr(31) || '13' || chr(31) || nbr.dst), 1, 15)) AS BIGINT)
+                           + 0.5) / 1152921504606846976.0 AS u
+                   FROM w1
+                   JOIN nbr ON nbr.src = w1.cur
+                   LEFT JOIN und a ON a.src = w1.prev AND a.dst = nbr.dst),
+            w2 AS (SELECT start, walk_id, cur AS prev, x AS cur,
+                          path || '>' || x AS path
+                   FROM (SELECT *, CASE WHEN x = prev THEN u*u
+                                        WHEN adj THEN u
+                                        ELSE sqrt(u) END AS key FROM c2)
+                   QUALIFY row_number() OVER (PARTITION BY start, walk_id
+                                              ORDER BY key DESC, x ASC) = 1),
+            c3 AS (SELECT w2.start, w2.walk_id, w2.prev, w2.cur, w2.path,
+                          nbr.dst AS x, (a.src IS NOT NULL) AS adj,
+                          (CAST(concat('0x', substring(md5(w2.start || chr(31)
+                            || CAST(w2.walk_id AS VARCHAR) || chr(31) || '3'
+                            || chr(31) || '13' || chr(31) || nbr.dst), 1, 15)) AS BIGINT)
+                           + 0.5) / 1152921504606846976.0 AS u
+                   FROM w2
+                   JOIN nbr ON nbr.src = w2.cur
+                   LEFT JOIN und a ON a.src = w2.prev AND a.dst = nbr.dst),
+            w3 AS (SELECT start, walk_id, path || '>' || x AS path
+                   FROM (SELECT *, CASE WHEN x = prev THEN u*u
+                                        WHEN adj THEN u
+                                        ELSE sqrt(u) END AS key FROM c3)
+                   QUALIFY row_number() OVER (PARTITION BY start, walk_id
+                                              ORDER BY key DESC, x ASC) = 1)
+            SELECT start, walk_id, path FROM w3 ORDER BY start, walk_id
         """,
         # IR metrics: hash-ranked top-20s + closed-form graded qrels,
         # Järvelin-Kekäläinen DCG with the identical rounding chain
