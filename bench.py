@@ -258,6 +258,12 @@ def main():
         "q_kg_graph_fingerprint",
         "q_ccnet_buckets",
         "q_kg_distant",
+        "q_lang_distinct_sketch",
+        "q_kg_canonical",
+        "q_funnel",
+        "q_domain_quota",
+        "q_search_eval",
+        "q_host_node2vec",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

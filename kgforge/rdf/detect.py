@@ -35,9 +35,24 @@ FORMAT_TRIG = "trig"
 
 _TURTLE_RE = re.compile(r"(?:^|\n)\s*(?:@prefix|@base|prefix\s+[\w-]*\s*:|base\s+<)", re.I)
 _NT_LINE_RE = re.compile(r"^\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+.+\.\s*$")
-# TriG = Turtle + graph blocks: a '{' outside string literals (or a
-# top-level GRAPH keyword) distinguishes the two
-_STRING_MASK_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
+# TriG = Turtle + graph blocks: a '{' outside string literals, comments,
+# and IRIs (or a top-level GRAPH keyword) distinguishes the two. The mask
+# removes every token that may legally CONTAIN '{' or a confusing quote:
+# long strings first (so "" inside """...""" can't close early), then
+# short strings (newline-bounded so a stray apostrophe's damage stops at
+# end of line), IRIREFs (a '#'-carrying IRI must not start a comment),
+# and '#' comments (an apostrophe in a comment — "TopBraid's" — must NOT
+# open a single-quoted string; this exact case misclassified a reference
+# fixture as TriG). re.sub scans left to right, so at each position the
+# earliest alternative wins, which is precisely tokenizer behavior.
+_STRING_MASK_RE = re.compile(
+    r'"""(?:[^"\\]|\\.|"(?!""))*"""'
+    r"|'''(?:[^'\\]|\\.|'(?!''))*'''"
+    r'|"(?:[^"\\\n]|\\.)*"'
+    r"|'(?:[^'\\\n]|\\.)*'"
+    r"|<[^>\s]*>"
+    r"|#[^\n]*"
+)
 _GRAPH_KW_RE = re.compile(r"(?:^|\n)\s*GRAPH\s*[<_a-zA-Z]", re.I)
 
 

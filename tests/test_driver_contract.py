@@ -9,6 +9,11 @@ ROWS_ONLY = {
     # argmax over crc32 feature-hash embeddings — not ANSI-SQL-expressible;
     # value-asserted against a pure-Python reimpl in test_entity_linking.py
     "q_entity_linking",
+    # iterative argmax + re-symbolization (each merge rewrites the symbol
+    # sequences the next iteration counts) — a sequential fold SQL cannot
+    # express; value-asserted against the published BPE algorithm in
+    # test_bpe.py (iteration-0 statistic IS fully oracled as q_bpe_pairs)
+    "q_bpe_merges",
 }
 
 
