@@ -2557,6 +2557,19 @@ def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the entity co-occurrence graph (iterative peeling to
+    fixpoint): the cohesion skeleton KG curation keeps when trimming
+    low-support entities. Each round = one combinable degree agg + two
+    anti-joins; fixpoint probe is a bounded 1-row scalar (the CC idiom).
+    Oracle: the peel unrolled past convergence depth (6 rounds; sf0.01
+    converges in 4, denser corpora in fewer)."""
+    from kgforge.operators.graph import k_core
+
+    edges = _cooccurrence_edges(_knows_triples(spark, sf_dir))
+    return k_core(edges, k=4).orderBy("node")
+
+
 def q_host_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec second-order biased walks (p=2 return-averse, q=0.5
     DFS-leaning) over the host graph: the weighted neighbor pick is an
@@ -3291,6 +3304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_quota": q_domain_quota,
         "q_search_eval": q_search_eval,
         "q_host_node2vec": q_host_node2vec,
+        "q_kg_kcore": q_kg_kcore,
     }
 
 
@@ -3355,6 +3369,35 @@ def _dd_quality() -> str:
 
 
 # deduped entity-id list per page, mirroring kgforge.fixtures.page_entities
+def _dd_kcore_sql(k: int = 4, rounds: int = 6) -> str:
+    """Unrolled k-core peel over the closed-form co-occurrence edges —
+    ``rounds`` must exceed the fixture's convergence depth (sf0.01: 4)."""
+    parts = [
+        f"""
+        WITH raw AS (SELECT doc_id AS i, unnest({_DD_ENTS}) AS kk FROM documents),
+        de AS (SELECT DISTINCT i, 'https://kg.example.org/entity/E'
+                 || lpad(CAST(kk AS VARCHAR), 4, '0') AS ent FROM raw),
+        ed AS (SELECT DISTINCT x.ent AS a, y.ent AS b
+               FROM de x JOIN de y ON x.i = y.i AND x.ent < y.ent),
+        und AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+        deg0 AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY 1)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+        n{r} AS (SELECT node FROM deg{r - 1} WHERE deg >= {k}),
+        deg{r} AS (SELECT u.a AS node, count(*) AS deg FROM und u
+                   JOIN n{r} x ON u.a = x.node JOIN n{r} y ON u.b = y.node
+                   GROUP BY 1)"""
+        )
+    parts.append(
+        f"""
+        SELECT node, CAST(deg AS BIGINT) AS core_degree
+        FROM deg{rounds} WHERE deg >= {k} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 _DD_ENTS = (
     "list_distinct(list_transform(range(0, 2 + (doc_id*7)%4), "
     "j -> CASE WHEN j=0 AND doc_id%10=3 THEN 0 ELSE (doc_id*31 + 17*j)%1000 END))"
@@ -6379,6 +6422,8 @@ def oracle_sql() -> dict[str, str]:
                    (round(1.0 / (1.0 + exp(-score)), 6) >= 0.5) AS keep
             FROM s ORDER BY doc_id
         """,
+        # k-core: peel unrolled past the fixture's convergence depth
+        "q_kg_kcore": _dd_kcore_sql(k=4, rounds=6),
         # node2vec: step 1 = DeepWalk's uniform draw; steps 2-3 pick the
         # ES-argmax with exact keys (u*u return / u adjacent / sqrt(u) far)
         "q_host_node2vec": """

@@ -535,3 +535,45 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-core (maximal subgraph with every degree >= k) of an
+    undirected edge list, by iterative peeling: drop all nodes of degree
+    < k, recompute degrees on the surviving subgraph, repeat to fixpoint.
+    Returns (node, core_degree) — the node's degree INSIDE the core.
+
+    Scale shape: each round is one map-side-combined degree agg + two
+    node-keyed left-anti joins pruning dropped endpoints — no windows, no
+    collects of node sets. The fixpoint probe is a bounded driver scalar
+    per round (drop-set emptiness via LIMIT 1, the CC convergence idiom),
+    and the surviving edge set localCheckpoints each round so the
+    anti-join chain's lineage stays flat. Peeling converges in at most
+    max(core-number) rounds — single digits on web-shaped graphs.
+    """
+    alive = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    alive = alive.unionByName(
+        alive.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    for _ in range(max_rounds):
+        alive = alive.localCheckpoint(eager=True)
+        deg = alive.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+        drop = deg.filter(F.col("deg") < k).select("x")
+        if not drop.take(1):  # bounded fixpoint probe (1-row scalar)
+            return deg.select(
+                F.col("x").alias("node"), F.col("deg").cast("bigint").alias("core_degree")
+            )
+        alive = alive.join(drop, "x", "left_anti").join(
+            drop.withColumnRenamed("x", "y"), "y", "left_anti"
+        )
+    raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")

@@ -344,3 +344,35 @@ def test_domain_quota_bucketing_invariant(spark):
     a = {r["doc_id"]: r["cum_before"] for r in domain_quota(df, 40, bucket_bits=20).collect()}
     b = {r["doc_id"]: r["cum_before"] for r in domain_quota(df, 40, bucket_bits=4).collect()}
     assert a == b
+
+
+def test_k_core_matches_python_peel(spark):
+    from kgforge.operators.graph import k_core
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("e", "f")]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, 3).collect()}
+    # python peel
+    import collections
+
+    adj = collections.defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < 3}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+    assert got == want
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}  # e, f peeled
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    from kgforge.operators.graph import k_core
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
+    assert k_core(df, 5).count() == 0
