@@ -264,6 +264,7 @@ def main():
         "q_domain_quota",
         "q_search_eval",
         "q_host_node2vec",
+        "q_kg_kcore",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
