@@ -2570,6 +2570,24 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=4).orderBy("node")
 
 
+def q_host_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS link distance over the DIRECTED extracted host
+    graph: how many clicks from the seed host is every other host (the
+    crawl-depth metric seed-list curation and spam-distance scoring both
+    need). Frontier-driven — each round is one frontier-keyed join + one
+    anti-join against the visited set, rounds bounded by graph diameter,
+    driver traffic = a 1-row emptiness probe per round. Oracle: DuckDB
+    recursive CTE over the closed-form host edges, MIN(dist) per node."""
+    from kgforge.operators.graph import bfs_distances
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame([("ex0.example.org",)], "node string")
+    return bfs_distances(edges, seeds).orderBy("node")
+
+
 def q_host_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec second-order biased walks (p=2 return-averse, q=0.5
     DFS-leaning) over the host graph: the weighted neighbor pick is an
@@ -3305,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_search_eval": q_search_eval,
         "q_host_node2vec": q_host_node2vec,
         "q_kg_kcore": q_kg_kcore,
+        "q_host_distances": q_host_distances,
     }
 
 
@@ -6424,6 +6443,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-core: peel unrolled past the fixture's convergence depth
         "q_kg_kcore": _dd_kcore_sql(k=4, rounds=6),
+        # BFS link distance: recursive CTE over the closed-form DIRECTED
+        # host edges (self-loops excluded), MIN(dist) per reachable node
+        "q_host_distances": """
+            WITH RECURSIVE d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            bfs(node, dist) AS (
+              SELECT 'ex0.example.org' AS node, 0 AS dist
+              UNION
+              SELECT e.dst, bfs.dist + 1
+              FROM bfs JOIN e ON e.src = bfs.node
+              WHERE bfs.dist < 30
+            )
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY node ORDER BY node
+        """,
         # node2vec: step 1 = DeepWalk's uniform draw; steps 2-3 pick the
         # ES-argmax with exact keys (u*u return / u adjacent / sqrt(u) far)
         "q_host_node2vec": """

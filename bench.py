@@ -265,6 +265,7 @@ def main():
         "q_search_eval",
         "q_host_node2vec",
         "q_kg_kcore",
+        "q_host_distances",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

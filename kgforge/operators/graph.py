@@ -577,3 +577,54 @@ def k_core(
             drop.withColumnRenamed("x", "y"), "y", "left_anti"
         )
     raise RuntimeError(f"k_core did not converge within {max_rounds} rounds")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Multi-source BFS shortest-path distances (unweighted, directed)
+    from a seed set: returns (node, dist) for every node reachable within
+    max_depth hops, dist = hop count of the SHORTEST path from any seed
+    (seeds themselves at dist 0). The crawl-depth / link-distance
+    primitive: "how many clicks from the seed list is this host?".
+
+    Scale shape: frontier-driven label propagation, NOT |V| iterations —
+    each round is one frontier-keyed equi-join against the edge list,
+    one distinct, and one anti-join against the visited set; rounds run
+    until the frontier empties (diameter-bounded, single digits on
+    web-shaped graphs). The only driver traffic is the 1-row emptiness
+    probe per round (the CC convergence idiom), and both the frontier and
+    the visited set localCheckpoint so the union/anti-join lineage stays
+    flat. Seeds arrive as a DataFrame (column `node`), never a collected
+    list — the seed set may itself be large (e.g. every host in a trusted
+    registry).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    visited = (
+        seeds.select("node").distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):  # bounded fixpoint probe (1-row scalar)
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -376,3 +376,42 @@ def test_k_core_empty_when_k_exceeds_graph(spark):
 
     df = spark.createDataFrame([("a", "b"), ("b", "c")], "a string, b string")
     assert k_core(df, 5).count() == 0
+
+
+def test_bfs_distances_python_pin(spark):
+    """Directed chain + branch + unreachable node vs a hand BFS."""
+    from kgforge.operators.graph import bfs_distances
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+        ("d", "a"),            # cycle back — must not inflate dists
+        ("x", "y"),            # disconnected from seed
+        ("b", "b"),            # self-loop ignored
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}  # x, y unreachable
+
+
+def test_bfs_distances_multi_seed_min_wins(spark):
+    from kgforge.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("s1", "m"), ("m", "t"), ("s2", "t")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds).collect()}
+    # t is 2 hops from s1 but 1 hop from s2 — min wins
+    assert got == {"s1": 0, "s2": 0, "m": 1, "t": 1}
+
+
+def test_bfs_distances_depth_cap(spark):
+    from kgforge.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_depth=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # d beyond the cap
