@@ -587,6 +587,23 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID-style property-partition profile of the extracted corpus KG:
+    per predicate — triple count, documents asserting it, per-document
+    cardinality envelope, and the distinct object-kind set (a mixed-kind
+    partition flags an extraction bug). Two stacked combinable aggs; the
+    second level sees (url, predicate) rows, never triples. Oracle: the
+    closed-form per-doc triple inventory with per-predicate structural
+    kinds."""
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import parse_pages
+    from kgforge.operators.profile import predicate_profile
+
+    pages = pages_from_documents(spark, sf_dir)
+    triples = parse_pages(pages).filter(F.col("subject").isNotNull())
+    return predicate_profile(triples).orderBy("predicate")
+
+
 def q_kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML microdata extraction (itemscope/itemprop/itemtype/itemid — the
     third embedded-structured-data syntax on crawl pages, and historically
@@ -3324,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_node2vec": q_host_node2vec,
         "q_kg_kcore": q_kg_kcore,
         "q_host_distances": q_host_distances,
+        "q_kg_profile": q_kg_profile,
     }
 
 
@@ -4092,6 +4110,35 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'http://www.w3.org/2002/07/owl#sameAs', ne FROM d)
             SELECT predicate, CAST(sum(n) AS BIGINT) AS n FROM per
             GROUP BY predicate HAVING sum(n) > 0 ORDER BY predicate
+        """,
+        # VoID property partitions: the q_kg_triples per-doc inventory plus
+        # each predicate's structural object kind (fixed by the fixture
+        # grammar: sh:property objects are bnodes, counts are literals, ...)
+        "q_kg_profile": f"""
+            WITH d AS (SELECT doc_id AS i, len({_DD_ENTS}) AS ne FROM documents),
+            per AS (
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                     'iri' AS obj_kinds, 1 + ne AS n FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#targetClass', 'iri', 1 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#property', 'bnode', 3 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#path', 'iri', 3 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#datatype', 'iri', 2 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#minCount', 'literal', 1 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#maxCount', 'literal', 2 FROM d
+              UNION ALL SELECT 'http://www.w3.org/ns/shacl#nodeKind', 'iri', 1 FROM d
+              UNION ALL SELECT 'http://schema.org/name', 'literal',
+                     ne + CASE WHEN i%13<>0 AND i%17=0 THEN 1 ELSE 0 END FROM d
+              UNION ALL SELECT 'http://schema.org/age', 'literal',
+                     CASE WHEN i%13<>0 AND i%17=0 THEN 0 ELSE 1 END FROM d
+              UNION ALL SELECT 'http://schema.org/knows', 'iri',
+                     CASE WHEN ne>=2 THEN 1 ELSE 0 END FROM d
+              UNION ALL SELECT 'http://www.w3.org/2002/07/owl#sameAs', 'iri', ne FROM d)
+            SELECT predicate, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+                   CAST(max(n) AS BIGINT) AS max_per_doc,
+                   obj_kinds
+            FROM per GROUP BY predicate, obj_kinds
+            HAVING sum(n) > 0 ORDER BY predicate
         """,
         "q_kg_validate": """
             WITH d AS (

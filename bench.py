@@ -266,6 +266,7 @@ def main():
         "q_host_node2vec",
         "q_kg_kcore",
         "q_host_distances",
+        "q_kg_profile",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
