@@ -1517,6 +1517,20 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dst_url")
 
 
+def q_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL pattern mining over the extracted link corpus: digit runs in
+    host+path collapse to '{n}' so millions of URLs reduce to one row per
+    page FAMILY — the crawler-trap / over-crawled-family detector. Pure
+    codegen regexps fused into the link scan + one combinable agg keyed
+    on the template; output is template-cardinality-sized. Oracle: the
+    same collapse replayed over the closed-form canonical link URLs."""
+    from kgforge.operators.links import extract_links
+    from kgforge.operators.urlops import url_templates
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    return url_templates(links).orderBy("template")
+
+
 def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host authority over the REAL extracted link graph: extract_links →
     host_edges → symmetrized weighted PageRank (3 fixed power iterations,
@@ -3342,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_kcore": q_kg_kcore,
         "q_host_distances": q_host_distances,
         "q_kg_profile": q_kg_profile,
+        "q_url_patterns": q_url_patterns,
     }
 
 
@@ -4686,6 +4701,34 @@ def oracle_sql() -> dict[str, str]:
                   || CAST(i % 10 AS VARCHAR) || '/sec/' || CAST(i % 7 AS VARCHAR) FROM d
             )
             SELECT i AS doc_id, href, dst_url FROM links ORDER BY doc_id, dst_url
+        """,
+        # URL pattern mining: identical digit-collapse over the same
+        # closed-form canonical link URLs ('g' = replace ALL digit runs)
+        "q_url_patterns": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            links AS (
+              SELECT 'https://ex' || CAST((i*7+1) % 97 AS VARCHAR)
+                  || '.example.org/art/' || CAST(i % 500 AS VARCHAR)
+                  || '?a=1&b=2' AS dst_url FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/idx/'
+                  || CAST(i % 20 AS VARCHAR) FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST((i*11+3) % 97 AS VARCHAR)
+                  || '.example.org/pr' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/dir'
+                  || CAST(i % 10 AS VARCHAR) || '/sec/' || CAST(i % 7 AS VARCHAR) FROM d
+            ),
+            t AS (SELECT
+              regexp_replace(regexp_replace(regexp_replace(dst_url,
+                '^[a-z]+://', ''), '[?#].*$', ''), '[0-9]+', '{n}', 'g') AS template,
+              regexp_extract(dst_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+              dst_url FROM links)
+            SELECT template, CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+                   min(dst_url) AS sample_url
+            FROM t GROUP BY template ORDER BY template
         """,
         "q_kg_linkgraph": """
             WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),

@@ -267,6 +267,7 @@ def main():
         "q_kg_kcore",
         "q_host_distances",
         "q_kg_profile",
+        "q_url_patterns",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

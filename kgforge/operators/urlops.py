@@ -24,7 +24,7 @@ paths); IDN/punycode.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # scheme :// authority  path  ?query  #fragment(dropped)
 _URL_RE = r"^([^:/?#]+)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
@@ -81,3 +81,34 @@ def _any_prefix(p, prefixes):
     for pre in prefixes:
         cond = cond | p.startswith(pre)
     return cond
+
+
+def url_templates(urls: DataFrame, url_col: str = "dst_url") -> DataFrame:
+    """URL pattern mining: collapse every digit run in host+path to '{n}'
+    and aggregate per template — (template, n, n_hosts, sample_url). The
+    crawl-ops lens on a link corpus: one template row per *page family*
+    (/art/{n}, /dir{n}/sec/{n}, ...) instead of millions of URLs, which is
+    how crawler traps (calendar pages, session-id paths) and
+    over-represented URL families get spotted and capped before fetch.
+
+    Scale shape: pure codegen regexp work (scheme strip, query/fragment
+    strip, digit collapse) fused into the scan, then ONE
+    map-side-combinable agg keyed on the template — output is
+    template-cardinality-sized. sample_url = min(url), a combinable agg,
+    never a window.
+    """
+    base = F.regexp_replace(F.col(url_col), r"^[a-z]+://", "")
+    base = F.regexp_replace(base, r"[?#].*$", "")
+    tmpl = F.regexp_replace(base, r"[0-9]+", "{n}")
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/?#]+)", 1)
+    return (
+        urls.select(
+            tmpl.alias("template"), host.alias("host"), F.col(url_col).alias("u")
+        )
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+            F.min("u").alias("sample_url"),
+        )
+    )

@@ -66,3 +66,40 @@ def test_q_url_canonical_matches_oracle(spark):
     s = sdf[cols].sort_values(cols).reset_index(drop=True).astype(str)
     o = odf[cols].sort_values(cols).reset_index(drop=True).astype(str)
     assert (s.values == o.values).all()
+
+
+def test_url_templates_digit_collapse_and_host_count(spark):
+    from kgforge.operators.urlops import url_templates
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a1.example.org/art/17?x=1",),
+            ("https://a2.example.org/art/9",),
+            ("https://a1.example.org/art/17#frag",),
+            ("https://b.example.org/static/css",),
+        ],
+        "dst_url string",
+    )
+    got = {
+        r["template"]: (r["n"], r["n_hosts"], r["sample_url"])
+        for r in url_templates(urls).collect()
+    }
+    assert got == {
+        "a{n}.example.org/art/{n}": (3, 2, "https://a1.example.org/art/17#frag"),
+        "b.example.org/static/css": (1, 1, "https://b.example.org/static/css"),
+    }
+
+
+def test_url_templates_trap_family_collapses_to_one_row(spark):
+    """A 200-URL calendar trap reduces to a single template row."""
+    from kgforge.operators.urlops import url_templates
+
+    urls = spark.createDataFrame(
+        [(f"https://t.example.org/cal/2026/{m}/{d}",)
+         for m in range(1, 11) for d in range(1, 21)],
+        "dst_url string",
+    )
+    out = url_templates(urls).collect()
+    assert len(out) == 1
+    assert out[0]["template"] == "t.example.org/cal/{n}/{n}/{n}"
+    assert out[0]["n"] == 200
