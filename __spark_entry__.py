@@ -1517,6 +1517,29 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dst_url")
 
 
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-compiled fetch schedule over the extracted frontier:
+    host-sticky worker shards (a host never splits across workers),
+    per-host deterministic fetch order, and earliest-fetch offsets from
+    per-host crawl delays (robots Crawl-delay semantics). Two-phase
+    bucketed rank — a 10^8-URL host never lands in one window partition.
+    Oracle: row_number + identical md5 keys/delays replayed in SQL."""
+    from kgforge.operators.frontier import crawl_frontier, politeness_schedule
+    from kgforge.operators.links import extract_links
+
+    pages = _link_pages(spark, sf_dir)
+    frontier = crawl_frontier(extract_links(pages), pages.select("url"))
+    hosts = frontier.select(F.col("dst_host").alias("host")).distinct()
+    hkey = F.conv(F.substring(F.md5(F.col("host")), 1, 15), 16, 10).cast("long")
+    delays = hosts.select(
+        "host",
+        (F.lit(1) + F.pmod(hkey, F.lit(5))).cast("bigint").alias("crawl_delay_sec"),
+    )
+    return politeness_schedule(frontier, delays, n_workers=64).orderBy(
+        "host", "fetch_seq"
+    )
+
+
 def q_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL pattern mining over the extracted link corpus: digit runs in
     host+path collapse to '{n}' so millions of URLs reduce to one row per
@@ -3357,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_distances": q_host_distances,
         "q_kg_profile": q_kg_profile,
         "q_url_patterns": q_url_patterns,
+        "q_crawl_schedule": q_crawl_schedule,
     }
 
 
@@ -4701,6 +4725,46 @@ def oracle_sql() -> dict[str, str]:
                   || CAST(i % 10 AS VARCHAR) || '/sec/' || CAST(i % 7 AS VARCHAR) FROM d
             )
             SELECT i AS doc_id, href, dst_url FROM links ORDER BY doc_id, dst_url
+        """,
+        # politeness schedule: row_number in identical md5-key order, worker
+        # and delay from the identical md5 host hashes
+        "q_crawl_schedule": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            links AS (
+              SELECT 'https://ex' || CAST((i*7+1) % 97 AS VARCHAR)
+                  || '.example.org/art/' || CAST(i % 500 AS VARCHAR)
+                  || '?a=1&b=2' AS url,
+                  'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS host FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/idx/'
+                  || CAST(i % 20 AS VARCHAR),
+                  'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST((i*11+3) % 97 AS VARCHAR)
+                  || '.example.org/pr',
+                  'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/dir'
+                  || CAST(i % 10 AS VARCHAR) || '/sec/' || CAST(i % 7 AS VARCHAR),
+                  'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+            ),
+            f AS (SELECT url, host FROM links GROUP BY url, host),
+            k AS (SELECT url, host,
+                    CAST(concat('0x', substring(md5(url), 1, 15)) AS BIGINT) AS kk
+                  FROM f),
+            sq AS (SELECT url, host,
+                     row_number() OVER (PARTITION BY host ORDER BY kk, url) - 1
+                       AS fetch_seq
+                   FROM k),
+            hk AS (SELECT host,
+                     CAST(concat('0x', substring(md5(host), 1, 15)) AS BIGINT) AS hkk
+                   FROM (SELECT DISTINCT host FROM f))
+            SELECT s.url, s.host,
+                   CAST(hkk % 64 AS BIGINT) AS worker,
+                   CAST(fetch_seq AS BIGINT) AS fetch_seq,
+                   CAST(fetch_seq * (1 + hkk % 5) AS BIGINT) AS fetch_at_sec
+            FROM sq s JOIN hk USING (host)
+            ORDER BY host, fetch_seq
         """,
         # URL pattern mining: identical digit-collapse over the same
         # closed-form canonical link URLs ('g' = replace ALL digit runs)

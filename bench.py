@@ -268,6 +268,7 @@ def main():
         "q_host_distances",
         "q_kg_profile",
         "q_url_patterns",
+        "q_crawl_schedule",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
