@@ -1414,6 +1414,27 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "spark window hash", k=25).orderBy("rank")
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 top-25 for a
+    fixed text query fused with the embedding-cosine top-25 around a
+    fixed query vector (vec_id 0), rrf = Σ 1/(60+rank). No score
+    calibration — ranks only, the production hybrid-search default. Both
+    input lists are bounded, so fusion is entirely metadata-sized; the
+    rrf doubles are single IEEE divisions, bitwise engine-independent.
+    Oracle: both retrievers + the fusion replayed in SQL."""
+    from kgforge.operators.search import bm25_topk, rrf_fuse
+    from kgforge.operators.similarity import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "spark window hash", k=25)
+    dense = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=25, round_digits=4)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense], k=10).orderBy("rank")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM document scoring (CCNet-style quality signal): train the
     smoothed unigram model on the corpus (one map-side-combined token agg),
@@ -3381,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_profile": q_kg_profile,
         "q_url_patterns": q_url_patterns,
         "q_crawl_schedule": q_crawl_schedule,
+        "q_hybrid_search": q_hybrid_search,
     }
 
 
@@ -5124,6 +5146,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score, "rank" FROM ranked
             WHERE "rank" <= 25 ORDER BY "rank"
+        """,
+        # hybrid RRF: the q_bm25_search CTE (top 25) + the q_sim_topk dense
+        # CTE for query vec 0 (top 25), fused by sum(1/(60+rank))
+        "q_hybrid_search": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                FROM documents
+            ),
+            p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok
+                  WHERE LENGTH(term) >= 1 GROUP BY term, doc_id),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
+            st AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            lex AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+            q AS (SELECT unnest(['hash','spark','window']) AS term),
+            scored AS (
+                SELECT p.doc_id,
+                       LN(1.0 + ((SELECT n FROM nd) - lex.df + 0.5) / (lex.df + 0.5))
+                         * (p.tf * 2.2)
+                         / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM st)))
+                       AS part
+                FROM p JOIN q USING (term)
+                JOIN lex ON lex.term = p.term
+                JOIN dl USING (doc_id)
+            ),
+            agg AS (SELECT doc_id, ROUND(SUM(part), 6) AS score
+                    FROM scored GROUP BY doc_id),
+            lexrank AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+                FROM agg QUALIFY r <= 25
+            ),
+            densrank AS (
+                SELECT doc_id, r FROM (
+                    SELECT e.vec_id AS doc_id,
+                           ROW_NUMBER() OVER (ORDER BY
+                             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                          CAST(e.embedding AS DOUBLE[])), 4) DESC,
+                             e.vec_id ASC) AS r
+                    FROM embeddings q JOIN embeddings e ON e.vec_id != 0
+                    WHERE q.vec_id = 0
+                ) WHERE r <= 25
+            ),
+            contrib AS (
+                SELECT doc_id, 1.0 / (60.0 + r) AS c FROM lexrank
+                UNION ALL SELECT doc_id, 1.0 / (60.0 + r) FROM densrank
+            ),
+            fused AS (
+                SELECT doc_id, ROUND(SUM(c), 9) AS rrf,
+                       CAST(COUNT(*) AS BIGINT) AS n_lists
+                FROM contrib GROUP BY doc_id
+            )
+            SELECT doc_id, rrf, n_lists,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER)
+                     AS "rank"
+            FROM fused QUALIFY "rank" <= 10 ORDER BY "rank"
         """,
         # fixture closed form: url/ts are pure functions of i
         # (kgforge/fixtures.py build_page)

@@ -269,6 +269,7 @@ def main():
         "q_kg_profile",
         "q_url_patterns",
         "q_crawl_schedule",
+        "q_hybrid_search",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -263,3 +263,50 @@ def phrase_topk(docs: DataFrame, phrase: str, k: int = 10,
         .orderBy(F.desc("n_matches"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k: int = 10,
+    kappa: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    any number of ranked retrieval lists into one hybrid ranking by
+    rrf(d) = Σ_lists 1/(kappa + rank_d). The standard way to marry a
+    lexical (BM25) and a dense (embedding-cosine) retriever — RRF needs
+    no score calibration between the lists, only their ranks, which is
+    why it is the default hybrid in production search stacks.
+
+    Each input must carry (id_col, rank) with rank starting at 1. Output:
+    (id_col, rrf, n_lists, rank) — top-k by fused score, doc-id tiebreak.
+
+    Scale shape: the inputs are top-k lists (bounded rows), so every step
+    here is metadata-sized: one union, one combinable agg, a
+    TakeOrderedAndProject(k), and a rank window over ≤ k rows. The
+    rounded 1/(kappa+rank) contributions are single correctly-rounded
+    IEEE divisions, so any engine reproduces the fused scores bitwise.
+    """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    contribs = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(kappa)) + F.col("rank").cast("double"))).alias(
+                "c"
+            ),
+        )
+        for df in ranked_lists
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy(id_col).agg(
+        F.round(F.sum("c"), 9).alias("rrf"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    top = fused.orderBy(F.desc("rrf"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rrf", "n_lists", "rank"
+    )

@@ -194,3 +194,31 @@ def test_ranking_metrics_k_cut_and_perfect_ranking(spark):
         res, spark.createDataFrame([(0, "d1", 1)], "query_id int, doc_id string, rel int"), k=10
     ).collect()[0]
     assert perfect["ndcg"] == 1.0
+
+
+def test_rrf_fuse_hand_pin(spark):
+    from kgforge.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id bigint, rank int")
+    got = {r["doc_id"]: (r["rrf"], r["n_lists"], r["rank"])
+           for r in rrf_fuse([a, b], k=10).collect()}
+    exp = {
+        1: round(1 / 61 + 1 / 62, 9),
+        2: round(1 / 62, 9),
+        3: round(1 / 63 + 1 / 61, 9),
+        9: round(1 / 63, 9),
+    }
+    assert {d: v[0] for d, v in got.items()} == exp
+    assert got[1][1] == 2 and got[2][1] == 1  # n_lists
+    # doc 1 (1/61+1/62) > doc 3 (1/61+1/63) > doc 2 > doc 9
+    assert [d for d, v in sorted(got.items(), key=lambda kv: kv[1][2])] == [1, 3, 2, 9]
+
+
+def test_rrf_fuse_k_cut_and_tiebreak(spark):
+    from kgforge.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(i, 1) for i in range(5)], "doc_id bigint, rank int")
+    out = rrf_fuse([a], k=3).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 1, 2]
+    assert len(out) == 3
