@@ -1414,6 +1414,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "spark window hash", k=25).orderBy("rank")
 
 
+def q_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining by URL structure (ParaCrawl bootstrap):
+    language-variant URL twins (/en/article/7 vs /de/article/7) pair up
+    after the language segment is stripped to a site-neutral key. Codegen
+    key + one combinable min-agg per (key, lang) + a key-keyed join whose
+    fan-out is bounded by the language count. Oracle: the same strip +
+    argmin + lang<lang self-join in SQL."""
+    from kgforge.operators.corpus_mining import bitext_candidates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"), (i % 7).cast("string"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/article/"), (i % 50).cast("string"),
+    )
+    pages = d.select(url.alias("url"), "lang")
+    return bitext_candidates(pages).orderBy("doc_key", "lang_a", "lang_b")
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion: the BM25 top-25 for a
     fixed text query fused with the embedding-cosine top-25 around a
@@ -3403,6 +3422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_patterns": q_url_patterns,
         "q_crawl_schedule": q_crawl_schedule,
         "q_hybrid_search": q_hybrid_search,
+        "q_bitext_candidates": q_bitext_candidates,
     }
 
 
@@ -5146,6 +5166,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, score, "rank" FROM ranked
             WHERE "rank" <= 25 ORDER BY "rank"
+        """,
+        # bitext URL twins: identical strip + argmin + lang<lang join
+        "q_bitext_candidates": """
+            WITH d AS (SELECT doc_id AS i, lang FROM documents),
+            u AS (SELECT
+                'https://ex' || CAST(i%7 AS VARCHAR) || '.example.org/'
+                  || lang || '/article/' || CAST(i%50 AS VARCHAR) AS url,
+                'https://ex' || CAST(i%7 AS VARCHAR)
+                  || '.example.org/article/' || CAST(i%50 AS VARCHAR) AS doc_key,
+                lang FROM d),
+            reps AS (SELECT doc_key, lang, min(url) AS url
+                     FROM u GROUP BY doc_key, lang)
+            SELECT a.doc_key, a.lang AS lang_a, a.url AS url_a,
+                   b.lang AS lang_b, b.url AS url_b
+            FROM reps a JOIN reps b
+              ON a.doc_key = b.doc_key AND a.lang < b.lang
+            ORDER BY a.doc_key, lang_a, lang_b
         """,
         # hybrid RRF: the q_bm25_search CTE (top 25) + the q_sim_topk dense
         # CTE for query vec 0 (top 25), fused by sum(1/(60+rank))

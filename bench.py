@@ -270,6 +270,7 @@ def main():
         "q_url_patterns",
         "q_crawl_schedule",
         "q_hybrid_search",
+        "q_bitext_candidates",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -426,3 +426,38 @@ def remove_duplicate_spans(
         F.size("tk").cast("long").alias("n_tokens"),
         F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
     )
+
+
+def bitext_candidates(
+    pages: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+    lang_seg: str = "[a-z]{2}",
+) -> DataFrame:
+    """Bitext candidate mining by URL structure (the ParaCrawl bootstrap,
+    Bañón et al. 2020 §3.2): multilingual sites publish translations at
+    URL twins that differ only in a language path segment
+    (/en/article/7 vs /de/article/7). Strip the first language segment
+    to a site-neutral document key, pick one representative URL per
+    (key, lang), and pair up languages sharing a key — the candidate
+    pairs a downstream aligner scores.
+
+    Output: (doc_key, lang_a, url_a, lang_b, url_b) with lang_a < lang_b.
+
+    Scale shape: the key is one codegen regexp_replace fused into the
+    scan; representatives are ONE combinable min-agg per (key, lang); the
+    pair join is key-keyed with per-key fan-out bounded by the language
+    count (dozens, never corpus-shaped), so no skew guard is needed —
+    the hot-key worst case is |langs|² rows per key.
+    """
+    key = F.regexp_replace(
+        F.col(url_col), f"^(https?://[^/]+)/{lang_seg}/", r"$1/"
+    ).alias("doc_key")
+    reps = (
+        pages.select(key, F.col(lang_col).alias("lang"), F.col(url_col).alias("url"))
+        .groupBy("doc_key", "lang")
+        .agg(F.min("url").alias("url"))
+    )
+    a = reps.select("doc_key", F.col("lang").alias("lang_a"), F.col("url").alias("url_a"))
+    b = reps.select("doc_key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b"))
+    return a.join(b, "doc_key").filter(F.col("lang_a") < F.col("lang_b"))

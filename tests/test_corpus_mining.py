@@ -270,3 +270,48 @@ def test_remove_duplicate_spans_fully_duplicated_doc(spark):
     )
     out = {r["doc_id"]: r["text"] for r in remove_duplicate_spans(docs, k=6).collect()}
     assert out == {1: "", 2: ""}  # rows survive with empty text, not dropped
+
+
+def test_bitext_candidates_url_twins(spark):
+    from kgforge.operators.corpus_mining import bitext_candidates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://s.org/en/article/7", "en"),
+            ("https://s.org/de/article/7", "de"),
+            ("https://s.org/fr/article/7", "fr"),
+            ("https://s.org/en/article/9", "en"),      # no twin
+            ("https://t.org/en/article/7", "en"),      # other site: own key
+            ("https://s.org/en/about", "en"),          # no lang segment match? en/ stripped
+        ],
+        "url string, lang string",
+    )
+    out = bitext_candidates(pages).collect()
+    pairs = {(r["doc_key"], r["lang_a"], r["lang_b"]) for r in out}
+    assert pairs == {
+        ("https://s.org/article/7", "de", "en"),
+        ("https://s.org/article/7", "de", "fr"),
+        ("https://s.org/article/7", "en", "fr"),
+    }
+    row = next(r for r in out if r["lang_a"] == "de" and r["lang_b"] == "en")
+    assert row["url_a"] == "https://s.org/de/article/7"
+    assert row["url_b"] == "https://s.org/en/article/7"
+
+
+def test_bitext_candidates_rep_is_min_url(spark):
+    from kgforge.operators.corpus_mining import bitext_candidates
+
+    pages = spark.createDataFrame(
+        [
+            ("https://s.org/en/a/2", "en"),
+            ("https://s.org/en/a/1", "en"),   # two en variants of /a/{n}? no —
+            ("https://s.org/de/a/1", "de"),   # keys differ by trailing id
+        ],
+        "url string, lang string",
+    )
+    out = {(r["doc_key"], r["lang_a"], r["lang_b"]): (r["url_a"], r["url_b"])
+           for r in bitext_candidates(pages).collect()}
+    assert out == {
+        ("https://s.org/a/1", "de", "en"):
+            ("https://s.org/de/a/1", "https://s.org/en/a/1"),
+    }
