@@ -2664,6 +2664,22 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, k=4).orderBy("node")
 
 
+def q_host_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the DIRECTED host graph: node/edge
+    counts, reciprocity (mutual-linking rate — the link-farm signal), and
+    Newman out-in degree assortativity. Distinct edges localCheckpoint
+    once; reciprocity is one swapped-key semi-join; assortativity reduces
+    exact integer sums to a single row, Pearson arithmetic rounded to 6.
+    Oracle: identical counts + sums in SQL."""
+    from kgforge.operators.graph import graph_summary
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return graph_summary(edges)
+
+
 def q_host_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS link distance over the DIRECTED extracted host
     graph: how many clicks from the seed host is every other host (the
@@ -3423,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_schedule": q_crawl_schedule,
         "q_hybrid_search": q_hybrid_search,
         "q_bitext_candidates": q_bitext_candidates,
+        "q_host_graph_summary": q_host_graph_summary,
     }
 
 
@@ -6712,6 +6729,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # k-core: peel unrolled past the fixture's convergence depth
         "q_kg_kcore": _dd_kcore_sql(k=4, rounds=6),
+        # graph summary: identical counts + exact integer Pearson sums over
+        # the closed-form DIRECTED host edges (self-loops excluded)
+        "q_host_graph_summary": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS u,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS v FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+            ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+            nn AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+                   FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+            nr AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+                   FROM e a WHERE EXISTS (SELECT 1 FROM e b
+                                          WHERE b.u = a.v AND b.v = a.u)),
+            od AS (SELECT u, count(*) AS x FROM e GROUP BY u),
+            idg AS (SELECT v, count(*) AS y FROM e GROUP BY v),
+            sums AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                            sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+                     FROM e JOIN od USING (u) JOIN idg USING (v))
+            SELECT n_nodes, n_edges, n_reciprocal,
+                   round(CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+                     AS reciprocity,
+                   round(
+                     (sxy/CAST(n AS DOUBLE) - (sx/CAST(n AS DOUBLE)) * (sy/CAST(n AS DOUBLE)))
+                     / sqrt((sxx/CAST(n AS DOUBLE) - (sx/CAST(n AS DOUBLE))*(sx/CAST(n AS DOUBLE)))
+                          * (syy/CAST(n AS DOUBLE) - (sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)))),
+                     6) AS assortativity
+            FROM nn CROSS JOIN ne CROSS JOIN nr CROSS JOIN sums
+        """,
         # BFS link distance: recursive CTE over the closed-form DIRECTED
         # host edges (self-loops excluded), MIN(dist) per reachable node
         "q_host_distances": """

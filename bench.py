@@ -271,6 +271,7 @@ def main():
         "q_crawl_schedule",
         "q_hybrid_search",
         "q_bitext_candidates",
+        "q_host_graph_summary",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

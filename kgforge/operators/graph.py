@@ -628,3 +628,81 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row structural summary of a directed graph: node/edge counts,
+    reciprocity (share of directed edges whose reverse also exists — the
+    mutual-linking rate, a standard web-spam / link-farm signal), and
+    out-in degree assortativity (Pearson correlation of src out-degree vs
+    dst in-degree across edges, Newman 2002 — negative on the web: hubs
+    point at authorities, not at other hubs).
+
+    Scale shape: distinct edge set localCheckpoints once and feeds four
+    combinable aggregations; reciprocity is ONE self-equi-join on the
+    swapped key; assortativity joins the two degree tables back edge-keyed
+    and reduces exact INTEGER sums (Sx, Sy, Sxy, Sxx, Syy) to one row —
+    the Pearson arithmetic happens once on the driver-sized row, rounded
+    to 6 so engines agree bitwise. No windows, no collects.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_nodes = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    rev = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    n_recip = (
+        e.join(rev, ["u", "v"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reciprocal"))
+    )
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("x"))
+    indeg = e.groupBy("v").agg(F.count(F.lit(1)).alias("y"))
+    sums = (
+        e.join(outdeg, "u")
+        .join(indeg, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    nn = F.col("n").cast("double")
+    mx = F.col("sx") / nn
+    my = F.col("sy") / nn
+    cov = F.col("sxy") / nn - mx * my
+    vx = F.col("sxx") / nn - mx * mx
+    vy = F.col("syy") / nn - my * my
+    # a degree-regular graph has zero variance on one side — assortativity
+    # is undefined there (NULL), not a divide-by-zero job kill (ANSI mode)
+    assort = F.round(
+        F.when(vx * vy > 0, cov / F.sqrt(vx * vy)), 6
+    ).alias("assortativity")
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_recip)
+        .crossJoin(sums)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("reciprocity"),
+            assort,
+        )
+    )

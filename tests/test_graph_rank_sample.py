@@ -415,3 +415,44 @@ def test_bfs_distances_depth_cap(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     got = {r["node"]: r["dist"] for r in bfs_distances(e, seeds, max_depth=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}  # d beyond the cap
+
+
+def test_graph_summary_python_pin(spark):
+    import math
+
+    from kgforge.operators.graph import graph_summary
+
+    edges = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"),
+             ("d", "b"), ("a", "a")]  # self-loop dropped
+    got = graph_summary(
+        spark.createDataFrame(edges, "src string, dst string")
+    ).collect()[0]
+    e = [(u, v) for u, v in edges if u != v]
+    es = set(e)
+    assert got["n_nodes"] == 4 and got["n_edges"] == 5
+    n_rec = sum(1 for u, v in es if (v, u) in es)
+    assert got["n_reciprocal"] == n_rec == 2
+    assert got["reciprocity"] == round(n_rec / 5, 6)
+    out = {}; inn = {}
+    for u, v in es:
+        out[u] = out.get(u, 0) + 1
+        inn[v] = inn.get(v, 0) + 1
+    xs = [out[u] for u, v in es]; ys = [inn[v] for u, v in es]
+    n = len(es)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum(x * y for x, y in zip(xs, ys)) / n - mx * my
+    vx = sum(x * x for x in xs) / n - mx * mx
+    vy = sum(y * y for y in ys) / n - my * my
+    assert got["assortativity"] == round(cov / math.sqrt(vx * vy), 6)
+
+
+def test_graph_summary_perfect_reciprocity(spark):
+    from kgforge.operators.graph import graph_summary
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c")], "src string, dst string"
+    )
+    got = graph_summary(e).collect()[0]
+    assert got["reciprocity"] == 1.0 and got["n_reciprocal"] == 4
+    # 1-regular graph: zero degree variance -> assortativity undefined
+    assert got["assortativity"] is None
