@@ -657,6 +657,21 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling from observed change rates (Cho & Garcia-Molina
+    2003): per key, the bias-corrected change-frequency estimate from a
+    re-observation stream, scaled to changes/day and inverted into a
+    next-visit-due interval. One per-key lag window (each key's own
+    history, never corpus-wide) + one combinable agg. Oracle: identical
+    estimator replayed with epoch arithmetic in SQL."""
+    from kgforge.operators.history import recrawl_priority
+
+    events = _t(spark, sf_dir, "events")
+    return recrawl_priority(
+        events.select("user_id", "event_type", "ts"), ["user_id"], "event_type", "ts"
+    ).orderBy("user_id")
+
+
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed second-moment structure of the embedding corpus: the
     64x64 population covariance via per-batch numpy Gramian partials (one
@@ -3440,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_search": q_hybrid_search,
         "q_bitext_candidates": q_bitext_candidates,
         "q_host_graph_summary": q_host_graph_summary,
+        "q_recrawl_priority": q_recrawl_priority,
     }
 
 
@@ -4129,6 +4145,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(a.x*b.x) - AVG(a.x)*AVG(b.x), 6) AS cov
             FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i ORDER BY i, j
+        """,
+        # Cho & Garcia-Molina estimator replayed: identical lag tiebreak
+        # (ts, value), epoch() span, double-cast before the ratio
+        "q_recrawl_priority": """
+            WITH m AS (
+              SELECT user_id, ts, event_type,
+                     CASE WHEN lag(1) OVER w IS NOT NULL
+                               AND lag(event_type) OVER w IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+            ),
+            a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+                         CAST(sum(chg) AS BIGINT) AS n_changes,
+                         CAST(floor(epoch(max(ts))) AS BIGINT)
+                           - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_sec
+                  FROM m GROUP BY user_id),
+            r AS (SELECT *, CASE WHEN n_obs > 1 AND span_sec > 0 AND n_changes > 0
+                    THEN round(-ln((CAST(n_obs AS DOUBLE) - n_changes + 0.5)
+                                   / (CAST(n_obs AS DOUBLE) + 0.5)), 6) END AS r_hat
+                  FROM a),
+            c AS (SELECT *, CASE WHEN r_hat IS NOT NULL
+                    THEN round(r_hat / (CAST(span_sec AS DOUBLE)
+                                        / (CAST(n_obs AS DOUBLE) - 1.0) / 86400.0), 6)
+                    END AS changes_per_day
+                  FROM r)
+            SELECT user_id, n_obs, n_changes, span_sec, r_hat, changes_per_day,
+                   CASE WHEN changes_per_day > 0
+                        THEN round(1.0 / changes_per_day, 6) END AS next_due_days
+            FROM c ORDER BY user_id
         """,
         "q_scd2_history": """
             WITH o AS (

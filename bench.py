@@ -272,6 +272,7 @@ def main():
         "q_hybrid_search",
         "q_bitext_candidates",
         "q_host_graph_summary",
+        "q_recrawl_priority",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -77,3 +77,60 @@ def scd2_history(
         .drop("_run")
         .select(*key_cols, "value", "valid_from", "valid_to", "n_obs", "is_current")
     )
+
+
+def recrawl_priority(
+    obs: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key change-rate estimation for recrawl scheduling (Cho &
+    Garcia-Molina 2003, "Estimating Frequency of Change"): from a
+    re-observation stream (key, ts, value) — e.g. content fingerprints of
+    recrawled URLs — estimate how often each page REALLY changes, given
+    that a crawler only sees change-or-not between consecutive visits.
+
+    r_hat = -ln((n - x + 0.5) / (n + 0.5))   (their bias-corrected
+    estimator; n = observations, x = detected changes) is the expected
+    number of true changes per access interval; changes_per_day scales it
+    by the observed mean interval. next_due_days = 1 / changes_per_day —
+    the uniform-refresh target. Keys observed once, never seen changing,
+    or observed within a zero span get NULL rate (no evidence).
+
+    Scale shape: ONE per-key window (lag over each key's own recrawl
+    history — bounded by visits per URL, never corpus-wide) + ONE
+    combinable agg. ln-based values round to 6 so engines agree.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    val = F.col(value_col)
+    marked = obs.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        (
+            F.lag(F.lit(1)).over(w).isNotNull()
+            & ~F.lag(val).over(w).eqNullSafe(val)
+        ).alias("_chg"),
+    )
+    agg = marked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.col("_chg").cast("long")).cast("bigint").alias("n_changes"),
+        (
+            F.unix_timestamp(F.max("_ts")) - F.unix_timestamp(F.min("_ts"))
+        ).cast("bigint").alias("span_sec"),
+    )
+    n = F.col("n_obs").cast("double")
+    x = F.col("n_changes").cast("double")
+    r_hat = F.round(-F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))), 6)
+    usable = (F.col("n_obs") > 1) & (F.col("span_sec") > 0) & (F.col("n_changes") > 0)
+    out = agg.withColumn("r_hat", F.when(usable, r_hat))
+    interval_days = F.col("span_sec").cast("double") / (n - F.lit(1.0)) / F.lit(86400.0)
+    cpd = F.round(F.col("r_hat") / interval_days, 6)
+    out = out.withColumn("changes_per_day", F.when(usable, cpd))
+    return out.withColumn(
+        "next_due_days",
+        F.when(
+            F.col("changes_per_day") > 0,
+            F.round(F.lit(1.0) / F.col("changes_per_day"), 6),
+        ),
+    )

@@ -73,3 +73,44 @@ def test_no_global_window_in_plan(spark, obs):
     )
     # every Exchange must be hashpartitioning on the key — no SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_recrawl_priority_estimator_pin(spark):
+    """Cho & Garcia-Molina r_hat vs a hand computation."""
+    import math
+    from datetime import datetime
+
+    from kgforge.operators.history import recrawl_priority
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("u", datetime(2026, 1, 1, 0, 0, 0), "A"),
+        ("u", datetime(2026, 1, 1, 1, 0, 0), "A"),
+        ("u", datetime(2026, 1, 1, 2, 0, 0), "B"),   # change 1
+        ("u", datetime(2026, 1, 1, 3, 0, 0), "B"),
+        ("u", datetime(2026, 1, 1, 4, 0, 0), "A"),   # change 2
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v string")
+    got = recrawl_priority(df, ["k"], "v", "ts").collect()[0]
+    assert (got["n_obs"], got["n_changes"], got["span_sec"]) == (5, 2, 4 * 3600)
+    r = -math.log((5 - 2 + 0.5) / (5 + 0.5))
+    assert got["r_hat"] == round(r, 6)
+    interval_days = (4 * 3600) / 4 / 86400.0
+    assert got["changes_per_day"] == round(round(r, 6) / interval_days, 6)
+    assert got["next_due_days"] == round(1.0 / got["changes_per_day"], 6)
+
+
+def test_recrawl_priority_no_evidence_rows(spark):
+    from datetime import datetime
+
+    from kgforge.operators.history import recrawl_priority
+
+    rows = [
+        ("once", datetime(2026, 1, 1), "A"),                # single obs
+        ("static", datetime(2026, 1, 1), "A"),              # never changes
+        ("static", datetime(2026, 1, 2), "A"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v string")
+    got = {r["k"]: r for r in recrawl_priority(df, ["k"], "v", "ts").collect()}
+    assert got["once"]["r_hat"] is None and got["once"]["next_due_days"] is None
+    assert got["static"]["n_changes"] == 0 and got["static"]["r_hat"] is None
