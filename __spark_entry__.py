@@ -657,6 +657,26 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL property-semantics materialization: schema:knows declared
+    owl:inverseOf ex:knownBy AND owl:SymmetricProperty — the entailed
+    delta is every reversed knownBy edge plus the symmetric knows edges
+    the corpus doesn't already assert. Broadcast axiom joins, map-only
+    swaps, one distinct + one anti-join on the full triple. Oracle:
+    closed-form knows edges reversed/mirrored with EXCEPT in SQL."""
+    from kgforge.operators.inference import owl_property_inference
+
+    K = "http://schema.org/knows"
+    axioms = spark.createDataFrame(
+        [(K, "inverseOf", "http://example.org/knownBy"), (K, "symmetric", None)],
+        "p string, axiom string, q string",
+    )
+    triples = _knows_triples(spark, sf_dir)
+    return owl_property_inference(triples, axioms).orderBy(
+        "predicate", "subject", "object"
+    )
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl scheduling from observed change rates (Cho & Garcia-Molina
     2003): per key, the bias-corrected change-frequency estimate from a
@@ -3456,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bitext_candidates": q_bitext_candidates,
         "q_host_graph_summary": q_host_graph_summary,
         "q_recrawl_priority": q_recrawl_priority,
+        "q_kg_owl_entail": q_kg_owl_entail,
     }
 
 
@@ -5596,6 +5617,37 @@ def oracle_sql() -> dict[str, str]:
                    age
             FROM knows JOIN ages ON knows.site = ages.site AND knows.ks = ages.k
             ORDER BY s, o, age
+        """,
+        # OWL entailment delta: closed-form knows edges reversed (knownBy)
+        # plus symmetric mirrors EXCEPT the asserted edge set
+        "q_kg_owl_entail": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            uri AS (SELECT
+                'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                  || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                  || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+              FROM knows),
+            inv AS (SELECT o AS subject, 'http://example.org/knownBy' AS predicate,
+                           s AS object FROM uri),
+            sym AS (SELECT o AS subject, 'http://schema.org/knows' AS predicate,
+                           s AS object FROM uri
+                    EXCEPT
+                    SELECT s, 'http://schema.org/knows', o FROM uri)
+            SELECT subject, predicate, object
+            FROM (SELECT * FROM inv UNION SELECT * FROM sym)
+            ORDER BY predicate, subject, object
         """,
         # compound FILTER over the closed-form age relation: same entity-URI
         # spelling as q_kg_sparql, predicate (age<30 OR 50<=age<55)

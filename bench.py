@@ -273,6 +273,7 @@ def main():
         "q_bitext_candidates",
         "q_host_graph_summary",
         "q_recrawl_priority",
+        "q_kg_owl_entail",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -103,3 +103,56 @@ def domain_range_types(
         )
         out = out.unionByName(obj)
     return out.distinct()
+
+
+def owl_property_inference(
+    triples: DataFrame, axioms: DataFrame
+) -> DataFrame:
+    """Materialize OWL property-semantics entailments over IRI-valued
+    triples: owl:inverseOf (from (s,p,o) infer (o,q,s), both directions)
+    and owl:SymmetricProperty (from (s,p,o) infer (o,p,s)). ``axioms`` is
+    a DataFrame (p, axiom, q) with axiom in {'inverseOf','symmetric'}
+    (q NULL for symmetric) — the ontology side of the entailment rules,
+    normally parsed from the schema graph.
+
+    Returns ONLY the newly-entailed triples (subject, predicate, object),
+    already deduped and anti-joined against what the corpus asserts — the
+    delta a forward-chaining materializer appends.
+
+    Scale shape: the axiom table is ontology-sized (broadcast); each rule
+    is one broadcast equi-join on predicate + a projection that swaps
+    subject/object — map-only over the triple scan. The final distinct +
+    left-anti join are the only shuffles, both keyed on the full triple.
+    Only IRI objects participate (a literal can't be a subject), enforced
+    with a codegen filter, not Python.
+    """
+    base = triples.filter(
+        F.col("subject").isNotNull() & (F.col("object.kind") == "iri")
+    ).select("subject", "predicate", F.col("object.value").alias("object"))
+
+    inv = axioms.filter(F.col("axiom") == "inverseOf").select("p", "q")
+    sym = axioms.filter(F.col("axiom") == "symmetric").select("p")
+
+    fwd = base.join(
+        F.broadcast(inv), base["predicate"] == inv["p"]
+    ).select(
+        F.col("object").alias("subject"),
+        F.col("q").alias("predicate"),
+        F.col("subject").alias("object"),
+    )
+    bwd = base.join(
+        F.broadcast(inv), base["predicate"] == inv["q"]
+    ).select(
+        F.col("object").alias("subject"),
+        F.col("p").alias("predicate"),
+        F.col("subject").alias("object"),
+    )
+    mirrored = base.join(
+        F.broadcast(sym), base["predicate"] == sym["p"]
+    ).select(
+        F.col("object").alias("subject"),
+        "predicate",
+        F.col("subject").alias("object"),
+    )
+    inferred = fwd.unionByName(bwd).unionByName(mirrored).distinct()
+    return inferred.join(base, ["subject", "predicate", "object"], "left_anti")

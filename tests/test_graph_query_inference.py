@@ -899,3 +899,44 @@ def test_sparql_subquery(spark):
     with pytest.raises(SparqlUnsupported, match="shares no"):
         sparql_select(t, f"""SELECT ?x WHERE {{ ?x <{NAME}> ?nm .
           {{ SELECT ?q (COUNT(?o) AS ?n) WHERE {{ ?q <{KNOWS}> ?o }} GROUP BY ?q }} }}""")
+
+
+def _iri_triples(spark, rows):
+    return spark.createDataFrame(
+        [(s, p, {"value": o, "kind": k, "datatype": None, "lang": None})
+         for (s, p, o, k) in rows],
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>",
+    )
+
+
+def test_owl_inverse_both_directions(spark):
+    from kgforge.operators.inference import owl_property_inference
+
+    t = _iri_triples(spark, [
+        ("a", "p:knows", "b", "iri"),
+        ("c", "p:knownBy", "d", "iri"),
+        ("e", "p:knows", "lit", "literal"),   # literal object: no entailment
+    ])
+    ax = spark.createDataFrame(
+        [("p:knows", "inverseOf", "p:knownBy")], "p string, axiom string, q string"
+    )
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in owl_property_inference(t, ax).collect()}
+    assert got == {("b", "p:knownBy", "a"), ("d", "p:knows", "c")}
+
+
+def test_owl_symmetric_delta_excludes_asserted(spark):
+    from kgforge.operators.inference import owl_property_inference
+
+    t = _iri_triples(spark, [
+        ("a", "p:adj", "b", "iri"),
+        ("b", "p:adj", "a", "iri"),   # mutual already asserted
+        ("a", "p:adj", "c", "iri"),
+    ])
+    ax = spark.createDataFrame(
+        [("p:adj", "symmetric", None)], "p string, axiom string, q string"
+    )
+    got = {(r["subject"], r["predicate"], r["object"])
+           for r in owl_property_inference(t, ax).collect()}
+    assert got == {("c", "p:adj", "a")}
