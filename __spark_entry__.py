@@ -657,6 +657,28 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template stripping: nav/footer lines repeated on >=
+    half a host's pages are removed from every page of that host —
+    byte-exact rewrite, survivors rejoined in original order. Frequency
+    keys are (host, line) so template skew stays inside its host's
+    partition. Oracle: the full split/count/threshold/reassemble pipeline
+    replayed in SQL over the same synthesized page texts."""
+    from kgforge.operators.corpus_mining import remove_host_boilerplate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    host = F.concat(F.lit("ex"), (F.col("doc_id") % 7).cast("string"))
+    pages = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("HOME | NEWS | ABOUT "), host, F.lit("\nsubscribe at "), host,
+            F.lit("\n"), F.col("text"),
+        ).alias("text"),
+    )
+    return remove_host_boilerplate(pages).orderBy("doc_id")
+
+
 def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL property-semantics materialization: schema:knows declared
     owl:inverseOf ex:knownBy AND owl:SymmetricProperty — the entailed
@@ -3477,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_graph_summary": q_host_graph_summary,
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
+        "q_host_boilerplate": q_host_boilerplate,
     }
 
 
@@ -5215,6 +5238,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(any_value(np) AS BIGINT) AS n_paragraphs,
                    CAST(1 AS BIGINT) AS n_removed
             FROM k GROUP BY i ORDER BY doc_id
+        """,
+        # host-template stripping: full split/count/threshold/reassemble
+        # replayed data-driven in SQL (string_agg ORDER BY pos = array_sort)
+        "q_host_boilerplate": """
+            WITH pages AS (
+              SELECT doc_id, 'ex' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     'HOME | NEWS | ABOUT ex' || CAST(doc_id % 7 AS VARCHAR)
+                       || chr(10) || 'subscribe at ex' || CAST(doc_id % 7 AS VARCHAR)
+                       || chr(10) || text AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id, host, j - 1 AS pos, ls[j] AS line, trim(ls[j]) AS k
+              FROM (SELECT doc_id, host, string_split(text, chr(10)) AS ls
+                    FROM pages),
+                   UNNEST(range(1, len(ls) + 1)) r(j)),
+            ne AS (SELECT * FROM lines WHERE k <> ''),
+            hp AS (SELECT host, count(DISTINCT doc_id) AS host_pages
+                   FROM pages GROUP BY host),
+            lf AS (SELECT host, k, count(DISTINCT doc_id) AS n_docs_line
+                   FROM ne GROUP BY host, k),
+            fl AS (SELECT ne.*,
+                     n_docs_line >= greatest(2, CAST(ceil(0.5 * host_pages) AS BIGINT))
+                       AS drp
+                   FROM ne JOIN lf USING (host, k) JOIN hp USING (host))
+            SELECT doc_id, any_value(host) AS host,
+                   coalesce(string_agg(CASE WHEN NOT drp THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM fl GROUP BY doc_id ORDER BY doc_id
         """,
         # BM25 (Lucene idf variant), same tokenization as the index, score
         # rounded to 6 BEFORE ranking in both engines, doc_id tiebreak

@@ -274,6 +274,7 @@ def main():
         "q_host_graph_summary",
         "q_recrawl_priority",
         "q_kg_owl_entail",
+        "q_host_boilerplate",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

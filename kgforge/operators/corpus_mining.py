@@ -461,3 +461,76 @@ def bitext_candidates(
     a = reps.select("doc_key", F.col("lang").alias("lang_a"), F.col("url").alias("url_a"))
     b = reps.select("doc_key", F.col("lang").alias("lang_b"), F.col("url").alias("url_b"))
     return a.join(b, "doc_key").filter(F.col("lang_a") < F.col("lang_b"))
+
+
+def remove_host_boilerplate(
+    docs: DataFrame,
+    host_col: str = "host",
+    min_pages: int = 2,
+    min_share: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """HOST-scoped boilerplate line removal: drop a line from a page when
+    the SAME host repeats it on at least ``max(min_pages,
+    ceil(min_share * host_pages))`` of its pages — the site-template
+    (nav / footer / cookie banner) variant of C4's corpus-global rule,
+    which a corpus-global frequency can't express (a small site's footer
+    never clears a global threshold, yet pollutes every page of the
+    site).
+
+    Returns (doc_id, host, text, n_lines, n_removed) for EVERY input
+    document, survivors rejoined in original order (byte-exact).
+
+    Plan shape mirrors remove_duplicate_paragraphs: posexplode with
+    captured positions → per-(host, line) DISTINCT-doc frequency (one
+    combinable agg) + per-host page counts (metadata-sized, AQE
+    broadcast) → threshold flag in codegen → per-doc array_sort
+    reassembly. The frequency join key is (host, line): a hot template
+    line is confined to its host's partition, so template skew never
+    crosses hosts.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(host_col).alias("host")
+    ).distinct()
+    parts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("k", F.trim(F.col("line")))
+    nonempty = parts.filter(F.col("k") != "")
+    host_pages = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count_distinct(F.col(id_col)).alias("host_pages")
+    )
+    linefreq = nonempty.groupBy("host", "k").agg(
+        F.count_distinct("doc_id").alias("n_docs_line")
+    )
+    thr = F.greatest(
+        F.lit(min_pages).cast("long"),
+        F.ceil(F.lit(min_share) * F.col("host_pages")).cast("long"),
+    )
+    flagged = (
+        nonempty.join(linefreq, ["host", "k"])
+        .join(host_pages, "host")
+        .withColumn("drop", F.col("n_docs_line") >= thr)
+    )
+    per_doc = flagged.groupBy("doc_id", "host").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("drop").cast("int")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("drop"), F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return base.join(per_doc, ["doc_id", "host"], "left").select(
+        "doc_id",
+        "host",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+    )

@@ -315,3 +315,48 @@ def test_bitext_candidates_rep_is_min_url(spark):
         ("https://s.org/a/1", "de", "en"):
             ("https://s.org/de/a/1", "https://s.org/en/a/1"),
     }
+
+
+def test_remove_host_boilerplate_host_scoped(spark):
+    from kgforge.operators.corpus_mining import remove_host_boilerplate
+
+    rows = [
+        # host A: footer on 3/3 pages -> dropped; bodies unique -> kept
+        (1, "A", "FOOTER\nbody one"),
+        (2, "A", "FOOTER\nbody two"),
+        (3, "A", "FOOTER\nbody three"),
+        # host B: the SAME footer text on only 1/2 pages -> kept (host-scoped)
+        (4, "B", "FOOTER\nbeta"),
+        (5, "B", "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    got = {r["doc_id"]: r for r in remove_host_boilerplate(df).collect()}
+    assert got[1]["text"] == "body one" and got[1]["n_removed"] == 1
+    assert got[2]["text"] == "body two"
+    assert got[4]["text"] == "FOOTER\nbeta" and got[4]["n_removed"] == 0
+    assert got[5]["text"] == "gamma"
+
+
+def test_remove_host_boilerplate_all_template_page(spark):
+    from kgforge.operators.corpus_mining import remove_host_boilerplate
+
+    rows = [(1, "A", "NAV"), (2, "A", "NAV"), (3, "A", "NAV\nreal content")]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    got = {r["doc_id"]: r for r in remove_host_boilerplate(df).collect()}
+    assert got[1]["text"] == "" and got[1]["n_removed"] == 1  # fully boilerplate
+    assert got[3]["text"] == "real content"
+    assert len(got) == 3  # every input row comes back
+
+
+def test_remove_host_boilerplate_order_and_empty_lines(spark):
+    from kgforge.operators.corpus_mining import remove_host_boilerplate
+
+    rows = [
+        (1, "A", "T\n\nalpha\nT2\nbeta"),
+        (2, "A", "T\n\nother\nT2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    got = {r["doc_id"]: r for r in remove_host_boilerplate(df).collect()}
+    # T and T2 recur on 2/2 pages -> dropped; empty lines dropped; order kept
+    assert got[1]["text"] == "alpha\nbeta"
+    assert got[2]["text"] == "other"
