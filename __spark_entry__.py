@@ -657,6 +657,40 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise ER evaluation of the MinHash near-dup clustering against
+    the raw exact-duplicate gold (identical text bytes): precision /
+    recall / F1 over item pairs WITHOUT materializing a pair — three
+    C(n,2) sums over predicted / truth / contingency group sizes, so the
+    eval is O(|clusters|) at any corpus size. Oracle: the recursive-CTE
+    minhash closure + text-partition gold + the same combinatorics."""
+    from pyspark.sql import Window
+    from kgforge.operators.canonicalize import connected_components
+    from kgforge.operators.dedup import minhash_duplicate_pairs
+    from kgforge.operators.linkage import er_pairwise_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_duplicate_pairs(docs, threshold=0.8)
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    comp = connected_components(
+        pairs.select(pad("a").alias("src"), pad("b").alias("dst"))
+    ).select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cc"),
+    )
+    truth = F.min("doc_id").over(Window.partitionBy("text"))
+    assign = (
+        docs.select("doc_id", truth.alias("truth"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cc", F.col("doc_id")).alias("pred"),
+            "truth",
+        )
+    )
+    return er_pairwise_eval(assign)
+
+
 def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-scoped template stripping: nav/footer lines repeated on >=
     half a host's pages are removed from every page of that host —
@@ -3500,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_host_boilerplate": q_host_boilerplate,
+        "q_er_eval": q_er_eval,
     }
 
 
@@ -4834,6 +4869,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cluster_id AS BIGINT) AS cluster_id,
                    CAST(cluster_size AS BIGINT) AS cluster_size
             FROM m ORDER BY doc_id
+        """.replace(
+            "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
+        ),
+        # pairwise ER eval: minhash closure (predicted) vs text-partition
+        # gold, three C(n,2) sums — f1 from the ROUNDED p/r like Spark
+        "q_er_eval": f"""
+            WITH RECURSIVE p AS ({{PAIRS}}),
+            e2 AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+              SELECT a AS node, b AS r FROM e2
+              UNION
+              SELECT reach.node, e2.b FROM reach JOIN e2 ON reach.r = e2.a
+            ),
+            m AS (SELECT node AS doc_id, min(r) AS cc FROM reach GROUP BY node),
+            g AS (SELECT d.doc_id, coalesce(m.cc, d.doc_id) AS pred,
+                         min(d.doc_id) OVER (PARTITION BY d.text) AS truth
+                  FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id),
+            ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM g),
+            pp AS (SELECT CAST(sum(n*(n-1)/2) AS BIGINT) AS pred_pairs
+                   FROM (SELECT count(*) AS n FROM g GROUP BY pred)),
+            tp AS (SELECT CAST(sum(n*(n-1)/2) AS BIGINT) AS true_pairs
+                   FROM (SELECT count(*) AS n FROM g GROUP BY truth)),
+            bp AS (SELECT CAST(sum(n*(n-1)/2) AS BIGINT) AS both_pairs
+                   FROM (SELECT count(*) AS n FROM g GROUP BY pred, truth)),
+            base AS (SELECT * FROM ni CROSS JOIN pp CROSS JOIN tp CROSS JOIN bp),
+            pr AS (SELECT *,
+                     CASE WHEN pred_pairs > 0
+                          THEN round(both_pairs / CAST(pred_pairs AS DOUBLE), 6)
+                     END AS "precision",
+                     CASE WHEN true_pairs > 0
+                          THEN round(both_pairs / CAST(true_pairs AS DOUBLE), 6)
+                     END AS recall
+                   FROM base)
+            SELECT n_items, pred_pairs, true_pairs, both_pairs,
+                   "precision", recall,
+                   CASE WHEN ("precision" + recall) > 0
+                        THEN round(2 * "precision" * recall
+                                   / ("precision" + recall), 6)
+                   END AS f1
+            FROM pr
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ),

@@ -275,6 +275,7 @@ def main():
         "q_recrawl_priority",
         "q_kg_owl_entail",
         "q_host_boilerplate",
+        "q_er_eval",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

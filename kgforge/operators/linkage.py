@@ -98,3 +98,68 @@ def fellegi_sunter_scores(
         *agree_cols,
         weight.alias("match_weight"),
     )
+
+
+def er_pairwise_eval(
+    assignments: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+) -> DataFrame:
+    """Pairwise entity-resolution evaluation (the standard ER metric,
+    Menestrina et al. 2010): precision / recall / F1 of a predicted
+    clustering against a gold clustering, counted over item PAIRS —
+    without ever materializing a pair. All three pair counts are sums of
+    C(n,2) over group sizes: predicted groups, truth groups, and the
+    (pred, truth) contingency cells, so the whole evaluation is three
+    map-side-combinable aggregations over cluster-cardinality rows. This
+    is how you score a 10^12-document dedup run: the naive pair join is
+    O(Σ n²) rows; this is O(|clusters|).
+
+    Returns ONE row: (n_items, pred_pairs, true_pairs, both_pairs,
+    precision, recall, f1) — doubles rounded to 6, NULL when undefined
+    (no positive pairs on that side).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("id"),
+        F.col(pred_col).alias("pred"),
+        F.col(truth_col).alias("truth"),
+    )
+    pairs = lambda n: (n * (n - F.lit(1))) / F.lit(2)  # noqa: E731
+    n_items = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_items"))
+    pp = (
+        a.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(pairs(F.col("n"))).cast("bigint").alias("pred_pairs"))
+    )
+    tp = (
+        a.groupBy("truth").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(pairs(F.col("n"))).cast("bigint").alias("true_pairs"))
+    )
+    bp = (
+        a.groupBy("pred", "truth").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(pairs(F.col("n"))).cast("bigint").alias("both_pairs"))
+    )
+    out = n_items.crossJoin(pp).crossJoin(tp).crossJoin(bp)
+    prec = F.when(
+        F.col("pred_pairs") > 0,
+        F.round(F.col("both_pairs") / F.col("pred_pairs").cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("true_pairs") > 0,
+        F.round(F.col("both_pairs") / F.col("true_pairs").cast("double"), 6),
+    )
+    return (
+        out.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                F.round(
+                    2 * F.col("precision") * F.col("recall")
+                    / (F.col("precision") + F.col("recall")),
+                    6,
+                ),
+            ),
+        )
+    )

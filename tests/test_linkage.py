@@ -80,3 +80,38 @@ def test_u_clamping_degenerate_fields(spark):
     assert len(out) == 3
     for r in out:
         assert math.isfinite(r["match_weight"])
+
+
+def test_er_pairwise_eval_hand_pin(spark):
+    from kgforge.operators.linkage import er_pairwise_eval
+
+    # truth: {1,2,3}, {4,5}, {6}; pred: {1,2}, {3,4}, {5}, {6}
+    rows = [
+        (1, "p1", "t1"), (2, "p1", "t1"), (3, "p2", "t1"),
+        (4, "p2", "t2"), (5, "p3", "t2"), (6, "p4", "t3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, pred string, truth string")
+    got = er_pairwise_eval(df).collect()[0]
+    # pred pairs: (1,2),(3,4) = 2; true pairs: 3+1 = 4; both: (1,2) only = 1
+    assert (got["n_items"], got["pred_pairs"], got["true_pairs"],
+            got["both_pairs"]) == (6, 2, 4, 1)
+    assert got["precision"] == 0.5 and got["recall"] == 0.25
+    assert got["f1"] == round(2 * 0.5 * 0.25 / 0.75, 6)
+
+
+def test_er_pairwise_eval_perfect_and_degenerate(spark):
+    from kgforge.operators.linkage import er_pairwise_eval
+
+    perfect = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "a"), (3, "b", "b")],
+        "doc_id bigint, pred string, truth string",
+    )
+    got = er_pairwise_eval(perfect).collect()[0]
+    assert got["precision"] == 1.0 and got["recall"] == 1.0 and got["f1"] == 1.0
+
+    singletons = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id bigint, pred string, truth string"
+    )
+    got = er_pairwise_eval(singletons).collect()[0]
+    # no pairs anywhere: all metrics undefined, not a divide-by-zero kill
+    assert got["precision"] is None and got["recall"] is None and got["f1"] is None
