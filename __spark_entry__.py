@@ -657,6 +657,21 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between two crawl snapshots (even vs odd doc_ids) over
+    the language distribution: Laplace-smoothed shares over the union of
+    bins, per-bin psi terms — the monitoring gate before a new snapshot
+    joins the training mix. Bin-cardinality-sized end-to-end: two
+    combinable count aggs + one outer join + broadcast 1-row totals.
+    Oracle: identical smoothing + ln terms in SQL."""
+    from kgforge.operators.sampling import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    return distribution_drift(a, b, "lang").orderBy("bin")
+
+
 def q_er_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise ER evaluation of the MinHash near-dup clustering against
     the raw exact-duplicate gold (identical text bytes): precision /
@@ -3535,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_host_boilerplate": q_host_boilerplate,
         "q_er_eval": q_er_eval,
+        "q_corpus_drift": q_corpus_drift,
     }
 
 
@@ -4872,6 +4888,28 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ),
+        # PSI drift: identical Laplace smoothing over the union of bins,
+        # totals as scalar subqueries, ln terms rounded to 6
+        "q_corpus_drift": """
+            WITH ca AS (SELECT lang AS bin, count(*) AS n_a FROM documents
+                        WHERE doc_id % 2 = 0 GROUP BY lang),
+            cb AS (SELECT lang AS bin, count(*) AS n_b FROM documents
+                   WHERE doc_id % 2 = 1 GROUP BY lang),
+            j AS (SELECT coalesce(ca.bin, cb.bin) AS bin,
+                         CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+                         CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+                  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+            t AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+                         CAST(sum(n_b) AS DOUBLE) AS tb,
+                         CAST(count(*) AS DOUBLE) AS k FROM j)
+            SELECT bin, n_a, n_b,
+                   round((n_a + 0.5) / (ta + 0.5 * k), 6) AS share_a,
+                   round((n_b + 0.5) / (tb + 0.5 * k), 6) AS share_b,
+                   round(((n_a + 0.5) / (ta + 0.5 * k) - (n_b + 0.5) / (tb + 0.5 * k))
+                         * ln(((n_a + 0.5) / (ta + 0.5 * k))
+                              / ((n_b + 0.5) / (tb + 0.5 * k))), 6) AS psi_term
+            FROM j CROSS JOIN t ORDER BY bin
+        """,
         # pairwise ER eval: minhash closure (predicted) vs text-partition
         # gold, three C(n,2) sums — f1 from the ROUNDED p/r like Spark
         "q_er_eval": f"""

@@ -276,6 +276,7 @@ def main():
         "q_kg_owl_entail",
         "q_host_boilerplate",
         "q_er_eval",
+        "q_corpus_drift",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

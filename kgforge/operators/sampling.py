@@ -278,3 +278,55 @@ def domain_quota(
         cum,
         (F.col("_cum_in") + F.col("_offset") < F.lit(budget_tokens)).alias("kept"),
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    bin_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Population-stability-index drift between two corpus snapshots over
+    a categorical column (language, source domain, quality bucket, ...):
+    per bin, psi_term = (p_a - p_b) * ln(p_a / p_b) with Laplace-smoothed
+    shares p = (n + alpha) / (total + alpha * k) over the UNION of bins,
+    so a bin present in only one snapshot contributes a finite term
+    instead of ln(0). Σ psi_term is the PSI; the usual reading: < 0.1
+    stable, 0.1–0.25 drifting, > 0.25 shifted — the monitoring gate a
+    recurring crawl runs before appending a new snapshot to the training
+    mix.
+
+    Output: (bin, n_a, n_b, share_a, share_b, psi_term), one row per
+    bin in either snapshot, doubles rounded to 6.
+
+    Scale shape: one combinable count agg per snapshot (bin-cardinality
+    rows), one full outer join on the bin key, totals as 1-row aggs
+    crossJoin-broadcast into the plan — no collects, no windows; the
+    whole comparison is bin-cardinality-sized whatever the corpus size.
+    """
+    ca = a.groupBy(F.col(bin_col).alias("bin")).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = b.groupBy(F.col(bin_col).alias("bin")).agg(F.count(F.lit(1)).alias("n_b"))
+    joined = (
+        ca.join(cb, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_a").cast("double").alias("ta"),
+        F.sum("n_b").cast("double").alias("tb"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    al = F.lit(float(alpha))
+    pa = (F.col("n_a") + al) / (F.col("ta") + al * F.col("k"))
+    pb = (F.col("n_b") + al) / (F.col("tb") + al * F.col("k"))
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("share_a"),
+        F.round(pb, 6).alias("share_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

@@ -51,3 +51,25 @@ def test_split_derives_clusters_from_near_dups(spark):
     assert rows[1][0] == rows[2][0]
     assert rows[1][1] == rows[2][1]
     assert rows[3][0] == 3
+
+
+def test_distribution_drift_psi_pin(spark):
+    """PSI terms vs a hand computation incl. a one-sided bin."""
+    import math
+
+    from kgforge.operators.sampling import distribution_drift
+
+    a = spark.createDataFrame([("en",)] * 8 + [("de",)] * 2, "lang string")
+    b = spark.createDataFrame([("en",)] * 5 + [("fr",)] * 5, "lang string")
+    got = {r["bin"]: r for r in distribution_drift(a, b, "lang").collect()}
+    assert set(got) == {"en", "de", "fr"}
+    k = 3.0
+    for bin_, na, nb in [("en", 8, 5), ("de", 2, 0), ("fr", 0, 5)]:
+        pa = (na + 0.5) / (10 + 0.5 * k)
+        pb = (nb + 0.5) / (10 + 0.5 * k)
+        assert got[bin_]["n_a"] == na and got[bin_]["n_b"] == nb
+        assert got[bin_]["share_a"] == round(pa, 6)
+        assert got[bin_]["psi_term"] == round((pa - pb) * math.log(pa / pb), 6)
+    # identical snapshots -> every term 0
+    same = distribution_drift(a, a, "lang").collect()
+    assert all(r["psi_term"] == 0.0 for r in same)
