@@ -825,6 +825,37 @@ def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_entities(parse_pages(pages)).orderBy("node")
 
 
+def q_kg_cluster_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph condensation after canonicalization: the page-level ALIAS
+    co-occurrence graph (site-scoped entity URIs) contracts through the
+    sameAs connected-components mapping into the canonical ENTITY graph —
+    parallel alias edges collapse into weights, intra-cluster edges drop.
+    Two mapping joins + least/greatest + one combinable agg. Oracle:
+    closed-form alias pairs joined to the closed-form min-node components."""
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.canonicalize import canonicalize_entities, condense_graph
+    from kgforge.operators.parse import parse_pages
+
+    triples = parse_pages(pages_from_documents(spark, sf_dir))
+    aliases = (
+        triples.filter(F.col("predicate") == "http://www.w3.org/2002/07/owl#sameAs")
+        .select("url", "subject")
+        .distinct()
+    )
+    alias_edges = (
+        aliases.alias("x")
+        .join(
+            aliases.alias("y"),
+            (F.col("x.url") == F.col("y.url"))
+            & (F.col("x.subject") < F.col("y.subject")),
+        )
+        .select(F.col("x.subject").alias("a"), F.col("y.subject").alias("b"))
+        .distinct()
+    )
+    mapping = canonicalize_entities(triples)
+    return condense_graph(alias_edges, mapping).orderBy("comp_a", "comp_b")
+
+
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gazetteer mention detection. The projection is the SQL-expressible
     surface/offset/entity subset — the closed-form DuckDB oracle reconstructs
@@ -3551,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_boilerplate": q_host_boilerplate,
         "q_er_eval": q_er_eval,
         "q_corpus_drift": q_corpus_drift,
+        "q_kg_cluster_graph": q_kg_cluster_graph,
     }
 
 
@@ -4405,6 +4437,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # condensation: closed-form alias pairs contracted through the
+        # closed-form min-node component map
+        "q_kg_cluster_graph": f"""
+            WITH d AS (SELECT doc_id AS i, doc_id%97 AS site,
+                              unnest({_DD_ENTS}) AS k FROM documents),
+            de AS (SELECT DISTINCT i, site, k FROM d),
+            al AS (SELECT i, k,
+                     'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0') AS node
+                   FROM de),
+            pairs AS (SELECT DISTINCT x.node AS a, y.node AS b,
+                             x.k AS ka, y.k AS kb
+                      FROM al x JOIN al y ON x.i = y.i AND x.node < y.node),
+            mention AS (SELECT DISTINCT site, k FROM d),
+            nodes AS (
+              SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0') AS node, k FROM mention
+              UNION
+              SELECT DISTINCT 'https://kg.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0'), k FROM mention),
+            comp AS (SELECT k, min(node) AS c FROM nodes GROUP BY k)
+            SELECT least(ca.c, cb.c) AS comp_a, greatest(ca.c, cb.c) AS comp_b,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM pairs JOIN comp ca ON pairs.ka = ca.k
+                       JOIN comp cb ON pairs.kb = cb.k
+            WHERE ca.c <> cb.c
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_kg_mentions": _dd_mentions_sql(),
         "q_kg_classes": f"""

@@ -277,6 +277,7 @@ def main():
         "q_host_boilerplate",
         "q_er_eval",
         "q_corpus_drift",
+        "q_kg_cluster_graph",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

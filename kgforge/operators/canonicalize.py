@@ -498,3 +498,45 @@ def rewrite_to_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:
         .drop("obj_value", "obj_canon")
     )
     return out
+
+
+def condense_graph(
+    edges: DataFrame,
+    mapping: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    node_col: str = "node",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Contract a node-level graph by an entity-resolution mapping: every
+    edge's endpoints rewrite to their canonical component, intra-cluster
+    edges drop, and parallel edges collapse into one weighted
+    cluster-level edge (comp_a < comp_b, weight = number of distinct
+    underlying edges). The step after canonicalization that turns an
+    alias-level co-occurrence graph into the ENTITY graph all downstream
+    analytics (PageRank, communities, link prediction) should run on —
+    running them on the un-condensed graph double-counts every alias.
+
+    Scale shape: two node-keyed equi-joins against the mapping (the
+    mapping is |nodes| rows; a hot canonical entity skews only AFTER the
+    rewrite, where AQE's skew-join split applies to the final weight
+    agg), one codegen least/greatest normalization, one combinable count
+    agg. No windows, no Python.
+    """
+    m = mapping.select(
+        F.col(node_col).alias("__n"), F.col(comp_col).alias("__c")
+    )
+    e = (
+        edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+        .join(m.withColumnRenamed("__n", "__a").withColumnRenamed("__c", "__ca"), "__a")
+        .join(m.withColumnRenamed("__n", "__b").withColumnRenamed("__c", "__cb"), "__b")
+        .filter(F.col("__ca") != F.col("__cb"))
+    )
+    return (
+        e.select(
+            F.least("__ca", "__cb").alias("comp_a"),
+            F.greatest("__ca", "__cb").alias("comp_b"),
+        )
+        .groupBy("comp_a", "comp_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )

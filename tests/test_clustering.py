@@ -54,3 +54,22 @@ def test_clustering_known_values(spark):
     assert abs(got["q"] - 2.0 / 3.0) < 1e-12
     # r has neighbors {q, s} connected -> 1.0
     assert got["r"] == 1.0
+
+
+def test_condense_graph_hand_pin(spark):
+    from kgforge.operators.canonicalize import condense_graph
+
+    # clusters: {a1,a2}->A, {b1}->B, {c1}->C
+    mapping = spark.createDataFrame(
+        [("a1", "A"), ("a2", "A"), ("b1", "B"), ("c1", "C")],
+        "node string, component string",
+    )
+    edges = spark.createDataFrame(
+        [("a1", "b1"), ("a2", "b1"),   # two alias edges -> one weighted A-B
+         ("a1", "a2"),                  # intra-cluster: dropped
+         ("c1", "a1")],                 # normalized to (A, C)
+        "a string, b string",
+    )
+    got = {(r["comp_a"], r["comp_b"]): r["weight"]
+           for r in condense_graph(edges, mapping).collect()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1}
