@@ -657,6 +657,23 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation rollup (RefinedWeb/FineWeb): per host — page
+    count, mean whitespace tokens, within-host exact-dup share, keep/drop
+    decision (NULL below the evidence floor). Two stacked combinable
+    aggs, host-cardinality output that broadcasts back as a corpus
+    filter. Oracle: identical (host, text) rollup in SQL."""
+    from kgforge.operators.quality import host_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("ex"), (F.col("doc_id") % 29).cast("string")).alias("host"),
+        "doc_id",
+        "text",
+    )
+    return host_curation(pages).orderBy("host")
+
+
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift between two crawl snapshots (even vs odd doc_ids) over
     the language distribution: Laplace-smoothed shares over the union of
@@ -3583,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_er_eval": q_er_eval,
         "q_corpus_drift": q_corpus_drift,
         "q_kg_cluster_graph": q_kg_cluster_graph,
+        "q_host_curation": q_host_curation,
     }
 
 
@@ -4948,6 +4966,30 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ),
+        # host curation: identical (host, text) rollup; keep uses the
+        # ROUNDED ratios exactly like the Spark side
+        "q_host_curation": f"""
+            WITH d AS (SELECT 'ex' || CAST(doc_id % 29 AS VARCHAR) AS host, text,
+                              {_dd_token_count('text')} AS tok
+                       FROM documents),
+            pt AS (SELECT host, text, count(*) AS n_copies, sum(tok) AS tok_sum
+                   FROM d GROUP BY host, text),
+            r AS (SELECT host, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+                         sum(tok_sum) AS tok_total,
+                         sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)
+                           AS dup_docs
+                  FROM pt GROUP BY host),
+            m AS (SELECT host, n_docs,
+                    round(CAST(tok_total AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                      AS mean_tokens,
+                    round(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                      AS dup_share
+                  FROM r)
+            SELECT host, n_docs, mean_tokens, dup_share,
+                   CASE WHEN n_docs >= 3
+                        THEN mean_tokens >= 20.0 AND dup_share <= 0.3 END AS keep
+            FROM m ORDER BY host
+        """,
         # PSI drift: identical Laplace smoothing over the union of bins,
         # totals as scalar subqueries, ln terms rounded to 6
         "q_corpus_drift": """

@@ -278,6 +278,7 @@ def main():
         "q_er_eval",
         "q_corpus_drift",
         "q_kg_cluster_graph",
+        "q_host_curation",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -607,6 +607,10 @@ def bfs_distances(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialized ONCE: every BFS round joins against this edge set,
+        # and without the checkpoint each round would re-run the entire
+        # upstream lineage (e.g. the link-extraction scan) from scratch
+        .localCheckpoint(eager=True)
     )
     visited = (
         seeds.select("node").distinct()

@@ -136,3 +136,67 @@ def gopher_filter(
     # broadcast-free semi join on the id — at corpus scale the profile is a
     # projection of the same scan, so Catalyst collapses this to one pass
     return docs.join(keep_ids, on=id_col, how="left_semi")
+
+
+def host_curation(
+    docs: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_mean_tokens: float = 20.0,
+    max_dup_share: float = 0.3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Domain-level curation rollup (the RefinedWeb / FineWeb move:
+    filter at the HOST, not only the document — a host whose pages are
+    mostly near-empty or mostly duplicated is spam/template farm, and
+    dropping it wholesale beats scoring its pages one by one). Per host:
+    page count, mean token count, the share of pages whose exact text
+    recurs within the host, and the keep/drop decision.
+
+    Output: (host, n_docs, mean_tokens, dup_share, keep) — keep is
+    NULL for hosts below ``min_docs`` (too little evidence to damn a
+    domain; route those to per-document filters instead).
+
+    Scale shape: token counts are codegen in the scan; the dup share is
+    one (host, text)-keyed combinable agg (exact duplicates only — the
+    near-dup variant plugs a cluster id into the same rollup) followed by
+    the host-keyed reduce. Everything is two stacked map-side-combinable
+    aggregations; output is host-cardinality-sized, broadcastable as a
+    filter to the corpus scan. Ratios are exact integer quotients rounded
+    to 6 so engines bit-agree.
+    """
+    from .text_stats import token_count_col
+
+    per_text = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(text_col).alias("__t"),
+        token_count_col(F.col(text_col)).alias("__tok"),
+    ).groupBy("host", "__t").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("__tok").alias("tok_sum"),
+    )
+    rolled = per_text.groupBy("host").agg(
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.sum("tok_sum").alias("tok_total"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(F.lit(0))
+        ).alias("dup_docs"),
+    )
+    mean_tokens = F.round(
+        F.col("tok_total").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    dup_share = F.round(
+        F.col("dup_docs").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    return rolled.select(
+        "host",
+        "n_docs",
+        mean_tokens.alias("mean_tokens"),
+        dup_share.alias("dup_share"),
+        F.when(
+            F.col("n_docs") >= min_docs,
+            (mean_tokens >= F.lit(min_mean_tokens))
+            & (dup_share <= F.lit(max_dup_share)),
+        ).alias("keep"),
+    )

@@ -84,3 +84,26 @@ def test_gopher_filter_semi_join(spark):
     kept = gopher_filter(df, min_words=5, min_stop_hits=2)
     assert [r["doc_id"] for r in kept.collect()] == [0]
     assert kept.columns == df.columns
+
+
+def test_host_curation_rollup_and_decision(spark):
+    from kgforge.operators.quality import host_curation
+
+    long = "tok " * 30  # 30 tokens (trailing space trimmed)
+    rows = (
+        # hostA: 4 long unique pages -> keep
+        [(i, "A", long + str(i)) for i in range(4)]
+        # hostB: 4 pages, 3 identical -> dup_share 0.75 -> drop
+        + [(10, "B", long + "x"), (11, "B", "same page"), (12, "B", "same page"),
+           (13, "B", "same page")]
+        # hostC: short pages -> mean tokens < 20 -> drop
+        + [(20, "C", "a b c"), (21, "C", "d e"), (22, "C", "f g h i")]
+        # hostD: below evidence floor -> keep is NULL
+        + [(30, "D", long), (31, "D", "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, host string, text string")
+    got = {r["host"]: r for r in host_curation(df).collect()}
+    assert got["A"]["keep"] is True and got["A"]["dup_share"] == 0.0
+    assert got["B"]["keep"] is False and got["B"]["dup_share"] == 0.75
+    assert got["C"]["keep"] is False and got["C"]["mean_tokens"] == 3.0
+    assert got["D"]["keep"] is None and got["D"]["n_docs"] == 2
