@@ -384,6 +384,18 @@ def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs_blocked(emb, threshold=0.35, num_blocks=4).orderBy("a", "b")
 
 
+def q_emb_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diversity via the centroid identity
+    E||x-y||² = 2(E||x||² − ||μ||²) — the post-dedup distribution-health
+    metric, computed in ONE scan instead of an O(n²) pair join. Codegen
+    norm folds + the posexplode (group, dim) mean idiom. Oracle:
+    identical identity replayed with list lambdas in SQL."""
+    from kgforge.operators.similarity import embedding_diversity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_diversity(emb).orderBy("label")
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: one nearest-seed clustering pass (seeds =
     8 lowest-id vectors) + within-cluster cosine prune at 0.4, greedy
@@ -3601,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_drift": q_corpus_drift,
         "q_kg_cluster_graph": q_kg_cluster_graph,
         "q_host_curation": q_host_curation,
+        "q_emb_diversity": q_emb_diversity,
     }
 
 
@@ -4106,6 +4119,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
                 WHERE q.vec_id < 5
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # diversity identity: E||x-y||^2 = 2(E||x||^2 - ||mean||^2), means
+        # replayed per (label, dim); vectors fold left-to-right like Spark
+        "q_emb_diversity": """
+            WITH sq AS (SELECT label, count(*) AS n,
+                          avg(list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS msq
+                        FROM embeddings GROUP BY label),
+            dims AS (SELECT label, j, avg(CAST(embedding[j] AS DOUBLE)) AS m
+                     FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(j)
+                     GROUP BY label, j),
+            cent AS (SELECT label, sum(m * m) AS cnorm FROM dims GROUP BY label)
+            SELECT sq.label, CAST(n AS BIGINT) AS n,
+                   round(msq, 6) AS mean_sq_norm,
+                   round(cnorm, 6) AS centroid_sq_norm,
+                   round(2 * (msq - cnorm), 6) AS avg_sq_dist
+            FROM sq JOIN cent ON sq.label = cent.label ORDER BY sq.label
         """,
         "q_emb_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b,

@@ -279,6 +279,7 @@ def main():
         "q_corpus_drift",
         "q_kg_cluster_graph",
         "q_host_curation",
+        "q_emb_diversity",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -673,3 +673,53 @@ def centroid_outliers(
         )
     )
     return dist.orderBy(F.desc("dist"), id_col).limit(top_n)
+
+
+def embedding_diversity(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding diversity WITHOUT a pair join: the expected
+    squared distance between two random draws satisfies
+    E||x-y||^2 = 2(E||x||^2 - ||E x||^2), so corpus diversity — the
+    SemDeDup-era health metric for "did my dedup collapse the
+    distribution?" — reduces to one scan: mean squared norm + the
+    centroid's squared norm. The naive all-pairs estimate is O(n²·d);
+    this is O(n·d) and exact (over iid draws with replacement).
+
+    Output per group: (group, n, mean_sq_norm, centroid_sq_norm,
+    avg_sq_dist), doubles rounded to 6.
+
+    Scale shape: squared norms fold inside codegen (F.aggregate over the
+    array — no Python); the centroid is the posexplode + (group, dim)
+    keyed avg idiom (d rows per input row, combinable), then a d-row
+    reduce per group. Nothing is ever pairwise.
+    """
+    sq = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    base = embeddings.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sq.alias("sq")
+    )
+    stats = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("sq").alias("msq"),
+    )
+    dims = base.select(
+        "grp", F.posexplode(F.col("v")).alias("dim", "x")
+    ).groupBy("grp", "dim").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    cent = dims.groupBy("grp").agg(F.sum(F.col("m") * F.col("m")).alias("cnorm"))
+    return (
+        stats.join(cent, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round("msq", 6).alias("mean_sq_norm"),
+            F.round("cnorm", 6).alias("centroid_sq_norm"),
+            F.round(2 * (F.col("msq") - F.col("cnorm")), 6).alias("avg_sq_dist"),
+        )
+    )

@@ -62,3 +62,35 @@ def test_semdedup_threshold_one_keeps_all_but_exact(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r["vec_id"]: r["kept"] for r in semdedup(df, 1, 1.0).collect()}
     assert got == {0: True, 1: False, 2: True}
+
+
+def test_embedding_diversity_matches_naive_pairwise(spark):
+    """The centroid identity vs a brute-force all-pairs average."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(int(i), "g" + str(i % 2), [float(x) for x in vecs[i]])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<float>")
+    from kgforge.operators.similarity import embedding_diversity
+
+    got = {r["label"]: r for r in embedding_diversity(df).collect()}
+    for g in ("g0", "g1"):
+        sub = vecs[[i for i in range(40) if "g" + str(i % 2) == g]].astype("float64")
+        n = len(sub)
+        naive = sum(
+            float(np.sum((sub[i] - sub[j]) ** 2))
+            for i in range(n) for j in range(n)
+        ) / (n * n)
+        assert abs(got[g]["avg_sq_dist"] - naive) < 1e-4
+        assert got[g]["n"] == n
+
+
+def test_embedding_diversity_collapsed_corpus_is_zero(spark):
+    from kgforge.operators.similarity import embedding_diversity
+
+    rows = [(i, "g", [1.0, 2.0, 3.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<float>")
+    got = embedding_diversity(df).collect()[0]
+    assert got["avg_sq_dist"] == 0.0  # identical vectors: zero diversity
