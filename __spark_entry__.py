@@ -792,6 +792,18 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive (prev -> next) hop counts + row-normalized
+    probabilities. One per-key lag window + two stacked combinable aggs;
+    the row-total join is state-vocabulary-sized (broadcast). Oracle:
+    identical lag tiebreak (ts, event_id) replayed in SQL."""
+    from kgforge.operators.funnel import transition_matrix
+
+    events = _t(spark, sf_dir, "events")
+    return transition_matrix(events).orderBy("prev_state", "state")
+
+
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed second-moment structure of the embedding corpus: the
     64x64 population covariance via per-batch numpy Gramian partials (one
@@ -3614,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_cluster_graph": q_kg_cluster_graph,
         "q_host_curation": q_host_curation,
         "q_emb_diversity": q_emb_diversity,
+        "q_event_transitions": q_event_transitions,
     }
 
 
@@ -4320,6 +4333,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(a.x*b.x) - AVG(a.x)*AVG(b.x), 6) AS cov
             FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i ORDER BY i, j
+        """,
+        # Markov hops: identical per-user lag tiebreak (ts, event_id)
+        "q_event_transitions": """
+            WITH hops AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_state,
+                     event_type AS state
+              FROM events),
+            c AS (SELECT prev_state, state, CAST(count(*) AS BIGINT) AS n
+                  FROM hops WHERE prev_state IS NOT NULL
+                  GROUP BY prev_state, state),
+            t AS (SELECT prev_state, sum(n) AS row_total FROM c GROUP BY prev_state)
+            SELECT c.prev_state, c.state, c.n,
+                   round(c.n / CAST(row_total AS DOUBLE), 6) AS prob
+            FROM c JOIN t USING (prev_state)
+            ORDER BY prev_state, state
         """,
         # Cho & Garcia-Molina estimator replayed: identical lag tiebreak
         # (ts, value), epoch() span, double-cast before the ratio

@@ -280,6 +280,7 @@ def main():
         "q_kg_cluster_graph",
         "q_host_curation",
         "q_emb_diversity",
+        "q_event_transitions",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -21,7 +21,7 @@ chain — documented, matches the SQL replay exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def funnel_steps(
@@ -80,3 +80,47 @@ def funnel_counts(funnel: DataFrame, n_steps: int) -> DataFrame:
         r = agg.select(F.lit(i).alias("step"), F.col(f"_n{i}").alias("n_users"))
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    count every consecutive (prev_state -> state) hop inside a key's
+    timeline and normalize rows to probabilities — the navigation /
+    funnel-free view of user behavior, and the model behind "what does a
+    crawler fetch after a sitemap?" style questions.
+
+    Output: (prev_state, state, n, prob) with prob = n / Σ_row n,
+    rounded to 6.
+
+    Scale shape: ONE lag window per key (each key's own timeline — the
+    event-order primitive every sequence op here uses, never a global
+    window), then two stacked combinable aggs: hop counts, then row
+    totals joined back broadcast (state-vocabulary-sized). Ties order by
+    ``tiebreak_col`` so the matrix is deterministic under any
+    partitioning.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    hops = (
+        events.select(
+            F.lag(F.col(state_col)).over(w).alias("prev_state"),
+            F.col(state_col).alias("state"),
+        )
+        .filter(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = hops.groupBy("prev_state").agg(F.sum("n").alias("row_total"))
+    return hops.join(F.broadcast(totals), "prev_state").select(
+        "prev_state",
+        "state",
+        "n",
+        F.round(F.col("n") / F.col("row_total").cast("double"), 6).alias("prob"),
+    )

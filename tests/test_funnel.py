@@ -52,3 +52,42 @@ def test_funnel_counts(spark):
     f = funnel_steps(ev, ["view", "click", "purchase"])
     got = {r["step"]: r["n_users"] for r in funnel_counts(f, 3).collect()}
     assert got == {0: 3, 1: 2, 2: 1}
+
+
+def test_transition_matrix_hand_pin(spark):
+    from datetime import datetime
+
+    from kgforge.operators.funnel import transition_matrix
+
+    t = datetime(2026, 1, 1)
+    rows = [
+        # user 1: A -> B -> A
+        (1, 1, datetime(2026, 1, 1, 0), "A"),
+        (2, 1, datetime(2026, 1, 1, 1), "B"),
+        (3, 1, datetime(2026, 1, 1, 2), "A"),
+        # user 2: A -> A (hops never cross users)
+        (4, 2, datetime(2026, 1, 1, 0), "A"),
+        (5, 2, datetime(2026, 1, 1, 1), "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    got = {(r["prev_state"], r["state"]): (r["n"], r["prob"])
+           for r in transition_matrix(df).collect()}
+    # from A: ->B once, ->A once (row sums to 1); from B: ->A once
+    assert got == {("A", "B"): (1, 0.5), ("A", "A"): (1, 0.5), ("B", "A"): (1, 1.0)}
+
+
+def test_transition_matrix_tie_determinism(spark):
+    from datetime import datetime
+
+    from kgforge.operators.funnel import transition_matrix
+
+    ts = datetime(2026, 1, 1)
+    rows = [(i, 1, ts, s) for i, s in [(1, "X"), (2, "Y"), (3, "Z")]]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    got = {(r["prev_state"], r["state"]) for r in transition_matrix(df).collect()}
+    # same-ts ties order by event_id: X -> Y -> Z
+    assert got == {("X", "Y"), ("Y", "Z")}
