@@ -792,6 +792,18 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly burst detection per event type: z-score every observed hour
+    against the type's own hourly distribution, flag z >= 3 — the crawl
+    anomaly monitor. One corpus-sized (type, hour) count, then
+    hour-cardinality moment aggs broadcast back. Oracle: identical
+    date_trunc buckets + population moments in SQL."""
+    from kgforge.operators.history import burst_detection
+
+    events = _t(spark, sf_dir, "events")
+    return burst_detection(events).orderBy("event_type", "hour")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: consecutive (prev -> next) hop counts + row-normalized
@@ -3627,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_curation": q_host_curation,
         "q_emb_diversity": q_emb_diversity,
         "q_event_transitions": q_event_transitions,
+        "q_event_bursts": q_event_bursts,
     }
 
 
@@ -4333,6 +4346,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(a.x*b.x) - AVG(a.x)*AVG(b.x), 6) AS cov
             FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY a.i, b.i ORDER BY i, j
+        """,
+        # hourly z-scores: identical buckets + population moments; z and
+        # is_burst NULL-guarded exactly like the Spark side
+        "q_event_bursts": """
+            WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type, avg(n) AS mean_n, stddev_pop(n) AS sd
+                  FROM h GROUP BY event_type),
+            z AS (SELECT h.event_type, h.hour, h.n,
+                         round(s.mean_n, 6) AS mean_n,
+                         CASE WHEN s.sd > 0
+                              THEN round((h.n - s.mean_n) / s.sd, 6) END AS z
+                  FROM h JOIN s USING (event_type))
+            SELECT event_type, hour, n, mean_n, z,
+                   coalesce(z >= 3.0, FALSE) AS is_burst
+            FROM z ORDER BY event_type, hour
         """,
         # Markov hops: identical per-user lag tiebreak (ts, event_id)
         "q_event_transitions": """

@@ -281,6 +281,7 @@ def main():
         "q_host_curation",
         "q_emb_diversity",
         "q_event_transitions",
+        "q_event_bursts",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -134,3 +134,46 @@ def recrawl_priority(
             F.round(F.lit(1.0) / F.col("changes_per_day"), 6),
         ),
     )
+
+
+def burst_detection(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Hourly burst detection per event type: bucket events into hours,
+    z-score each observed hour against the type's own hourly distribution
+    (population mean/std over OBSERVED hours — an all-quiet type with one
+    spike still flags), and mark hours whose z >= threshold. The
+    ops-monitoring primitive for crawl anomalies: a host suddenly serving
+    10× its baseline, a parser error type exploding after a deploy.
+
+    Output: (event_type, hour, n, mean_n, z, is_burst); z is NULL for a
+    constant series (zero variance is "no evidence of abnormality", not a
+    divide-by-zero job kill).
+
+    Scale shape: one map-side-combinable (type, hour) count — the only
+    corpus-sized shuffle — then type-keyed moment aggs over
+    hour-cardinality rows joined back broadcast. Doubles rounded to 6.
+    """
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mean_n"),
+        F.stddev_pop("n").alias("sd"),
+    )
+    z = F.when(
+        F.col("sd") > 0,
+        F.round((F.col("n") - F.col("mean_n")) / F.col("sd"), 6),
+    )
+    return hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        F.round("mean_n", 6).alias("mean_n"),
+        z.alias("z"),
+        F.coalesce(z >= F.lit(z_threshold), F.lit(False)).alias("is_burst"),
+    )

@@ -114,3 +114,30 @@ def test_recrawl_priority_no_evidence_rows(spark):
     got = {r["k"]: r for r in recrawl_priority(df, ["k"], "v", "ts").collect()}
     assert got["once"]["r_hat"] is None and got["once"]["next_due_days"] is None
     assert got["static"]["n_changes"] == 0 and got["static"]["r_hat"] is None
+
+
+def test_burst_detection_spike_flagged(spark):
+    from datetime import datetime, timedelta
+
+    from kgforge.operators.history import burst_detection
+
+    t0 = datetime(2026, 1, 1)
+    rows = []
+    # type A: 1 event/hour for 20 hours, then a 50-event spike hour
+    for h in range(20):
+        rows.append((t0 + timedelta(hours=h), "A"))
+    rows += [(t0 + timedelta(hours=20), "A")] * 50
+    # type B: perfectly constant -> zero variance -> z NULL, never a burst
+    for h in range(5):
+        rows.append((t0 + timedelta(hours=h), "B"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {(r["event_type"], r["hour"].hour): r for r in burst_detection(df).collect()
+           if r["hour"].day == 1}
+    bursts = [(k, v) for k, v in got.items() if v["is_burst"]]
+    assert len(bursts) == 1 and bursts[0][0] == ("A", 20)
+    import statistics
+    ns = [1] * 20 + [50]
+    mu = statistics.mean(ns)
+    sd = statistics.pstdev(ns)
+    assert got[("A", 20)]["z"] == round((50 - mu) / sd, 6)
+    assert got[("B", 0)]["z"] is None and got[("B", 0)]["is_burst"] is False
