@@ -616,6 +616,32 @@ def q_kg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_profile(triples).orderBy("predicate")
 
 
+def q_kg_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table mining (WebTables): every <table> grid lifted to
+    (url, table_idx, row_idx, col_idx, cell, is_header) relational rows —
+    three chained regexp_extract_all + posexplode stages, all codegen,
+    order captured as index columns. Entity decode + tag-to-space
+    stripping included. Oracle: the closed-form spec-table cells."""
+    from kgforge.operators.tables import extract_tables
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"), (i % 97).cast("string"),
+        F.lit(".example.org/spec/"), i.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Spec</h1><table><tr><th>sku</th><th>price</th></tr>"
+              "<tr><td>SKU-"), i.cast("string"),
+        F.lit("</td><td>"), ((i * 7) % 100).cast("string"),
+        F.lit(".99</td></tr><tr><td>stock &amp; more</td><td><b>"),
+        (i % 50).cast("string"),
+        F.lit("</b> units</td></tr></table></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return extract_tables(pages).orderBy("url", "table_idx", "row_idx", "col_idx")
+
+
 def q_kg_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML microdata extraction (itemscope/itemprop/itemtype/itemid — the
     third embedded-structured-data syntax on crawl pages, and historically
@@ -3640,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_diversity": q_emb_diversity,
         "q_event_transitions": q_event_transitions,
         "q_event_bursts": q_event_bursts,
+        "q_kg_tables": q_kg_tables,
     }
 
 
@@ -4544,6 +4571,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # web tables: closed-form spec-table cells; '<b>n</b> units' strips
+        # to 'n  units' (tag -> space convention), '&amp;' decodes
+        "q_kg_tables": """
+            WITH d AS (SELECT doc_id AS i,
+                   'https://ex' || CAST(doc_id%97 AS VARCHAR)
+                     || '.example.org/spec/' || CAST(doc_id AS VARCHAR) AS url
+                   FROM documents),
+            cells AS (
+              SELECT url, 0 AS row_idx, 0 AS col_idx, 'sku' AS cell,
+                     TRUE AS is_header FROM d
+              UNION ALL SELECT url, 0, 1, 'price', TRUE FROM d
+              UNION ALL SELECT url, 1, 0, 'SKU-' || CAST(i AS VARCHAR), FALSE FROM d
+              UNION ALL SELECT url, 1, 1,
+                     CAST((i*7)%100 AS VARCHAR) || '.99', FALSE FROM d
+              UNION ALL SELECT url, 2, 0, 'stock & more', FALSE FROM d
+              UNION ALL SELECT url, 2, 1,
+                     CAST(i%50 AS VARCHAR) || '  units', FALSE FROM d)
+            SELECT url, CAST(0 AS BIGINT) AS table_idx,
+                   CAST(row_idx AS BIGINT) AS row_idx,
+                   CAST(col_idx AS BIGINT) AS col_idx, cell, is_header
+            FROM cells ORDER BY url, table_idx, row_idx, col_idx
         """,
         # condensation: closed-form alias pairs contracted through the
         # closed-form min-node component map

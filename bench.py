@@ -282,6 +282,7 @@ def main():
         "q_emb_diversity",
         "q_event_transitions",
         "q_event_bursts",
+        "q_kg_tables",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
