@@ -616,6 +616,39 @@ def q_kg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_profile(triples).orderBy("predicate")
 
 
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed ingestion: per fetched feed, one row per <item> /
+    <entry> with RFC 3986-resolved canonical links, RFC 822 + ISO 8601
+    try-parsed timestamps (garbage -> NULL), XML entity decode. Block-
+    then-field codegen harvest — optional fields can't mis-align.
+    Oracle: closed-form entry inventory with interval arithmetic."""
+    from kgforge.operators.feeds import parse_feeds
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s = (i % 97).cast("string")
+    url = F.concat(
+        F.lit("https://ex"), s, F.lit(".example.org/feed/"), i.cast("string"),
+        F.lit(".xml"),
+    )
+    xml = F.concat(
+        F.lit("<rss><channel><item><title>Post &amp; "), i.cast("string"),
+        F.lit("</title><link>/post/"), (i % 200).cast("string"),
+        F.lit("</link><pubDate>Tue, 19 Aug 2026 "),
+        F.lpad((i % 24).cast("string"), 2, "0"),
+        F.lit(":00:00 +0000</pubDate><guid>g"), i.cast("string"),
+        F.lit("</guid></item>"
+              "<entry><title>Alt</title><link href='/alt/"),
+        (i % 50).cast("string"),
+        F.lit("'/><published>2026-08-"),
+        F.lpad((1 + i % 28).cast("string"), 2, "0"),
+        F.lit("T12:00:00Z</published><id>tag:"), i.cast("string"),
+        F.lit("</id></entry></channel></rss>"),
+    )
+    feeds = d.select(url.alias("url"), F.encode(xml, "UTF-8").alias("xml"))
+    return parse_feeds(feeds).orderBy("feed_url", "kind", "link")
+
+
 def q_kg_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-table mining (WebTables): every <table> grid lifted to
     (url, table_idx, row_idx, col_idx, cell, is_header) relational rows —
@@ -3667,6 +3700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": q_event_transitions,
         "q_event_bursts": q_event_bursts,
         "q_kg_tables": q_kg_tables,
+        "q_feed_entries": q_feed_entries,
     }
 
 
@@ -4571,6 +4605,35 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # feeds: closed-form item/entry inventory; timestamps via interval
+        # arithmetic matching the parsed RFC 822 / ISO 8601 instants
+        "q_feed_entries": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            f AS (SELECT i,
+                    'https://ex' || CAST(s AS VARCHAR) || '.example.org/feed/'
+                      || CAST(i AS VARCHAR) || '.xml' AS feed_url,
+                    'ex' || CAST(s AS VARCHAR) || '.example.org' AS host
+                  FROM d),
+            rows_ AS (
+              SELECT feed_url, host, 'item' AS kind,
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/post/'
+                       || CAST(i % 200 AS VARCHAR) AS link,
+                     'Post & ' || CAST(i AS VARCHAR) AS title,
+                     TIMESTAMP '2026-08-19 00:00:00' + INTERVAL (i % 24) HOUR
+                       AS published_ts,
+                     'g' || CAST(i AS VARCHAR) AS guid
+              FROM f JOIN d USING (i)
+              UNION ALL
+              SELECT feed_url, host, 'entry',
+                     'https://ex' || CAST(s AS VARCHAR) || '.example.org/alt/'
+                       || CAST(i % 50 AS VARCHAR),
+                     'Alt',
+                     TIMESTAMP '2026-08-01 12:00:00' + INTERVAL (i % 28) DAY,
+                     'tag:' || CAST(i AS VARCHAR)
+              FROM f JOIN d USING (i))
+            SELECT feed_url, host, kind, link, title, published_ts, guid
+            FROM rows_ ORDER BY feed_url, kind, link
         """,
         # web tables: closed-form spec-table cells; '<b>n</b> units' strips
         # to 'n  units' (tag -> space convention), '&amp;' decodes

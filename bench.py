@@ -283,6 +283,7 @@ def main():
         "q_event_transitions",
         "q_event_bursts",
         "q_kg_tables",
+        "q_feed_entries",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
