@@ -616,6 +616,34 @@ def q_kg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicate_profile(triples).orderBy("predicate")
 
 
+def q_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table column typing (WebTables schema recovery): per extracted
+    column — header name, body-cell count, numeric-parse count, inferred
+    type (>= half numeric). One combinable agg over body cells (codegen
+    try_cast) + a column-sized header join. Oracle: closed-form per-column
+    inventory of the q_kg_tables fixture."""
+    from kgforge.operators.tables import extract_tables, table_column_profile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"), (i % 97).cast("string"),
+        F.lit(".example.org/spec/"), i.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Spec</h1><table><tr><th>sku</th><th>price</th></tr>"
+              "<tr><td>SKU-"), i.cast("string"),
+        F.lit("</td><td>"), ((i * 7) % 100).cast("string"),
+        F.lit(".99</td></tr><tr><td>stock &amp; more</td><td><b>"),
+        (i % 50).cast("string"),
+        F.lit("</b> units</td></tr></table></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return table_column_profile(extract_tables(pages)).orderBy(
+        "url", "table_idx", "col_idx"
+    )
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed ingestion: per fetched feed, one row per <item> /
     <entry> with RFC 3986-resolved canonical links, RFC 822 + ISO 8601
@@ -3701,6 +3729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_bursts": q_event_bursts,
         "q_kg_tables": q_kg_tables,
         "q_feed_entries": q_feed_entries,
+        "q_table_columns": q_table_columns,
     }
 
 
@@ -4605,6 +4634,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # column typing: closed-form per-column inventory — col0 is text
+        # (SKU-n / 'stock & more'), col1 is half-numeric -> numeric
+        "q_table_columns": """
+            WITH d AS (SELECT 'https://ex' || CAST(doc_id%97 AS VARCHAR)
+                         || '.example.org/spec/' || CAST(doc_id AS VARCHAR) AS url
+                       FROM documents)
+            SELECT url, CAST(0 AS BIGINT) AS table_idx,
+                   CAST(0 AS BIGINT) AS col_idx, 'sku' AS col_name,
+                   CAST(2 AS BIGINT) AS n_cells, CAST(0 AS BIGINT) AS n_numeric,
+                   'text' AS inferred_type
+            FROM d
+            UNION ALL
+            SELECT url, 0, 1, 'price', 2, 1, 'numeric' FROM d
+            ORDER BY url, table_idx, col_idx
         """,
         # feeds: closed-form item/entry inventory; timestamps via interval
         # arithmetic matching the parsed RFC 822 / ISO 8601 instants

@@ -284,6 +284,7 @@ def main():
         "q_event_bursts",
         "q_kg_tables",
         "q_feed_entries",
+        "q_table_columns",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

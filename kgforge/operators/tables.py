@@ -79,3 +79,45 @@ def extract_tables(
         text.alias("cell"),
         (tag == "th").alias("is_header"),
     )
+
+
+def table_column_profile(cells: DataFrame) -> DataFrame:
+    """Column typing over extracted table cells (the WebTables schema-
+    recovery step): per (url, table_idx, col_idx) — the header name (the
+    row-0 <th> cell when present), body-cell count, how many body cells
+    parse as numbers, and the inferred type ('numeric' when at least half
+    do, else 'text'). This is what turns a million raw HTML grids into
+    queryable (entity, attribute, value) candidates.
+
+    Scale shape: one combinable agg over body cells (numeric test =
+    codegen try_cast, never Python) + one broadcast-scale join against
+    the header cells (one row per column). Output is column-cardinality-
+    sized.
+    """
+    body = cells.filter(~F.col("is_header"))
+    stats = body.groupBy("url", "table_idx", "col_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(
+            F.col("cell").try_cast("double").isNotNull().cast("int")
+        ).cast("bigint").alias("n_numeric"),
+    )
+    headers = (
+        cells.filter(F.col("is_header") & (F.col("row_idx") == 0))
+        .groupBy("url", "table_idx", "col_idx")
+        .agg(F.min("cell").alias("col_name"))
+    )
+    share = F.col("n_numeric").cast("double") / F.col("n_cells").cast("double")
+    return (
+        stats.join(headers, ["url", "table_idx", "col_idx"], "left")
+        .select(
+            "url",
+            "table_idx",
+            "col_idx",
+            "col_name",
+            "n_cells",
+            "n_numeric",
+            F.when(share >= 0.5, F.lit("numeric")).otherwise(F.lit("text")).alias(
+                "inferred_type"
+            ),
+        )
+    )

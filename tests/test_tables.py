@@ -49,3 +49,26 @@ def test_extract_tables_mixed_th_td_order(spark):
         for r in extract_tables(_pages(spark, html)).collect()
     )
     assert got == [(0, "k", True), (1, "v", False)]
+
+
+def test_table_column_profile_typing(spark):
+    from kgforge.operators.tables import extract_tables, table_column_profile
+
+    html = (b"<table><tr><th>name</th><th>score</th></tr>"
+            b"<tr><td>alpha</td><td>1.5</td></tr>"
+            b"<tr><td>beta</td><td>2</td></tr>"
+            b"<tr><td>gamma</td><td>n/a</td></tr></table>")
+    got = {r["col_idx"]: r for r in table_column_profile(
+        extract_tables(_pages(spark, html))).collect()}
+    assert got[0]["col_name"] == "name" and got[0]["inferred_type"] == "text"
+    assert got[1]["col_name"] == "score" and got[1]["n_numeric"] == 2
+    assert got[1]["inferred_type"] == "numeric"  # 2/3 >= 0.5
+
+
+def test_table_column_profile_headerless(spark):
+    from kgforge.operators.tables import extract_tables, table_column_profile
+
+    html = b"<table><tr><td>1</td></tr><tr><td>2</td></tr></table>"
+    got = table_column_profile(extract_tables(_pages(spark, html))).collect()[0]
+    assert got["col_name"] is None and got["inferred_type"] == "numeric"
+    assert got["n_cells"] == 2
