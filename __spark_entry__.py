@@ -1744,6 +1744,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_score(docs, lm, broadcast_model=False).orderBy("doc_id")
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM document scoring (the context-aware step past CCNet's
+    unigram): add-alpha p(b|a), bigrams built IN-ROW (arrays_zip of two
+    token-array slices — no window, no self-join), three-tier lookup
+    (seen / context backoff / uniform). Oracle: identical counts,
+    smoothing, and lookups in SQL."""
+    from kgforge.operators.lm_score import bigram_lm_score, bigram_lm_train
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm_train(docs)
+    return bigram_lm_score(docs, lm).orderBy("doc_id")
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus split (Wenzek et al. §4.4): per
     language, documents bucket by LM-score terciles. Cutoffs come from a
@@ -3730,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_tables": q_kg_tables,
         "q_feed_entries": q_feed_entries,
         "q_table_columns": q_table_columns,
+        "q_bigram_lm": q_bigram_lm,
     }
 
 
@@ -5859,6 +5873,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                    sum(logp) AS sum_logp, avg(logp) AS avg_logp
             FROM toks JOIN lm USING (token)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # bigram LM: identical in-row bigrams, add-alpha smoothing, and
+        # (trained-on-self) all-seen lookups
+        "q_bigram_lm": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                       FROM documents WHERE trim(text) <> ''),
+            bg AS (SELECT doc_id, tk[j] AS prev, tk[j+1] AS token
+                   FROM t, UNNEST(range(1, len(tk))) r(j)),
+            counts AS (SELECT prev, token, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+            ctx AS (SELECT prev, sum(c_ab) AS c_a FROM counts GROUP BY 1),
+            tot AS (SELECT count(DISTINCT u) AS V
+                    FROM (SELECT unnest(tk) AS u FROM t)),
+            lm AS (SELECT c.prev, c.token,
+                          ln((c_ab + 0.5) / (c_a + 0.5 * (V + 1))) AS logp
+                   FROM counts c JOIN ctx USING (prev), tot)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(logp) AS sum_logp, avg(logp) AS avg_logp
+            FROM bg JOIN lm USING (prev, token)
             GROUP BY doc_id ORDER BY doc_id
         """,
         # CCNet terciles: identical train+score, then the per-(lang,

@@ -285,6 +285,7 @@ def main():
         "q_kg_tables",
         "q_feed_entries",
         "q_table_columns",
+        "q_bigram_lm",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -159,3 +159,102 @@ def ccnet_buckets(
     return base.join(F.broadcast(cuts), lang_col).select(
         id_col, lang_col, "score_r", bucket.alias("bucket")
     )
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram model table: (prev, token, logp) for every seen bigram,
+    plus one (prev, NULL) backoff row per seen context (the mass an
+    unseen continuation of a known context gets) and one (NULL, NULL)
+    row for unseen contexts (uniform 1/(V+1)). Add-alpha smoothing:
+    p(b|a) = (c_ab + alpha) / (c_a + alpha*(V+1)).
+
+    Scale shape: bigrams are built IN-ROW (arrays_zip of two slices of
+    the token array — no window, no self-join), then ONE map-side-
+    combined (prev, token) count; context counts reduce the bigram table
+    itself; V/T ride a broadcast 1-row agg. Zipf mass combines map-side
+    exactly like the unigram trainer.
+    """
+    trimmed = F.trim(F.col(text_col))
+    tk = F.split(trimmed, r"\s+")
+    pairs = docs.filter(trimmed != "").select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.size(tk) - 1).alias("prev"),
+                F.slice(tk, 2, F.size(tk) - 1).alias("token"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.prev").alias("prev"), F.col("bg.token").alias("token"))
+    counts = pairs.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = counts.groupBy("prev").agg(F.sum("c_ab").alias("c_a"))
+    tokens = docs.filter(trimmed != "").select(F.explode(tk).alias("t"))
+    totals = tokens.agg(F.count_distinct("t").alias("V"))
+    a = F.lit(float(alpha))
+    denom = F.col("c_a") + a * (F.col("V") + 1)
+    seen = (
+        counts.join(ctx, "prev")
+        .crossJoin(F.broadcast(totals))
+        .select("prev", "token", F.log((F.col("c_ab") + a) / denom).alias("logp"))
+    )
+    miss = ctx.crossJoin(F.broadcast(totals)).select(
+        "prev",
+        F.lit(None).cast("string").alias("token"),
+        F.log(a / denom).alias("logp"),
+    )
+    unseen = totals.select(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast("string").alias("token"),
+        F.log(F.lit(1.0) / (F.col("V") + 1)).alias("logp"),
+    )
+    return seen.unionByName(miss).unionByName(unseen)
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram LM score: (id, n_bigrams, sum_logp, avg_logp).
+    Documents with fewer than two tokens produce no row (no bigram, no
+    evidence). Lookup order: seen bigram -> known-context backoff ->
+    uniform unseen-context mass — all three rows come from the same model
+    table, so scoring is two keyed joins + one broadcast scalar, never
+    Python."""
+    trimmed = F.trim(F.col(text_col))
+    tk = F.split(trimmed, r"\s+")
+    pairs = docs.filter(trimmed != "").select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(tk, 1, F.size(tk) - 1).alias("prev"),
+                F.slice(tk, 2, F.size(tk) - 1).alias("token"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.token").alias("token"))
+    seen = lm.filter(F.col("token").isNotNull()).select(
+        "prev", "token", F.col("logp").alias("lp_seen")
+    )
+    miss = lm.filter(F.col("token").isNull() & F.col("prev").isNotNull()).select(
+        "prev", F.col("logp").alias("lp_miss")
+    )
+    unseen = lm.filter(F.col("prev").isNull()).select(
+        F.col("logp").alias("lp_unseen")
+    )
+    scored = (
+        pairs.join(seen, ["prev", "token"], "left")
+        .join(miss, "prev", "left")
+        .crossJoin(F.broadcast(unseen))
+        .select(
+            id_col,
+            F.coalesce("lp_seen", "lp_miss", "lp_unseen").alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("logp").alias("sum_logp"),
+        F.avg("logp").alias("avg_logp"),
+    )

@@ -94,3 +94,29 @@ def test_ccnet_buckets_languages_are_independent(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string, avg_logp double")
     got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(df).collect()}
     assert [got[i] for i in range(6)] == [got[10 + i] for i in range(6)]
+
+
+def test_bigram_lm_python_pin(spark):
+    """Seen / context-backoff / unseen-context tiers vs hand arithmetic."""
+    import math
+
+    from kgforge.operators.lm_score import bigram_lm_score, bigram_lm_train
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    lm = bigram_lm_train(train)
+    # counts: (a,b)=3, (b,a)=1, (b,c)=1; c_a: a=3, b=2; V=3
+    score = spark.createDataFrame(
+        [(10, "a b"),      # seen: (3+.5)/(3+.5*4)
+         (11, "b z"),      # known context b, unseen token: .5/(2+2)
+         (12, "q r"),      # unseen context: 1/(3+1)
+         (13, "solo")],    # one token: no bigram -> no row
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(score, lm).collect()}
+    assert set(got) == {10, 11, 12}
+    assert abs(got[10]["sum_logp"] - math.log(3.5 / 5.0)) < 1e-12
+    assert abs(got[11]["sum_logp"] - math.log(0.5 / 4.0)) < 1e-12
+    assert abs(got[12]["sum_logp"] - math.log(1.0 / 4.0)) < 1e-12
+    assert got[10]["n_bigrams"] == 1
