@@ -644,6 +644,34 @@ def q_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables-to-KG lifting: each body row of every extracted table
+    becomes an entity, header slugs become predicates, cells become
+    literal objects — the non-RDF half of corpus triple construction.
+    One column-sized header join over the audited extraction plan.
+    Oracle: the closed-form triple inventory of the spec-table fixture."""
+    from kgforge.operators.tables import extract_tables, tables_to_triples
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"), (i % 97).cast("string"),
+        F.lit(".example.org/spec/"), i.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>Spec</h1><table><tr><th>sku</th><th>price</th></tr>"
+              "<tr><td>SKU-"), i.cast("string"),
+        F.lit("</td><td>"), ((i * 7) % 100).cast("string"),
+        F.lit(".99</td></tr><tr><td>stock &amp; more</td><td><b>"),
+        (i % 50).cast("string"),
+        F.lit("</b> units</td></tr></table></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return tables_to_triples(extract_tables(pages)).orderBy(
+        "subject", "predicate", "object"
+    )
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed ingestion: per fetched feed, one row per <item> /
     <entry> with RFC 3986-resolved canonical links, RFC 822 + ISO 8601
@@ -3744,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_feed_entries": q_feed_entries,
         "q_table_columns": q_table_columns,
         "q_bigram_lm": q_bigram_lm,
+        "q_kg_table_triples": q_kg_table_triples,
     }
 
 
@@ -4648,6 +4677,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # table triples: 4 closed-form triples per doc (2 rows x 2 cols)
+        "q_kg_table_triples": """
+            WITH d AS (SELECT doc_id AS i,
+                   'https://ex' || CAST(doc_id%97 AS VARCHAR)
+                     || '.example.org/spec/' || CAST(doc_id AS VARCHAR) AS url
+                   FROM documents),
+            tr AS (
+              SELECT url, url || '#table0-row1' AS subject,
+                     'http://example.org/col/sku' AS predicate,
+                     'SKU-' || CAST(i AS VARCHAR) AS object FROM d
+              UNION ALL
+              SELECT url, url || '#table0-row1',
+                     'http://example.org/col/price',
+                     CAST((i*7)%100 AS VARCHAR) || '.99' FROM d
+              UNION ALL
+              SELECT url, url || '#table0-row2',
+                     'http://example.org/col/sku', 'stock & more' FROM d
+              UNION ALL
+              SELECT url, url || '#table0-row2',
+                     'http://example.org/col/price',
+                     CAST(i%50 AS VARCHAR) || '  units' FROM d)
+            SELECT url, subject, predicate, object
+            FROM tr ORDER BY subject, predicate, object
         """,
         # column typing: closed-form per-column inventory — col0 is text
         # (SKU-n / 'stock & more'), col1 is half-numeric -> numeric

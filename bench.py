@@ -286,6 +286,7 @@ def main():
         "q_feed_entries",
         "q_table_columns",
         "q_bigram_lm",
+        "q_kg_table_triples",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

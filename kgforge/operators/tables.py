@@ -121,3 +121,48 @@ def table_column_profile(cells: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def tables_to_triples(
+    cells: DataFrame, base_predicate: str = "http://example.org/col/"
+) -> DataFrame:
+    """Lift extracted table grids into (subject, predicate, object)
+    triples — the WebTables-to-KG step: each body ROW becomes an entity
+    (subject = page URL + '#table{t}-row{r}'), each header-named column
+    becomes a predicate (header slug under ``base_predicate``; headerless
+    columns fall back to 'col{idx}'), each cell its literal object. Empty
+    cells produce no triple (absence IS the information, matching the
+    RDF extractors' convention).
+
+    Scale shape: one column-cardinality header reduce joined back to body
+    cells on (url, table_idx, col_idx) — AQE broadcasts the header side —
+    plus codegen string assembly. No shuffle beyond that single join.
+    """
+    body = cells.filter(~F.col("is_header") & (F.trim(F.col("cell")) != ""))
+    headers = (
+        cells.filter(F.col("is_header") & (F.col("row_idx") == 0))
+        .groupBy("url", "table_idx", "col_idx")
+        .agg(F.min("cell").alias("header"))
+    )
+    slug = F.regexp_replace(F.lower(F.col("header")), r"[^a-z0-9]+", "_")
+    pred = F.concat(
+        F.lit(base_predicate),
+        F.coalesce(
+            F.nullif(slug, F.lit("")),
+            F.concat(F.lit("col"), F.col("col_idx").cast("string")),
+        ),
+    )
+    subj = F.concat(
+        F.col("url"),
+        F.lit("#table"), F.col("table_idx").cast("string"),
+        F.lit("-row"), F.col("row_idx").cast("string"),
+    )
+    return (
+        body.join(headers, ["url", "table_idx", "col_idx"], "left")
+        .select(
+            F.col("url"),
+            subj.alias("subject"),
+            pred.alias("predicate"),
+            F.col("cell").alias("object"),
+        )
+    )

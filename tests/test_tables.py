@@ -72,3 +72,20 @@ def test_table_column_profile_headerless(spark):
     got = table_column_profile(extract_tables(_pages(spark, html))).collect()[0]
     assert got["col_name"] is None and got["inferred_type"] == "numeric"
     assert got["n_cells"] == 2
+
+
+def test_tables_to_triples_lifting(spark):
+    from kgforge.operators.tables import extract_tables, tables_to_triples
+
+    html = (b"<table><tr><th>Full Name</th><th></th></tr>"
+            b"<tr><td>Ada</td><td>x</td></tr>"
+            b"<tr><td></td><td>y</td></tr></table>")
+    got = {(r["subject"], r["predicate"]): r["object"]
+           for r in tables_to_triples(extract_tables(_pages(spark, html))).collect()}
+    # header 'Full Name' slugs to full_name; empty header falls back col1;
+    # the empty cell in row 2 produces NO triple
+    assert got == {
+        ("u#table0-row1", "http://example.org/col/full_name"): "Ada",
+        ("u#table0-row1", "http://example.org/col/col1"): "x",
+        ("u#table0-row2", "http://example.org/col/col1"): "y",
+    }
