@@ -644,6 +644,35 @@ def q_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template detection by tag-sequence fingerprint: pages from one
+    server-side template hash to the same md5 over their opening-tag
+    skeleton, collapsing the corpus to one row per TEMPLATE (wrapper
+    induction / template-farm signals). Harvest + hash fuse into the
+    scan; one combinable agg on the 32-char key. Oracle: md5 over the
+    closed-form tag sequence of each fixture variant."""
+    from kgforge.operators.layout import layout_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://ex"), (i % 97).cast("string"),
+        F.lit(".example.org/t/"), i.cast("string"),
+    )
+    variant = (
+        F.when(i % 3 == 1, F.lit('<aside><a href="/x">l</a></aside>'))
+        .when(i % 3 == 2, F.lit("<table><tr><td>1</td></tr></table>"))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>T"), i.cast("string"),
+        F.lit("</h1><p>text "), i.cast("string"), F.lit("</p>"),
+        variant, F.lit("</body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return layout_clusters(pages).orderBy("fingerprint")
+
+
 def q_kg_table_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebTables-to-KG lifting: each body row of every extracted table
     becomes an entity, header slugs become predicates, cells become
@@ -3773,6 +3802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_table_columns": q_table_columns,
         "q_bigram_lm": q_bigram_lm,
         "q_kg_table_triples": q_kg_table_triples,
+        "q_layout_clusters": q_layout_clusters,
     }
 
 
@@ -4677,6 +4707,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # layout templates: md5 over each variant's closed-form tag sequence
+        "q_layout_clusters": """
+            WITH d AS (SELECT doc_id AS i,
+                   'https://ex' || CAST(doc_id%97 AS VARCHAR)
+                     || '.example.org/t/' || CAST(doc_id AS VARCHAR) AS url,
+                   doc_id % 3 AS v, doc_id % 97 AS s
+                   FROM documents),
+            fp AS (SELECT i, url, s,
+                     md5(CASE v
+                           WHEN 1 THEN 'html body h1 p aside a'
+                           WHEN 2 THEN 'html body h1 p table tr td'
+                           ELSE 'html body h1 p' END) AS fingerprint
+                   FROM d)
+            SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(count(DISTINCT s) AS BIGINT) AS n_hosts,
+                   min(url) AS sample_url
+            FROM fp GROUP BY fingerprint ORDER BY fingerprint
         """,
         # table triples: 4 closed-form triples per doc (2 rows x 2 cols)
         "q_kg_table_triples": """

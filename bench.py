@@ -287,6 +287,7 @@ def main():
         "q_table_columns",
         "q_bigram_lm",
         "q_kg_table_triples",
+        "q_layout_clusters",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
