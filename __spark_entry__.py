@@ -644,6 +644,29 @@ def q_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt `Sitemap:` directives — the
+    protocol entry point that chains robots → sitemaps → frontier. One
+    case-insensitive line-anchored regexp harvest + explode, resolved and
+    canonicalized; map-only. Oracle: closed-form directive inventory."""
+    from kgforge.operators.robots import sitemap_directives
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 4 == 0
+    )
+    i = F.col("doc_id")
+    host = F.concat(F.lit("ex"), i.cast("string"), F.lit(".example.org"))
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp/\n"
+              "sitemap: /sitemap-"), (i % 5).cast("string"),
+        F.lit(".xml\nSITEMAP:   HTTPS://CDN.EXAMPLE.ORG:443/maps/"),
+        (i % 7).cast("string"),
+        F.lit(".xml.gz\n# Sitemap: commented-out-not-line-anchored ok\n"),
+    )
+    robots = d.select(host.alias("host"), txt.alias("robots_txt")).distinct()
+    return sitemap_directives(robots).orderBy("host", "sitemap_url")
+
+
 def q_layout_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template detection by tag-sequence fingerprint: pages from one
     server-side template hash to the same md5 over their opening-tag
@@ -3803,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm": q_bigram_lm,
         "q_kg_table_triples": q_kg_table_triples,
         "q_layout_clusters": q_layout_clusters,
+        "q_sitemap_discovery": q_sitemap_discovery,
     }
 
 
@@ -4707,6 +4731,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT 'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR),4,'0'), k FROM mention),
             comp AS (SELECT k, min(node) AS component FROM nodes GROUP BY k)
             SELECT node, component FROM nodes JOIN comp USING (k) ORDER BY node
+        """,
+        # sitemap directives: relative resolved against the robots base,
+        # absolute canonicalized (case/port); commented line ignored
+        "q_sitemap_discovery": """
+            WITH d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 4 = 0),
+            rows_ AS (
+              SELECT 'ex' || CAST(i AS VARCHAR) || '.example.org' AS host,
+                     'https://ex' || CAST(i AS VARCHAR)
+                       || '.example.org/sitemap-' || CAST(i % 5 AS VARCHAR)
+                       || '.xml' AS sitemap_url
+              FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(i AS VARCHAR) || '.example.org',
+                     'https://cdn.example.org/maps/' || CAST(i % 7 AS VARCHAR)
+                       || '.xml.gz'
+              FROM d)
+            SELECT host, sitemap_url FROM rows_ ORDER BY host, sitemap_url
         """,
         # layout templates: md5 over each variant's closed-form tag sequence
         "q_layout_clusters": """

@@ -288,6 +288,7 @@ def main():
         "q_bigram_lm",
         "q_kg_table_triples",
         "q_layout_clusters",
+        "q_sitemap_discovery",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -75,3 +75,29 @@ def test_specific_agent(spark):
         ).collect()
     ]
     assert kept == []  # googlebot is fully disallowed on b.org
+
+
+def test_sitemap_directives_harvest(spark):
+    from kgforge.operators.robots import sitemap_directives
+
+    txt = ("User-agent: *\nDisallow: /x\n"
+           "Sitemap: https://h.org/a.xml\n"
+           "sitemap:\t/rel/b.xml\n"
+           "  SITEMAP:  HTTPS://H.ORG:443/c.xml\n"
+           "# Sitemap: https://h.org/commented.xml\n")
+    df = spark.createDataFrame([("h.org", txt)], "host string, robots_txt string")
+    got = sorted(r["sitemap_url"] for r in sitemap_directives(df).collect())
+    assert got == [
+        "https://h.org/a.xml",
+        "https://h.org/c.xml",       # canonicalized case + default port
+        "https://h.org/rel/b.xml",   # resolved against the robots base
+    ]
+
+
+def test_sitemap_directives_none(spark):
+    from kgforge.operators.robots import sitemap_directives
+
+    df = spark.createDataFrame(
+        [("h.org", "User-agent: *\nAllow: /")], "host string, robots_txt string"
+    )
+    assert sitemap_directives(df).count() == 0
