@@ -144,6 +144,7 @@ def run_pipeline(
     extended_checks: bool = False,
     dedup: str | None = None,
     span_dedup: bool = False,
+    host_filter: bool = False,
 ) -> dict:
     """Returns dict of stage DataFrames + metrics. All heavy stages write
     through ``write_stage`` (repartitionByRange + lineage + manifest).
@@ -157,6 +158,25 @@ def run_pipeline(
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
     gazetteer = gazetteer if gazetteer is not None else gazetteer_rows()
 
+    if host_filter:
+        # domain-level curation runs FIRST (its dup-share signal needs the
+        # duplicates page-dedup would collapse): hosts whose rollup says
+        # keep=False drop wholesale; True and NULL (evidence floor) stay
+        from ..operators.quality import host_curation
+        from ..operators.urlops import host_col
+
+        withhost = pages.withColumn("__host", host_col(F.col("url")))
+        verdicts = host_curation(
+            withhost, host_col="__host", id_col="url", text_col="text"
+        )
+        bad = verdicts.filter(F.col("keep") == False).select(  # noqa: E712
+            F.col("host").alias("__host")
+        )
+        pages = write_stage(
+            withhost.join(bad, "__host", "left_anti").drop("__host"),
+            os.path.join(work_root, "pages_host_filter"),
+            "host_filter", run_id, manifests, range_cols=["url"],
+        )
     if dedup is not None:
         pages = write_stage(
             dedup_pages(pages, mode=dedup), os.path.join(work_root, "pages_dedup"),

@@ -475,3 +475,38 @@ def test_gif_rows_in_media_fixture(spark):
         w, h = media_dims(i)
         assert (r["width"], r["height"]) == (w, h)
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (cr, cg, cb)
+
+
+def test_host_filter_stage(spark, tmp_path):
+    """Domain-level curation drops a spam host wholesale before dedup;
+    legitimate hosts (keep True or NULL evidence floor) flow through."""
+    from pyspark.sql import functions as F
+
+    from kgforge.fixtures import pages_df
+    from kgforge.pipeline.run import run_pipeline
+
+    pages = pages_df(spark, 40)
+    spam = (
+        pages.limit(6)
+        .withColumn(
+            "url",
+            F.concat(F.lit("https://spam.example.org/p/"),
+                     F.monotonically_increasing_id().cast("string")),
+        )
+        .withColumn("text", F.lit("buy now"))  # short + duplicated
+    )
+    mixed = pages.unionByName(spam)
+
+    out = run_pipeline(
+        mixed, str(tmp_path / "w"), gazetteer=[], canonicalize=False,
+        host_filter=True,
+    )
+    hosts = {r["url"].split("/")[2] for r in out["pages"].select("url").collect()}
+    assert "spam.example.org" not in hosts
+    assert out["pages"].count() == pages.count()  # only the spam host dropped
+
+    out2 = run_pipeline(
+        mixed, str(tmp_path / "w2"), gazetteer=[], canonicalize=False,
+    )
+    hosts2 = {r["url"].split("/")[2] for r in out2["pages"].select("url").collect()}
+    assert "spam.example.org" in hosts2  # stage is opt-in
