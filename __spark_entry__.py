@@ -836,6 +836,16 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (datasheets-for-datasets headline numbers):
+    docs, tokens, mean length, language diversity + majority share, exact
+    dup share. Four combinable aggs stitched by 1-row crossJoins; argmax
+    is min(struct), never a window. Oracle: identical aggregates in SQL."""
+    from kgforge.operators.quality import corpus_card
+
+    return corpus_card(_t(spark, sf_dir, "documents"))
+
+
 def q_host_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-level curation rollup (RefinedWeb/FineWeb): per host — page
     count, mean whitespace tokens, within-host exact-dup share, keep/drop
@@ -3827,6 +3837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_table_triples": q_kg_table_triples,
         "q_layout_clusters": q_layout_clusters,
         "q_sitemap_discovery": q_sitemap_discovery,
+        "q_corpus_card": q_corpus_card,
     }
 
 
@@ -5367,6 +5378,27 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{PAIRS}", _dd_jaccard_pairs_sql(0.8).replace("ORDER BY a, b", "")
         ),
+        # dataset card: identical aggregates; top language via min over
+        # (-n, lang) pairs = the Spark min(struct) argmax
+        "q_corpus_card": f"""
+            WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum({_dd_token_count('text')}) AS BIGINT) AS n_tokens
+                         FROM documents),
+            lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            ls AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+                          min((-n, lang)) AS top FROM lc),
+            ls2 AS (SELECT n_langs, top[2] AS top_lang,
+                           CAST(-top[1] AS BIGINT) AS top_lang_docs FROM ls),
+            dp AS (SELECT CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                     AS dup_docs
+                   FROM (SELECT count(*) AS n FROM documents GROUP BY text))
+            SELECT n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens,
+                   n_langs, top_lang,
+                   round(CAST(top_lang_docs AS DOUBLE) / n_docs, 6) AS top_lang_share,
+                   round(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_share
+            FROM tot CROSS JOIN ls2 CROSS JOIN dp
+        """,
         # host curation: identical (host, text) rollup; keep uses the
         # ROUNDED ratios exactly like the Spark side
         "q_host_curation": f"""

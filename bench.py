@@ -289,6 +289,7 @@ def main():
         "q_kg_table_triples",
         "q_layout_clusters",
         "q_sitemap_discovery",
+        "q_corpus_card",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -200,3 +200,59 @@ def host_curation(
             & (dup_share <= F.lit(max_dup_share)),
         ).alias("keep"),
     )
+
+
+def corpus_card(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """ONE-row dataset card — the headline numbers a corpus release
+    publishes (dataset cards / datasheets): document and whitespace-token
+    counts, language diversity (count, majority language and its share),
+    exact-duplicate share, and mean document length. Every number is an
+    aggregate a 10^12-row corpus computes in one pass per signal.
+
+    Scale shape: four independent combinable aggregations (corpus totals;
+    language histogram reduced by the min(struct(-n, lang)) argmax idiom —
+    never a window; per-text dup counts; all stitched by 1-row
+    crossJoins). Ratios are exact integer quotients rounded to 6.
+    """
+    from .text_stats import token_count_col
+
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    langs = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lang_stats = langs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("lang"))).alias("top"),
+    ).select(
+        "n_langs",
+        F.col("top.lang").alias("top_lang"),
+        (-F.col("top.neg")).cast("bigint").alias("top_lang_docs"),
+    )
+    dups = (
+        docs.groupBy(F.col(text_col).alias("__t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dup_docs")
+        )
+    )
+    out = totals.crossJoin(lang_stats).crossJoin(dups)
+    nd = F.col("n_docs").cast("double")
+    return out.select(
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / nd, 6).alias("mean_tokens"),
+        "n_langs",
+        "top_lang",
+        F.round(F.col("top_lang_docs").cast("double") / nd, 6).alias("top_lang_share"),
+        F.round(F.col("dup_docs").cast("double") / nd, 6).alias("dup_share"),
+    )

@@ -107,3 +107,20 @@ def test_host_curation_rollup_and_decision(spark):
     assert got["B"]["keep"] is False and got["B"]["dup_share"] == 0.75
     assert got["C"]["keep"] is False and got["C"]["mean_tokens"] == 3.0
     assert got["D"]["keep"] is None and got["D"]["n_docs"] == 2
+
+
+def test_corpus_card_hand_pin(spark):
+    from kgforge.operators.quality import corpus_card
+
+    rows = [
+        (1, "a b c", "en"), (2, "d e", "en"), (3, "f", "de"),
+        (4, "same", "en"), (5, "same", "fr"),   # exact dup pair
+        (6, "", "en"),                            # blank: 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = corpus_card(df).collect()[0]
+    assert got["n_docs"] == 6 and got["n_tokens"] == 3 + 2 + 1 + 1 + 1 + 0
+    assert got["n_langs"] == 3 and got["top_lang"] == "en"
+    assert got["top_lang_share"] == round(4 / 6, 6)
+    assert got["dup_share"] == round(2 / 6, 6)
+    assert got["mean_tokens"] == round(8 / 6, 6)
