@@ -122,11 +122,13 @@ def wl_colors(
     degradation on pathological hubs instead of an unbounded array.
     """
     nodes, edges = _nodes_and_edges(triples, value_blind)
-    nodes = nodes.persist()
-    # edges feed TWO joins per round (subject-side and object-side
-    # messages); unpersisted, each reference would re-run the upstream
-    # parse (a mapInPandas corpus scan) — 2*rounds times
-    edges = edges.persist()
+    # EAGER checkpoints, not lazy persists: edges feed TWO joins per round
+    # (subject-side and object-side messages) and nothing materializes the
+    # cache before the caller's single action — lazily, 32 concurrent
+    # tasks would race to run the upstream mapInPandas corpus parse
+    # several times inside one job (the q_host_ppr failure mode).
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     for _ in range(rounds):
         # edges and nodes share lineage (both derive from `triples`), so
         # rename the node side before joining to keep attributes distinct

@@ -154,7 +154,10 @@ def node2vec_walks(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
         .distinct()
-        .persist()  # read every step: neighbor expansion + prev-adjacency test
+        # eager: read every step (neighbor expansion + prev-adjacency
+        # test); a lazy persist would let the single final action race
+        # the upstream lineage across tasks before the cache fills
+        .localCheckpoint(eager=True)
     )
     w_nbr = Window.partitionBy("_s").orderBy("_d")
     nbr = und.select(
