@@ -3662,6 +3662,155 @@ def q_token_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(log_histogram(toks, "v")).orderBy("q")
 
 
+
+_SPARQL_VALUES_DOCS = (1, 2, 4, 5, 6)
+
+
+def _values_subject_iris() -> list[str]:
+    # closed-form subject IRIs for docs 1,2,4,5,6 of the knows fixture:
+    # site = i % 97, e0 = (i*31) % 1000 (none of these i hit the i%10==3
+    # "entity 0" arm), zero-padded to 4
+    return [
+        f"https://ex{i % 97}.example.org/entity/E{(i * 31) % 1000:04d}"
+        for i in _SPARQL_VALUES_DOCS
+    ]
+
+
+def q_kg_sparql_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES surface: inline-binding restriction — the knows
+    edges of five fixed subject IRIs. VALUES compiles to an isin()
+    condition on the already-bound variable (scan-pushable; never a
+    driver-side collect or a cross join against an inline table)."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    iris = " ".join(f"<{u}>" for u in _values_subject_iris())
+    out = sparql_select(
+        triples,
+        f"""SELECT DISTINCT ?s ?o WHERE {{
+             ?s <http://schema.org/knows> ?o .
+             VALUES ?s {{ {iris} }}
+           }}""",
+    )
+    return out.orderBy("s", "o")
+
+
+def q_kg_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS surface (W3C §8.3): knows pairs whose OBJECT is not
+    itself a knower — for the shared-variable subset MINUS compiles to a
+    LEFT ANTI join on ?o, the Spark-native set-difference plan (one
+    shuffle, no per-row subquery)."""
+    from kgforge.operators.sparql import sparql_select
+
+    triples = _knows_triples(spark, sf_dir)
+    out = sparql_select(
+        triples,
+        """SELECT DISTINCT ?s ?o WHERE {
+             ?s <http://schema.org/knows> ?o .
+             MINUS { ?o <http://schema.org/knows> ?z }
+           }""",
+    )
+    return out.orderBy("s", "o")
+
+
+def q_host_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity over the directed host graph (Small 1973):
+    top-50 cited-host pairs by number of common citing hosts, with
+    Jaccard over true in-neighbor sets. The wedge join is center-keyed
+    with the hub cap; the oracle rebuilds the host-constant edge set
+    closed-form (7s+1 / 11s+3 mod 97) and replays count + Jaccard."""
+    from kgforge.operators.graph import cocitation
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    return cocitation(
+        edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        top_n=50,
+    )
+
+
+def q_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pair mining (A-priori pair pass) over customer
+    part-brand baskets: which brands are co-purchased by the same
+    customer, with support and lift. Basket = customer, item = distinct
+    p_brand via the lineitem->orders->part joins; the mega-basket guard
+    can't bind (25 brands) but the support denominator stays
+    corpus-wide."""
+    from kgforge.operators.itemsets import frequent_pairs
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+    )
+    out = frequent_pairs(baskets, "cust", "brand", min_support=10)
+    return out.orderBy("item_a", "item_b")
+
+
+def q_kg_schema_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-level schema graph (VoID-linkset rollup) over a deterministic
+    typed-entity fixture: (subject_type, predicate, object_type, n) edges
+    between classes, literals rolled up by datatype, untyped terms
+    bucketed. Both type-resolution joins broadcast (the class assertion
+    set is vocabulary-sized); the rollup key space is schema-sized."""
+    from kgforge.operators.profile import schema_graph
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    ent = F.concat(F.lit("urn:e:"), i.cast("string"))
+    tgt = F.concat(F.lit("urn:e:"), ((i * 13 + 7) % 1000).cast("string"))
+    cls = F.when(i % 3 == 0, F.lit("urn:c:Person")).when(
+        i % 3 == 1, F.lit("urn:c:Org")
+    )
+
+    def obj(value, kind, datatype=None):
+        return F.struct(
+            value.alias("value"),
+            F.lit(kind).alias("kind"),
+            (F.lit(datatype) if datatype else F.lit(None).cast("string")).alias(
+                "datatype"
+            ),
+            F.lit(None).cast("string").alias("lang"),
+        )
+
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    types = docs.filter(i % 3 < 2).select(
+        ent.alias("subject"),
+        F.lit(rdf_type).alias("predicate"),
+        obj(cls, "iri").alias("object"),
+    )
+    rels = docs.select(
+        ent.alias("subject"), F.lit("urn:p:rel").alias("predicate"),
+        obj(tgt, "iri").alias("object"),
+    )
+    names = docs.select(
+        ent.alias("subject"), F.lit("urn:p:name").alias("predicate"),
+        obj(F.concat(F.lit("Doc "), i.cast("string")), "literal").alias("object"),
+    )
+    ages = docs.filter(i % 5 == 0).select(
+        ent.alias("subject"), F.lit("urn:p:age").alias("predicate"),
+        obj((i % 90).cast("string"), "literal",
+            "http://www.w3.org/2001/XMLSchema#integer").alias("object"),
+    )
+    triples = types.unionByName(rels).unionByName(names).unionByName(ages)
+    return schema_graph(triples).orderBy("subject_type", "predicate", "object_type")
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report over events.user_id — the pre-shuffle
+    diagnostic: top-20 heaviest keys with share, skew factor vs the mean
+    key, and the salt fan-out that would level each. One combinable count
+    agg + a broadcast one-row global agg; no window over the key space."""
+    from kgforge.operators.profile import key_skew
+
+    events = _t(spark, sf_dir, "events")
+    return key_skew(events, "user_id", top_n=20)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3747,6 +3896,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_union": q_kg_sparql_union,
         "q_kg_construct": q_kg_construct,
         "q_kg_sparql_notexists": q_kg_sparql_notexists,
+        "q_kg_sparql_values": q_kg_sparql_values,
+        "q_kg_sparql_minus": q_kg_sparql_minus,
+        "q_host_cocitation": q_host_cocitation,
+        "q_itemset_pairs": q_itemset_pairs,
+        "q_kg_schema_graph": q_kg_schema_graph,
+        "q_key_skew": q_key_skew,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4104,6 +4259,150 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # VALUES restriction replayed as a plain IN list over the
+        # closed-form knows relation
+        "q_kg_sparql_values": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            iri AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows)
+            SELECT DISTINCT s, o FROM iri
+            WHERE s IN ('https://ex1.example.org/entity/E0031', 'https://ex2.example.org/entity/E0062', 'https://ex4.example.org/entity/E0124', 'https://ex5.example.org/entity/E0155', 'https://ex6.example.org/entity/E0186')
+            ORDER BY s, o
+        """,
+        # MINUS over the shared ?o variable == anti-semi-join: knows pairs
+        # whose object never appears as a knower subject
+        "q_kg_sparql_minus": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            iri AS (SELECT
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                      'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                        || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+                    FROM knows)
+            SELECT DISTINCT i1.s, i1.o FROM iri i1
+            WHERE NOT EXISTS (SELECT 1 FROM iri i2 WHERE i2.s = i1.o)
+            ORDER BY i1.s, i1.o
+        """,
+        # co-citation over the host-constant closed-form link graph:
+        # src ex{s} cites {7s+1, 11s+3} mod 97 (minus self); wedge count
+        # + Jaccard over true in-neighbor sets, top-50 total order
+        "q_host_cocitation": """
+            WITH d AS (SELECT DISTINCT doc_id % 97 AS s FROM documents),
+            e0 AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((s*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((s*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            leafdeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY dst),
+            centers AS (SELECT src FROM e GROUP BY src HAVING count(*) >= 2),
+            w AS (SELECT e.src, e.dst FROM e JOIN centers USING (src)),
+            pairs AS (
+              SELECT x.dst AS a, y.dst AS b, CAST(count(*) AS BIGINT) AS n_common
+              FROM w x JOIN w y ON x.src = y.src AND x.dst < y.dst
+              GROUP BY x.dst, y.dst
+            )
+            SELECT p.a, p.b, p.n_common,
+                   round(CAST(p.n_common AS DOUBLE)
+                         / CAST(da.deg + db.deg - p.n_common AS DOUBLE), 6) AS jaccard
+            FROM pairs p
+            JOIN leafdeg da ON da.dst = p.a
+            JOIN leafdeg db ON db.dst = p.b
+            ORDER BY p.n_common DESC, jaccard DESC, p.a, p.b LIMIT 50
+        """,
+        # A-priori pair pass replayed in SQL: distinct customer/ship-mode
+        # baskets, corpus-wide support denominator, identical lift formula
+        "q_itemset_pairs": """
+            WITH b AS (SELECT DISTINCT o_custkey AS k, p_brand AS item
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey
+                       JOIN part ON l_partkey = p_partkey),
+            n AS (SELECT CAST(count(DISTINCT k) AS DOUBLE) AS nb FROM b),
+            supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY item),
+            p AS (SELECT x.item AS item_a, y.item AS item_b,
+                         CAST(count(*) AS BIGINT) AS n_baskets
+                  FROM b x JOIN b y ON x.k = y.k AND x.item < y.item
+                  GROUP BY x.item, y.item
+                  HAVING count(*) >= 10)
+            SELECT p.item_a, p.item_b, p.n_baskets,
+                   round(p.n_baskets / n.nb, 6) AS support,
+                   round(p.n_baskets * n.nb / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+            FROM p, n
+            JOIN supp sa ON sa.item = p.item_a
+            JOIN supp sb ON sb.item = p.item_b
+            ORDER BY p.item_a, p.item_b
+        """,
+        # class-level schema graph closed-form: per-doc typed entity,
+        # rel target (13i+7) mod 1000 typed iff that doc exists and
+        # i%3 < 2, literals rolled up by datatype
+        "q_kg_schema_graph": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            ty AS (SELECT i AS tid,
+                          CASE WHEN i % 3 = 0 THEN 'urn:c:Person'
+                               ELSE 'urn:c:Org' END AS cls
+                   FROM d WHERE i % 3 < 2),
+            st AS (SELECT d.i, COALESCE(ty.cls, 'urn:kgforge:untyped') AS stype
+                   FROM d LEFT JOIN ty ON ty.tid = d.i),
+            edges AS (
+              SELECT st.stype AS subject_type, 'urn:p:rel' AS predicate,
+                     COALESCE(t2.cls, 'urn:kgforge:untyped') AS object_type
+              FROM st LEFT JOIN ty t2 ON t2.tid = (st.i * 13 + 7) % 1000
+              UNION ALL
+              SELECT st.stype, 'urn:p:name',
+                     'literal:http://www.w3.org/2001/XMLSchema#string' FROM st
+              UNION ALL
+              SELECT st.stype, 'urn:p:age',
+                     'literal:http://www.w3.org/2001/XMLSchema#integer'
+              FROM st WHERE st.i % 5 = 0
+            )
+            SELECT subject_type, predicate, object_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM edges GROUP BY subject_type, predicate, object_type
+            ORDER BY subject_type, predicate, object_type
+        """,
+        # key-skew report replayed in SQL: identical share / skew-factor /
+        # ceil-salt arithmetic over events.user_id
+        "q_key_skew": """
+            WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                              CAST(count(*) AS BIGINT) AS n_rows
+                       FROM events GROUP BY user_id),
+            t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot,
+                         CAST(count(*) AS DOUBLE) AS nkeys FROM c)
+            SELECT key, n_rows,
+                   round(n_rows / tot, 6) AS share,
+                   round(n_rows * nkeys / tot, 6) AS skew_factor,
+                   greatest(CAST(1 AS BIGINT),
+                            CAST(ceil(n_rows * nkeys / tot) AS BIGINT)) AS suggested_salt
+            FROM c, t ORDER BY n_rows DESC, key LIMIT 20
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,190 @@
+"""Round-4 continuation operators: co-citation / bibliographic coupling,
+frequent predicate itemsets, class-level schema graph, join-key skew
+report — each pinned by hand-computed expectations on tiny graphs."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+class TestCocitation:
+    def test_cocitation_counts_and_jaccard(self, spark):
+        from kgforge.operators.graph import cocitation
+
+        # citers: s1 -> {a, b, c}; s2 -> {a, b}; s3 -> {b}; s4 -> {c}
+        e = _edges(
+            spark,
+            [
+                ("s1", "a"), ("s1", "b"), ("s1", "c"),
+                ("s2", "a"), ("s2", "b"),
+                ("s3", "b"), ("s4", "c"),
+            ],
+        )
+        out = {(r.a, r.b): r for r in cocitation(e, top_n=10).collect()}
+        # in-neighbor sets: a={s1,s2} b={s1,s2,s3} c={s1,s4}
+        assert out[("a", "b")].n_common == 2
+        assert out[("a", "b")].jaccard == pytest.approx(2 / 3, abs=1e-6)
+        assert out[("a", "c")].n_common == 1
+        assert out[("a", "c")].jaccard == pytest.approx(1 / 3, abs=1e-6)
+        assert out[("b", "c")].n_common == 1
+        assert out[("b", "c")].jaccard == pytest.approx(1 / 4, abs=1e-6)
+        assert len(out) == 3
+
+    def test_coupling_mode_and_dedup(self, spark):
+        from kgforge.operators.graph import cocitation
+
+        # duplicate edges collapse; s1 and s2 both cite {x, y} -> coupling 2
+        e = _edges(
+            spark,
+            [("s1", "x"), ("s1", "x"), ("s1", "y"), ("s2", "x"), ("s2", "y"),
+             ("s3", "y"), ("self", "self")],
+        )
+        out = {(r.a, r.b): r for r in cocitation(e, mode="coupling").collect()}
+        assert out[("s1", "s2")].n_common == 2
+        assert out[("s1", "s2")].jaccard == pytest.approx(1.0, abs=1e-6)
+        assert out[("s1", "s3")].n_common == 1
+        # self-loop never appears
+        assert all("self" not in k for k in out)
+
+    def test_center_degree_cap_drops_hub_wedges(self, spark):
+        from kgforge.operators.graph import cocitation
+
+        # hub cites 4 targets; tiny citer cites 2 of them
+        e = _edges(
+            spark,
+            [("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"),
+             ("t", "a"), ("t", "b")],
+        )
+        capped = {(r.a, r.b): r.n_common
+                  for r in cocitation(e, max_center_degree=3).collect()}
+        # only t's wedge survives; jaccard still uses TRUE in-degrees
+        assert capped == {("a", "b"): 1}
+
+    def test_bad_mode_raises(self, spark):
+        from kgforge.operators.graph import cocitation
+
+        with pytest.raises(ValueError):
+            cocitation(_edges(spark, [("a", "b")]), mode="nope")
+
+
+class TestFrequentPairs:
+    def test_support_and_lift(self, spark):
+        from kgforge.operators.itemsets import frequent_pairs
+
+        rows = [
+            ("d1", "p"), ("d1", "q"), ("d1", "r"),
+            ("d2", "p"), ("d2", "q"),
+            ("d3", "p"), ("d3", "q"),
+            ("d4", "r"),
+        ]
+        df = spark.createDataFrame(rows, "k string, item string")
+        out = {(r.item_a, r.item_b): r
+               for r in frequent_pairs(df, "k", "item", min_support=2).collect()}
+        # N=4 baskets; supp(p)=3 supp(q)=3 supp(r)=2; pair pq in 3 baskets
+        assert out[("p", "q")].n_baskets == 3
+        assert out[("p", "q")].support == pytest.approx(0.75, abs=1e-6)
+        assert out[("p", "q")].lift == pytest.approx(3 * 4 / 9, abs=1e-6)
+        # pr/qr co-occur once only -> below min_support
+        assert ("p", "r") not in out and ("q", "r") not in out
+
+    def test_duplicates_collapse_and_mega_basket_guard(self, spark):
+        from kgforge.operators.itemsets import frequent_pairs
+
+        rows = [("d1", "a"), ("d1", "a"), ("d1", "b"),
+                ("mega", "a"), ("mega", "b"), ("mega", "c"),
+                ("d2", "a"), ("d2", "b")]
+        df = spark.createDataFrame(rows, "k string, item string")
+        out = {(r.item_a, r.item_b): r
+               for r in frequent_pairs(df, "k", "item",
+                                       min_support=1, max_basket=2).collect()}
+        # mega basket (3 items) dropped from the PAIR join but still in N
+        assert out[("a", "b")].n_baskets == 2
+        assert out[("a", "b")].support == pytest.approx(2 / 3, abs=1e-6)
+        assert ("a", "c") not in out
+
+
+def _triple(url, s, p, v, kind="iri", datatype=None, lang=None):
+    return Row(
+        url=url, seq=0, subject=s, predicate=p,
+        object=Row(value=v, kind=kind, datatype=datatype, lang=lang),
+        fmt="turtle", status="ok", error=None,
+    )
+
+
+class TestSchemaGraph:
+    def test_rollup_with_types_literals_and_untyped(self, spark):
+        from kgforge.operators.profile import RDF_TYPE, schema_graph
+        from kgforge.schema import TRIPLES_SCHEMA
+
+        rows = [
+            _triple("u", "e1", RDF_TYPE, "Person"),
+            _triple("u", "e2", RDF_TYPE, "Person"),
+            _triple("u", "c1", RDF_TYPE, "City"),
+            _triple("u", "e1", "knows", "e2"),
+            _triple("u", "e2", "knows", "e1"),
+            _triple("u", "e1", "lives", "c1"),
+            _triple("u", "e1", "name", "Ada", kind="literal"),
+            _triple("u", "e1", "age", "36", kind="literal",
+                    datatype="http://www.w3.org/2001/XMLSchema#integer"),
+            _triple("u", "e1", "bio", "hi", kind="literal", lang="en"),
+            _triple("u", "ghost", "knows", "e1"),   # untyped subject
+            _triple("u", "e1", "sees", "nobody"),   # untyped object
+        ]
+        df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+        out = {(r.subject_type, r.predicate, r.object_type): r.n
+               for r in schema_graph(df).collect()}
+        U = "urn:kgforge:untyped"
+        XS = "http://www.w3.org/2001/XMLSchema#"
+        RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        assert out[("Person", "knows", "Person")] == 2
+        assert out[("Person", "lives", "City")] == 1
+        assert out[("Person", "name", f"literal:{XS}string")] == 1
+        assert out[("Person", "age", f"literal:{XS}integer")] == 1
+        assert out[("Person", "bio", f"literal:{RDFNS}langString")] == 1
+        assert out[(U, "knows", "Person")] == 1
+        assert out[("Person", "sees", U)] == 1
+        # rdf:type triples are input, never edges
+        assert not any(p == RDF_TYPE for (_, p, _) in out)
+
+    def test_multi_typed_term_fans_out(self, spark):
+        from kgforge.operators.profile import RDF_TYPE, schema_graph
+        from kgforge.schema import TRIPLES_SCHEMA
+
+        rows = [
+            _triple("u", "e1", RDF_TYPE, "A"),
+            _triple("u", "e1", RDF_TYPE, "B"),
+            _triple("u", "e1", "p", "e1"),
+        ]
+        df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+        out = {(r.subject_type, r.predicate, r.object_type): r.n
+               for r in schema_graph(df).collect()}
+        assert out == {
+            ("A", "p", "A"): 1, ("A", "p", "B"): 1,
+            ("B", "p", "A"): 1, ("B", "p", "B"): 1,
+        }
+
+
+class TestKeySkew:
+    def test_shares_and_salt(self, spark):
+        from kgforge.operators.profile import key_skew
+
+        rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = {r.key: r for r in key_skew(df, "k", top_n=10).collect()}
+        # 10 rows / 3 keys -> mean 10/3
+        assert out["hot"].n_rows == 6
+        assert out["hot"].share == pytest.approx(0.6, abs=1e-6)
+        assert out["hot"].skew_factor == pytest.approx(1.8, abs=1e-6)
+        assert out["hot"].suggested_salt == 2
+        assert out["cold"].suggested_salt == 1
+
+    def test_top_n_and_ordering(self, spark):
+        from kgforge.operators.profile import key_skew
+
+        rows = [(i % 5,) for i in range(50)] + [(99,)] * 12
+        df = spark.createDataFrame(rows, "k int")
+        got = key_skew(df, "k", top_n=2).collect()
+        assert [r.key for r in got] == ["99", "0"]
