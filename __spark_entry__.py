@@ -3811,6 +3811,34 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page entity salience (frequency share x earliest-position
+    discount) over the gazetteer mentions — the ranking signal entity
+    linking hands to fusion. The DuckDB oracle replays the closed-form
+    mention positions (same CTEs as q_kg_mentions) and the identical
+    share / discount arithmetic."""
+    from kgforge.fixtures import gazetteer_rows, pages_from_documents
+    from kgforge.operators.mentions import detect_mentions, mention_salience
+
+    pages = pages_from_documents(spark, sf_dir)
+    sal = mention_salience(detect_mentions(pages, gazetteer_rows()))
+    return sal.orderBy("url", "entity_id")
+
+
+def q_host_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row scale-free exponent fit of the undirected host-graph degree
+    distribution (Clauset-Shalizi-Newman continuous MLE at kmin=2) — the
+    crawl sanity probe. Oracle replays degree build + MLE closed-form."""
+    from kgforge.operators.graph import degree_powerlaw
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    und = edges.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b"))
+    return degree_powerlaw(und, kmin=2)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3902,6 +3930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_itemset_pairs": q_itemset_pairs,
         "q_kg_schema_graph": q_kg_schema_graph,
         "q_key_skew": q_key_skew,
+        "q_entity_salience": q_entity_salience,
+        "q_host_powerlaw": q_host_powerlaw,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4166,6 +4196,30 @@ def _dd_mentions_sql() -> str:
     """
 
 
+def _dd_salience_sql() -> str:
+    """DuckDB twin of mention_salience over the closed-form mention
+    reconstruction: per-(url, entity) count + first position, page-share,
+    and the identical position-discount arithmetic."""
+    return f"""{_dd_mention_ctes()},
+        m AS (
+          SELECT 'https://ex' || CAST(su.i%97 AS VARCHAR) || '.example.org/doc/' || CAST(su.i AS VARCHAR) AS url,
+                 'E' || lpad(CAST(su.k AS VARCHAR), 4, '0') AS entity_id,
+                 CAST(strpos(p.ext, su.surface) - 1 AS BIGINT) AS start
+          FROM surf su JOIN page p ON su.i = p.i),
+        per AS (SELECT url, entity_id,
+                       CAST(count(*) AS BIGINT) AS n_mentions,
+                       CAST(min(start) AS BIGINT) AS first_start
+                FROM m GROUP BY url, entity_id),
+        tot AS (SELECT url, CAST(sum(n_mentions) AS DOUBLE) AS t FROM per GROUP BY url)
+        SELECT per.url, per.entity_id, per.n_mentions, per.first_start,
+               round(per.n_mentions / tot.t, 6) AS share,
+               round((per.n_mentions / tot.t)
+                     / (1.0 + per.first_start / 1000.0), 6) AS salience
+        FROM per JOIN tot ON per.url = tot.url
+        ORDER BY per.url, per.entity_id
+    """
+
+
 def _dd_entity_candidates_sql() -> str:
     """DuckDB twin of detect_mention_candidates over the AMBIGUOUS
     gazetteer: the shared mention reconstruction joined with the
@@ -4338,7 +4392,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN leafdeg db ON db.dst = p.b
             ORDER BY p.n_common DESC, jaccard DESC, p.a, p.b LIMIT 50
         """,
-        # A-priori pair pass replayed in SQL: distinct customer/ship-mode
+        # A-priori pair pass replayed in SQL: distinct customer/part-brand
         # baskets, corpus-wide support denominator, identical lift formula
         "q_itemset_pairs": """
             WITH b AS (SELECT DISTINCT o_custkey AS k, p_brand AS item
@@ -5196,6 +5250,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q_kg_mentions": _dd_mentions_sql(),
+        "q_entity_salience": _dd_salience_sql(),
+        # CSN continuous-MLE power-law fit replayed over the closed-form
+        # undirected host graph (same edge build as q_host_aa)
+        "q_host_powerlaw": """
+            WITH d AS (SELECT DISTINCT doc_id % 97 AS s FROM documents),
+            e0 AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS x,
+                     'ex' || CAST((s*7+1) % 97 AS VARCHAR) || '.example.org' AS y FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((s*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                  FROM e0 WHERE x <> y),
+            adj AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node)
+            SELECT CAST(2 AS BIGINT) AS kmin,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(count(*) FILTER (WHERE deg >= 2) AS BIGINT) AS n_tail,
+                   CAST(max(deg) AS BIGINT) AS max_deg,
+                   round(avg(CAST(deg AS DOUBLE)), 6) AS mean_deg,
+                   round(1.0 + count(*) FILTER (WHERE deg >= 2)
+                         / sum(CASE WHEN deg >= 2
+                                    THEN ln(CAST(deg AS DOUBLE) / 1.5) END), 6) AS alpha
+            FROM deg
+        """,
         "q_kg_classes": f"""
             WITH d AS (SELECT doc_id AS i, unnest({_DD_ENTS}) AS k FROM documents),
             per AS (

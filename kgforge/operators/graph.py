@@ -793,3 +793,47 @@ def cocitation(
         .orderBy(F.desc("n_common"), F.desc("jaccard"), "a", "b")
         .limit(top_n)
     )
+
+
+def degree_powerlaw(edges: DataFrame, kmin: int = 2) -> DataFrame:
+    """One-row power-law fit of the UNDIRECTED degree distribution:
+    the continuous MLE of Clauset, Shalizi & Newman 2009 (SIAM Rev. §3.1),
+    alpha = 1 + n / sum(ln(k_i / (kmin - 1/2))) over the tail k_i >= kmin.
+    Output: (kmin, n_nodes, n_tail, max_deg, mean_deg, alpha), ratios
+    rounded to 6. The scale-free exponent is the first sanity probe on a
+    crawled host graph — alpha far from the web's ~2.1 flags a harvesting
+    bug (e.g. link-farm traps inflating the tail) before anything joins
+    on it.
+
+    Scale shape: one edge dedup, one degree agg, then ONE one-row global
+    agg (sum/ln map-side-combinable) — no sort, no window, no collect;
+    the result is a single row regardless of |V|.
+    """
+    if kmin < 2:
+        raise ValueError("kmin must be >= 2 (ln(k/(kmin-0.5)) must be > 0)")
+    e = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    k = F.col("deg").cast("double")
+    tail = F.col("deg") >= int(kmin)
+    return deg.agg(
+        F.lit(int(kmin)).cast("bigint").alias("kmin"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.count(F.when(tail, 1)).cast("bigint").alias("n_tail"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+        F.round(F.avg(k), 6).alias("mean_deg"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.when(tail, 1)).cast("double")
+            / F.sum(F.when(tail, F.log(k / F.lit(kmin - 0.5)))),
+            6,
+        ).alias("alpha"),
+    )

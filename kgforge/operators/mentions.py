@@ -441,3 +441,41 @@ def link_mentions(
             )
 
     return pages.select("url", "text").mapInPandas(fn, schema=LINKED_SCHEMA)
+
+
+def mention_salience(mentions: DataFrame) -> DataFrame:
+    """Per-(url, entity) salience scoring over a mentions DataFrame
+    (url, entity_id, start, ...): how central an entity is to the page,
+    the ranking signal entity linking feeds to KG fusion (frequency x
+    earliest-position — the classic salience features of Dunietz & Gillick
+    2014, EACL, kept closed-form so the oracle can replay them).
+
+    Output: (url, entity_id, n_mentions, first_start, share, salience)
+    where share = n_mentions / total mentions on the page and
+    salience = round(share / (1 + first_start/1000), 6) — frequency share
+    discounted by how deep into the page the entity first appears.
+
+    Scale shape: one (url, entity)-keyed map-side-combinable agg, then a
+    url-keyed window SUM for the page total — page-confined (a page holds
+    a bounded handful of entities), so the window never globally sorts;
+    both steps stay in whole-stage codegen, no Python.
+    """
+    from pyspark.sql import Window
+
+    per = mentions.groupBy("url", "entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_mentions"),
+        F.min("start").cast("bigint").alias("first_start"),
+    )
+    tot = F.sum("n_mentions").over(Window.partitionBy("url"))
+    share = F.col("n_mentions").cast("double") / tot.cast("double")
+    return per.select(
+        "url",
+        "entity_id",
+        "n_mentions",
+        "first_start",
+        F.round(share, 6).alias("share"),
+        F.round(
+            share / (F.lit(1.0) + F.col("first_start").cast("double") / F.lit(1000.0)),
+            6,
+        ).alias("salience"),
+    )

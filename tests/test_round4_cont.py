@@ -188,3 +188,51 @@ class TestKeySkew:
         df = spark.createDataFrame(rows, "k int")
         got = key_skew(df, "k", top_n=2).collect()
         assert [r.key for r in got] == ["99", "0"]
+
+
+class TestMentionSalience:
+    def test_frequency_and_position(self, spark):
+        from kgforge.operators.mentions import mention_salience
+
+        rows = [
+            ("u1", "E1", 0), ("u1", "E1", 500), ("u1", "E1", 900),
+            ("u1", "E2", 1000),
+            ("u2", "E3", 0),
+        ]
+        df = spark.createDataFrame(rows, "url string, entity_id string, start int")
+        out = {(r.url, r.entity_id): r for r in mention_salience(df).collect()}
+        e1 = out[("u1", "E1")]
+        assert e1.n_mentions == 3 and e1.first_start == 0
+        assert e1.share == pytest.approx(0.75, abs=1e-6)
+        assert e1.salience == pytest.approx(0.75, abs=1e-6)  # no discount at pos 0
+        e2 = out[("u1", "E2")]
+        assert e2.share == pytest.approx(0.25, abs=1e-6)
+        assert e2.salience == pytest.approx(0.25 / 2.0, abs=1e-6)  # pos 1000 -> /2
+        # single-entity page: share 1, no discount
+        assert out[("u2", "E3")].salience == pytest.approx(1.0, abs=1e-6)
+
+
+class TestDegreePowerlaw:
+    def test_mle_closed_form(self, spark):
+        from math import log
+
+        from kgforge.operators.graph import degree_powerlaw
+
+        # star a-{b,c,d} plus edge b-c: degs a=3, b=2, c=2, d=1
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "c")],
+            "a string, b string",
+        )
+        row = degree_powerlaw(e, kmin=2).collect()[0]
+        assert row.n_nodes == 4 and row.n_tail == 3 and row.max_deg == 3
+        assert row.mean_deg == pytest.approx(2.0, abs=1e-6)
+        expected = 1.0 + 3.0 / (log(3 / 1.5) + log(2 / 1.5) + log(2 / 1.5))
+        assert row.alpha == pytest.approx(expected, abs=1e-6)
+
+    def test_kmin_guard(self, spark):
+        from kgforge.operators.graph import degree_powerlaw
+
+        with pytest.raises(ValueError):
+            degree_powerlaw(
+                spark.createDataFrame([("a", "b")], "a string, b string"), kmin=1
+            )
