@@ -290,6 +290,12 @@ def main():
         "q_layout_clusters",
         "q_sitemap_discovery",
         "q_corpus_card",
+        "q_host_cocitation",
+        "q_itemset_pairs",
+        "q_kg_schema_graph",
+        "q_key_skew",
+        "q_entity_salience",
+        "q_host_powerlaw",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
