@@ -3839,6 +3839,73 @@ def q_host_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+_MOJI_CLEAN = "Café — naïve entry "
+# the same text mis-decoded once as cp1252 — what a charset-confused
+# crawler stores; fix_mojibake must invert it exactly
+_MOJI_CORRUPT = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair over a deterministically corrupted corpus: every
+    third doc carries the cp1252 mis-decode of the clean text; the
+    operator must fix exactly those (was_fixed true) and pass legitimate
+    text through byte-identical. Oracle rebuilds both arms closed-form."""
+    from kgforge.operators.cleaning import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    text = F.when(
+        i % 3 == 0, F.concat(F.lit(_MOJI_CORRUPT), i.cast("string"))
+    ).otherwise(F.concat(F.lit(_MOJI_CLEAN), i.cast("string")))
+    out = fix_mojibake(docs.select("doc_id", text.alias("text")))
+    return out.select("doc_id", "text", "was_fixed").orderBy("doc_id")
+
+
+def q_html_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→Markdown structure-preserving extraction over a deterministic
+    page fixture (title, nested-bold heading, em paragraph, bullet list
+    with a link, nav/footer boilerplate). The oracle rebuilds the exact
+    expected Markdown string per doc closed-form — headings, emphasis,
+    link syntax, boilerplate drop, and whitespace policy all value-checked."""
+    from kgforge.operators.markdown import pages_to_markdown
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>T"), i.cast("string"),
+        F.lit("</title></head><body><nav><a href='/'>Home</a></nav><h1>Doc <b>"),
+        i.cast("string"),
+        F.lit("</b></h1><p>Intro <em>text</em> for item "),
+        (i % 50).cast("string"),
+        F.lit(".</p><ul><li>alpha "), (i % 7).cast("string"),
+        F.lit('</li><li><a href="/x/'), (i % 9).cast("string"),
+        F.lit('">link '), (i % 9).cast("string"),
+        F.lit("</a></li></ul><footer>foot</footer></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://md.example.org/"), i.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return pages_to_markdown(pages).orderBy("url")
+
+
+def q_repetition_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff 2023 recipe) over
+    per-language unique-token pools: uniform repeat factor capped at 4
+    epochs against a fixed token budget, shortfall visible as
+    budget_share < 1. Oracle replays the one-row total + arithmetic."""
+    from kgforge.operators.sampling import repetition_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    domains = docs.groupBy(F.col("lang").alias("domain")).agg(
+        F.sum(F.length("text")).alias("n_tokens")
+    )
+    out = repetition_budget(domains, budget_tokens=5_000_000, max_epochs=4.0)
+    return out.orderBy("domain")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3932,6 +3999,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_key_skew": q_key_skew,
         "q_entity_salience": q_entity_salience,
         "q_host_powerlaw": q_host_powerlaw,
+        "q_fix_mojibake": q_fix_mojibake,
+        "q_html_markdown": q_html_markdown,
+        "q_repetition_budget": q_repetition_budget,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4313,6 +4383,36 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # mojibake arms rebuilt closed-form: corrupted docs repaired to the
+        # clean literal, clean docs untouched
+        "q_fix_mojibake": """
+            SELECT doc_id,
+                   'Café — naïve entry ' || CAST(doc_id AS VARCHAR) AS text,
+                   doc_id % 3 = 0 AS was_fixed
+            FROM documents ORDER BY doc_id
+        """,
+        # expected Markdown string rebuilt character-exact per doc
+        "q_html_markdown": """
+            SELECT 'https://md.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+                   'T' || CAST(doc_id AS VARCHAR) || chr(10)||chr(10) || '# Doc **' || CAST(doc_id AS VARCHAR) || '**' || chr(10)||chr(10) || 'Intro *text* for item ' || CAST(doc_id % 50 AS VARCHAR) || '.' || chr(10)||chr(10) || '- alpha ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || '- [link ' || CAST(doc_id % 9 AS VARCHAR) || '](/x/' || CAST(doc_id % 9 AS VARCHAR) || ')' AS markdown
+            FROM documents ORDER BY url
+        """,
+        # uniform-epoch budget allocation replayed: per-language char
+        # totals, min(4, budget/total), identical rounding
+        "q_repetition_budget": """
+            WITH d AS (SELECT lang AS domain,
+                              CAST(sum(length(text)) AS DOUBLE) AS n_tokens
+                       FROM documents GROUP BY lang),
+            t AS (SELECT sum(n_tokens) AS tot FROM d)
+            SELECT domain,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(n_tokens / tot, 6) AS share,
+                   round(least(4.0, 5000000.0 / tot), 6) AS epochs,
+                   round(n_tokens * least(4.0, 5000000.0 / tot), 6) AS alloc_tokens,
+                   round(n_tokens * least(4.0, 5000000.0 / tot) / 5000000.0, 6)
+                     AS budget_share
+            FROM d, t ORDER BY domain
+        """,
         # VALUES restriction replayed as a plain IN list over the
         # closed-form knows relation
         "q_kg_sparql_values": """

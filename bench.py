@@ -296,6 +296,9 @@ def main():
         "q_key_skew",
         "q_entity_salience",
         "q_host_powerlaw",
+        "q_fix_mojibake",
+        "q_html_markdown",
+        "q_repetition_budget",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -31,6 +31,7 @@ O(bytes) with no skew surface. Oracle parity: DuckDB replays steps 1 and
 
 from __future__ import annotations
 
+import re
 import unicodedata
 
 import pandas as pd
@@ -77,3 +78,60 @@ def clean_text(
     untouched. Map-only; with ``nfc=False`` it is a single codegen
     projection."""
     return docs.withColumn(text_col, clean_text_cols(F.col(text_col), nfc=nfc))
+
+
+# mojibake markers: UTF-8 multibyte lead bytes read as Latin-1/cp1252 land
+# on these characters — Ã (0xC3, 2-byte leads), Â (0xC2), â (0xE2, the
+# punctuation family: â€™ â€œ â€" ...). Plain text virtually never uses them
+# followed by the continuation range, so they gate the repair attempt.
+_MOJIBAKE_HINT = re.compile("[ÂÃâ]")
+
+
+def _fix_mojibake_one(x):
+    if x is None or not _MOJIBAKE_HINT.search(x):
+        return x
+    # invert the mis-decode by encoding back through the codec that
+    # produced it: cp1252 first (the codec browsers actually apply — it
+    # maps € ” † etc. into the 0x80-0x9F range UTF-8 continuation bytes
+    # land on), falling back to latin-1 for byte-transparent mis-decodes
+    for codec in ("cp1252", "latin-1"):
+        try:
+            fixed = x.encode(codec, errors="strict").decode("utf-8", errors="strict")
+            break
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+    else:
+        return x  # not a clean single-pass mojibake — leave untouched
+    # real mojibake always SHRINKS (n bytes -> 1 char); an equal-length
+    # "fix" means the text was legitimate Latin-1-range prose
+    return fixed if len(fixed) < len(x) else x
+
+
+def _fix_mojibake_series(s: pd.Series) -> pd.Series:
+    return s.map(_fix_mojibake_one)
+
+
+def fix_mojibake_col(col):
+    """Repair single-pass UTF-8-read-as-Latin-1 mojibake ('CafÃ©' →
+    'Café') in a string column: strict round-trip inversion, gated on the
+    Ã/Â/â marker characters, accepted only when the repair both succeeds
+    and shrinks — legitimate Latin-1-range prose (strict-encodable but
+    not shrinkable, or not valid UTF-8 bytes) passes through untouched.
+    Arrow-batched pandas UDF, gate + repair per row, no lookups —
+    map-only, scales linearly. The double-encoded case (two mis-decode
+    rounds) needs a second application; this operator deliberately does
+    ONE deterministic pass so the oracle can replay it.
+    """
+    from pyspark.sql.types import StringType
+
+    return pandas_udf(_fix_mojibake_series, StringType())(col)
+
+
+def fix_mojibake(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace ``text_col`` with its mojibake-repaired form, other
+    columns untouched; adds ``was_fixed`` (repair actually changed the
+    text). Map-only."""
+    fixed = fix_mojibake_col(F.col(text_col))
+    return docs.withColumn("was_fixed", fixed != F.col(text_col)).withColumn(
+        text_col, fixed
+    )

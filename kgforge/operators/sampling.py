@@ -330,3 +330,52 @@ def distribution_drift(
         F.round(pb, 6).alias("share_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+def repetition_budget(
+    domains: DataFrame,
+    budget_tokens: float,
+    max_epochs: float = 4.0,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Epoch allocation under a training-token budget with a repetition
+    cap (the data-constrained-scaling recipe of Muennighoff et al. 2023:
+    repeating data beyond ~4 epochs returns ~nothing, so cap repeats and
+    surface the shortfall instead of silently over-sampling).
+
+    Input: one row per domain with its unique-token count. Output per
+    domain: (domain, n_tokens, share, epochs, alloc_tokens, budget_share)
+    where epochs = min(max_epochs, budget/total_unique) is the UNIFORM
+    repeat factor (every domain repeats equally — mixture shape is
+    preserved, only scale changes), alloc_tokens = n_tokens * epochs, and
+    budget_share = alloc_tokens / budget. When the cap binds the
+    budget_shares sum to < 1 — the visible shortfall that tells the
+    curator to go get MORE DATA rather than more epochs. Ratios rounded
+    to 6.
+
+    Scale shape: input is already domain-cardinality-sized; one 1-row
+    global agg broadcast-crossed back — no window, no collect.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be > 0")
+    d = domains.select(
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("double").alias("n_tokens"),
+    )
+    tot = d.agg(F.sum("n_tokens").alias("_tot"))
+    epochs = F.least(
+        F.lit(float(max_epochs)), F.lit(float(budget_tokens)) / F.col("_tot")
+    )
+    alloc = F.col("n_tokens") * epochs
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("share"),
+            F.round(epochs, 6).alias("epochs"),
+            F.round(alloc, 6).alias("alloc_tokens"),
+            F.round(alloc / F.lit(float(budget_tokens)), 6).alias("budget_share"),
+        )
+    )

@@ -236,3 +236,91 @@ class TestDegreePowerlaw:
             degree_powerlaw(
                 spark.createDataFrame([("a", "b")], "a string, b string"), kmin=1
             )
+
+
+class TestMarkdown:
+    def test_conversion_rules(self, spark):
+        from kgforge.operators.markdown import md_from_html, pages_to_markdown
+
+        html = (
+            "<html><head><title>T1</title></head><body>"
+            "<nav><a href='/'>Home</a></nav>"
+            "<h2>Head <b>X</b></h2>"
+            "<p>Intro <em>em</em> &amp; more.</p>"
+            '<ul><li>alpha</li><li><a href="/x/1">link 1</a></li></ul>'
+            "<footer>foot</footer></body></html>"
+        )
+        md = md_from_html(html)
+        assert md == (
+            "T1\n\n## Head **X**\n\nIntro *em* & more.\n\n- alpha\n- [link 1](/x/1)"
+        )
+        # bytes input identical; None -> ""
+        assert md_from_html(html.encode()) == md
+        assert md_from_html(None) == ""
+        # distributed wrapper round-trips
+        df = spark.createDataFrame(
+            [("u1", bytearray(html.encode()))], "url string, html binary"
+        )
+        row = pages_to_markdown(df).collect()[0]
+        assert row.markdown == md
+
+    def test_boilerplate_dropped_and_heading_levels(self, spark):
+        from kgforge.operators.markdown import md_from_html
+
+        assert md_from_html("<script>x</script><h6>t</h6>") == "###### t"
+        assert md_from_html("<nav><ul><li>m</li></ul></nav><p>body</p>") == "body"
+
+
+class TestMojibake:
+    def test_repair_and_passthrough(self, spark):
+        from kgforge.operators.cleaning import fix_mojibake
+
+        clean = "Café — naïve"
+        corrupt = clean.encode("utf-8").decode("cp1252")
+        df = spark.createDataFrame(
+            [("d1", corrupt), ("d2", clean), ("d3", "Â lone marker"), ("d4", None)],
+            "doc string, text string",
+        )
+        out = {r.doc: r for r in fix_mojibake(df).collect()}
+        assert out["d1"].text == clean and out["d1"].was_fixed
+        assert out["d2"].text == clean and not out["d2"].was_fixed
+        # marker present but bytes aren't valid UTF-8 -> untouched
+        assert out["d3"].text == "Â lone marker" and not out["d3"].was_fixed
+        assert out["d4"].text is None
+
+
+class TestRepetitionBudget:
+    def test_cap_binds_and_shortfall_visible(self, spark):
+        from kgforge.operators.sampling import repetition_budget
+
+        d = spark.createDataFrame(
+            [("web", 600.0), ("code", 300.0), ("books", 100.0)],
+            "domain string, n_tokens double",
+        )
+        # budget 10x unique total, cap 4 epochs -> shortfall
+        out = {r.domain: r for r in
+               repetition_budget(d, budget_tokens=10_000, max_epochs=4.0).collect()}
+        assert out["web"].epochs == pytest.approx(4.0, abs=1e-6)
+        assert out["web"].alloc_tokens == pytest.approx(2400.0, abs=1e-6)
+        assert out["web"].share == pytest.approx(0.6, abs=1e-6)
+        total_share = sum(r.budget_share for r in out.values())
+        assert total_share == pytest.approx(0.4, abs=1e-4)  # 4000/10000
+
+    def test_uncapped_epochs(self, spark):
+        from kgforge.operators.sampling import repetition_budget
+
+        d = spark.createDataFrame([("a", 500.0), ("b", 500.0)],
+                                  "domain string, n_tokens double")
+        out = {r.domain: r for r in
+               repetition_budget(d, budget_tokens=2000, max_epochs=4.0).collect()}
+        assert out["a"].epochs == pytest.approx(2.0, abs=1e-6)
+        assert out["a"].budget_share == pytest.approx(0.5, abs=1e-6)
+
+    def test_budget_guard(self, spark):
+        from kgforge.operators.sampling import repetition_budget
+
+        with pytest.raises(ValueError):
+            repetition_budget(
+                spark.createDataFrame([("a", 1.0)], "domain string, n_tokens double"),
+                budget_tokens=0,
+            )
