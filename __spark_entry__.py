@@ -3906,6 +3906,29 @@ def q_repetition_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling over a deterministically mixed-script
+    corpus: per-doc letter counts per script, shares, dominant script
+    (declaration-order ties) and script count — the pre-language-ID
+    router. Pure codegen (7 regexp length-differences); oracle rebuilds
+    every count closed-form from doc_id arithmetic."""
+    from kgforge.operators.text_stats import script_shares
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("ab "), (F.lit(1) + (i % 3)).cast("int")),
+        F.repeat(F.lit("пр"), (i % 2).cast("int")),
+        F.repeat(F.lit("你"), (i % 4).cast("int")),
+        F.when(i % 5 == 0, F.lit("αβ")).otherwise(F.lit("")),
+    )
+    return script_shares(docs.select("doc_id", text.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4002,6 +4025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fix_mojibake": q_fix_mojibake,
         "q_html_markdown": q_html_markdown,
         "q_repetition_budget": q_repetition_budget,
+        "q_script_shares": q_script_shares,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4383,6 +4407,40 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # script letter counts closed-form: latin 2*(1+i%3), cyrillic
+        # 2*(i%2), cjk i%4, greek 2*(i%5=0); shares, declaration-order
+        # dominant, n_scripts over the 0.05 floor
+        "q_script_shares": """
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(2 * (1 + doc_id % 3) AS DOUBLE) AS latin,
+                     CAST(2 * (doc_id % 2) AS DOUBLE) AS cyr,
+                     CAST(doc_id % 4 AS DOUBLE) AS cjk,
+                     CASE WHEN doc_id % 5 = 0 THEN 2.0 ELSE 0.0 END AS greek
+              FROM documents),
+            t AS (SELECT *, latin + cyr + cjk + greek AS n FROM c)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_letters,
+                   round(latin / n, 6) AS latin_share,
+                   round(cyr / n, 6) AS cyrillic_share,
+                   round(greek / n, 6) AS greek_share,
+                   0.0 AS arabic_share,
+                   0.0 AS devanagari_share,
+                   round(cjk / n, 6) AS cjk_share,
+                   0.0 AS hangul_share,
+                   CASE WHEN n = 0 THEN 'none'
+                        WHEN latin >= greatest(cyr, cjk, greek) THEN 'latin'
+                        WHEN cyr >= greatest(cjk, greek) THEN 'cyrillic'
+                        WHEN greek >= cjk THEN 'greek'
+                        ELSE 'cjk' END AS dominant_script,
+                   CAST(CASE WHEN n = 0 THEN 0 ELSE
+                     (CASE WHEN round(latin/n,6) >= 0.05 THEN 1 ELSE 0 END) +
+                     (CASE WHEN round(cyr/n,6)   >= 0.05 THEN 1 ELSE 0 END) +
+                     (CASE WHEN round(cjk/n,6)   >= 0.05 THEN 1 ELSE 0 END) +
+                     (CASE WHEN round(greek/n,6) >= 0.05 THEN 1 ELSE 0 END)
+                   END AS INT) AS n_scripts
+            FROM t ORDER BY doc_id
+        """,
         # mojibake arms rebuilt closed-form: corrupted docs repaired to the
         # clean literal, clean docs untouched
         "q_fix_mojibake": """

@@ -299,6 +299,7 @@ def main():
         "q_fix_mojibake",
         "q_html_markdown",
         "q_repetition_budget",
+        "q_script_shares",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -199,3 +199,68 @@ def readability_col(text_col):
             4,
         ),
     )
+
+
+# Unicode script inventories as explicit codepoint ranges — spelled out
+# (not \p{Script=...}) so the Java-regex Spark side and the RE2 DuckDB
+# oracle side provably match character-for-character.
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿぀-ゟ゠-ヿ",
+    "hangul": "가-힯",
+}
+
+
+def script_shares(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Unicode-script profile: how much of the LETTER mass is
+    Latin / Cyrillic / Greek / Arabic / Devanagari / CJK / Hangul — the
+    pre-language-ID router a multilingual crawl needs (stopword lang-ID
+    only makes sense once the script says "Latin"), and the
+    mixed-script-spam signal (Cyrillic lookalikes inside Latin prose).
+
+    Output: (id, n_letters, <script>_share per script rounded 6,
+    dominant_script — argmax with the SCRIPT_RANGES declaration order as
+    tiebreak, 'none' when no letters, n_scripts — scripts with
+    share >= 0.05).
+
+    Scale shape: pure codegen — one length-difference regexp_replace per
+    script (7 passes over the value, no Python, no shuffle); map-only,
+    fuses into the scan.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))).cast(
+            "double"
+        )
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    n_letters = sum(counts.values())
+    nz = n_letters > 0
+    shares = {
+        name: F.when(nz, F.round(c / n_letters, 6)).otherwise(F.lit(0.0))
+        for name, c in counts.items()
+    }
+    dominant = F.lit("none")
+    best = F.lit(0.0)
+    # reverse declaration order + >= : the EARLIER-declared script (applied
+    # last) takes equal counts, so ties resolve by SCRIPT_RANGES order
+    for name in reversed(list(SCRIPT_RANGES)):
+        dominant = F.when(counts[name] >= best, F.lit(name)).otherwise(dominant)
+        best = F.greatest(best, counts[name])
+    dominant = F.when(nz, dominant).otherwise(F.lit("none"))
+    n_scripts = sum(
+        F.when(s >= 0.05, F.lit(1)).otherwise(F.lit(0)) for s in shares.values()
+    )
+    return docs.select(
+        F.col(id_col),
+        n_letters.cast("bigint").alias("n_letters"),
+        *[shares[n].alias(f"{n}_share") for n in SCRIPT_RANGES],
+        dominant.alias("dominant_script"),
+        F.when(nz, n_scripts).otherwise(F.lit(0)).cast("int").alias("n_scripts"),
+    )

@@ -324,3 +324,39 @@ class TestRepetitionBudget:
                 spark.createDataFrame([("a", 1.0)], "domain string, n_tokens double"),
                 budget_tokens=0,
             )
+
+
+class TestScriptShares:
+    def test_mixed_scripts(self, spark):
+        from kgforge.operators.text_stats import script_shares
+
+        rows = [
+            ("d1", "abc привет"),          # 3 latin + 6 cyrillic
+            ("d2", "你好 world"),           # 2 cjk + 5 latin
+            ("d3", "!!! 123"),             # no letters
+            ("d4", "αβγ"),                 # greek only
+            ("d5", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        out = {r.doc_id: r for r in script_shares(df, id_col="doc_id").collect()}
+        d1 = out["d1"]
+        assert d1.n_letters == 9
+        assert d1.latin_share == pytest.approx(3 / 9, abs=1e-6)
+        assert d1.cyrillic_share == pytest.approx(6 / 9, abs=1e-6)
+        assert d1.dominant_script == "cyrillic" and d1.n_scripts == 2
+        d2 = out["d2"]
+        assert d2.dominant_script == "latin"
+        assert d2.cjk_share == pytest.approx(2 / 7, abs=1e-6)
+        assert out["d3"].dominant_script == "none" and out["d3"].n_scripts == 0
+        assert out["d4"].dominant_script == "greek"
+        assert out["d5"].n_letters == 0 and out["d5"].dominant_script == "none"
+
+    def test_tie_resolves_by_declaration_order(self, spark):
+        from kgforge.operators.text_stats import script_shares
+
+        df = spark.createDataFrame([("d", "abс")], "doc_id string, text string")
+        # 'ab' latin + 'с' cyrillic -> latin 2, cyrillic 1; make a real tie:
+        df2 = spark.createDataFrame([("d", "aб")], "doc_id string, text string")
+        out = script_shares(df2, id_col="doc_id").collect()[0]
+        assert out.latin_share == pytest.approx(0.5, abs=1e-6)
+        assert out.dominant_script == "latin"  # declaration order wins ties
