@@ -3929,6 +3929,28 @@ def q_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled harmonic centrality over the directed host graph
+    (5 fixed pivot hosts): raw 1/d landmark sums plus reach counts — the
+    scale path for centrality on web graphs (all-pairs BFS does not
+    survive 10^8 hosts; pivot sampling does). Oracle replays the BFS as a
+    DuckDB recursive CTE over the closed-form edge set and aggregates the
+    identical harmonic arithmetic."""
+    from kgforge.operators.graph import harmonic_centrality
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    lm = spark.createDataFrame(
+        [(f"ex{s}.example.org",) for s in (3, 7, 19, 31, 47)], "node string"
+    )
+    return harmonic_centrality(
+        edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        lm,
+    ).orderBy("node")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4026,6 +4048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_markdown": q_html_markdown,
         "q_repetition_budget": q_repetition_budget,
         "q_script_shares": q_script_shares,
+        "q_host_harmonic": q_host_harmonic,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4407,6 +4430,32 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # landmark harmonic centrality replayed as a recursive CTE over the
+        # closed-form host edges; min-dist per (landmark, node), sum 1/d
+        "q_host_harmonic": """
+            WITH RECURSIVE d AS (SELECT DISTINCT doc_id % 97 AS s FROM documents),
+            e0 AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((s*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((s*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            lm AS (SELECT 'ex3.example.org' AS l UNION ALL SELECT 'ex7.example.org'
+                   UNION ALL SELECT 'ex19.example.org' UNION ALL SELECT 'ex31.example.org'
+                   UNION ALL SELECT 'ex47.example.org'),
+            walk(l, node, dist) AS (
+              SELECT l, l, CAST(0 AS BIGINT) FROM lm
+              UNION
+              SELECT w.l, e.dst, w.dist + 1
+              FROM walk w JOIN e ON e.src = w.node WHERE w.dist < 30
+            ),
+            md AS (SELECT l, node, min(dist) AS dist FROM walk GROUP BY l, node)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
+                   round(sum(1.0 / dist), 6) AS harmonic
+            FROM md WHERE dist >= 1 GROUP BY node ORDER BY node
+        """,
         # script letter counts closed-form: latin 2*(1+i%3), cyrillic
         # 2*(i%2), cjk i%4, greek 2*(i%5=0); shares, declaration-order
         # dominant, n_scripts over the 0.05 floor

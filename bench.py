@@ -300,6 +300,7 @@ def main():
         "q_html_markdown",
         "q_repetition_budget",
         "q_script_shares",
+        "q_host_harmonic",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

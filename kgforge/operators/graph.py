@@ -837,3 +837,88 @@ def degree_powerlaw(edges: DataFrame, kmin: int = 2) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+def landmark_distances(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Per-landmark multi-source BFS: (landmark, node, dist) shortest hop
+    counts from EACH landmark separately (directed, unweighted) — unlike
+    :func:`bfs_distances`, which folds the seed set into one min-distance
+    label, the landmark identity is part of the BFS key so downstream
+    estimators (harmonic centrality, landmark distance oracles à la
+    Potamias 2009) can weight per-source.
+
+    Scale shape: state is (landmark, node) pairs — |L|·|V| worst case, so
+    L is a SAMPLED pivot set (tens, not thousands) by design; each round
+    is one frontier-keyed join + distinct + composite-key anti-join, the
+    same diameter-bounded loop as bfs_distances with the same eager
+    localCheckpoint lineage cuts and 1-row emptiness probes.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        landmarks.select("node").distinct()
+        .select(
+            F.col("node").alias("landmark"),
+            F.col("node"),
+            F.lit(0).cast("bigint").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("landmark", "node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("landmark", F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("landmark", "node"), ["landmark", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("landmark", "node")
+    return visited
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Landmark-sampled harmonic centrality (Boldi & Vigna 2014's
+    centrality, Eppstein-Wang-style pivot sampling): for every node
+    reached by at least one landmark, harmonic = Σ_L 1/d(l→node) over
+    d >= 1, n_reached = how many landmarks reach it. The raw landmark sum
+    is returned EXACTLY (deterministic, oracle-replayable); the unbiased
+    all-sources estimate is the caller's (|V|-1)/|L| rescale — kept out so
+    the operator stays a pure graph computation.
+
+    Scale shape: all-pairs harmonic centrality is O(V·E) and does not
+    survive a web graph; the landmark estimator is the standard scale
+    path (HyperBall being the sketch-based sibling). One
+    :func:`landmark_distances` run + one node-keyed combinable agg.
+    """
+    d = landmark_distances(edges, landmarks, src=src, dst=dst, max_depth=max_depth)
+    return (
+        d.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist").cast("double")), 6).alias(
+                "harmonic"
+            ),
+        )
+    )

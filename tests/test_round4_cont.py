@@ -360,3 +360,35 @@ class TestScriptShares:
         out = script_shares(df2, id_col="doc_id").collect()[0]
         assert out.latin_share == pytest.approx(0.5, abs=1e-6)
         assert out.dominant_script == "latin"  # declaration order wins ties
+
+
+class TestHarmonicCentrality:
+    def test_landmark_distances_and_harmonic(self, spark):
+        from kgforge.operators.graph import harmonic_centrality, landmark_distances
+
+        # chain a->b->c->d plus shortcut a->c; landmarks a and c
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+        lm = spark.createDataFrame([("a",), ("c",)], "node string")
+        d = {(r.landmark, r.node): r.dist
+             for r in landmark_distances(e, lm).collect()}
+        assert d[("a", "a")] == 0 and d[("a", "b")] == 1
+        assert d[("a", "c")] == 1          # shortcut beats the 2-hop chain
+        assert d[("a", "d")] == 2
+        assert d[("c", "d")] == 1 and ("c", "a") not in d  # directed
+        h = {r.node: r for r in harmonic_centrality(e, lm).collect()}
+        # d: from a at 2, from c at 1 -> 1/2 + 1 = 1.5, reached by both
+        assert h["d"].harmonic == pytest.approx(1.5, abs=1e-6)
+        assert h["d"].n_reached == 2
+        # c: from a at 1 only (its own 0 excluded)
+        assert h["c"].harmonic == pytest.approx(1.0, abs=1e-6)
+        assert "a" not in h  # nothing reaches a at dist >= 1
+
+    def test_max_depth_truncates(self, spark):
+        from kgforge.operators.graph import landmark_distances
+
+        e = _edges(spark, [("a", "b"), ("b", "c")])
+        lm = spark.createDataFrame([("a",)], "node string")
+        d = landmark_distances(e, lm, max_depth=1).collect()
+        assert {(r.landmark, r.node, r.dist) for r in d} == {
+            ("a", "a", 0), ("a", "b", 1)
+        }
