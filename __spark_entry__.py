@@ -3951,6 +3951,47 @@ def q_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_kg_rdfstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF-star end-to-end: Turtle-star quoted-triple annotations parsed
+    from page payloads (<< s p o >> confidence "0.x") and lowered to
+    standard reification with deterministic urn:star:md5 skolem nodes —
+    the statement-level-metadata surface (edge confidence, provenance)
+    modern KGs carry. The oracle rebuilds all six rows per doc closed-form
+    including the skolem node via DuckDB's own md5()."""
+    from kgforge.operators.parse import parse_pages
+    from kgforge.operators.rdfstar import unstar
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    s_iri = F.concat(F.lit("urn:e:"), i.cast("string"))
+    o_iri = F.concat(F.lit("urn:e:"), ((i * 13 + 7) % 1000).cast("string"))
+    ttl = F.concat(
+        F.lit("<"), s_iri, F.lit("> <http://schema.org/knows> <"), o_iri,
+        F.lit("> .\n<< <"), s_iri, F.lit("> <http://schema.org/knows> <"),
+        o_iri, F.lit("> >> <http://example.org/confidence> \"0."),
+        (i % 9).cast("string"),
+        F.lit("\"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n"),
+    )
+    html = F.concat(
+        F.lit('<html><body><script type="text/turtle">\n'), ttl,
+        F.lit("</script></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://star.example.org/"), i.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+    )
+    out = unstar(parse_pages(pages))
+    return out.select(
+        "url", "subject", "predicate",
+        F.col("object.value").alias("value"),
+        F.col("object.kind").alias("kind"),
+        F.col("object.datatype").alias("datatype"),
+    ).orderBy("url", "predicate", "subject", "value")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4049,6 +4090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_budget": q_repetition_budget,
         "q_script_shares": q_script_shares,
         "q_host_harmonic": q_host_harmonic,
+        "q_kg_rdfstar": q_kg_rdfstar,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4430,6 +4472,40 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # RDF-star lowering rebuilt closed-form: base triple, lowered
+        # annotation on the urn:star:md5 skolem, four reification rows
+        "q_kg_rdfstar": """
+            WITH d AS (SELECT doc_id AS i,
+                              'urn:e:' || CAST(doc_id AS VARCHAR) AS s,
+                              'urn:e:' || CAST((doc_id * 13 + 7) % 1000 AS VARCHAR) AS o
+                       FROM documents),
+            q AS (SELECT i, s, o,
+                         'urn:star:' || md5('<< <' || s || '> <http://schema.org/knows> <'
+                                            || o || '> >>') AS stmt,
+                         'https://star.example.org/' || CAST(i AS VARCHAR) AS url
+                  FROM d),
+            rows_ AS (
+              SELECT url, s AS subject, 'http://schema.org/knows' AS predicate,
+                     o AS value, 'iri' AS kind, NULL AS datatype FROM q
+              UNION ALL
+              SELECT url, stmt, 'http://example.org/confidence',
+                     '0.' || CAST(i % 9 AS VARCHAR), 'literal',
+                     'http://www.w3.org/2001/XMLSchema#decimal' FROM q
+              UNION ALL
+              SELECT url, stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement', 'iri', NULL FROM q
+              UNION ALL
+              SELECT url, stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+                     s, 'iri', NULL FROM q
+              UNION ALL
+              SELECT url, stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+                     'http://schema.org/knows', 'iri', NULL FROM q
+              UNION ALL
+              SELECT url, stmt, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+                     o, 'iri', NULL FROM q)
+            SELECT url, subject, predicate, value, kind, datatype
+            FROM rows_ ORDER BY url, predicate, subject, value
+        """,
         # landmark harmonic centrality replayed as a recursive CTE over the
         # closed-form host edges; min-dist per (landmark, node), sum 1/d
         "q_host_harmonic": """

@@ -301,6 +301,7 @@ def main():
         "q_repetition_budget",
         "q_script_shares",
         "q_host_harmonic",
+        "q_kg_rdfstar",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

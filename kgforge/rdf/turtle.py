@@ -46,6 +46,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<WS>[ \t\r\n]+)
   | (?P<COMMENT>\#[^\r\n]*)
+  | (?P<QT_OPEN><<)
+  | (?P<QT_CLOSE>>>)
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<STRING_LONG_DQ>\"\"\"(?:[^"\\]|\\.|\"(?!\"\")|\"\"(?!\"))*\"\"\")
   | (?P<STRING_LONG_SQ>'''(?:[^'\\]|\\.|'(?!'')|''(?!'))*''')
@@ -107,6 +109,27 @@ def _tokenize(text: str):
         pos = m.end()
     tokens.append(("EOF", "", n))
     return tokens
+
+
+_NT_ESC = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t"}
+
+
+def _ser_term(t: tuple) -> str:
+    """N-Triples spelling of a term for the quoted-triple canonical form
+    (nested quoted triples recurse)."""
+    value, kind = t[0], t[1]
+    if kind == "iri":
+        return f"<{value}>"
+    if kind == "bnode":
+        return value
+    if kind == "triple":
+        return value
+    lex = "".join(_NT_ESC.get(c, c) for c in value)
+    if t[3]:
+        return f'"{lex}"@{t[3]}'
+    if t[2]:
+        return f'"{lex}"^^<{t[2]}>'
+    return f'"{lex}"'
 
 
 # --- parser ----------------------------------------------------------------
@@ -219,7 +242,27 @@ class TurtleParser:
         self._predicate_object_list(subj)
         self._expect_punct(".")
 
+    def _quoted_triple(self):
+        """RDF-star quoted triple ``<< s p o >>`` (W3C RDF 1.2 Turtle
+        quoted-triple syntax, subject/object positions; the ``{| |}``
+        annotation shorthand is not supported). Returns an opaque term of
+        kind 'triple' whose value is the canonical serialized form —
+        inner terms N-Triples-spelled, single-space separated — so the
+        term survives the string-typed triples schema and downstream
+        operators (kgforge.operators.rdfstar) can reify it losslessly."""
+        self._next()  # consume <<
+        s = self._subject()
+        p = self._predicate()
+        o = self._object()
+        kind, val, pos = self._next()
+        if kind != "QT_CLOSE":
+            raise TurtleParseError(f"expected >> got {val!r} at {pos}")
+        return (f"<< {_ser_term(s)} {_ser_term(p)} {_ser_term(o)} >>", "triple", "", "")
+
     def _subject(self):
+        kind, val, pos = self._peek()
+        if kind == "QT_OPEN":
+            return self._quoted_triple()
         kind, val, pos = self._next()
         if kind == "IRIREF":
             return iri(self._resolve_iri(_unescape(val[1:-1])))
@@ -268,6 +311,8 @@ class TurtleParser:
 
     def _object(self):
         kind, val, pos = self._peek()
+        if kind == "QT_OPEN":
+            return self._quoted_triple()
         if kind == "PUNCT" and val == "[":
             return self._bnode_property_list()
         if kind == "PUNCT" and val == "(":

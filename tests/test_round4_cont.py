@@ -392,3 +392,65 @@ class TestHarmonicCentrality:
         assert {(r.landmark, r.node, r.dist) for r in d} == {
             ("a", "a", 0), ("a", "b", 1)
         }
+
+
+class TestRdfStar:
+    def _parse(self, ttl):
+        from kgforge.rdf.turtle import parse_turtle
+        return parse_turtle(ttl)[0]
+
+    def test_parser_quoted_subject_and_object(self):
+        t = self._parse(
+            '@prefix ex: <http://e/> .\n'
+            '<< ex:a ex:p ex:b >> ex:conf "0.9" .\n'
+            'ex:x ex:says << ex:a ex:p "hi"@en >> .\n'
+        )
+        assert t[0][0] == ("<< <http://e/a> <http://e/p> <http://e/b> >>",
+                           "triple", "", "")
+        assert t[1][2] == ('<< <http://e/a> <http://e/p> "hi"@en >>',
+                           "triple", "", "")
+
+    def test_parser_nested_and_errors(self):
+        import pytest as _pt
+
+        from kgforge.rdf.turtle import TurtleParseError
+        t = self._parse(
+            "<< << <u:a> <u:p> <u:b> >> <u:q> <u:c> >> <u:r> <u:d> ."
+        )
+        assert t[0][0][0] == "<< << <u:a> <u:p> <u:b> >> <u:q> <u:c> >>"
+        with _pt.raises(TurtleParseError):
+            self._parse("<< <u:a> <u:p> <u:b> <u:r> <u:d> .")
+
+    def test_unstar_reification(self, spark):
+        import hashlib
+
+        from kgforge.operators.rdfstar import unstar
+        from kgforge.schema import TRIPLES_SCHEMA
+
+        qt = '<< <u:a> <u:p> "5"^^<u:int> >>'
+        stmt = "urn:star:" + hashlib.md5(qt.encode()).hexdigest()
+        rows = [
+            _triple("u", qt, "u:conf", "0.9", kind="literal"),
+            _triple("u", "u:x", "u:says", qt, kind="triple"),
+            _triple("u", "u:plain", "u:p", "u:o"),
+        ]
+        df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+        out = unstar(df).collect()
+        by_pred = {}
+        for r in out:
+            by_pred.setdefault(r.predicate, []).append(r)
+        # in-place lowering
+        conf = by_pred["u:conf"][0]
+        assert conf.subject == stmt
+        says = by_pred["u:says"][0]
+        assert says.object.value == stmt and says.object.kind == "iri"
+        # plain passthrough
+        assert by_pred["u:p"][0].subject == "u:plain"
+        # ONE reification quadruple despite two occurrences
+        rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        assert len(by_pred[rdf + "type"]) == 1
+        robj = by_pred[rdf + "object"][0]
+        assert robj.subject == stmt
+        assert robj.object.value == "5" and robj.object.datatype == "u:int"
+        assert by_pred[rdf + "subject"][0].object.value == "u:a"
+        assert len(out) == 3 + 4
