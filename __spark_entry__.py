@@ -3992,6 +3992,58 @@ def q_kg_rdfstar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit key-salting join strategy (north-rule skew handling as a
+    first-class operator): lineitem⋈orders through (key, salt) with the
+    small side replicated 8x, then revenue per order status — result
+    provably identical to the plain join, which is exactly what the
+    oracle asserts value-for-value."""
+    from kgforge.operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, "k", salt=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-semi-join reduction: lineitem probed against the p_size=5
+    part subset through a broadcast bitmap prefilter + exact semi join —
+    result provably identical to the plain semi join (no false negatives;
+    FPs removed by the exact stage). Aggregated per return flag so the
+    oracle value-checks the full surviving row set."""
+    from kgforge.operators.joins import bloom_semijoin
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity"
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 5).select("p_partkey")
+    kept = bloom_semijoin(li, part, "l_partkey", "p_partkey", m_bits=1 << 16)
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4091,6 +4143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_script_shares": q_script_shares,
         "q_host_harmonic": q_host_harmonic,
         "q_kg_rdfstar": q_kg_rdfstar,
+        "q_salted_join": q_salted_join,
+        "q_bloom_join": q_bloom_join,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4472,6 +4526,23 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # salting is result-invariant: the oracle is the PLAIN join
+        "q_salted_join": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        # bloom prefilter + exact verify == the plain semi join
+        "q_bloom_join": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         # RDF-star lowering rebuilt closed-form: base triple, lowered
         # annotation on the urn:star:md5 skolem, four reification rows
         "q_kg_rdfstar": """

@@ -302,6 +302,8 @@ def main():
         "q_script_shares",
         "q_host_harmonic",
         "q_kg_rdfstar",
+        "q_salted_join",
+        "q_bloom_join",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -454,3 +454,44 @@ class TestRdfStar:
         assert robj.object.value == "5" and robj.object.datatype == "u:int"
         assert by_pred[rdf + "subject"][0].object.value == "u:a"
         assert len(out) == 3 + 4
+
+
+class TestJoins:
+    def test_salted_join_equals_plain(self, spark):
+        from kgforge.operators.joins import salted_join
+
+        left = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (1, "e")], "k int, v string"
+        )
+        right = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+        got = sorted((r.k, r.v, r.w) for r in
+                     salted_join(left, right, "k", salt=4).collect())
+        want = sorted((r.k, r.v, r.w) for r in left.join(right, "k").collect())
+        assert got == want
+        # left join keeps unmatched rows exactly once
+        lj = sorted((r.k, r.v, r.w) for r in
+                    salted_join(left, right, "k", salt=3, how="left").collect())
+        wantl = sorted((r.k, r.v, r.w) for r in
+                       left.join(right, "k", "left").collect())
+        assert lj == wantl
+
+    def test_salted_join_guards(self, spark):
+        from kgforge.operators.joins import salted_join
+
+        df = spark.createDataFrame([(1, "a")], "k int, v string")
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", how="full")
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", salt=0)
+
+    def test_bloom_semijoin_exact(self, spark):
+        from kgforge.operators.joins import bloom_semijoin
+
+        probe = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "k bigint, v string"
+        )
+        build = spark.createDataFrame([(i * 7,) for i in range(10)], "k bigint")
+        got = sorted(r.k for r in
+                     bloom_semijoin(probe, build, "k", m_bits=1 << 12).collect())
+        want = sorted(r.k for r in probe.join(build, "k", "left_semi").collect())
+        assert got == want and len(got) > 0
