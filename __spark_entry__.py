@@ -4044,6 +4044,26 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_host_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded bow-tie decomposition of the directed host graph (Broder
+    2000 web cartography): every host classified core / in / out /
+    disconnected relative to a seed host, with forward and backward hop
+    distances — two BFS frontier loops, one on the reversed edge list.
+    Oracle replays both reachability closures as recursive CTEs."""
+    from kgforge.operators.graph import bowtie_classify
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    seeds = spark.createDataFrame([("ex5.example.org",)], "node string")
+    out = bowtie_classify(
+        edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        seeds,
+    )
+    return out.orderBy("node")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4145,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_rdfstar": q_kg_rdfstar,
         "q_salted_join": q_salted_join,
         "q_bloom_join": q_bloom_join,
+        "q_host_bowtie": q_host_bowtie,
         "q_kg_sparql_ask": q_kg_sparql_ask,
         "q_kg_sparql_bind": q_kg_sparql_bind,
         "q_kg_sparql_path_closure": q_kg_sparql_path_closure,
@@ -4526,6 +4547,46 @@ def _dd_dsir_weights_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # seeded bow-tie: forward + backward reachability closures as
+        # recursive CTEs over the closed-form host edges, min-dist each way
+        "q_host_bowtie": """
+            WITH RECURSIVE d AS (SELECT DISTINCT doc_id % 97 AS s FROM documents),
+            e0 AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((s*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((s*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            fwd(node, dist) AS (
+              SELECT 'ex5.example.org', CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst, f.dist + 1 FROM fwd f JOIN e ON e.src = f.node
+              WHERE f.dist < 30
+            ),
+            bwd(node, dist) AS (
+              SELECT 'ex5.example.org', CAST(0 AS BIGINT)
+              UNION
+              SELECT e.src, b.dist + 1 FROM bwd b JOIN e ON e.dst = b.node
+              WHERE b.dist < 30
+            ),
+            mf AS (SELECT node, min(dist) AS dist_fwd FROM fwd GROUP BY node),
+            mb AS (SELECT node, min(dist) AS dist_bwd FROM bwd GROUP BY node),
+            nodes AS (SELECT DISTINCT node FROM (
+                        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+                        UNION ALL SELECT 'ex5.example.org'))
+            SELECT n.node,
+                   CASE WHEN mf.dist_fwd IS NOT NULL AND mb.dist_bwd IS NOT NULL THEN 'core'
+                        WHEN mb.dist_bwd IS NOT NULL THEN 'in'
+                        WHEN mf.dist_fwd IS NOT NULL THEN 'out'
+                        ELSE 'disconnected' END AS component,
+                   mf.dist_fwd, mb.dist_bwd
+            FROM nodes n
+            LEFT JOIN mf ON mf.node = n.node
+            LEFT JOIN mb ON mb.node = n.node
+            ORDER BY n.node
+        """,
         # salting is result-invariant: the oracle is the PLAIN join
         "q_salted_join": """
             SELECT o_orderstatus,

@@ -304,6 +304,7 @@ def main():
         "q_kg_rdfstar",
         "q_salted_join",
         "q_bloom_join",
+        "q_host_bowtie",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -495,3 +495,24 @@ class TestJoins:
                      bloom_semijoin(probe, build, "k", m_bits=1 << 12).collect())
         want = sorted(r.k for r in probe.join(build, "k", "left_semi").collect())
         assert got == want and len(got) > 0
+
+
+class TestBowtie:
+    def test_components(self, spark):
+        from kgforge.operators.graph import bowtie_classify
+
+        # i1 -> c1 <-> c2 -> o1 ; d1 -> d2 disconnected from the seed
+        e = _edges(spark, [
+            ("i1", "c1"), ("c1", "c2"), ("c2", "c1"), ("c2", "o1"),
+            ("d1", "d2"),
+        ])
+        seeds = spark.createDataFrame([("c1",)], "node string")
+        out = {r.node: r for r in bowtie_classify(e, seeds).collect()}
+        assert out["c1"].component == "core"
+        assert out["c1"].dist_fwd == 0 and out["c1"].dist_bwd == 0
+        assert out["c2"].component == "core"
+        assert out["i1"].component == "in" and out["i1"].dist_bwd == 1
+        assert out["i1"].dist_fwd is None
+        assert out["o1"].component == "out" and out["o1"].dist_fwd == 2
+        assert out["d1"].component == "disconnected"
+        assert len(out) == 6
