@@ -95,3 +95,94 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts_epoch",
+) -> DataFrame:
+    """Custom stateful streaming sessionizer (applyInPandasWithState):
+    event-time session windows with a ``gap_seconds`` inactivity gap,
+    closed sessions emitted in append mode the moment a later event
+    proves the gap — the streaming twin of the batch ``sessionize``
+    operator, with the SAME (start, end, count) semantics.
+
+    Event-time driven, not wall-clock: a session closes when a LATER
+    EVENT of the same user arrives more than the gap after the session's
+    last event (the in-flight final session stays in state; a TTL is the
+    production pattern for flushing it, kept out here so emission stays
+    deterministic for the oracle-style tests). Events may arrive
+    unordered WITHIN a micro-batch (sorted per group before folding);
+    cross-batch late events that predate the current session extend it
+    only if they fall inside the gap — true out-of-order reprocessing
+    needs watermarked event-time state, documented as the upgrade path.
+
+    Scale shape: grouping key is the user — state is one 24-byte row per
+    ACTIVE user, shuffles co-partition with any downstream per-user join;
+    per-batch work is a sort of that user's batch slice only.
+    """
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        ts_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                ts_all.extend(int(t) for t in pdf["ts_epoch"])
+        if not ts_all:
+            return
+        ts_all.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in ts_all:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((key[0], start, last, n))
+                start, last, n = t, t, 1
+            elif t >= last:
+                last, n = t, n + 1
+            else:
+                # late event inside the current session window: count it
+                n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_start", "session_end", "n_events"]
+            )
+
+    keyed = events_stream.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).cast("long").alias("ts_epoch"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

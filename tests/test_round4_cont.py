@@ -516,3 +516,81 @@ class TestBowtie:
         assert out["o1"].component == "out" and out["o1"].dist_fwd == 2
         assert out["d1"].component == "disconnected"
         assert len(out) == 6
+
+
+class TestStreamingSessions:
+    def test_sessions_close_across_batches(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from kgforge.streaming.stateful import streaming_sessions
+
+        landing = str(tmp_path / "landing_sessions")
+        os.makedirs(landing, exist_ok=True)
+        # user 1: events at 0, 100 (batch 1) then 5000 (batch 2) -> session
+        # [0,100]x2 closes when 5000 arrives (gap 1800). user 2: one event
+        # per batch inside the gap -> never closes.
+        b1 = pd.DataFrame({"user_id": [1, 1, 2], "ts_epoch": [0, 100, 50]})
+        b2 = pd.DataFrame({"user_id": [1, 2], "ts_epoch": [5000, 900]})
+        spark.createDataFrame(b1).coalesce(1).write.parquet(landing + "/f1")
+        spark.createDataFrame(b2).coalesce(1).write.parquet(landing + "/f2")
+        stream = (
+            spark.readStream.schema("user_id long, ts_epoch long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing + "/f*")
+        )
+        out = streaming_sessions(stream, gap_seconds=1800)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_t")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT user_id, session_start, session_end, n_events FROM sessions_t"
+        ).collect()
+        assert [(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in rows] == [(1, 0, 100, 2)]
+
+    def test_unordered_within_batch(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from kgforge.streaming.stateful import streaming_sessions
+
+        landing = str(tmp_path / "landing_sessions2")
+        os.makedirs(landing, exist_ok=True)
+        # one batch, out of order: 3000, 0, 100 -> session [0,100] closes
+        # when the sorted fold reaches 3000 (gap 1000)
+        b1 = pd.DataFrame({"user_id": [7, 7, 7], "ts_epoch": [3000, 0, 100]})
+        spark.createDataFrame(b1).coalesce(1).write.parquet(landing + "/f1")
+        stream = (
+            spark.readStream.schema("user_id long, ts_epoch long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing + "/f*")
+        )
+        out = streaming_sessions(stream, gap_seconds=1000)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_u")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT session_start, session_end, n_events FROM sessions_u"
+        ).collect()
+        assert [(r.session_start, r.session_end, r.n_events) for r in rows] == [
+            (0, 100, 2)
+        ]
