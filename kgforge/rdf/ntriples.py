@@ -1,4 +1,5 @@
-"""N-Triples parser (line-oriented subset of Turtle)."""
+"""N-Triples parser (line-oriented subset of Turtle; quoted-triple
+N-Triples-star lines delegate to the Turtle parser)."""
 
 from __future__ import annotations
 
@@ -29,6 +30,21 @@ def parse_ntriples(text: str) -> tuple[list[tuple], dict[str, str]]:
             continue
         m = _LINE_RE.match(line)
         if m is None:
+            if "<<" in line:
+                # N-Triples-star quoted-triple line (RDF 1.2): every
+                # N-Triples statement is valid Turtle, so the one syntax
+                # the line regex can't express delegates to the Turtle
+                # parser's recursive quoted-triple support
+                from .turtle import parse_turtle
+
+                try:
+                    star_triples, _ = parse_turtle(line)
+                except TurtleParseError as ex:
+                    raise TurtleParseError(
+                        f"bad N-Triples line {ln}: {line[:80]!r} ({ex})"
+                    ) from None
+                triples.extend(star_triples)
+                continue
             raise TurtleParseError(f"bad N-Triples line {ln}: {line[:80]!r}")
         s = iri(_unescape(m.group("s_iri"))) if m.group("s_iri") is not None else bnode(m.group("s_bn"))
         p = iri(_unescape(m.group("p")))

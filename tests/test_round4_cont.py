@@ -594,3 +594,25 @@ class TestStreamingSessions:
         assert [(r.session_start, r.session_end, r.n_events) for r in rows] == [
             (0, 100, 2)
         ]
+
+
+class TestNtriplesStar:
+    def test_quoted_line_delegates_to_turtle(self):
+        from kgforge.rdf.ntriples import parse_ntriples
+
+        t, _ = parse_ntriples(
+            '<u:a> <u:p> <u:b> .\n'
+            '<< <u:a> <u:p> <u:b> >> <u:conf> "0.9" .\n'
+            '# comment\n'
+        )
+        assert len(t) == 2
+        assert t[1][0] == ("<< <u:a> <u:p> <u:b> >>", "triple", "", "")
+
+    def test_bad_star_line_still_structured_error(self):
+        import pytest as _pt
+
+        from kgforge.rdf.ntriples import parse_ntriples
+        from kgforge.rdf.turtle import TurtleParseError
+
+        with _pt.raises(TurtleParseError):
+            parse_ntriples("<< <u:a> <u:p> .\n")
