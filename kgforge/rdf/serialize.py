@@ -60,15 +60,18 @@ def ntriples_invalid_col(subject, predicate, obj):
     scheme), malformed blank-node label, bare (un-prefixed) bnode label in
     subject position, bad language tag, or malformed datatype IRI. Pure
     codegen (rlike chains) — usable as a filter or a raise guard."""
-    subj_ok = F.when(subject.startswith("_:"), subject.rlike(_BNODE)).otherwise(
-        _iri_ok(subject)
+    subj_ok = (
+        F.when(subject.startswith("_:"), subject.rlike(_BNODE))
+        .when(subject.startswith("<< "), subject.endswith(" >>"))
+        .otherwise(_iri_ok(subject))
     )
     o_val, kind = obj["value"], obj["kind"]
     dt, lang = obj["datatype"], obj["lang"]
     dt_ok = F.when((dt.isNotNull()) & (dt != "") & (dt != XSD_STRING), _iri_ok(dt)).otherwise(F.lit(True))
     lang_ok = F.when((lang.isNotNull()) & (lang != ""), lang.rlike(_LANGTAG)).otherwise(F.lit(True))
     obj_ok = (
-        F.when(kind == "iri", _iri_ok(o_val))
+        F.when(kind == "triple", o_val.startswith("<< ") & o_val.endswith(" >>"))
+        .when(kind == "iri", _iri_ok(o_val))
         .when(
             kind == "bnode",
             F.when(o_val.startswith("_:"), o_val).otherwise(
@@ -92,7 +95,9 @@ def escape_literal_col(col):
 
 
 def _resource(col):
-    return F.when(col.startswith("_:"), col).otherwise(
+    # quoted-triple canonical forms (RDF-star, '<< ... >>') are already
+    # N-Triples-star spelled; bnode labels keep their '_:' spelling
+    return F.when(col.startswith("<< ") | col.startswith("_:"), col).otherwise(
         F.concat(F.lit("<"), col, F.lit(">"))
     )
 
@@ -118,6 +123,7 @@ def ntriples_line_col(subject, predicate, obj):
                 F.concat(F.lit("_:"), o_val)
             ),
         )
+        .when(kind == "triple", o_val)  # N-Triples-star canonical form
         .otherwise(F.concat(F.lit('"'), escape_literal_col(o_val), F.lit('"'), tag))
     )
     return F.concat(

@@ -616,3 +616,34 @@ class TestNtriplesStar:
 
         with _pt.raises(TurtleParseError):
             parse_ntriples("<< <u:a> <u:p> .\n")
+
+
+class TestSerializeStar:
+    def test_star_terms_round_trip_through_ntriples(self, spark):
+        from kgforge.rdf.ntriples import parse_ntriples
+        from kgforge.rdf.serialize import ntriples_invalid_col, ntriples_line_col
+        from kgforge.schema import TRIPLES_SCHEMA
+
+        qt = "<< <u:a> <u:p> <u:b> >>"
+        rows = [
+            _triple("u", qt, "u:conf", "0.9", kind="literal"),
+            _triple("u", "u:x", "u:says", qt, kind="triple"),
+        ]
+        df = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+        lines = [
+            r.line
+            for r in df.select(
+                ntriples_line_col(
+                    F.col("subject"), F.col("predicate"), F.col("object")
+                ).alias("line"),
+                ntriples_invalid_col(
+                    F.col("subject"), F.col("predicate"), F.col("object")
+                ).alias("bad"),
+            ).collect()
+        ]
+        assert lines[0] == f'{qt} <u:conf> "0.9" .'
+        assert lines[1] == f"<u:x> <u:says> {qt} ."
+        # and the emitted lines re-parse to the same terms
+        t, _ = parse_ntriples("\n".join(lines))
+        assert t[0][0] == (qt, "triple", "", "")
+        assert t[1][2] == (qt, "triple", "", "")
