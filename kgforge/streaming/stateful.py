@@ -9,6 +9,12 @@ own incremental surfaces for the training-data pipeline:
   flag + canonical id) per content digest; grouping by the digest gives
   the same shuffle key the batch ``exact_dedup`` aggregates on, so a
   digest's duplicates always land on the owning state partition.
+- ``streaming_sessions``: event-time sessionization with an inactivity
+  gap, state = one (start, last, n) row per active user.
+- ``streaming_neardup_edges``: cross-micro-batch MinHash-LSH near-dup
+  EDGE stream, state keyed by (band, bucket) — the stateful sibling of
+  ``near_dedup_each_batch``; periodic connected-components over the edge
+  log reproduces ``dedup_pages(mode='near')``.
 
 Scale notes: state size is O(distinct texts), 40-ish bytes per digest —
 bounded by content cardinality, not stream length; a TTL can cap it for
@@ -25,7 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -185,4 +193,162 @@ def streaming_sessions(
         stateStructType=_SESSION_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEARDUP_OUTPUT = StructType(
+    [
+        StructField("a", StringType()),
+        StructField("b", StringType()),
+        StructField("jaccard", DoubleType()),
+    ]
+)
+
+_NEARDUP_STATE = StructType(
+    [
+        StructField("ids", ArrayType(StringType())),
+        StructField("grams", ArrayType(ArrayType(LongType()))),
+    ]
+)
+
+
+def streaming_neardup_edges(
+    pages_stream: DataFrame,
+    threshold: float = 0.9,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 64,
+    id_col: str = "url",
+    text_col: str = "text",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Cross-micro-batch MinHash-LSH near-duplicate EDGE stream: emit
+    (a, b, jaccard) with a < b for every verified near-duplicate pair,
+    however the two documents are spread across micro-batches (a doc in
+    batch 7 matches a doc that arrived in batch 1 — per-batch re-blocking
+    misses exactly these).
+
+    This is the pure-applyInPandasWithState sibling of
+    ``near_dedup_each_batch`` (pipeline.py): that one emits KEPT PAGES,
+    which forces per-doc verdicts across N band groups and therefore
+    foreachBatch; emitting EDGES needs no cross-band combine (every
+    band's matches are final rows), so a single stateful operator
+    suffices — no watermark, no chained state.
+
+    Same math as the batch path, term for term, so the edge set equals the
+    batch ``minhash_duplicate_pairs`` candidates' verified edges on the
+    same corpus: signatures via :func:`minhash_sig_col`, band buckets via
+    the identical xxhash64(band-slice, band) expression as
+    :func:`lsh_candidate_pairs`, exact Jaccard over the identical
+    :func:`_hashed_ngram_set` gram sets (computed map-side BEFORE the
+    stateful op — the state function never re-tokenizes). Downstream is
+    the standard lambda shape: periodic connected-components over the
+    accumulated edge log collapses clusters exactly like
+    ``dedup_pages(mode='near')`` (the equivalence test does precisely
+    that).
+
+    State is keyed by (band, bucket) — the same shuffle key the batch
+    banding aggregates on — holding each member's id + hashed gram set.
+    Divergences from batch, both deliberate:
+
+    - the same pair can be emitted by several bands (batch dedups
+      candidates with ``distinct()``); consumers of an append-mode edge
+      log dedup on read, so the operator does not pay a second stateful
+      stage for it.
+    - ``max_bucket`` FREEZES a bucket once it is full (no new members, no
+      new pairs) where batch drops oversized buckets entirely — a stream
+      cannot unemit the pairs it produced before the bucket went hot. The
+      cap bounds state and per-batch work at O(max_bucket) per bucket
+      either way.
+
+    Scale notes: state weight is O(members x gram-set) per bucket — the
+    exact-verify-grade choice (oracle parity with batch). The production
+    trim when gram sets are too heavy for the state store is to keep only
+    the 8*num_hashes-byte signatures and emit signature-ESTIMATED jaccard
+    (the batch ``sig_prefilter`` estimator); same operator shape, smaller
+    state, approximate edge weights. ``ttl_minutes`` gives windowed-dedup
+    semantics exactly like :func:`streaming_first_seen`.
+    """
+    from ..operators.canonicalize import _hashed_ngram_set, minhash_sig_col
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    rows_per_band = num_hashes // bands
+
+    sigs = pages_stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        minhash_sig_col(F.col(text_col), num_hashes).alias("sig"),
+        _hashed_ngram_set(F.col(text_col), 3).alias("grams"),
+    )
+    banded = sigs.select(
+        "id",
+        "grams",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+    def fn(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        incoming = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                incoming.append((str(row["id"]), frozenset(int(g) for g in row["grams"])))
+        if not incoming:
+            return
+        # deterministic fold order within the batch (files can arrive in
+        # any order; id order makes the frozen-bucket membership stable)
+        incoming.sort(key=lambda t: t[0])
+        if state.exists:
+            ids, gram_lists = state.get
+            members = [(i, frozenset(g)) for i, g in zip(ids, gram_lists)]
+        else:
+            members = []
+        seen = {i for i, _ in members}
+        edges = []
+        for new_id, new_grams in incoming:
+            if new_id in seen:
+                continue  # replayed row (source retry): state already has it
+            if len(members) >= max_bucket:
+                break  # bucket frozen: bounded state, bounded pair fan-out
+            for old_id, old_grams in members:
+                inter = len(new_grams & old_grams)
+                union = len(new_grams | old_grams)
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    a, b = sorted((new_id, old_id))
+                    edges.append((a, b, j))
+            members.append((new_id, new_grams))
+            seen.add(new_id)
+        state.update(([i for i, _ in members], [sorted(g) for _, g in members]))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if edges:
+            yield pd.DataFrame(edges, columns=["a", "b", "jaccard"])
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=NEARDUP_OUTPUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
     )
