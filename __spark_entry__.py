@@ -954,6 +954,44 @@ def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_shacl_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-AF rule inference (sh:TripleRule) executed to a fixpoint: a
+    shapes graph parsed by the engine's own Turtle parser declares
+    Person->Agent typing (round 1), Agent->status annotation (round 2 —
+    proves rule chaining through the delta), and a constant corpus-level
+    marker gated on any Place existing. Per-(predicate, object) counts of
+    the entailed DELTA only. One broadcast-scale rule table; focus nodes
+    are one filter on the rdf:type scan per round. Oracle: closed-form
+    entity typing (the q_kg_inference reconstruction) turned into the
+    three rule outputs with counts."""
+    from kgforge.rdf.detect import parse_rdf
+    from kgforge.shacl.rules import apply_rules, extract_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    @prefix schema: <http://schema.org/> .
+    ex:PersonShape a sh:NodeShape ; sh:targetClass schema:Person ;
+      sh:rule [ a sh:TripleRule ; sh:order 1 ;
+                sh:subject sh:this ; sh:predicate rdf:type ; sh:object schema:Agent ] .
+    ex:AgentShape a sh:NodeShape ; sh:targetClass schema:Agent ;
+      sh:rule [ a sh:TripleRule ; sh:order 2 ;
+                sh:subject sh:this ; sh:predicate ex:status ; sh:object "agent" ] .
+    ex:PlaceShape a sh:NodeShape ; sh:targetClass schema:Place ;
+      sh:rule [ a sh:TripleRule ;
+                sh:subject ex:corpus ; sh:predicate ex:hasPlaces ; sh:object true ] .
+    """
+    shape_triples, _, _ = parse_rdf(ttl)
+    triples = _knows_triples(spark, sf_dir)
+    delta = apply_rules(triples, extract_rules(shape_triples))
+    return (
+        delta.groupBy("predicate", F.col("object.value").alias("object_value"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("predicate", "object_value")
+    )
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl scheduling from observed change rates (Cho & Garcia-Molina
     2003): per key, the bias-corrected change-frequency estimate from a
@@ -4241,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_graph_summary": q_host_graph_summary,
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
+        "q_kg_shacl_rules": q_kg_shacl_rules,
         "q_host_boilerplate": q_host_boilerplate,
         "q_er_eval": q_er_eval,
         "q_corpus_drift": q_corpus_drift,
@@ -8070,6 +8109,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cls AS class_uri, CAST(count(*) AS BIGINT) AS n_entities
             FROM all_types GROUP BY cls ORDER BY class_uri
+        """,
+        # SHACL-AF rule fixpoint: Person entities gain rdf:type Agent
+        # (round 1), every Agent gains the status literal (round 2 — the
+        # SAME Person set, since no Agent is asserted), and the constant
+        # marker fires iff any Place exists; entity typing closed-form
+        "q_kg_shacl_rules": f"""
+            WITH d AS (SELECT CAST(doc_id % 97 AS BIGINT) AS site,
+                              unnest({_DD_ENTS}) AS k FROM documents),
+            m AS (SELECT DISTINCT site, k FROM d),
+            p AS (SELECT count(*) AS n FROM m WHERE k % 3 = 0),
+            pl AS (SELECT count(*) AS n FROM m WHERE k % 3 = 2)
+            SELECT * FROM (
+              SELECT 'http://example.org/status' AS predicate,
+                     'agent' AS object_value, CAST(n AS BIGINT) AS n FROM p
+              UNION ALL
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'http://schema.org/Agent', CAST(n AS BIGINT) FROM p
+              UNION ALL
+              SELECT 'http://example.org/hasPlaces', 'true', CAST(1 AS BIGINT)
+              FROM pl WHERE n > 0
+            ) ORDER BY predicate, object_value
         """,
         "q_gopher_quality": r"""
             WITH base AS (

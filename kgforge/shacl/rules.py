@@ -1,0 +1,258 @@
+"""SHACL-AF inference rules (sh:rule): materialize entailed triples.
+
+The reference parser reads shape metadata and stops (its rule vocabulary is
+out of scope — /root/reference/src/ShaclParser.php parses constraint params
+only); this module executes the W3C SHACL Advanced Features rule layer on
+corpus scale, the natural next step for a shapes-driven KG builder:
+
+- ``sh:TripleRule``: emit (sh:subject, sh:predicate, sh:object) per focus
+  node, with ``sh:this`` substituting the focus node (SHACL-AF §4.2).
+- ``sh:SPARQLRule``: ``sh:construct`` text compiled by the engine's own
+  SPARQL CONSTRUCT compiler (SHACL-AF §4.3; operators/sparql.py).
+- ``sh:condition``: supported where the condition shape is a ``sh:class``
+  test (the common "focus must also be a C" gate, SHACL-AF §4.1); any
+  richer condition shape raises — disclosed, not silently ignored.
+- ``sh:deactivated`` true/"1" skips the rule (same coercion as the shape
+  extractor's P6 rule).
+
+Execution is iterative forward chaining to a fixpoint (SHACL-AF §4.1's
+"rules may be executed repeatedly"): a rule emitting ``rdf:type`` triples
+can activate another shape's rules next round. Each round materializes the
+DELTA only (distinct + anti-join vs known), so termination is guaranteed by
+the finite Herbrand base of constant templates; ``max_iterations`` caps
+pathological SPARQLRule value invention.
+
+Scale shape: the shapes graph is schema-sized — rules are extracted on the
+driver (bounded, like the sh:sparql constraint texts) and every TripleRule
+compiles to ONE broadcast-style projection over the corpus type triples
+(focus nodes = one filter on the rdf:type scan; condition gates = left-semi
+joins against the same types relation). No per-row Python anywhere; the
+only shuffles are the per-round distinct + anti-join, keyed on the full
+triple.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+SH = "http://www.w3.org/ns/shacl#"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+THIS = SH + "this"
+
+
+@dataclass
+class TripleRule:
+    target_classes: list[str]
+    subject: tuple  # (value, kind) — kind 'this' | 'iri' | 'bnode'
+    predicate: str
+    object: tuple  # (value, kind, datatype, lang) — kind 'this' | iri/bnode/literal
+    conditions: list[str] = field(default_factory=list)  # sh:class gates
+    order: float = 0.0
+
+
+@dataclass
+class SparqlRule:
+    target_classes: list[str]
+    construct: str
+    conditions: list[str] = field(default_factory=list)
+    order: float = 0.0
+
+
+def _index(triples: list[tuple]) -> dict:
+    by_subj: dict = {}
+    for s, p, o in triples:
+        by_subj.setdefault(s[0], []).append((p[0], o))
+    return by_subj
+
+
+def _values(idx: dict, subj: str, pred: str) -> list[tuple]:
+    return [o for p, o in idx.get(subj, []) if p == pred]
+
+
+def extract_rules(triples: list[tuple]) -> list[TripleRule | SparqlRule]:
+    """Parser-tuple shapes graph -> rule list, sorted by sh:order then
+    source order (SHACL-AF §4.1 execution order). Input is the same
+    ``(subject-term, predicate-term, object-term)`` tuple stream every
+    kgforge parser emits; the graph is schema-sized by definition, so this
+    runs on the driver."""
+    idx = _index(triples)
+    out: list[tuple] = []
+    seq = 0
+    for shape, po in idx.items():
+        rule_nodes = [o[0] for p, o in po if p == SH + "rule"]
+        if not rule_nodes:
+            continue
+        targets = [o[0] for o in _values(idx, shape, SH + "targetClass")]
+        for rn in rule_nodes:
+            kinds = {o[0] for o in _values(idx, rn, RDF_TYPE)}
+            deact = [o[0] for o in _values(idx, rn, SH + "deactivated")]
+            if deact and deact[0].lower() in ("true", "1"):
+                continue
+            conds = []
+            for c in _values(idx, rn, SH + "condition"):
+                cls = _values(idx, c[0], SH + "class")
+                if len(cls) != 1:
+                    raise ValueError(
+                        f"unsupported sh:condition shape {c[0]!r}: only a "
+                        "single sh:class condition is executable"
+                    )
+                conds.append(cls[0][0])
+            order_vals = [o[0] for o in _values(idx, rn, SH + "order")]
+            order = float(order_vals[0]) if order_vals else 0.0
+            seq += 1
+            if SH + "SPARQLRule" in kinds:
+                q = _values(idx, rn, SH + "construct")
+                if len(q) != 1:
+                    raise ValueError(f"SPARQLRule {rn!r} needs exactly one sh:construct")
+                out.append((order, seq, SparqlRule(targets, q[0][0], conds, order)))
+                continue
+            if SH + "TripleRule" not in kinds:
+                raise ValueError(f"rule {rn!r} is neither sh:TripleRule nor sh:SPARQLRule")
+            subj = _values(idx, rn, SH + "subject")
+            pred = _values(idx, rn, SH + "predicate")
+            obj = _values(idx, rn, SH + "object")
+            if len(subj) != 1 or len(pred) != 1 or len(obj) != 1:
+                raise ValueError(f"TripleRule {rn!r} needs exactly one subject/predicate/object")
+            sv, sk = subj[0][0], subj[0][1]
+            if sv == THIS:
+                sk = "this"
+            ov, ok = obj[0][0], obj[0][1]
+            odt, olang = obj[0][2], obj[0][3]
+            if ov == THIS and ok == "iri":
+                ok = "this"
+            out.append(
+                (
+                    order,
+                    seq,
+                    TripleRule(targets, (sv, sk), pred[0][0], (ov, ok, odt, olang), conds, order),
+                )
+            )
+    out.sort(key=lambda t: (t[0], t[1]))
+    return [r for _, _, r in out]
+
+
+def _obj_struct(value, kind, datatype, lang):
+    return F.struct(
+        value.alias("value"),
+        kind.alias("kind"),
+        datatype.alias("datatype"),
+        lang.alias("lang"),
+    )
+
+
+def _iri_or_literal_kind(col):
+    # constructed terms come back from the CONSTRUCT compiler as bare
+    # strings; an RFC 3986 scheme prefix marks the IRIs (the supported
+    # template grammar cannot mint bnodes or typed/tagged literals)
+    return F.when(col.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), F.lit("iri")).otherwise(
+        F.lit("literal")
+    )
+
+
+def apply_rules(
+    triples: DataFrame, rules: list[TripleRule | SparqlRule], max_iterations: int = 8
+) -> DataFrame:
+    """Forward-chain ``rules`` over the corpus ``triples`` (TRIPLES_SCHEMA
+    subset: subject, predicate, object struct) to a fixpoint; return ONLY
+    the entailed delta — distinct, anti-joined against the asserted graph —
+    in the same (subject, predicate, object) shape, append-ready.
+
+    Per round every rule sees the SAME pre-round graph (simultaneous
+    semantics — order only breaks ties in extraction, it cannot hide a
+    derivation); the round's union is deduped and anti-joined before it
+    extends the graph, and an empty delta ends the loop. The convergence
+    probe is one isEmpty() job per round on delta-sized data, the same
+    bounded pattern as the CC loop."""
+    asserted = triples.filter(F.col("subject").isNotNull()).select(
+        "subject", "predicate", "object"
+    )
+    known = asserted.persist()
+    delta_acc = None
+    for _ in range(max_iterations):
+        types = (
+            known.filter((F.col("predicate") == RDF_TYPE) & (F.col("object.kind") == "iri"))
+            .select(F.col("subject").alias("entity"), F.col("object.value").alias("cls"))
+            .distinct()
+            .persist()
+        )
+        parts = []
+        for r in rules:
+            if isinstance(r, SparqlRule):
+                from ..operators.sparql import sparql_construct
+
+                # the CONSTRUCT compiler's fact table keeps status=='ok'
+                # provenance rows; rule inputs are already-accepted triples
+                built = sparql_construct(
+                    known.withColumn("status", F.lit("ok")), r.construct
+                )
+                parts.append(
+                    built.select(
+                        F.col("subject"),
+                        F.col("predicate"),
+                        _obj_struct(
+                            F.col("obj"),
+                            _iri_or_literal_kind(F.col("obj")),
+                            F.lit(None).cast("string"),
+                            F.lit(None).cast("string"),
+                        ).alias("object"),
+                    )
+                )
+                continue
+            if not r.target_classes:
+                continue
+            focus = types.filter(F.col("cls").isin(r.target_classes)).select("entity")
+            for cond in r.conditions:
+                focus = focus.join(
+                    types.filter(F.col("cls") == cond).select("entity"),
+                    "entity",
+                    "left_semi",
+                )
+            sv, sk = r.subject
+            subj = F.col("entity") if sk == "this" else F.lit(sv)
+            ov, ok, odt, olang = r.object
+            if ok == "this":
+                obj = _obj_struct(
+                    F.col("entity"),
+                    F.lit("iri"),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("string"),
+                )
+            else:
+                obj = _obj_struct(
+                    F.lit(ov),
+                    F.lit(ok),
+                    F.lit(odt if odt else None).cast("string"),
+                    F.lit(olang if olang else None).cast("string"),
+                )
+            emitted = focus.select(
+                subj.alias("subject"), F.lit(r.predicate).alias("predicate"), obj.alias("object")
+            )
+            if sk != "this" and ok != "this":
+                # constant template: the rule fires once if ANY focus exists
+                # (graph semantics — duplicates collapse anyway; limit keeps
+                # the constant from being instantiated per focus row)
+                emitted = emitted.limit(1)
+            parts.append(emitted)
+        types.unpersist()
+        if not parts:
+            break
+        round_out = parts[0]
+        for p in parts[1:]:
+            round_out = round_out.unionByName(p)
+        new = round_out.distinct().join(known, ["subject", "predicate", "object"], "left_anti").persist()
+        if new.isEmpty():
+            new.unpersist()
+            break
+        prev = known
+        known = prev.unionByName(new).persist()
+        prev.unpersist()
+        delta_acc = new if delta_acc is None else delta_acc.unionByName(new)
+    known.unpersist()
+    if delta_acc is None:
+        return asserted.limit(0)
+    # rounds are mutually exclusive by construction (each delta was
+    # anti-joined against a known set containing every earlier delta), so
+    # no final distinct is needed
+    return delta_acc

@@ -1,0 +1,176 @@
+"""SHACL-AF rule execution (sh:TripleRule / sh:SPARQLRule / sh:condition /
+fixpoint chaining), parsed from real Turtle by the engine's own parser."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.rdf.detect import parse_rdf
+from kgforge.shacl.rules import SparqlRule, TripleRule, apply_rules, extract_rules
+
+EX = "http://example.org/"
+S = "http://schema.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+@prefix schema: <http://schema.org/> .
+
+ex:PersonShape a sh:NodeShape ;
+  sh:targetClass schema:Person ;
+  sh:rule [ a sh:TripleRule ; sh:order 1 ;
+            sh:subject sh:this ; sh:predicate rdf:type ; sh:object schema:Agent ] .
+
+ex:AgentShape a sh:NodeShape ;
+  sh:targetClass schema:Agent ;
+  sh:rule [ a sh:TripleRule ; sh:order 2 ;
+            sh:subject sh:this ; sh:predicate ex:status ; sh:object "agent" ] .
+
+ex:PlaceShape a sh:NodeShape ;
+  sh:targetClass schema:Place ;
+  sh:rule [ a sh:TripleRule ;
+            sh:subject ex:corpus ; sh:predicate ex:hasPlaces ; sh:object true ] ;
+  sh:rule [ a sh:TripleRule ; sh:deactivated true ;
+            sh:subject sh:this ; sh:predicate ex:dead ; sh:object "never" ] .
+
+ex:EmployeeShape a sh:NodeShape ;
+  sh:targetClass schema:Person ;
+  sh:rule [ a sh:TripleRule ;
+            sh:condition [ sh:class schema:Employee ] ;
+            sh:subject sh:this ; sh:predicate ex:badge ; sh:object "staff" ] .
+"""
+
+
+def _shape_triples():
+    # rdf: prefix is built in for the parsers that predeclare it; declare
+    # explicitly to be safe
+    ttl = "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n" + SHAPES_TTL
+    triples, _, _ = parse_rdf(ttl)
+    return triples
+
+
+def _obj(value, kind="iri", dt=None, lang=None):
+    return {"value": value, "kind": kind, "datatype": dt, "lang": lang}
+
+
+def _corpus(spark):
+    rows = [
+        (EX + "alice", RDF_TYPE, _obj(S + "Person")),
+        (EX + "bob", RDF_TYPE, _obj(S + "Person")),
+        (EX + "bob", RDF_TYPE, _obj(S + "Employee")),
+        (EX + "acme", RDF_TYPE, _obj(S + "Organization")),
+        (EX + "paris", RDF_TYPE, _obj(S + "Place")),
+        # pre-asserted duplicate of a derivable triple: must NOT be in delta
+        (EX + "alice", RDF_TYPE, _obj(S + "Agent")),
+        (EX + "alice", EX + "knows", _obj(EX + "bob")),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>",
+    )
+
+
+def test_extract_rules_shapes_and_order():
+    rules = extract_rules(_shape_triples())
+    # deactivated rule dropped: 4 live rules, sh:order ascending first
+    assert len(rules) == 4
+    assert all(isinstance(r, TripleRule) for r in rules)
+    # default sh:order is 0 -> the unordered Place/Employee rules sort first,
+    # then order 1 (Person typing), order 2 (Agent status)
+    assert rules[0].predicate == EX + "hasPlaces"
+    assert rules[2].predicate == RDF_TYPE and rules[2].target_classes == [S + "Person"]
+    assert rules[3].predicate == EX + "status" and rules[3].object[0] == "agent"
+    conds = [r for r in rules if r.conditions]
+    assert len(conds) == 1 and conds[0].conditions == [S + "Employee"]
+
+
+def test_rule_fixpoint_chain_and_delta(spark):
+    delta = apply_rules(_corpus(spark), extract_rules(_shape_triples()))
+    got = {
+        (r["subject"], r["predicate"], r["object"]["value"]) for r in delta.collect()
+    }
+    want = {
+        # round 1: Person -> Agent typing (alice's is asserted -> excluded)
+        (EX + "bob", RDF_TYPE, S + "Agent"),
+        # round 2 needs round 1's Agent types: BOTH persons get status
+        (EX + "alice", EX + "status", "agent"),
+        (EX + "bob", EX + "status", "agent"),
+        # constant rule fires once (a Place exists)
+        (EX + "corpus", EX + "hasPlaces", "true"),
+        # condition gate: only bob is Person AND Employee
+        (EX + "bob", EX + "badge", "staff"),
+    }
+    assert got == want
+    # literal kinds survive the template
+    kinds = {
+        (r["predicate"], r["object"]["kind"]) for r in delta.collect()
+    }
+    assert (EX + "status", "literal") in kinds
+    assert (RDF_TYPE, "iri") in kinds
+
+
+def test_sparql_rule_construct(spark):
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    @prefix schema: <http://schema.org/> .
+    ex:KnowsShape a sh:NodeShape ;
+      sh:targetClass schema:Person ;
+      sh:rule [ a sh:SPARQLRule ;
+        sh:construct "CONSTRUCT { ?o <http://example.org/knownBy> ?s } WHERE { ?s <http://example.org/knows> ?o }" ] .
+    """
+    triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(triples)
+    assert len(rules) == 1 and isinstance(rules[0], SparqlRule)
+    delta = apply_rules(_corpus(spark), rules)
+    got = {
+        (r["subject"], r["predicate"], r["object"]["value"], r["object"]["kind"])
+        for r in delta.collect()
+    }
+    assert got == {(EX + "bob", EX + "knownBy", EX + "alice", "iri")}
+
+
+def test_unsupported_condition_raises():
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:rule [ a sh:TripleRule ;
+        sh:condition [ sh:minCount 1 ] ;
+        sh:subject sh:this ; sh:predicate ex:p ; sh:object ex:o ] .
+    """
+    triples, _, _ = parse_rdf(ttl)
+    with pytest.raises(ValueError, match="sh:condition"):
+        extract_rules(triples)
+
+
+def test_no_rules_empty_delta(spark):
+    delta = apply_rules(_corpus(spark), [])
+    assert delta.count() == 0
+    assert delta.columns == ["subject", "predicate", "object"]
+
+
+def test_max_iterations_caps_runaway(spark):
+    # A -> B and B -> A typing rules ping-pong but the graph is finite:
+    # fixpoint closes in 2 rounds regardless of the cap
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:SA a sh:NodeShape ; sh:targetClass ex:A ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:B ] .
+    ex:SB a sh:NodeShape ; sh:targetClass ex:B ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:A ] .
+    """
+    triples, _, _ = parse_rdf(ttl)
+    corpus = spark.createDataFrame(
+        [(EX + "x", RDF_TYPE, _obj(EX + "A"))],
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>",
+    )
+    delta = apply_rules(corpus, extract_rules(triples), max_iterations=10)
+    got = {(r["subject"], r["object"]["value"]) for r in delta.collect()}
+    assert got == {(EX + "x", EX + "B")}
