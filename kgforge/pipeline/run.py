@@ -145,6 +145,7 @@ def run_pipeline(
     dedup: str | None = None,
     span_dedup: bool = False,
     host_filter: bool = False,
+    infer_rules: list | None = None,
 ) -> dict:
     """Returns dict of stage DataFrames + metrics. All heavy stages write
     through ``write_stage`` (repartitionByRange + lineage + manifest).
@@ -153,7 +154,12 @@ def run_pipeline(
     {'exact', 'near'} inserts a page-dedup stage before parsing (manifest
     row counts record kept pages; input minus kept = collapsed dupes);
     ``span_dedup=True`` additionally rewrites surviving pages' text with
-    duplicated spans removed (``span_dedup_pages``) before parse/mentions."""
+    duplicated spans removed (``span_dedup_pages``) before parse/mentions;
+    ``infer_rules`` (a list from ``kgforge.shacl.rules.extract_rules``)
+    forward-chains SHACL-AF rules over the CANONICAL graph — the entailed
+    delta is written as its own stage table (url = urn:kgforge:entailed,
+    so derived triples are always distinguishable from asserted ones) and
+    unioned into the materialized S/P/O graph."""
     spark = pages.sparkSession
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
     gazetteer = gazetteer if gazetteer is not None else gazetteer_rows()
@@ -252,10 +258,32 @@ def run_pipeline(
         mapping = None
         canonical = accepted
 
-    spo = materialize_spo(canonical, os.path.join(work_root, "graph"), run_id, manifests)
+    entailed = None
+    if infer_rules:
+        from ..shacl.rules import apply_rules
+
+        delta = apply_rules(
+            canonical.select("subject", "predicate", "object"), infer_rules
+        )
+        entailed = write_stage(
+            delta.select(
+                F.lit("urn:kgforge:entailed").alias("url"),
+                "subject", "predicate", "object",
+            ),
+            os.path.join(work_root, "entailed"), "infer_rules", run_id, manifests,
+            range_cols=["subject", "predicate"],
+        )
+        graph_in = canonical.select("url", "subject", "predicate", "object").unionByName(
+            entailed
+        )
+    else:
+        graph_in = canonical
+
+    spo = materialize_spo(graph_in, os.path.join(work_root, "graph"), run_id, manifests)
 
     return {
         "pages": pages,
+        "entailed": entailed,
         "triples": triples,
         "shapes": shapes,
         "mentions": mentions,

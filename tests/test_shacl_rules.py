@@ -174,3 +174,44 @@ def test_max_iterations_caps_runaway(spark):
     delta = apply_rules(corpus, extract_rules(triples), max_iterations=10)
     got = {(r["subject"], r["object"]["value"]) for r in delta.collect()}
     assert got == {(EX + "x", EX + "B")}
+
+
+def test_pipeline_infer_rules_stage(spark, tmp_path):
+    """run_pipeline(infer_rules=...) writes the entailed delta as its own
+    stage table with urn:kgforge:entailed provenance and unions it into the
+    materialized S/P/O graph."""
+    from kgforge.fixtures import pages_df
+    from kgforge.pipeline.run import run_pipeline
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix schema: <http://schema.org/> .
+    <urn:shape:p> a sh:NodeShape ; sh:targetClass schema:Person ;
+      sh:rule [ a sh:TripleRule ;
+                sh:subject sh:this ; sh:predicate rdf:type ; sh:object schema:Agent ] .
+    """
+    triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(triples)
+
+    pages = pages_df(spark, 30)
+    out = run_pipeline(
+        pages, str(tmp_path / "w"), gazetteer=[], canonicalize=False,
+        infer_rules=rules,
+    )
+    entailed = out["entailed"]
+    assert entailed is not None
+    rows = entailed.collect()
+    assert rows, "fixture corpus types Person entities -> delta must be non-empty"
+    assert all(r["url"] == "urn:kgforge:entailed" for r in rows)
+    assert all(r["object"]["value"] == S + "Agent" for r in rows)
+    # the entailed count equals the distinct Person-typed accepted subjects
+    persons = (
+        out["accepted"]
+        .filter((F.col("predicate") == RDF_TYPE) & (F.col("object.value") == S + "Person"))
+        .select("subject").distinct().count()
+    )
+    assert len(rows) == persons
+    # and the materialized graph carries the derived triples
+    n_inferred = out["spo"]["s"].filter(F.col("url") == "urn:kgforge:entailed").count()
+    assert n_inferred == len(rows)
