@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--dedup", choices=["exact", "near"], default=None,
                     help="insert a page-dedup stage before parsing (exact text hash, "
                          "or MinHash-LSH near-dup collapse with sig-prefiltered verify)")
+    ap.add_argument("--rules-ttl", default=None,
+                    help="path to a Turtle shapes graph whose SHACL-AF rules "
+                         "(sh:TripleRule/sh:SPARQLRule) are forward-chained over the "
+                         "canonical graph; the entailed delta lands in <out>/entailed "
+                         "and in the materialized S/P/O tables (url=urn:kgforge:entailed)")
     ap.add_argument("--compact", action="store_true",
                     help="after materializing, compact the S/P/O stage directories to "
                          "~128MB range-clustered files (fingerprint-verified rewrite)")
@@ -48,15 +53,27 @@ def main():
     else:
         pages = spark.read.parquet(args.pages_parquet)
 
+    rules = None
+    if args.rules_ttl:
+        from kgforge.rdf.detect import parse_rdf
+        from kgforge.shacl.rules import extract_rules
+
+        with open(args.rules_ttl, encoding="utf-8") as fh:
+            shape_triples, _, _ = parse_rdf(fh.read())
+        rules = extract_rules(shape_triples)
+
     out = run_pipeline(
         pages, args.out, run_id=args.run_id,
         extended_checks=args.extended_checks, dedup=args.dedup,
+        infer_rules=rules,
     )
     summary = {
         "accepted": out["accepted"].count(),
         "rejected": out["rejected"].count(),
         "canonical_nodes": out["mapping"].count() if out["mapping"] is not None else 0,
     }
+    if out.get("entailed") is not None:
+        summary["entailed"] = out["entailed"].count()
     if out["reports"] is not None:
         summary["constraint_reports"] = out["reports"].count()
     if args.compact:
