@@ -164,12 +164,25 @@ def apply_rules(
     derivation); the round's union is deduped and anti-joined before it
     extends the graph, and an empty delta ends the loop. The convergence
     probe is one isEmpty() job per round on delta-sized data, the same
-    bounded pattern as the CC loop."""
+    bounded pattern as the CC loop.
+
+    TripleRule rounds after the first are SEMI-NAIVE (Datalog's standard
+    incremental fixpoint): a rule can only derive something new for an
+    entity whose relevant class memberships (target OR condition classes)
+    changed last round, so round r's focus candidates come from the
+    round-(r-1) DELTA's type assertions — delta-sized, not corpus-sized —
+    and only those entities re-check the full rule body against the full
+    types relation. The anti-join keeps this exact even where the
+    restriction over-fires. SPARQLRules re-evaluate on the full graph
+    (delta-rewriting a general CONSTRUCT body is future work, disclosed);
+    their fact table only grows by delta rows per round, and most rule
+    graphs close in 1-2 rounds."""
     asserted = triples.filter(F.col("subject").isNotNull()).select(
         "subject", "predicate", "object"
     )
     known = asserted.persist()
     delta_acc = None
+    last_delta = None  # None = first round: every entity is a candidate
     for _ in range(max_iterations):
         types = (
             known.filter((F.col("predicate") == RDF_TYPE) & (F.col("object.kind") == "iri"))
@@ -177,6 +190,18 @@ def apply_rules(
             .distinct()
             .persist()
         )
+        delta_entities = None
+        if last_delta is not None:
+            # entities whose class set changed last round — the only ones a
+            # TripleRule can newly fire for
+            delta_entities = (
+                last_delta.filter(
+                    (F.col("predicate") == RDF_TYPE) & (F.col("object.kind") == "iri")
+                )
+                .select(F.col("subject").alias("entity"))
+                .distinct()
+                .persist()
+            )
         parts = []
         for r in rules:
             if isinstance(r, SparqlRule):
@@ -203,6 +228,8 @@ def apply_rules(
             if not r.target_classes:
                 continue
             focus = types.filter(F.col("cls").isin(r.target_classes)).select("entity")
+            if delta_entities is not None:
+                focus = focus.join(delta_entities, "entity", "left_semi")
             for cond in r.conditions:
                 focus = focus.join(
                     types.filter(F.col("cls") == cond).select("entity"),
@@ -235,20 +262,25 @@ def apply_rules(
                 # the constant from being instantiated per focus row)
                 emitted = emitted.limit(1)
             parts.append(emitted)
-        types.unpersist()
         if not parts:
+            types.unpersist()
             break
         round_out = parts[0]
         for p in parts[1:]:
             round_out = round_out.unionByName(p)
         new = round_out.distinct().join(known, ["subject", "predicate", "object"], "left_anti").persist()
-        if new.isEmpty():
+        empty = new.isEmpty()
+        types.unpersist()
+        if delta_entities is not None:
+            delta_entities.unpersist()
+        if empty:
             new.unpersist()
             break
         prev = known
         known = prev.unionByName(new).persist()
         prev.unpersist()
         delta_acc = new if delta_acc is None else delta_acc.unionByName(new)
+        last_delta = new
     known.unpersist()
     if delta_acc is None:
         return asserted.limit(0)

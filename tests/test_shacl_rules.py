@@ -215,3 +215,35 @@ def test_pipeline_infer_rules_stage(spark, tmp_path):
     # and the materialized graph carries the derived triples
     n_inferred = out["spo"]["s"].filter(F.col("url") == "urn:kgforge:entailed").count()
     assert n_inferred == len(rows)
+
+
+def test_semi_naive_condition_satisfied_by_derivation(spark):
+    """The semi-naive focus restriction must still fire a rule whose
+    TARGET class is old when a CONDITION class arrives via derivation in a
+    later round (the entity's class-set delta is what re-qualifies it)."""
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:Promote a sh:NodeShape ; sh:targetClass ex:Person ;
+      sh:rule [ a sh:TripleRule ; sh:order 1 ;
+                sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:Employee ] .
+    ex:Badge a sh:NodeShape ; sh:targetClass ex:Worker ;
+      sh:rule [ a sh:TripleRule ; sh:order 2 ;
+                sh:condition [ sh:class ex:Employee ] ;
+                sh:subject sh:this ; sh:predicate ex:badge ; sh:object "staff" ] .
+    """
+    triples, _, _ = parse_rdf(ttl)
+    # x is Worker from the start (old target class) but only becomes
+    # Employee (the condition) through the round-1 Person rule
+    corpus = spark.createDataFrame(
+        [
+            (EX + "x", RDF_TYPE, _obj(EX + "Worker")),
+            (EX + "x", RDF_TYPE, _obj(EX + "Person")),
+        ],
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>",
+    )
+    delta = apply_rules(corpus, extract_rules(triples))
+    got = {(r["predicate"], r["object"]["value"]) for r in delta.collect()}
+    assert got == {(RDF_TYPE, EX + "Employee"), (EX + "badge", "staff")}
