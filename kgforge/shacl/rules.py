@@ -152,7 +152,10 @@ def _iri_or_literal_kind(col):
 
 
 def apply_rules(
-    triples: DataFrame, rules: list[TripleRule | SparqlRule], max_iterations: int = 8
+    triples: DataFrame,
+    rules: list[TripleRule | SparqlRule],
+    max_iterations: int = 8,
+    seed_entities: DataFrame | None = None,
 ) -> DataFrame:
     """Forward-chain ``rules`` over the corpus ``triples`` (TRIPLES_SCHEMA
     subset: subject, predicate, object struct) to a fixpoint; return ONLY
@@ -176,7 +179,17 @@ def apply_rules(
     restriction over-fires. SPARQLRules re-evaluate on the full graph
     (delta-rewriting a general CONSTRUCT body is future work, disclosed);
     their fact table only grows by delta rows per round, and most rule
-    graphs close in 1-2 rounds."""
+    graphs close in 1-2 rounds.
+
+    ``seed_entities`` (a 1-column ``entity`` DataFrame) restricts the FIRST
+    round's per-entity focus candidates — the DRed rederive hook
+    (:func:`retract_rules`): after a retraction only the suspect entities
+    can have lost/regained derivations, so the first round is
+    suspect-sized instead of corpus-sized. Constant-template rules are
+    exempt (their existence gate may rest on unaffected entities). Rounds
+    after the first are delta-driven either way. Exactness is unaffected:
+    TripleRule derivations for an entity depend only on that entity's own
+    class memberships, so no derivation can originate outside the seed."""
     asserted = triples.filter(F.col("subject").isNotNull()).select(
         "subject", "predicate", "object"
     )
@@ -228,8 +241,11 @@ def apply_rules(
             if not r.target_classes:
                 continue
             focus = types.filter(F.col("cls").isin(r.target_classes)).select("entity")
+            is_const = r.subject[1] != "this" and r.object[1] != "this"
             if delta_entities is not None:
                 focus = focus.join(delta_entities, "entity", "left_semi")
+            elif seed_entities is not None and not is_const:
+                focus = focus.join(seed_entities, "entity", "left_semi")
             for cond in r.conditions:
                 focus = focus.join(
                     types.filter(F.col("cls") == cond).select("entity"),
@@ -268,13 +284,21 @@ def apply_rules(
         round_out = parts[0]
         for p in parts[1:]:
             round_out = round_out.unionByName(p)
-        new = round_out.distinct().join(known, ["subject", "predicate", "object"], "left_anti").persist()
+        # localCheckpoint, not persist: each round's delta references `known`
+        # (anti-join) and known(r+1) = known(r) ∪ delta(r), so an un-truncated
+        # plan DOUBLES per round (known appears twice in the next round's
+        # tree) — 2^rounds × the caller's base plan. Checkpointing the
+        # (small) delta makes known's plan grow by a constant per round.
+        new = (
+            round_out.distinct()
+            .join(known, ["subject", "predicate", "object"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
         empty = new.isEmpty()
         types.unpersist()
         if delta_entities is not None:
             delta_entities.unpersist()
         if empty:
-            new.unpersist()
             break
         prev = known
         known = prev.unionByName(new).persist()
@@ -288,3 +312,143 @@ def apply_rules(
     # anti-joined against a known set containing every earlier delta), so
     # no final distinct is needed
     return delta_acc
+
+
+def _rule_relevant_classes(rules: list) -> list[str]:
+    out: set[str] = set()
+    for r in rules:
+        if isinstance(r, TripleRule):
+            out.update(r.target_classes)
+            out.update(r.conditions)
+    return sorted(out)
+
+
+def retract_rules(
+    asserted_after: DataFrame,
+    rules: list[TripleRule | SparqlRule],
+    entailed_before: DataFrame,
+    removed: DataFrame,
+    max_iterations: int = 8,
+) -> DataFrame:
+    """DRed maintenance of the materialized entailment layer (Gupta,
+    Mumick & Subrahmanian 1993's delete-and-rederive, specialized to the
+    TripleRule dependency structure): given the graph AFTER a retraction
+    (``asserted_after``), the previously materialized delta
+    (``entailed_before``) and the ``removed`` asserted triples, return the
+    new entailed delta WITHOUT recomputing the fixpoint over the corpus.
+
+    Two delta-sized phases:
+
+    1. **Overdelete** — a TripleRule derivation depends only on its focus
+       entity's class memberships, so every entailed triple whose focus
+       entity lost a relevant class (target or condition, directly or
+       through cascading overdeletes of derived rdf:type rows) is
+       pessimistically deleted. The suspect set grows from the removed
+       type assertions only — never a corpus scan.
+    2. **Rederive** — the surviving graph may still support some
+       overdeleted triples (alternative derivations); one
+       :func:`apply_rules` pass over the suspect entities' slice settles
+       them exactly. Constant-template triples re-check their existence
+       gate the same way.
+
+    If ``rules`` contains a SPARQLRule the dependency analysis above does
+    not apply (a CONSTRUCT body can read any triple); the function falls
+    back to a full ``apply_rules`` recomputation — correct, just not
+    incremental — and says so in one driver-log line rather than silently.
+
+    Exactness contract (pytest-pinned): output set-equals
+    ``apply_rules(asserted_after, rules)``.
+    """
+    if any(isinstance(r, SparqlRule) for r in rules):
+        print("retract_rules: SPARQLRule present -> full recomputation fallback")
+        return apply_rules(asserted_after, rules, max_iterations=max_iterations)
+
+    relevant = _rule_relevant_classes(rules)
+    # phase 1: suspect entities = entities whose relevant class memberships
+    # were removed, cascaded through entailed rdf:type rows they feed
+    suspects = (
+        removed.filter(
+            (F.col("predicate") == RDF_TYPE)
+            & (F.col("object.kind") == "iri")
+            & F.col("object.value").isin(relevant)
+        )
+        .select(F.col("subject").alias("entity"))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint: the caller's entailed layer usually carries a deep
+    # apply_rules plan of its own; every loop round below would otherwise
+    # embed it several times over (see the plan-doubling note in apply_rules)
+    entailed_before = entailed_before.select(
+        "subject", "predicate", "object"
+    ).localCheckpoint(eager=True)
+    over = entailed_before.limit(0)
+    frontier = suspects
+    for _ in range(max_iterations):
+        # the focus entity sits in the SUBJECT slot (sh:subject sh:this) or
+        # the OBJECT slot (sh:object sh:this) — overdelete both shapes
+        hit_s = entailed_before.join(
+            frontier, entailed_before["subject"] == frontier["entity"], "left_semi"
+        )
+        hit_o = entailed_before.filter(F.col("object.kind") == "iri").join(
+            frontier, entailed_before["object.value"] == frontier["entity"], "left_semi"
+        )
+        hit = (
+            hit_s.unionByName(hit_o)
+            .distinct()
+            .join(over, ["subject", "predicate", "object"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if hit.isEmpty():
+            break
+        over = over.unionByName(hit)
+        # cascade: overdeleted type rows may invalidate further derivations
+        frontier = (
+            hit.filter(
+                (F.col("predicate") == RDF_TYPE)
+                & (F.col("object.kind") == "iri")
+                & F.col("object.value").isin(relevant)
+            )
+            .select(F.col("subject").alias("entity"))
+            .distinct()
+        )
+    keep = entailed_before.join(over, ["subject", "predicate", "object"], "left_anti")
+    # constant-template rules have no per-entity dependency: their existence
+    # gate must be re-checked whenever anything relevant was removed, so
+    # pessimistically overdelete them too (rederive settles them)
+    consts = [
+        r
+        for r in rules
+        if isinstance(r, TripleRule) and r.subject[1] != "this" and r.object[1] != "this"
+    ]
+    if consts and not suspects.isEmpty():
+        const_keys = [(r.subject[0], r.predicate) for r in consts]
+        is_const = F.struct(F.col("subject"), F.col("predicate")).isin(
+            [F.struct(F.lit(s), F.lit(p)) for s, p in const_keys]
+        )
+        keep = keep.filter(~is_const)
+
+    # phase 2: rederive over the surviving graph, seeded with the suspect
+    # entities (direct + cascaded overdelete subjects) so the first round
+    # is suspect-sized, not corpus-sized. apply_rules' own anti-join makes
+    # this exact; the keep-set rides along as known triples so nothing
+    # surviving is re-derived into the delta twice.
+    base = asserted_after.filter(F.col("subject").isNotNull()).select(
+        "subject", "predicate", "object"
+    )
+    seed = (
+        suspects.unionByName(over.select(F.col("subject").alias("entity")))
+        .unionByName(
+            over.filter(F.col("object.kind") == "iri").select(
+                F.col("object.value").alias("entity")
+            )
+        )
+        .distinct()
+    )
+    rederived = apply_rules(
+        base.unionByName(keep), rules, max_iterations=max_iterations,
+        seed_entities=seed,
+    )
+    out = keep.unionByName(rederived)
+    suspects.unpersist()
+    return out

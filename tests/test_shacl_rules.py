@@ -247,3 +247,133 @@ def test_semi_naive_condition_satisfied_by_derivation(spark):
     delta = apply_rules(corpus, extract_rules(triples))
     got = {(r["predicate"], r["object"]["value"]) for r in delta.collect()}
     assert got == {(RDF_TYPE, EX + "Employee"), (EX + "badge", "staff")}
+
+
+def _spo_set(df):
+    return {
+        (r["subject"], r["predicate"], r["object"]["value"], r["object"]["kind"])
+        for r in df.collect()
+    }
+
+
+def test_dred_retraction_matches_full_recompute(spark):
+    """retract_rules (DRed) must equal apply_rules from scratch on the
+    post-retraction graph: alternative derivations survive, cascaded
+    derivations die, constants re-check their gate."""
+    from kgforge.shacl.rules import retract_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:SA a sh:NodeShape ; sh:targetClass ex:A ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:C ] .
+    ex:SB a sh:NodeShape ; sh:targetClass ex:B ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:C ] .
+    ex:SC a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate ex:mark ; sh:object "c" ] ;
+      sh:rule [ a sh:TripleRule ; sh:subject ex:world ; sh:predicate ex:hasC ; sh:object true ] .
+    """
+    shape_triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(shape_triples)
+    schema = (
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>"
+    )
+    # x: A and B (C derivable two ways); y: A only (C dies with A)
+    before_rows = [
+        (EX + "x", RDF_TYPE, _obj(EX + "A")),
+        (EX + "x", RDF_TYPE, _obj(EX + "B")),
+        (EX + "y", RDF_TYPE, _obj(EX + "A")),
+    ]
+    before = spark.createDataFrame(before_rows, schema)
+    entailed_before = apply_rules(before, rules)
+
+    # retract both A assertions: x keeps C via B; y loses C, mark cascades away
+    removed = spark.createDataFrame(
+        [(EX + "x", RDF_TYPE, _obj(EX + "A")), (EX + "y", RDF_TYPE, _obj(EX + "A"))],
+        schema,
+    )
+    after = spark.createDataFrame([before_rows[1]], schema)
+    got = retract_rules(after, rules, entailed_before, removed)
+    want = apply_rules(after, rules)
+    assert _spo_set(got) == _spo_set(want)
+    s = _spo_set(got)
+    assert (EX + "x", RDF_TYPE, EX + "C", "iri") in s  # alternative derivation
+    assert (EX + "x", EX + "mark", "c", "literal") in s
+    assert not any(t[0] == EX + "y" for t in s)  # cascade died
+    assert (EX + "world", EX + "hasC", "true", "literal") in s  # gate still up
+
+
+def test_dred_constant_gate_goes_down(spark):
+    """Removing the last gate entity must drop the constant triple too."""
+    from kgforge.shacl.rules import retract_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:SP a sh:NodeShape ; sh:targetClass ex:Place ;
+      sh:rule [ a sh:TripleRule ;
+                sh:subject ex:corpus ; sh:predicate ex:hasPlaces ; sh:object true ] .
+    """
+    shape_triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(shape_triples)
+    schema = (
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>"
+    )
+    before = spark.createDataFrame([(EX + "p", RDF_TYPE, _obj(EX + "Place"))], schema)
+    entailed_before = apply_rules(before, rules)
+    assert len(_spo_set(entailed_before)) == 1
+    removed = before
+    after = before.limit(0)
+    got = retract_rules(after, rules, entailed_before, removed)
+    assert _spo_set(got) == set()
+
+
+def test_dred_object_this_rule(spark):
+    """A (const subject, sh:this object) rule keeps its focus entity in the
+    OBJECT slot — overdelete and rederive must track that position."""
+    from kgforge.shacl.rules import retract_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:SR a sh:NodeShape ; sh:targetClass ex:Region ;
+      sh:rule [ a sh:TripleRule ;
+                sh:subject ex:index ; sh:predicate ex:lists ; sh:object sh:this ] .
+    """
+    shape_triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(shape_triples)
+    schema = (
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>"
+    )
+    before = spark.createDataFrame(
+        [
+            (EX + "r1", RDF_TYPE, _obj(EX + "Region")),
+            (EX + "r2", RDF_TYPE, _obj(EX + "Region")),
+        ],
+        schema,
+    )
+    entailed_before = apply_rules(before, rules)
+    assert len(_spo_set(entailed_before)) == 2
+    removed = spark.createDataFrame([(EX + "r1", RDF_TYPE, _obj(EX + "Region"))], schema)
+    after = spark.createDataFrame([(EX + "r2", RDF_TYPE, _obj(EX + "Region"))], schema)
+    got = retract_rules(after, rules, entailed_before, removed)
+    want = apply_rules(after, rules)
+    assert _spo_set(got) == _spo_set(want)
+    assert _spo_set(got) == {(EX + "index", EX + "lists", EX + "r2", "iri")}
+
+
+def test_dred_sparqlrule_fallback(spark, capsys):
+    from kgforge.shacl.rules import SparqlRule, retract_rules
+
+    rules = [
+        SparqlRule([], "CONSTRUCT { ?o <http://example.org/knownBy> ?s } WHERE { ?s <http://example.org/knows> ?o }")
+    ]
+    after = _corpus(spark)
+    got = retract_rules(after, rules, after.limit(0), after.limit(0))
+    want = apply_rules(after, rules)
+    assert _spo_set(got) == _spo_set(want)
+    assert "fallback" in capsys.readouterr().out
