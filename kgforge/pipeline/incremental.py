@@ -50,11 +50,25 @@ def merge_increment(
     run_id: str = "inc1",
     gazetteer: list | None = None,
     dedup: str | None = None,
+    infer_rules: list | None = None,
 ) -> dict:
     """Process ``new_pages`` and merge with the run materialized at
     ``prev_work_root``. Writes the increment's stages plus the MERGED
     accepted/canonical graph under ``work_root``; returns the same dict
-    shape as ``run_pipeline``."""
+    shape as ``run_pipeline``.
+
+    ``infer_rules`` (the previous run must have been built with the same
+    rules) maintains the SHACL-AF entailed layer INCREMENTALLY via
+    :func:`kgforge.shacl.rules.delta_rules`: the canonical-graph diff
+    (added/removed (s,p,o) rows — a canonicalization rename is a
+    remove+add pair) drives a DRed overdelete + seeded rederive against
+    the previous run's materialized ``entailed`` stage, instead of
+    re-running the rule fixpoint over the whole merged corpus. Two
+    full-graph anti-joins (both sides range-partitioned parquet) replace
+    a multi-round corpus-scale fixpoint; the rederive rounds themselves
+    touch only suspect-entity slices. Output is exactly what a full
+    rebuild's ``apply_rules`` would produce (tests/test_incremental.py
+    pins graph-level equality with the rebuilt run)."""
     spark = new_pages.sparkSession
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
 
@@ -84,13 +98,48 @@ def merge_increment(
         range_cols=["node"],
     )
     canonical = rewrite_to_canonical(accepted, mapping)
+
+    entailed = None
+    graph_in = canonical
+    if infer_rules:
+        from ..shacl.rules import delta_rules
+
+        spo_cols = ["subject", "predicate", "object"]
+        prev_mapping = spark.read.parquet(
+            os.path.join(prev_work_root, "canonical_map")
+        )
+        before = (
+            rewrite_to_canonical(prev_accepted, prev_mapping)
+            .select(spo_cols)
+            .distinct()
+        )
+        after = canonical.select(spo_cols).distinct()
+        prev_entailed = spark.read.parquet(os.path.join(prev_work_root, "entailed"))
+        delta = delta_rules(
+            after,
+            infer_rules,
+            prev_entailed.select(spo_cols),
+            added=after.join(before, spo_cols, "left_anti"),
+            removed=before.join(after, spo_cols, "left_anti"),
+        )
+        entailed = write_stage(
+            delta.select(
+                F.lit("urn:kgforge:entailed").alias("url"), *spo_cols
+            ),
+            os.path.join(work_root, "entailed"), "infer_rules", run_id, manifests,
+            range_cols=["subject", "predicate"],
+        )
+        graph_in = canonical.select("url", *spo_cols).unionByName(entailed)
+
     # distinct root AND stage identity from the increment's own graph:
     # run_pipeline above already completed (run_id, materialize_*) manifests
     # for the increment-only graph, and write_stage's resume check is
     # (run_id, stage) — same names here would silently return that graph
     spo = materialize_spo(
-        canonical, os.path.join(work_root, "graph_merged"), run_id + "_merged", manifests
+        graph_in, os.path.join(work_root, "graph_merged"), run_id + "_merged", manifests
     )
     out = dict(inc)
-    out.update({"accepted": accepted, "mapping": mapping, "spo": spo})
+    out.update(
+        {"accepted": accepted, "mapping": mapping, "spo": spo, "entailed": entailed}
+    )
     return out

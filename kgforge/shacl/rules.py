@@ -330,12 +330,35 @@ def retract_rules(
     removed: DataFrame,
     max_iterations: int = 8,
 ) -> DataFrame:
+    """Removal-only special case of :func:`delta_rules` (kept as the named
+    entry point for the pure-retraction story; see there for the DRed
+    semantics and the exactness contract)."""
+    return delta_rules(
+        asserted_after,
+        rules,
+        entailed_before,
+        added=removed.limit(0),
+        removed=removed,
+        max_iterations=max_iterations,
+    )
+
+
+def delta_rules(
+    asserted_after: DataFrame,
+    rules: list[TripleRule | SparqlRule],
+    entailed_before: DataFrame,
+    added: DataFrame,
+    removed: DataFrame,
+    max_iterations: int = 8,
+) -> DataFrame:
     """DRed maintenance of the materialized entailment layer (Gupta,
     Mumick & Subrahmanian 1993's delete-and-rederive, specialized to the
-    TripleRule dependency structure): given the graph AFTER a retraction
+    TripleRule dependency structure): given the graph AFTER a change
     (``asserted_after``), the previously materialized delta
-    (``entailed_before``) and the ``removed`` asserted triples, return the
-    new entailed delta WITHOUT recomputing the fixpoint over the corpus.
+    (``entailed_before``) and the ``added``/``removed`` asserted triples,
+    return the new entailed delta WITHOUT recomputing the fixpoint over
+    the corpus. This is the incremental-crawl-merge hook: a canonical
+    rename surfaces as remove(old spelling) + add(new spelling).
 
     Two delta-sized phases:
 
@@ -346,10 +369,17 @@ def retract_rules(
        pessimistically deleted. The suspect set grows from the removed
        type assertions only — never a corpus scan.
     2. **Rederive** — the surviving graph may still support some
-       overdeleted triples (alternative derivations); one
-       :func:`apply_rules` pass over the suspect entities' slice settles
+       overdeleted triples (alternative derivations), and entities that
+       GAINED a relevant class may support new ones; one
+       :func:`apply_rules` pass seeded with both suspect sets settles
        them exactly. Constant-template triples re-check their existence
-       gate the same way.
+       gate the same way (they are seed-exempt in ``apply_rules``).
+
+    The addition seed is complete: a TripleRule reads nothing but its
+    focus entity's class memberships, so round 1 can only newly fire for
+    an entity whose relevant classes changed, and later rounds are
+    delta-driven inside ``apply_rules`` (a round-1 derivation that types
+    a third entity re-enters as round-2 focus).
 
     If ``rules`` contains a SPARQLRule the dependency analysis above does
     not apply (a CONSTRUCT body can read any triple); the function falls
@@ -360,7 +390,7 @@ def retract_rules(
     ``apply_rules(asserted_after, rules)``.
     """
     if any(isinstance(r, SparqlRule) for r in rules):
-        print("retract_rules: SPARQLRule present -> full recomputation fallback")
+        print("delta_rules: SPARQLRule present -> full recomputation fallback")
         return apply_rules(asserted_after, rules, max_iterations=max_iterations)
 
     relevant = _rule_relevant_classes(rules)
@@ -415,7 +445,9 @@ def retract_rules(
     keep = entailed_before.join(over, ["subject", "predicate", "object"], "left_anti")
     # constant-template rules have no per-entity dependency: their existence
     # gate must be re-checked whenever anything relevant was removed, so
-    # pessimistically overdelete them too (rederive settles them)
+    # pessimistically overdelete them too (rederive settles them; a gate
+    # OPENING through an addition needs no overdelete — the rederive pass
+    # emits the constant as a new derivation)
     consts = [
         r
         for r in rules
@@ -429,12 +461,25 @@ def retract_rules(
         keep = keep.filter(~is_const)
 
     # phase 2: rederive over the surviving graph, seeded with the suspect
-    # entities (direct + cascaded overdelete subjects) so the first round
-    # is suspect-sized, not corpus-sized. apply_rules' own anti-join makes
+    # entities (removal suspects + cascaded overdelete subjects/objects +
+    # entities that GAINED a relevant class) so the first round is
+    # suspect-sized, not corpus-sized. apply_rules' own anti-join makes
     # this exact; the keep-set rides along as known triples so nothing
     # surviving is re-derived into the delta twice.
     base = asserted_after.filter(F.col("subject").isNotNull()).select(
         "subject", "predicate", "object"
+    )
+    # an entailed row that the change turned into an ASSERTED row must
+    # leave the delta (the delta contract is entailed-minus-asserted)
+    keep = keep.join(base, ["subject", "predicate", "object"], "left_anti")
+    gained = (
+        added.filter(
+            (F.col("predicate") == RDF_TYPE)
+            & (F.col("object.kind") == "iri")
+            & F.col("object.value").isin(relevant)
+        )
+        .select(F.col("subject").alias("entity"))
+        .distinct()
     )
     seed = (
         suspects.unionByName(over.select(F.col("subject").alias("entity")))
@@ -443,6 +488,7 @@ def retract_rules(
                 F.col("object.value").alias("entity")
             )
         )
+        .unionByName(gained)
         .distinct()
     )
     rederived = apply_rules(

@@ -72,3 +72,49 @@ def test_spo_graph_identical(spark, full_vs_incremental):
     assert _rows(merged["spo"]["s"], ["subject", "predicate"]) == _rows(
         full["spo"]["s"], ["subject", "predicate"]
     )
+
+
+def test_incremental_entailment_matches_rebuild(spark, tmp_path):
+    """merge_increment(infer_rules=...) maintains the entailed layer via
+    DRed delta maintenance; the merged entailed set and S/P/O graph must
+    equal a full rebuild with the same rules — including derivations whose
+    focus entities only exist once canonicalization has merged components
+    ACROSS the batch boundary (entity spellings rewrite on merge)."""
+    from kgforge.rdf.detect import parse_rdf
+    from kgforge.shacl.rules import extract_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix schema: <http://schema.org/> .
+    <urn:shape:p> a sh:NodeShape ; sh:targetClass schema:Person ;
+      sh:rule [ a sh:TripleRule ;
+                sh:subject sh:this ; sh:predicate rdf:type ; sh:object schema:Agent ] .
+    <urn:shape:a> a sh:NodeShape ; sh:targetClass schema:Agent ;
+      sh:rule [ a sh:TripleRule ;
+                sh:subject sh:this ; sh:predicate schema:audited ; sh:object true ] .
+    """
+    triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(triples)
+
+    n, split = 40, 26
+    full = run_pipeline(
+        pages_df(spark, n), str(tmp_path / "full"), run_id="full", infer_rules=rules
+    )
+    first = pages_df(spark, n).where(
+        f"CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS INT) < {split}"
+    )
+    second = pages_df(spark, n).where(
+        f"CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS INT) >= {split}"
+    )
+    run_pipeline(first, str(tmp_path / "prev"), run_id="prev", infer_rules=rules)
+    merged = merge_increment(
+        second, str(tmp_path / "prev"), str(tmp_path / "inc"), run_id="inc",
+        infer_rules=rules,
+    )
+    ent_cols = ["subject", "predicate", "object.value"]
+    assert _rows(merged["entailed"], ent_cols) == _rows(full["entailed"], ent_cols)
+    assert merged["entailed"].count() > 0
+    assert _rows(merged["spo"]["s"], ["subject", "predicate"]) == _rows(
+        full["spo"]["s"], ["subject", "predicate"]
+    )

@@ -377,3 +377,82 @@ def test_dred_sparqlrule_fallback(spark, capsys):
     want = apply_rules(after, rules)
     assert _spo_set(got) == _spo_set(want)
     assert "fallback" in capsys.readouterr().out
+
+
+def test_delta_rules_addition_and_rename(spark):
+    """delta_rules with a mixed add/remove change set (the canonical-rename
+    shape: old spelling removed, new spelling added) must equal a full
+    recompute — new derivations appear for entities that gained a class,
+    old ones follow the removed spelling out."""
+    from kgforge.shacl.rules import delta_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:SA a sh:NodeShape ; sh:targetClass ex:A ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:C ] .
+    ex:SC a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate ex:mark ; sh:object "c" ] .
+    """
+    shape_triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(shape_triples)
+    schema = (
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>"
+    )
+    before = spark.createDataFrame(
+        [
+            (EX + "old", RDF_TYPE, _obj(EX + "A")),
+            (EX + "keep", RDF_TYPE, _obj(EX + "B")),
+        ],
+        schema,
+    )
+    entailed_before = apply_rules(before, rules)
+    # rename old->new, plus a fresh entity gaining the target class
+    removed = spark.createDataFrame([(EX + "old", RDF_TYPE, _obj(EX + "A"))], schema)
+    added = spark.createDataFrame(
+        [
+            (EX + "new", RDF_TYPE, _obj(EX + "A")),
+            (EX + "fresh", RDF_TYPE, _obj(EX + "A")),
+        ],
+        schema,
+    )
+    after = before.join(removed, ["subject", "predicate"], "left_anti").unionByName(added)
+    got = delta_rules(after, rules, entailed_before, added=added, removed=removed)
+    want = apply_rules(after, rules)
+    assert _spo_set(got) == _spo_set(want)
+    s = _spo_set(got)
+    # chained derivation for the renamed and the fresh entity (A -> C -> mark)
+    for e in ("new", "fresh"):
+        assert (EX + e, RDF_TYPE, EX + "C", "iri") in s
+        assert (EX + e, EX + "mark", "c", "literal") in s
+    assert not any(t[0] == EX + "old" for t in s)
+
+
+def test_delta_rules_entailed_row_becomes_asserted(spark):
+    """An added asserted triple that duplicates a previously-ENTAILED row
+    must leave the delta (the delta contract is entailed-minus-asserted)."""
+    from kgforge.shacl.rules import delta_rules
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:SA a sh:NodeShape ; sh:targetClass ex:A ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:C ] .
+    """
+    shape_triples, _, _ = parse_rdf(ttl)
+    rules = extract_rules(shape_triples)
+    schema = (
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>"
+    )
+    before = spark.createDataFrame([(EX + "x", RDF_TYPE, _obj(EX + "A"))], schema)
+    entailed_before = apply_rules(before, rules)
+    assert _spo_set(entailed_before) == {(EX + "x", RDF_TYPE, EX + "C", "iri")}
+    added = spark.createDataFrame([(EX + "x", RDF_TYPE, _obj(EX + "C"))], schema)
+    after = before.unionByName(added)
+    got = delta_rules(after, rules, entailed_before, added=added, removed=added.limit(0))
+    want = apply_rules(after, rules)
+    assert _spo_set(got) == _spo_set(want) == set()
