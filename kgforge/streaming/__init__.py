@@ -1,4 +1,6 @@
 from .pipeline import (
+    entail_each_batch,
+    latest_entailed,
     near_dedup_each_batch,
     near_dedup_increment,
     stream_pages,
@@ -14,4 +16,6 @@ __all__ = [
     "validate_each_batch",
     "near_dedup_each_batch",
     "near_dedup_increment",
+    "entail_each_batch",
+    "latest_entailed",
 ]

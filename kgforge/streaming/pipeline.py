@@ -404,3 +404,84 @@ def commit_each_batch(stream_df: DataFrame, store, checkpoint_dir: str):
     return stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
     )
+
+
+# ----------------------- incremental rule entailment -------------------------
+
+
+def entail_each_batch(triples_stream: DataFrame, rules: list, out_root: str):
+    """Incremental SHACL-AF entailment over a triple stream: each
+    micro-batch of newly asserted triples folds into the materialized
+    entailed layer through the additions-only DRed path
+    (:func:`kgforge.shacl.rules.delta_rules` with an empty removal set), so
+    the rule fixpoint never replays over the full asserted history —
+    per-batch rule work is seed-sized (entities whose class memberships
+    this batch changed; additions are monotone for the positive rule
+    language, so nothing is ever overdeleted), plus one scan of the
+    asserted store for the rederive rounds' type relation.
+
+    On-disk layout under ``out_root``, all writes idempotent on replay
+    (exactly-once through the stream checkpoint's monotone batch ids —
+    a replayed batch overwrites its OWN directories, never appends blind):
+
+    - ``asserted/batch=<id>/`` — that batch's triples
+    - ``entailed/v<id>/``      — the full entailed-layer snapshot AFTER
+      the batch (delta-sized recompute, snapshot-sized write; at
+      warehouse scale the snapshot write becomes a MERGE against the
+      previous version — the maintenance math, not the write, is the
+      expensive part being avoided)
+
+    Batch N's snapshot set-equals ``apply_rules`` over batches 0..N's
+    union (tests/test_streaming.py pins it, including a condition gate
+    whose target and condition classes arrive in DIFFERENT batches).
+
+    Returns the DataStreamWriter (caller starts/stops it)."""
+    import os
+
+    from ..shacl.rules import apply_rules, delta_rules
+
+    spo = ["subject", "predicate", "object"]
+
+    def handle(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df.select(*spo).write.mode("overwrite").parquet(
+            f"{out_root}/asserted/batch={batch_id}"
+        )
+        all_a = spark.read.parquet(f"{out_root}/asserted")
+        prev_a = all_a.filter(F.col("batch") < batch_id).select(*spo)
+        cur = all_a.filter(F.col("batch") == batch_id).select(*spo)
+        ent_root = f"{out_root}/entailed"
+        prev_ids = (
+            [
+                int(d[1:])
+                for d in os.listdir(ent_root)
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+            ]
+            if os.path.isdir(ent_root)
+            else []
+        )
+        if prev_ids:
+            prev_ent = spark.read.parquet(f"{ent_root}/v{max(prev_ids)}").select(*spo)
+            ent = delta_rules(
+                prev_a.unionByName(cur),
+                rules,
+                prev_ent,
+                added=cur,
+                removed=cur.limit(0),
+            )
+        else:
+            ent = apply_rules(cur, rules)
+        ent.write.mode("overwrite").parquet(f"{ent_root}/v{batch_id}")
+
+    return triples_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", f"{out_root}/_chk"
+    )
+
+
+def latest_entailed(spark: SparkSession, out_root: str) -> DataFrame:
+    """Read the newest entailed snapshot written by :func:`entail_each_batch`."""
+    import os
+
+    ent_root = f"{out_root}/entailed"
+    vs = [int(d[1:]) for d in os.listdir(ent_root) if d.startswith("v") and d[1:].isdigit()]
+    return spark.read.parquet(f"{ent_root}/v{max(vs)}")

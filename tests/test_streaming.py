@@ -335,3 +335,71 @@ def test_near_dedup_increment_all_distinct(spark):
         spark.createDataFrame(rows, PAGES_SCHEMA), None, threshold=0.8
     )
     assert kept.count() == 3 and processed.count() == 3
+
+
+def test_streaming_entailment_matches_batch(spark, tmp_path):
+    """entail_each_batch's final snapshot must set-equal apply_rules over
+    the full asserted union — including a condition-gated rule whose
+    target class and condition class arrive in DIFFERENT micro-batches,
+    and a chained derivation that only completes once batch 2 lands."""
+    import pandas as pd
+
+    from kgforge.rdf.detect import parse_rdf
+    from kgforge.shacl.rules import apply_rules, extract_rules
+    from kgforge.streaming.pipeline import entail_each_batch, latest_entailed
+
+    EX = "http://example.org/"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+    @prefix ex: <http://example.org/> .
+    ex:SA a sh:NodeShape ; sh:targetClass ex:A ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate rdf:type ; sh:object ex:C ;
+                sh:condition [ sh:class ex:B ] ] .
+    ex:SC a sh:NodeShape ; sh:targetClass ex:C ;
+      sh:rule [ a sh:TripleRule ; sh:subject sh:this ; sh:predicate ex:mark ; sh:object "c" ] .
+    """
+    shapes, _, _ = parse_rdf(ttl)
+    rules = extract_rules(shapes)
+
+    schema = (
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>"
+    )
+
+    def obj(v):
+        return (v, "iri", None, None)
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    # batch 1: x gains the TARGET class only (no derivation yet), z is full
+    b1 = [(EX + "x", RDF_TYPE, obj(EX + "A")), (EX + "z", RDF_TYPE, obj(EX + "A")),
+          (EX + "z", RDF_TYPE, obj(EX + "B"))]
+    # batch 2: x gains the CONDITION class -> A∧B fires, chains into mark
+    b2 = [(EX + "x", RDF_TYPE, obj(EX + "B")), (EX + "y", RDF_TYPE, obj(EX + "B"))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(landing + "/f1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(landing + "/f2")
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing + "/f*")
+    )
+    out_root = str(tmp_path / "ent")
+    q = entail_each_batch(stream, rules, out_root).trigger(availableNow=True).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want_df = apply_rules(spark.createDataFrame(b1 + b2, schema), rules)
+    key = lambda df: {
+        (r["subject"], r["predicate"], r["object"]["value"]) for r in df.collect()
+    }
+    got = key(latest_entailed(spark, out_root))
+    assert got == key(want_df)
+    assert (EX + "x", RDF_TYPE, EX + "C") in got
+    assert (EX + "x", EX + "mark", "c") in got
+    # snapshot history: batch-1 snapshot must NOT contain x's derivation
+    v0 = spark.read.parquet(out_root + "/entailed/v0")
+    assert (EX + "x", RDF_TYPE, EX + "C") not in key(v0)
+    assert (EX + "z", EX + "mark", "c") in key(v0)
