@@ -35,6 +35,13 @@ def main():
                          "(sh:TripleRule/sh:SPARQLRule) are forward-chained over the "
                          "canonical graph; the entailed delta lands in <out>/entailed "
                          "and in the materialized S/P/O tables (url=urn:kgforge:entailed)")
+    ap.add_argument("--merge-from", default=None, metavar="PREV_ROOT",
+                    help="incremental crawl merge: treat --pages-parquet as the NEW "
+                         "batch only and fold it into the run materialized at "
+                         "PREV_ROOT (old stages are read back, never recomputed; "
+                         "canonicalization re-runs over the merged edge set; with "
+                         "--rules-ttl the entailed layer is maintained by DRed "
+                         "delta rules instead of a fixpoint replay)")
     ap.add_argument("--compact", action="store_true",
                     help="after materializing, compact the S/P/O stage directories to "
                          "~128MB range-clustered files (fingerprint-verified rewrite)")
@@ -62,11 +69,19 @@ def main():
             shape_triples, _, _ = parse_rdf(fh.read())
         rules = extract_rules(shape_triples)
 
-    out = run_pipeline(
-        pages, args.out, run_id=args.run_id,
-        extended_checks=args.extended_checks, dedup=args.dedup,
-        infer_rules=rules,
-    )
+    if args.merge_from:
+        from kgforge.pipeline.incremental import merge_increment
+
+        out = merge_increment(
+            pages, args.merge_from, args.out, run_id=args.run_id,
+            dedup=args.dedup, infer_rules=rules,
+        )
+    else:
+        out = run_pipeline(
+            pages, args.out, run_id=args.run_id,
+            extended_checks=args.extended_checks, dedup=args.dedup,
+            infer_rules=rules,
+        )
     summary = {
         "accepted": out["accepted"].count(),
         "rejected": out["rejected"].count(),
