@@ -2748,24 +2748,31 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, node kind, sh:in candidates) from the corpus itself
     (kgforge/operators/induction.py). Inline corpus: every doc is one
     subject typed C(doc_id%3); p:a always (second value when doc_id%7==0),
-    p:b on even docs (iri, 3-value vocabulary -> sh:in candidate), p:c on
-    every 5th doc (unbounded vocabulary -> in_values NULL, and the plan's
-    semi-join prefilter keeps its values out of array state). Oracle:
-    DuckDB reproduces the full pipeline closed-form."""
+    p:b on even docs (iri, 3-value vocabulary -> sh:in candidate, objects
+    UNTYPED -> object_class NULL at share 0), p:c on every 5th doc
+    (unbounded vocabulary -> in_values NULL, and the plan's semi-join
+    prefilter keeps its values out of array state), p:d on every 3rd doc
+    (iri objects pointing at TYPED subjects urn:s:(3*(doc_id%13)) — all
+    class C0 -> object_class evidence at share 1.0), p:e on every 4th doc
+    (explicit
+    xsd:integer literals -> single-datatype detection; plain literals on
+    p:a/p:c induce the xsd:string default). Oracle: DuckDB reproduces the
+    full pipeline closed-form."""
     from kgforge.operators.induction import induce_shapes
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     subj = F.concat(F.lit("urn:s:"), F.col("doc_id").cast("string"))
-    obj = lambda v, k: F.struct(  # noqa: E731
+    obj = lambda v, k, dt="": F.struct(  # noqa: E731
         v.alias("value"), F.lit(k).alias("kind"),
-        F.lit("").alias("datatype"), F.lit("").alias("lang"),
+        F.lit(dt).alias("datatype"), F.lit("").alias("lang"),
     )
-    row = lambda df, p, v, k: df.select(  # noqa: E731
+    row = lambda df, p, v, k, dt="": df.select(  # noqa: E731
         F.lit("u://fix").alias("url"), subj.alias("subject"),
-        F.lit(p).alias("predicate"), obj(v, k).alias("object"),
+        F.lit(p).alias("predicate"), obj(v, k, dt).alias("object"),
         F.lit("ok").alias("status"),
     )
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
     triples = (
         row(d, rdf_type, F.concat(F.lit("urn:C"), (F.col("doc_id") % 3).cast("string")), "iri")
         .unionByName(row(d, "urn:p:a", F.concat(F.lit("v"), (F.col("doc_id") % 4).cast("string")), "literal"))
@@ -2774,6 +2781,10 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.concat(F.lit("urn:o:"), (F.col("doc_id") % 3).cast("string")), "iri"))
         .unionByName(row(d.filter(F.col("doc_id") % 5 == 0), "urn:p:c",
                          F.concat(F.lit("u"), F.col("doc_id").cast("string")), "literal"))
+        .unionByName(row(d.filter(F.col("doc_id") % 3 == 0), "urn:p:d",
+                         F.concat(F.lit("urn:s:"), ((F.col("doc_id") % 13) * 3).cast("string")), "iri"))
+        .unionByName(row(d.filter(F.col("doc_id") % 4 == 0), "urn:p:e",
+                         (F.col("doc_id") % 100).cast("string"), "literal", xsd_int))
     )
     return induce_shapes(triples).orderBy("target_class", "path")
 
@@ -7580,18 +7591,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'urn:s:' || CAST(doc_id AS VARCHAR) AS subject,
                      'urn:p:a' AS path,
                      'v' || CAST(doc_id % 4 AS VARCHAR) AS value,
-                     'literal' AS kind FROM d
+                     'literal' AS kind,
+                     'http://www.w3.org/2001/XMLSchema#string' AS eff_dt
+              FROM d
               UNION ALL
               SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:a', 'w',
-                     'literal' FROM d WHERE doc_id % 7 = 0
+                     'literal', 'http://www.w3.org/2001/XMLSchema#string'
+              FROM d WHERE doc_id % 7 = 0
               UNION ALL
               SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:b',
-                     'urn:o:' || CAST(doc_id % 3 AS VARCHAR), 'iri'
+                     'urn:o:' || CAST(doc_id % 3 AS VARCHAR), 'iri', NULL
               FROM d WHERE doc_id % 2 = 0
               UNION ALL
               SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:c',
-                     'u' || CAST(doc_id AS VARCHAR), 'literal'
+                     'u' || CAST(doc_id AS VARCHAR), 'literal',
+                     'http://www.w3.org/2001/XMLSchema#string'
               FROM d WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:d',
+                     'urn:s:' || CAST((doc_id % 13) * 3 AS VARCHAR), 'iri', NULL
+              FROM d WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT 'urn:s:' || CAST(doc_id AS VARCHAR), 'urn:p:e',
+                     CAST(doc_id % 100 AS VARCHAR), 'literal',
+                     'http://www.w3.org/2001/XMLSchema#integer'
+              FROM d WHERE doc_id % 4 = 0
             ),
             members AS (
               SELECT target_class, CAST(count(*) AS BIGINT) AS n_members
@@ -7617,9 +7641,29 @@ def oracle_sql() -> dict[str, str]:
                      CAST(count(DISTINCT f.value) AS BIGINT)
                        AS n_distinct_values,
                      string_agg(DISTINCT f.value, ',' ORDER BY f.value)
-                       AS all_vals
+                       AS all_vals,
+                     CAST(count(DISTINCT f.eff_dt) AS BIGINT) AS n_distinct_dt,
+                     max(f.eff_dt) AS any_dt,
+                     CAST(sum(CASE WHEN f.kind = 'iri' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_iri_objs
               FROM facts f JOIN types t ON t.subject = f.subject
               GROUP BY t.target_class, f.path
+            ),
+            objcls AS (
+              SELECT t.target_class, f.path, ot.target_class AS object_class,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM facts f
+              JOIN types ot ON ot.subject = f.value
+              JOIN types t ON t.subject = f.subject
+              WHERE f.kind = 'iri'
+              GROUP BY t.target_class, f.path, ot.target_class
+            ),
+            dom AS (
+              SELECT target_class, path, object_class, n,
+                     row_number() OVER (
+                       PARTITION BY target_class, path
+                       ORDER BY n DESC, object_class DESC) AS rn
+              FROM objcls
             )
             SELECT s.target_class, s.path, m.n_members, s.n_subjects,
                    CAST(s.n_subjects AS DOUBLE) / m.n_members AS coverage,
@@ -7630,10 +7674,18 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s.any_iri = 1 THEN 'iri'
                         ELSE 'literal' END AS node_kind,
                    CASE WHEN v.n_distinct_values <= 5 THEN v.all_vals
-                        ELSE NULL END AS in_values
+                        ELSE NULL END AS in_values,
+                   CASE WHEN s.any_iri = 0 AND v.n_distinct_dt = 1
+                        THEN v.any_dt END AS datatype,
+                   dm.object_class,
+                   CASE WHEN v.n_iri_objs > 0
+                        THEN round(COALESCE(dm.n, 0) / v.n_iri_objs, 6)
+                   END AS object_class_share
             FROM stats s
             JOIN members m ON m.target_class = s.target_class
             JOIN vals v ON v.target_class = s.target_class AND v.path = s.path
+            LEFT JOIN dom dm ON dm.target_class = s.target_class
+                            AND dm.path = s.path AND dm.rn = 1
             ORDER BY s.target_class, s.path
         """,
         # recency-wins fusion: window argmax (ts desc, value desc) over the

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..rdf.terms import RDF_TYPE
+from ..rdf.terms import RDF_TYPE, XSD_STRING
 
 __all__ = ["induce_shapes", "induced_to_ttl"]
 
@@ -47,8 +47,14 @@ def induce_shapes(
     cardinality), max_count, n_distinct_values, node_kind ('iri',
     'literal', or 'mixed' — the observed object kinds), in_values (sorted
     comma-joined value list when n_distinct_values <= ``max_in_values``,
-    else NULL: an sh:in candidate). Classes with fewer than ``min_members``
-    members are dropped (too little evidence to induce from).
+    else NULL: an sh:in candidate), datatype (the single effective literal
+    datatype when every object is a literal of ONE datatype — explicit, or
+    xsd:string for plain literals, matching the validator's defaulting —
+    else NULL), object_class + object_class_share (dominant class among
+    TYPED IRI objects and its share of ALL IRI objects: share 1.0 means
+    sh:class is safe to propose, untyped objects dilute it). Classes with
+    fewer than ``min_members`` members are dropped (too little evidence
+    to induce from).
     """
     types = (
         triples.filter(F.col("predicate") == RDF_TYPE)
@@ -66,6 +72,18 @@ def induce_shapes(
         F.col("predicate").alias("path"),
         F.col("object.value").alias("value"),
         F.col("object.kind").alias("kind"),
+        # effective literal datatype, with the SAME defaulting the
+        # validator's datatype check uses (validate.py o_dt: explicit
+        # datatype, else xsd:string) so an induced sh:datatype is
+        # guaranteed to round-trip through the executor without flagging
+        # the corpus it was induced from
+        F.when(
+            F.col("object.kind") == "literal",
+            F.coalesce(
+                F.when(F.col("object.datatype") != "", F.col("object.datatype")),
+                F.lit(XSD_STRING),
+            ),
+        ).alias("eff_dt"),
     )
     # per-subject cardinality first: the (class, path) agg then runs over
     # one row per (subject, path), not one per triple
@@ -88,7 +106,36 @@ def induce_shapes(
     val_stats = (
         facts.join(types, on="subject", how="inner")
         .groupBy("target_class", "path")
-        .agg(F.count_distinct("value").alias("n_distinct_values"))
+        .agg(
+            F.count_distinct("value").alias("n_distinct_values"),
+            # datatype uniformity (count_distinct ignores the NULL eff_dt
+            # of non-literal rows) + how many objects are IRIs (the
+            # sh:class share denominator)
+            F.count_distinct("eff_dt").alias("n_distinct_dt"),
+            F.max("eff_dt").alias("_any_dt"),
+            F.sum((F.col("kind") == "iri").cast("long")).alias("n_iri_objs"),
+        )
+    )
+    # sh:class evidence: typed IRI objects -> dominant object class per
+    # (class, path) via a combinable max(struct) argmax; share is measured
+    # against ALL IRI objects, so untyped objects dilute it and 1.0 really
+    # means "safe to propose sh:class". Same shuffle key family as the
+    # other aggs; the type relation joins on the OBJECT slot here.
+    obj_classes = (
+        facts.filter(F.col("kind") == "iri")
+        .join(
+            types.select(
+                F.col("subject").alias("_obj_ent"),
+                F.col("target_class").alias("object_class"),
+            ),
+            F.col("value") == F.col("_obj_ent"),
+            "inner",
+        )
+        .join(types, on="subject", how="inner")
+        .groupBy("target_class", "path", "object_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("target_class", "path")
+        .agg(F.max(F.struct(F.col("n"), F.col("object_class"))).alias("_dom"))
     )
     # sh:in candidates: collect values ONLY for qualifying keys (semi-join
     # prefilter) so unbounded vocabularies never build array state
@@ -109,6 +156,7 @@ def induce_shapes(
         stats.join(members, on="target_class", how="inner")
         .join(val_stats, on=["target_class", "path"], how="inner")
         .join(in_lists, on=["target_class", "path"], how="left")
+        .join(obj_classes, on=["target_class", "path"], how="left")
         .select(
             "target_class",
             "path",
@@ -131,6 +179,17 @@ def induce_shapes(
             .otherwise(F.lit("literal"))
             .alias("node_kind"),
             "in_values",
+            F.when(
+                (F.col("any_iri") == 0) & (F.col("n_distinct_dt") == 1),
+                F.col("_any_dt"),
+            ).alias("datatype"),
+            F.col("_dom.object_class").alias("object_class"),
+            F.when(
+                F.col("n_iri_objs") > 0,
+                F.round(
+                    F.coalesce(F.col("_dom.n"), F.lit(0)) / F.col("n_iri_objs"), 6
+                ),
+            ).alias("object_class_share"),
         )
     )
     return out
@@ -138,6 +197,15 @@ def induce_shapes(
 
 def _ttl_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _get(row, field):
+    """Field access tolerant of rows collected before the datatype /
+    object-class columns existed (older persisted stats tables)."""
+    try:
+        return row[field]
+    except (KeyError, ValueError):
+        return None
 
 
 def induced_to_ttl(induced_rows, strict_counts: bool = True) -> str:
@@ -172,8 +240,19 @@ def induced_to_ttl(induced_rows, strict_counts: bool = True) -> str:
                 fields.append(f"sh:maxCount {int(r['max_count'])}")
             if r["node_kind"] == "iri":
                 fields.append("sh:nodeKind sh:IRI")
+                # sh:class only when EVERY IRI object carries the dominant
+                # class (share 1.0) — the validator executes sh:class as a
+                # typing join, so anything weaker would flag the corpus the
+                # shape was induced from
+                if (
+                    _get(r, "object_class") is not None
+                    and _get(r, "object_class_share") == 1.0
+                ):
+                    fields.append(f"sh:class <{r['object_class']}>")
             elif r["node_kind"] == "literal":
                 fields.append("sh:nodeKind sh:Literal")
+                if _get(r, "datatype") is not None:
+                    fields.append(f"sh:datatype <{r['datatype']}>")
             if r["in_values"] is not None and r["node_kind"] != "mixed":
                 vals = r["in_values"].split(",")
                 if r["node_kind"] == "iri":

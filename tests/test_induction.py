@@ -145,3 +145,119 @@ def test_induced_shapes_round_trip_through_validator(spark):
     )
     bad = {(r["subject"], r["predicate"]) for r in rej2.collect()}
     assert ("http://example.org/carol", "http://example.org/status") in bad
+
+
+def _triples_dt(spark, rows):
+    """rows: (subject, predicate, value, kind, datatype)."""
+    data = [
+        (s, p, {"value": v, "kind": k, "datatype": dt, "lang": ""})
+        for (s, p, v, k, dt) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "subject string, predicate string, "
+        "object struct<value:string,kind:string,datatype:string,lang:string>",
+    ).select(
+        F.lit("u://x").alias("url"), "subject", "predicate", "object",
+        F.lit("ok").alias("status"),
+    )
+
+
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def test_induce_datatype_uniformity(spark):
+    """Single effective datatype -> proposed; plain literals default to
+    xsd:string (the validator's own defaulting); mixed datatypes or any
+    IRI object -> NULL."""
+    from kgforge.operators.induction import induce_shapes
+
+    t = _triples_dt(spark, [
+        ("s1", RDF_TYPE, "C", "iri", ""),
+        ("s2", RDF_TYPE, "C", "iri", ""),
+        # plain + explicit string -> SAME effective datatype, proposed
+        ("s1", "p:str", "a", "literal", ""),
+        ("s2", "p:str", "b", "literal", XSD_STR),
+        # int + string -> mixed, NULL
+        ("s1", "p:mix", "1", "literal", XSD_INT),
+        ("s2", "p:mix", "x", "literal", ""),
+        # uniform explicit int -> proposed
+        ("s1", "p:int", "3", "literal", XSD_INT),
+        # literal + iri kinds -> NULL even though the literal dt is single
+        ("s1", "p:kindmix", "urn:x", "iri", ""),
+        ("s2", "p:kindmix", "y", "literal", ""),
+    ])
+    got = {r["path"]: r for r in induce_shapes(t).collect()}
+    assert got["p:str"]["datatype"] == XSD_STR
+    assert got["p:mix"]["datatype"] is None
+    assert got["p:int"]["datatype"] == XSD_INT
+    assert got["p:kindmix"]["datatype"] is None
+
+
+def test_induce_object_class_share(spark):
+    """Dominant class among TYPED IRI objects; share measured against ALL
+    IRI objects so untyped targets dilute it below the sh:class bar."""
+    from kgforge.operators.induction import induce_shapes, induced_to_ttl
+
+    t = _triples(spark, [
+        ("s1", RDF_TYPE, "C", "iri"),
+        ("s2", RDF_TYPE, "C", "iri"),
+        ("o1", RDF_TYPE, "T", "iri"),
+        ("o2", RDF_TYPE, "T", "iri"),
+        # p:full: both objects typed T -> share 1.0, sh:class emitted
+        ("s1", "p:full", "o1", "iri"),
+        ("s2", "p:full", "o2", "iri"),
+        # p:dilute: one typed, one untyped -> share 0.5, no sh:class
+        ("s1", "p:dilute", "o1", "iri"),
+        ("s2", "p:dilute", "nowhere", "iri"),
+    ])
+    got = {(r["target_class"], r["path"]): r for r in induce_shapes(t).collect()}
+    full = got[("C", "p:full")]
+    assert (full["object_class"], full["object_class_share"]) == ("T", 1.0)
+    dil = got[("C", "p:dilute")]
+    assert (dil["object_class"], dil["object_class_share"]) == ("T", 0.5)
+    ttl = induced_to_ttl([r for r in induce_shapes(t).collect()
+                          if r["target_class"] == "C"])
+    assert ttl.count("sh:class <T>") == 1  # p:full only
+
+
+def test_induced_ttl_emits_datatype_and_class_checks(spark):
+    """Induced sh:datatype and sh:class must round-trip through the
+    parser/extractor AND be executed by the validator: the source corpus
+    conforms, a drifted batch violates exactly the induced constraints."""
+    from kgforge.operators.induction import induce_shapes, induced_to_ttl
+    from kgforge.operators.parse import extract_shapes_df, parse_pages
+    from kgforge.operators.validate import split_validated, validate_triples
+
+    data_ttl = """\
+@prefix ex: <http://example.org/> .
+ex:a1 a ex:Article ; ex:wordcount "120" ; ex:author ex:p1 .
+ex:a2 a ex:Article ; ex:wordcount "80" ; ex:author ex:p2 .
+ex:p1 a ex:Person .
+ex:p2 a ex:Person .
+"""
+    drift_ttl = """\
+@prefix ex: <http://example.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+ex:a3 a ex:Article ;
+    ex:wordcount "99"^^xsd:integer ;
+    ex:author ex:untyped_thing .
+"""
+    data = parse_pages(_page(spark, data_ttl))
+    rows = [r for r in induce_shapes(data).collect()
+            if r["target_class"] == "http://example.org/Article"]
+    ttl = induced_to_ttl(rows)
+    assert "sh:datatype <http://www.w3.org/2001/XMLSchema#string>" in ttl
+    assert "sh:class <http://example.org/Person>" in ttl
+
+    shapes = extract_shapes_df(_page(spark, ttl, url="https://ex.example.org/shapes"))
+    _acc, rej = split_validated(validate_triples(data, shapes, same_url_scope=False))
+    assert rej.count() == 0
+
+    drift = parse_pages(_page(spark, drift_ttl, url="https://ex.example.org/drift"))
+    _a2, rej2 = split_validated(validate_triples(drift, shapes, same_url_scope=False))
+    bad = {(r["subject"].rsplit("/", 1)[-1], r["predicate"].rsplit("/", 1)[-1])
+           for r in rej2.collect()}
+    assert ("a3", "wordcount") in bad  # xsd:integer != induced xsd:string
+    assert ("a3", "author") in bad     # object not typed ex:Person
