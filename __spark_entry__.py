@@ -2789,6 +2789,38 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_shapes(triples).orderBy("target_class", "path")
 
 
+def q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity summarization — top-3 most informative facts per entity by
+    pred_idf + obj_idf (kgforge/operators/fusion.py:entity_summary).
+    Inline corpus keyed urn:e:(doc_id%50) so every entity carries facts
+    from many docs (duplicates collapse to distinct facts): p:common on
+    every doc (2-value vocabulary -> low idf everywhere), p:mid on even
+    docs, p:rare on every 10th doc (high pred_idf -> ranks first where
+    present). Oracle: identical counts/logs/window replayed in DuckDB."""
+    from kgforge.operators.fusion import entity_summary
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ent = F.concat(F.lit("urn:e:"), (F.col("doc_id") % 50).cast("string"))
+
+    def fact(df, p, v):
+        return df.select(
+            ent.alias("subject"), F.lit(p).alias("predicate"),
+            F.struct(
+                v.alias("value"), F.lit("literal").alias("kind"),
+                F.lit("").alias("datatype"), F.lit("").alias("lang"),
+            ).alias("object"),
+        )
+
+    triples = (
+        fact(d, "urn:p:common", F.concat(F.lit("c"), (F.col("doc_id") % 2).cast("string")))
+        .unionByName(fact(d.filter(F.col("doc_id") % 2 == 0), "urn:p:mid",
+                          F.concat(F.lit("m"), (F.col("doc_id") % 7).cast("string"))))
+        .unionByName(fact(d.filter(F.col("doc_id") % 10 == 0), "urn:p:rare",
+                          F.concat(F.lit("r"), (F.col("doc_id") % 3).cast("string"))))
+    )
+    return entity_summary(triples, k=3).orderBy("subject", "rank")
+
+
 def q_kg_sparql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL FILTER boolean connectives (W3C §17.4.1): || over a nested
     && group, compiled to one Catalyst boolean expression pushed below the
@@ -4224,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_sparql_groupconcat": q_kg_sparql_groupconcat,
         "q_kg_fuse": q_kg_fuse,
         "q_kg_diff": q_kg_diff,
+        "q_kg_entity_summary": q_kg_entity_summary,
         "q_kg_induce": q_kg_induce,
         "q_kg_sparql_filter": q_kg_sparql_filter,
         "q_kg_sparql_subquery": q_kg_sparql_subquery,
@@ -7577,6 +7610,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, value, 'removed' AS change
             FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
             ORDER BY subject, change
+        """,
+        # entity summarization: distinct facts -> corpus/predicate/value
+        # counts -> pred_idf + obj_idf -> top-3 per subject by window
+        "q_kg_entity_summary": """
+            WITH d AS (SELECT doc_id FROM documents),
+            f0 AS (
+              SELECT 'urn:e:' || CAST(doc_id % 50 AS VARCHAR) AS subject,
+                     'urn:p:common' AS predicate,
+                     'c' || CAST(doc_id % 2 AS VARCHAR) AS value FROM d
+              UNION ALL
+              SELECT 'urn:e:' || CAST(doc_id % 50 AS VARCHAR), 'urn:p:mid',
+                     'm' || CAST(doc_id % 7 AS VARCHAR)
+              FROM d WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'urn:e:' || CAST(doc_id % 50 AS VARCHAR), 'urn:p:rare',
+                     'r' || CAST(doc_id % 3 AS VARCHAR)
+              FROM d WHERE doc_id % 10 = 0
+            ),
+            f AS (SELECT DISTINCT subject, predicate, value FROM f0),
+            ne AS (SELECT CAST(count(DISTINCT subject) AS BIGINT) AS n_ent FROM f),
+            ps AS (SELECT predicate,
+                          CAST(count(DISTINCT subject) AS BIGINT) AS n_subj,
+                          CAST(count(*) AS BIGINT) AS n_rows
+                   FROM f GROUP BY predicate),
+            po AS (SELECT predicate, value,
+                          CAST(count(*) AS BIGINT) AS n_po
+                   FROM f GROUP BY predicate, value),
+            sc AS (
+              SELECT f.subject, f.predicate, f.value,
+                     round(ln((ne.n_ent + 1.0) / (ps.n_subj + 1.0)), 6)
+                       AS pred_idf,
+                     round(ln((ps.n_rows + 1.0) / (po.n_po + 1.0)), 6)
+                       AS obj_idf
+              FROM f
+              JOIN po ON po.predicate = f.predicate AND po.value = f.value
+              JOIN ps ON ps.predicate = f.predicate
+              CROSS JOIN ne
+            ),
+            r AS (
+              SELECT subject, predicate, value, pred_idf, obj_idf,
+                     round(pred_idf + obj_idf, 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY subject
+                       ORDER BY round(pred_idf + obj_idf, 6) DESC,
+                                predicate, value) AS rank
+              FROM sc
+            )
+            SELECT subject, predicate, value, pred_idf, obj_idf, score,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 3 ORDER BY subject, rank
         """,
         # shape induction: per-subject cardinality -> per-(class,path)
         # stats, value-vocabulary counts, sh:in candidate when <= 5 values

@@ -261,3 +261,44 @@ ex:a3 a ex:Article ;
            for r in rej2.collect()}
     assert ("a3", "wordcount") in bad  # xsd:integer != induced xsd:string
     assert ("a3", "author") in bad     # object not typed ex:Person
+
+
+def test_entity_summary_golden(spark):
+    """Hand-computable informativeness ranking: the rare predicate ranks
+    above the universal one; duplicate assertions collapse to one fact."""
+    import math
+
+    from kgforge.operators.fusion import entity_summary
+
+    t = _triples(spark, [
+        # 3 entities; p:all on every entity (value 'x' shared), p:rare on e1
+        ("e1", "p:all", "x", "literal"),
+        ("e1", "p:all", "x", "literal"),  # duplicate assertion
+        ("e2", "p:all", "x", "literal"),
+        ("e3", "p:all", "x", "literal"),
+        ("e1", "p:rare", "unique", "literal"),
+    ])
+    got = {(r["subject"], r["predicate"]): r for r in entity_summary(t, k=2).collect()}
+    e1_rare = got[("e1", "p:rare")]
+    e1_all = got[("e1", "p:all")]
+    assert e1_rare["rank"] == 1 and e1_all["rank"] == 2
+    assert e1_rare["pred_idf"] == round(math.log(4 / 2), 6)   # (3+1)/(1+1)
+    assert e1_all["pred_idf"] == round(math.log(4 / 4), 6)    # (3+1)/(3+1)
+    # duplicates collapsed: n_rows(p:all)=3 distinct facts, n_po('x')=3
+    assert e1_all["obj_idf"] == round(math.log(4 / 4), 6)
+    assert e1_rare["obj_idf"] == round(math.log(2 / 2), 6)
+
+
+def test_entity_summary_k_and_ties(spark):
+    from kgforge.operators.fusion import entity_summary
+
+    rows = [("e1", "p:%d" % i, "v", "literal") for i in range(5)]
+    rows += [("e2", "p:0", "v", "literal")]
+    got = entity_summary(_triples(spark, rows), k=3)
+    e1 = [r for r in got.collect() if r["subject"] == "e1"]
+    assert len(e1) == 3
+    # p:0 is shared with e2 (lower pred_idf); p:1..p:4 tie above it and
+    # break deterministically on predicate name -> exactly p:1, p:2, p:3
+    assert [r["predicate"] for r in sorted(e1, key=lambda r: r["rank"])] == [
+        "p:1", "p:2", "p:3"
+    ]
