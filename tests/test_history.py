@@ -141,3 +141,57 @@ def test_burst_detection_spike_flagged(spark):
     sd = statistics.pstdev(ns)
     assert got[("A", 20)]["z"] == round((50 - mu) / sd, 6)
     assert got[("B", 0)]["z"] is None and got[("B", 0)]["is_burst"] is False
+
+
+def _events(spark, rows):
+    """rows: (user_id, event_type, ts_seconds)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    data = [(u, e, base + dt.timedelta(seconds=s)) for (u, e, s) in rows]
+    return spark.createDataFrame(data, "user_id long, event_type string, ts timestamp")
+
+
+def test_funnel_ordering_is_strict(spark):
+    """A user whose steps happen out of order (or at the same instant)
+    does NOT convert; earliest-completion picks the first valid chain."""
+    from kgforge.operators.history import funnel
+
+    ev = _events(spark, [
+        # u1: clean in-order chain
+        (1, "signup", 0), (1, "view", 10), (1, "click", 20),
+        # u2: view BEFORE signup, and the later view converts it anyway
+        (2, "view", 0), (2, "signup", 5), (2, "view", 9999),
+        # u3: signup only
+        (3, "signup", 0),
+        # u4: same-instant view (strictly-after semantics -> no conversion)
+        (4, "signup", 0), (4, "view", 0),
+    ])
+    got = {r["step"]: r for r in funnel(ev, ["signup", "view", "click"]).collect()}
+    assert got["signup"]["n_users"] == 4
+    assert got["view"]["n_users"] == 2          # u1 + u2 (late view)
+    assert got["click"]["n_users"] == 1         # u1 only
+    assert got["signup"]["conv_from_prev"] is None
+    assert got["view"]["conv_from_prev"] == 0.5
+    assert got["click"]["conv_from_prev"] == 0.5
+    assert got["click"]["conv_overall"] == 0.25
+
+
+def test_funnel_earliest_completion_not_best_path(spark):
+    """Earliest-completion semantics: the FIRST occurrence of each step
+    anchors the next, even when a later occurrence would have allowed a
+    longer chain — deterministic, SQL-replayable, and the standard
+    product-analytics definition."""
+    from kgforge.operators.history import funnel
+
+    ev = _events(spark, [
+        # signup@0 anchors; view@5 anchors; click must be > 5 -> click@3
+        # does NOT count, click@7 does
+        (1, "signup", 0), (1, "view", 5), (1, "click", 3), (1, "click", 7),
+    ])
+    got = {r["step"]: r["n_users"] for r in funnel(ev, ["signup", "view", "click"]).collect()}
+    assert got == {"signup": 1, "view": 1, "click": 1}
+    # remove the late click: the early one alone must not convert
+    ev2 = _events(spark, [(1, "signup", 0), (1, "view", 5), (1, "click", 3)])
+    got2 = {r["step"]: r["n_users"] for r in funnel(ev2, ["signup", "view", "click"]).collect()}
+    assert got2 == {"signup": 1, "view": 1, "click": 0}
