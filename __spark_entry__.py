@@ -1021,6 +1021,18 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by the ISO week of their
+    first signup; per later week, the share of the cohort with ANY
+    activity (kgforge/operators/history.py:retention_cohorts). One
+    min-agg + one (user, week) distinct + weeks²-sized output; no
+    windows. Oracle: identical date_trunc/epoch arithmetic in DuckDB."""
+    from kgforge.operators.history import retention_cohorts
+
+    events = _t(spark, sf_dir, "events")
+    return retention_cohorts(events).orderBy("cohort_week", "weeks_since")
+
+
 def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly burst detection per event type: z-score every observed hour
     against the type's own hourly distribution, flag z >= 3 — the crawl
@@ -4347,6 +4359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_transitions": q_event_transitions,
         "q_event_bursts": q_event_bursts,
         "q_event_funnel": q_event_funnel,
+        "q_event_retention": q_event_retention,
         "q_kg_tables": q_kg_tables,
         "q_feed_entries": q_feed_entries,
         "q_table_columns": q_table_columns,
@@ -5413,6 +5426,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hourly z-scores: identical buckets + population moments; z and
         # is_burst NULL-guarded exactly like the Spark side
+        # weekly retention: first-signup week cohorts x any-activity weeks
+        "q_event_retention": """
+            WITH firsts AS (
+              SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            sizes AS (
+              SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+              FROM firsts GROUP BY cohort_week
+            ),
+            aw AS (
+              SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS act_week
+              FROM events
+            ),
+            grid AS (
+              SELECT f.cohort_week,
+                     CAST(floor((epoch(a.act_week) - epoch(f.cohort_week))
+                                / 604800) AS BIGINT) AS weeks_since,
+                     CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+              FROM aw a JOIN firsts f ON f.u = a.u
+              WHERE a.act_week >= f.cohort_week
+              GROUP BY f.cohort_week, weeks_since
+            )
+            SELECT g.cohort_week, g.weeks_since, s.n_cohort, g.n_active,
+                   round(g.n_active / s.n_cohort, 6) AS retention
+            FROM grid g JOIN sizes s ON s.cohort_week = g.cohort_week
+            ORDER BY g.cohort_week, g.weeks_since
+        """,
         # ordered funnel: chained earliest-completion CTEs, each strictly
         # after the previous step's min ts; lag/first_value conversions
         "q_event_funnel": """

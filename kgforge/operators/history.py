@@ -243,3 +243,62 @@ def funnel(
             ),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    activity_event: str | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of their
+    FIRST ``cohort_event``; for each later week, the share of the cohort
+    with any activity (``activity_event`` filters the activity stream,
+    None counts every event type).
+
+    Scale shape: one min-agg for cohort assignment, one distinct over
+    (user, week) that collapses per-user event volume BEFORE the join
+    with cohort weeks (both keyed on the user), then a combinable
+    count-distinct per (cohort_week, weeks_since) — the output is
+    weeks² -sized. No windows, no per-user sequences.
+
+    Output: cohort_week, weeks_since (0 = the signup week itself),
+    n_cohort, n_active, retention.
+    """
+    firsts = (
+        events.filter(F.col(type_col) == cohort_event)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.date_trunc("week", F.min(ts_col)).alias("cohort_week"))
+    )
+    cohort_sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    act = events
+    if activity_event is not None:
+        act = act.filter(F.col(type_col) == activity_event)
+    active_weeks = act.select(
+        F.col(user_col).alias("user"),
+        F.date_trunc("week", F.col(ts_col)).alias("act_week"),
+    ).distinct()
+    grid = (
+        active_weeks.join(firsts, "user", "inner")
+        .withColumn(
+            "weeks_since",
+            (
+                (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+                / F.lit(604800)
+            ).cast("long"),
+        )
+        .filter(F.col("weeks_since") >= 0)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user").alias("n_active"))
+    )
+    return grid.join(cohort_sizes, "cohort_week", "inner").select(
+        "cohort_week",
+        "weeks_since",
+        "n_cohort",
+        "n_active",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
+    )

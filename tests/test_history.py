@@ -195,3 +195,49 @@ def test_funnel_earliest_completion_not_best_path(spark):
     ev2 = _events(spark, [(1, "signup", 0), (1, "view", 5), (1, "click", 3)])
     got2 = {r["step"]: r["n_users"] for r in funnel(ev2, ["signup", "view", "click"]).collect()}
     assert got2 == {"signup": 1, "view": 1, "click": 0}
+
+
+def test_retention_cohorts_golden(spark):
+    """Hand-computed weekly retention: week-0 self-retention is 1.0 by
+    construction (the signup itself is activity), later weeks count any
+    event type, pre-signup activity never counts."""
+    from kgforge.operators.history import retention_cohorts
+
+    # 2024-01-01 is a Monday -> clean week boundaries
+    ev = _events(spark, [
+        # cohort week 0: u1, u2 sign up; u1 active week 1; u2 never again
+        (1, "signup", 0), (1, "view", 7 * 86400 + 60),
+        (2, "signup", 3600),
+        # u3 signs up in week 1, has PRE-signup activity in week 0
+        (3, "view", 60), (3, "signup", 7 * 86400 + 120),
+        (3, "click", 14 * 86400 + 60),
+    ])
+    rows = {
+        (r["cohort_week"].day, r["weeks_since"]): r
+        for r in retention_cohorts(ev).collect()
+    }
+    w0 = rows[(1, 0)]   # cohort of Jan 1 week, week 0
+    assert (w0["n_cohort"], w0["n_active"], w0["retention"]) == (2, 2, 1.0)
+    w0_1 = rows[(1, 1)]
+    assert (w0_1["n_active"], w0_1["retention"]) == (1, 0.5)
+    # u3's cohort is the Jan 8 week; its week-0 activity is the signup,
+    # week-1 the click; the pre-signup view created NO (cohort, -1) row
+    assert rows[(8, 0)]["n_active"] == 1
+    assert rows[(8, 1)]["n_active"] == 1
+    assert (1, -1) not in rows and (8, -1) not in rows
+
+
+def test_retention_cohorts_activity_filter(spark):
+    from kgforge.operators.history import retention_cohorts
+
+    ev = _events(spark, [
+        (1, "signup", 0), (1, "view", 7 * 86400 + 60),
+        (2, "signup", 0), (2, "purchase", 7 * 86400 + 60),
+    ])
+    got = {
+        r["weeks_since"]: r
+        for r in retention_cohorts(ev, activity_event="purchase").collect()
+    }
+    # week 0 has no purchases at all -> no row; week 1 only u2
+    assert 0 not in got
+    assert (got[1]["n_cohort"], got[1]["n_active"]) == (2, 1)
