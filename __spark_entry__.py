@@ -2815,6 +2815,47 @@ def q_kg_induce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return induce_shapes(triples).orderBy("target_class", "path")
 
 
+def q_kg_shape_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift monitor between two crawl snapshots
+    (kgforge/operators/induction.py:shape_drift): old = even docs, new =
+    all docs; p:stable identical in both, p:gone only in old (removed),
+    p:fresh only in new (added), p:shift gains a second value on every
+    3rd doc (max_count 1 -> 2, changed). Oracle replays both snapshots'
+    induced stats + the full-outer change CASE closed-form."""
+    from kgforge.operators.induction import shape_drift
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    subj = F.concat(F.lit("urn:s:"), i.cast("string"))
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def tr(df, p, v, kind="literal"):
+        return df.select(
+            subj.alias("subject"), F.lit(p).alias("predicate"),
+            F.struct(
+                v.alias("value"), F.lit(kind).alias("kind"),
+                F.lit("").alias("datatype"), F.lit("").alias("lang"),
+            ).alias("object"),
+        )
+
+    cls = F.lit("urn:C")
+    old_docs = d.filter(i % 2 == 0)
+    old = (
+        tr(old_docs, rdf_type, cls, "iri")
+        .unionByName(tr(old_docs, "urn:p:stable", F.concat(F.lit("s"), (i % 3).cast("string"))))
+        .unionByName(tr(old_docs, "urn:p:gone", F.lit("g")))
+        .unionByName(tr(old_docs, "urn:p:shift", F.lit("x")))
+    )
+    new = (
+        tr(d, rdf_type, cls, "iri")
+        .unionByName(tr(d, "urn:p:stable", F.concat(F.lit("s"), (i % 3).cast("string"))))
+        .unionByName(tr(d, "urn:p:fresh", F.concat(F.lit("f"), (i % 5).cast("string"))))
+        .unionByName(tr(d, "urn:p:shift", F.lit("x")))
+        .unionByName(tr(d.filter(i % 3 == 0), "urn:p:shift", F.lit("y")))
+    )
+    return shape_drift(old, new).orderBy("path")
+
+
 def q_kg_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity summarization — top-3 most informative facts per entity by
     pred_idf + obj_idf (kgforge/operators/fusion.py:entity_summary).
@@ -4283,6 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_fuse": q_kg_fuse,
         "q_kg_diff": q_kg_diff,
         "q_kg_entity_summary": q_kg_entity_summary,
+        "q_kg_shape_drift": q_kg_shape_drift,
         "q_kg_induce": q_kg_induce,
         "q_kg_sparql_filter": q_kg_sparql_filter,
         "q_kg_sparql_subquery": q_kg_sparql_subquery,
@@ -7704,6 +7746,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, value, 'removed' AS change
             FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
             ORDER BY subject, change
+        """,
+        # shape drift: both snapshots' induced per-(class,path) stats
+        # recomputed closed-form, full-outer joined, change CASE
+        "q_kg_shape_drift": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            old_f AS (
+              SELECT 'urn:s:' || CAST(i AS VARCHAR) AS s, 'urn:p:stable' AS p,
+                     's' || CAST(i % 3 AS VARCHAR) AS v FROM d WHERE i % 2 = 0
+              UNION ALL
+              SELECT 'urn:s:' || CAST(i AS VARCHAR), 'urn:p:gone', 'g'
+              FROM d WHERE i % 2 = 0
+              UNION ALL
+              SELECT 'urn:s:' || CAST(i AS VARCHAR), 'urn:p:shift', 'x'
+              FROM d WHERE i % 2 = 0
+            ),
+            new_f AS (
+              SELECT 'urn:s:' || CAST(i AS VARCHAR) AS s, 'urn:p:stable' AS p,
+                     's' || CAST(i % 3 AS VARCHAR) AS v FROM d
+              UNION ALL
+              SELECT 'urn:s:' || CAST(i AS VARCHAR), 'urn:p:fresh',
+                     'f' || CAST(i % 5 AS VARCHAR) FROM d
+              UNION ALL
+              SELECT 'urn:s:' || CAST(i AS VARCHAR), 'urn:p:shift', 'x' FROM d
+              UNION ALL
+              SELECT 'urn:s:' || CAST(i AS VARCHAR), 'urn:p:shift', 'y'
+              FROM d WHERE i % 3 = 0
+            ),
+            old_m AS (SELECT count(*) AS nm FROM d WHERE i % 2 = 0),
+            new_m AS (SELECT count(*) AS nm FROM d),
+            old_ps AS (SELECT s, p, count(*) AS card FROM old_f GROUP BY s, p),
+            new_ps AS (SELECT s, p, count(*) AS card FROM new_f GROUP BY s, p),
+            old_st AS (
+              SELECT p, round(count(*) * 1.0 / (SELECT nm FROM old_m), 6) AS cov,
+                     CAST(CASE WHEN count(*) < (SELECT nm FROM old_m) THEN 0
+                               ELSE min(card) END AS BIGINT) AS minc,
+                     CAST(max(card) AS BIGINT) AS maxc
+              FROM old_ps GROUP BY p
+            ),
+            new_st AS (
+              SELECT p, round(count(*) * 1.0 / (SELECT nm FROM new_m), 6) AS cov,
+                     CAST(CASE WHEN count(*) < (SELECT nm FROM new_m) THEN 0
+                               ELSE min(card) END AS BIGINT) AS minc,
+                     CAST(max(card) AS BIGINT) AS maxc
+              FROM new_ps GROUP BY p
+            )
+            SELECT 'urn:C' AS target_class,
+                   COALESCE(o.p, n.p) AS path,
+                   CASE WHEN o.p IS NULL THEN 'added'
+                        WHEN n.p IS NULL THEN 'removed'
+                        WHEN o.cov <> n.cov OR o.minc <> n.minc
+                             OR o.maxc <> n.maxc THEN 'changed'
+                        ELSE 'stable' END AS change,
+                   o.cov AS coverage_old, n.cov AS coverage_new,
+                   o.minc AS min_count_old, n.minc AS min_count_new,
+                   o.maxc AS max_count_old, n.maxc AS max_count_new,
+                   CASE WHEN o.p IS NOT NULL THEN 'literal' END AS node_kind_old,
+                   CASE WHEN n.p IS NOT NULL THEN 'literal' END AS node_kind_new,
+                   CASE WHEN o.p IS NOT NULL
+                        THEN 'http://www.w3.org/2001/XMLSchema#string'
+                   END AS datatype_old,
+                   CASE WHEN n.p IS NOT NULL
+                        THEN 'http://www.w3.org/2001/XMLSchema#string'
+                   END AS datatype_new
+            FROM old_st o FULL OUTER JOIN new_st n ON n.p = o.p
+            ORDER BY path
         """,
         # entity summarization: distinct facts -> corpus/predicate/value
         # counts -> pred_idf + obj_idf -> top-3 per subject by window

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..rdf.terms import RDF_TYPE, XSD_STRING
 
-__all__ = ["induce_shapes", "induced_to_ttl"]
+__all__ = ["induce_shapes", "induced_to_ttl", "shape_drift"]
 
 
 def induce_shapes(
@@ -267,3 +267,48 @@ def induced_to_ttl(induced_rows, strict_counts: bool = True) -> str:
         lines.append(" ;\n".join(props) + " .")
         lines.append("")
     return "\n".join(lines)
+
+
+def shape_drift(
+    old_triples: DataFrame, new_triples: DataFrame, max_in_values: int = 5
+) -> DataFrame:
+    """Schema-drift monitor between two crawl snapshots: induce the shape
+    statistics of BOTH corpora and diff them per (target_class, path) —
+    the alert a KG operator wants when a source site redesigns ("Product
+    pages stopped carrying price", "author became multi-valued", "ids
+    turned from IRIs into literals").
+
+    change ∈ added (path first seen in the new snapshot) / removed /
+    changed (coverage — rounded to 6 — min/max cardinality, node kind, or
+    induced datatype moved) / stable. Both induced tables are
+    schema-sized, so the full-outer join is trivially broadcastable; all
+    corpus-scale work happens inside the two :func:`induce_shapes` calls.
+
+    Output: target_class, path, change, then old/new pairs of coverage,
+    min_count, max_count, node_kind, datatype.
+    """
+    cols = ["coverage", "min_count", "max_count", "node_kind", "datatype"]
+
+    def side(t, tag):
+        ind = induce_shapes(t, max_in_values=max_in_values)
+        sel = [F.col("target_class"), F.col("path")]
+        for c in cols:
+            v = F.round(F.col(c), 6) if c == "coverage" else F.col(c)
+            sel.append(v.alias(f"{c}_{tag}"))
+        return ind.select(*sel).withColumn(f"_present_{tag}", F.lit(True))
+
+    o, n = side(old_triples, "old"), side(new_triples, "new")
+    joined = o.join(n, ["target_class", "path"], "full_outer")
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"{c}_old").eqNullSafe(F.col(f"{c}_new"))
+    change = (
+        F.when(F.col("_present_old").isNull(), F.lit("added"))
+        .when(F.col("_present_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("stable"))
+    )
+    out_cols = ["target_class", "path", change.alias("change")]
+    for c in cols:
+        out_cols += [f"{c}_old", f"{c}_new"]
+    return joined.select(*out_cols)

@@ -302,3 +302,61 @@ def test_entity_summary_k_and_ties(spark):
     assert [r["predicate"] for r in sorted(e1, key=lambda r: r["rank"])] == [
         "p:1", "p:2", "p:3"
     ]
+
+
+def test_shape_drift_four_ways(spark):
+    """added / removed / changed / stable classification, hand-pinned."""
+    from kgforge.operators.induction import shape_drift
+
+    old = _triples(spark, [
+        ("s1", RDF_TYPE, "C", "iri"), ("s2", RDF_TYPE, "C", "iri"),
+        ("s1", "p:stable", "a", "literal"), ("s2", "p:stable", "b", "literal"),
+        ("s1", "p:gone", "g", "literal"), ("s2", "p:gone", "g", "literal"),
+        ("s1", "p:card", "x", "literal"), ("s2", "p:card", "x", "literal"),
+        ("s1", "p:kind", "urn:i", "iri"), ("s2", "p:kind", "urn:j", "iri"),
+    ])
+    new = _triples(spark, [
+        ("s1", RDF_TYPE, "C", "iri"), ("s2", RDF_TYPE, "C", "iri"),
+        ("s1", "p:stable", "a", "literal"), ("s2", "p:stable", "b", "literal"),
+        ("s1", "p:fresh", "f", "literal"), ("s2", "p:fresh", "f", "literal"),
+        # second value on s1 -> max_count 1 -> 2
+        ("s1", "p:card", "x", "literal"), ("s1", "p:card", "y", "literal"),
+        ("s2", "p:card", "x", "literal"),
+        # node kind flips iri -> literal
+        ("s1", "p:kind", "plain", "literal"), ("s2", "p:kind", "plain", "literal"),
+    ])
+    got = {r["path"]: r for r in shape_drift(old, new).collect()}
+    assert got["p:stable"]["change"] == "stable"
+    assert got["p:gone"]["change"] == "removed"
+    assert got["p:gone"]["coverage_new"] is None
+    assert got["p:fresh"]["change"] == "added"
+    assert got["p:fresh"]["coverage_old"] is None
+    assert got["p:card"]["change"] == "changed"
+    assert (got["p:card"]["max_count_old"], got["p:card"]["max_count_new"]) == (1, 2)
+    assert got["p:kind"]["change"] == "changed"
+    assert (got["p:kind"]["node_kind_old"], got["p:kind"]["node_kind_new"]) == (
+        "iri", "literal"
+    )
+    # datatype drift is part of the change signal too
+    assert got["p:kind"]["datatype_old"] is None
+    assert got["p:kind"]["datatype_new"] == XSD_STR
+
+
+def test_shape_drift_coverage_change(spark):
+    from kgforge.operators.induction import shape_drift
+
+    old = _triples(spark, [
+        ("s1", RDF_TYPE, "C", "iri"), ("s2", RDF_TYPE, "C", "iri"),
+        ("s1", "p:x", "v", "literal"), ("s2", "p:x", "v", "literal"),
+    ])
+    new = _triples(spark, [
+        ("s1", RDF_TYPE, "C", "iri"), ("s2", RDF_TYPE, "C", "iri"),
+        ("s3", RDF_TYPE, "C", "iri"),
+        ("s1", "p:x", "v", "literal"), ("s2", "p:x", "v", "literal"),
+    ])
+    got = {r["path"]: r for r in shape_drift(old, new).collect()}
+    r = got["p:x"]
+    # coverage 1.0 -> 2/3, and the induced min_count relaxes 1 -> 0
+    assert r["change"] == "changed"
+    assert (r["coverage_old"], r["coverage_new"]) == (1.0, round(2 / 3, 6))
+    assert (r["min_count_old"], r["min_count_new"]) == (1, 0)
