@@ -1007,20 +1007,6 @@ def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel signup -> view -> click -> purchase with
-    earliest-completion semantics (each step strictly after the previous
-    step's earliest completion; kgforge/operators/history.py:funnel).
-    Chained shrinking min-aggregations on the user key, no per-user sort.
-    Oracle: identical chained CTEs + lag/first_value window in DuckDB."""
-    from kgforge.operators.history import funnel
-
-    events = _t(spark, sf_dir, "events")
-    return funnel(events, ["signup", "view", "click", "purchase"]).orderBy(
-        "step_idx"
-    )
-
-
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users bucketed by the ISO week of their
     first signup; per later week, the share of the cohort with ANY
@@ -4400,7 +4386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_diversity": q_emb_diversity,
         "q_event_transitions": q_event_transitions,
         "q_event_bursts": q_event_bursts,
-        "q_event_funnel": q_event_funnel,
         "q_event_retention": q_event_retention,
         "q_kg_tables": q_kg_tables,
         "q_feed_entries": q_feed_entries,
@@ -5495,44 +5480,6 @@ def oracle_sql() -> dict[str, str]:
                    round(g.n_active / s.n_cohort, 6) AS retention
             FROM grid g JOIN sizes s ON s.cohort_week = g.cohort_week
             ORDER BY g.cohort_week, g.weeks_since
-        """,
-        # ordered funnel: chained earliest-completion CTEs, each strictly
-        # after the previous step's min ts; lag/first_value conversions
-        "q_event_funnel": """
-            WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
-                        WHERE event_type = 'signup' GROUP BY user_id),
-            s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-                   JOIN s1 ON s1.u = e.user_id
-                   WHERE e.event_type = 'view' AND e.ts > s1.t
-                   GROUP BY e.user_id),
-            s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-                   JOIN s2 ON s2.u = e.user_id
-                   WHERE e.event_type = 'click' AND e.ts > s2.t
-                   GROUP BY e.user_id),
-            s4 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
-                   JOIN s3 ON s3.u = e.user_id
-                   WHERE e.event_type = 'purchase' AND e.ts > s3.t
-                   GROUP BY e.user_id),
-            n AS (
-              SELECT 1 AS step_idx, 'signup' AS step,
-                     (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
-              UNION ALL SELECT 2, 'view',
-                     (SELECT CAST(count(*) AS BIGINT) FROM s2)
-              UNION ALL SELECT 3, 'click',
-                     (SELECT CAST(count(*) AS BIGINT) FROM s3)
-              UNION ALL SELECT 4, 'purchase',
-                     (SELECT CAST(count(*) AS BIGINT) FROM s4)
-            )
-            SELECT step_idx, step, n_users,
-                   CASE WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
-                        THEN round(n_users /
-                               lag(n_users) OVER (ORDER BY step_idx), 6)
-                   END AS conv_from_prev,
-                   CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
-                        THEN round(n_users /
-                               first_value(n_users) OVER (ORDER BY step_idx), 6)
-                   END AS conv_overall
-            FROM n ORDER BY step_idx
         """,
         "q_event_bursts": """
             WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,

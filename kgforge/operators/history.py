@@ -179,72 +179,6 @@ def burst_detection(
     )
 
 
-def funnel(
-    events: DataFrame,
-    steps: list[str],
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    type_col: str = "event_type",
-) -> DataFrame:
-    """Ordered funnel analysis: how many users performed ``steps`` IN
-    ORDER (each step strictly after the previous one's earliest-completion
-    timestamp — the standard earliest-completion semantics, deterministic
-    and replayable in SQL).
-
-    Scale shape: one conditional min-aggregation per step, chained by
-    equi-joins on the user key — every stage SHRINKS (only users who
-    reached step i are joined against step i+1's candidates), all joins
-    share one hash-partitioning on the user key, and there is no per-user
-    sort or event-array collection anywhere. The final conversion table is
-    steps-sized; its lag window is over a handful of rows.
-
-    Output: step_idx, step, n_users, conv_from_prev (share of the
-    previous step's users), conv_overall (share of step 1's users).
-    """
-    from pyspark.sql import Window
-
-    reached = None  # (user, ts_i): earliest completion of the prefix
-    counts = []
-    for i, s in enumerate(steps):
-        cand = events.filter(F.col(type_col) == s).select(
-            F.col(user_col).alias("user"), F.col(ts_col).alias("t")
-        )
-        if reached is not None:
-            cand = cand.join(reached, "user", "inner").filter(
-                F.col("t") > F.col("prev_t")
-            )
-        reached = cand.groupBy("user").agg(F.min("t").alias("prev_t"))
-        counts.append(
-            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("step_idx"), F.lit(s).alias("step"), "n_users"
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    w = Window.orderBy("step_idx")
-    first = F.first("n_users").over(
-        Window.orderBy("step_idx").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    )
-    return (
-        out.withColumn("_prev", F.lag("n_users").over(w))
-        .select(
-            "step_idx",
-            "step",
-            "n_users",
-            F.when(
-                F.col("_prev").isNotNull() & (F.col("_prev") > 0),
-                F.round(F.col("n_users") / F.col("_prev"), 6),
-            ).alias("conv_from_prev"),
-            F.when(first > 0, F.round(F.col("n_users") / first, 6)).alias(
-                "conv_overall"
-            ),
-        )
-    )
-
-
 def retention_cohorts(
     events: DataFrame,
     cohort_event: str = "signup",

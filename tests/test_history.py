@@ -152,51 +152,6 @@ def _events(spark, rows):
     return spark.createDataFrame(data, "user_id long, event_type string, ts timestamp")
 
 
-def test_funnel_ordering_is_strict(spark):
-    """A user whose steps happen out of order (or at the same instant)
-    does NOT convert; earliest-completion picks the first valid chain."""
-    from kgforge.operators.history import funnel
-
-    ev = _events(spark, [
-        # u1: clean in-order chain
-        (1, "signup", 0), (1, "view", 10), (1, "click", 20),
-        # u2: view BEFORE signup, and the later view converts it anyway
-        (2, "view", 0), (2, "signup", 5), (2, "view", 9999),
-        # u3: signup only
-        (3, "signup", 0),
-        # u4: same-instant view (strictly-after semantics -> no conversion)
-        (4, "signup", 0), (4, "view", 0),
-    ])
-    got = {r["step"]: r for r in funnel(ev, ["signup", "view", "click"]).collect()}
-    assert got["signup"]["n_users"] == 4
-    assert got["view"]["n_users"] == 2          # u1 + u2 (late view)
-    assert got["click"]["n_users"] == 1         # u1 only
-    assert got["signup"]["conv_from_prev"] is None
-    assert got["view"]["conv_from_prev"] == 0.5
-    assert got["click"]["conv_from_prev"] == 0.5
-    assert got["click"]["conv_overall"] == 0.25
-
-
-def test_funnel_earliest_completion_not_best_path(spark):
-    """Earliest-completion semantics: the FIRST occurrence of each step
-    anchors the next, even when a later occurrence would have allowed a
-    longer chain — deterministic, SQL-replayable, and the standard
-    product-analytics definition."""
-    from kgforge.operators.history import funnel
-
-    ev = _events(spark, [
-        # signup@0 anchors; view@5 anchors; click must be > 5 -> click@3
-        # does NOT count, click@7 does
-        (1, "signup", 0), (1, "view", 5), (1, "click", 3), (1, "click", 7),
-    ])
-    got = {r["step"]: r["n_users"] for r in funnel(ev, ["signup", "view", "click"]).collect()}
-    assert got == {"signup": 1, "view": 1, "click": 1}
-    # remove the late click: the early one alone must not convert
-    ev2 = _events(spark, [(1, "signup", 0), (1, "view", 5), (1, "click", 3)])
-    got2 = {r["step"]: r["n_users"] for r in funnel(ev2, ["signup", "view", "click"]).collect()}
-    assert got2 == {"signup": 1, "view": 1, "click": 0}
-
-
 def test_retention_cohorts_golden(spark):
     """Hand-computed weekly retention: week-0 self-retention is 1.0 by
     construction (the signup itself is activity), later weeks count any
