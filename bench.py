@@ -305,6 +305,10 @@ def main():
         "q_salted_join",
         "q_bloom_join",
         "q_host_bowtie",
+        "q_kg_shacl_rules",
+        "q_kg_entity_summary",
+        "q_kg_shape_drift",
+        "q_event_retention",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
