@@ -954,6 +954,62 @@ def q_kg_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:TransitiveProperty materialization (the third OWL property
+    semantic next to q_kg_owl_entail's inverseOf/symmetric): a closed-form
+    ex:broader binary-tree category hierarchy (cat c -> cat floor(c/2))
+    is closed under chaining by log-round path doubling on the
+    property-sized relation only; the returned delta is every ancestor
+    at distance >= 2 (the closure minus what the corpus asserts). Oracle:
+    DuckDB recursive CTE over the identical edge set, EXCEPT direct
+    edges."""
+    from kgforge.operators.inference import owl_transitive_inference
+
+    B = "http://example.org/broader"
+
+    def curi(n):
+        return F.concat(
+            F.lit("http://example.org/cat/C"),
+            F.lpad(n.cast("string"), 2, "0"),
+        )
+
+    cats = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("bigint").alias("c"))
+        .filter(F.col("c") > 0)
+        .distinct()
+    )
+    tri = cats.select(
+        curi(F.col("c")).alias("subject"),
+        F.lit(B).alias("predicate"),
+        F.struct(
+            F.lit("iri").alias("kind"),
+            curi(F.floor(F.col("c") / F.lit(2)).cast("bigint")).alias("value"),
+        ).alias("object"),
+    )
+    return owl_transitive_inference(tri, [B]).orderBy("subject", "object")
+
+
+def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT as a user-facing query surface (W3C SPARQL 1.1
+    §10.2 — the KG enrichment path the SHACL-AF SPARQLRule executor
+    compiles through): one WHERE solution set instantiates a TWO-triple
+    template (reverse knownBy edge + Person typing for every knowing
+    subject), union of the projections, set semantics via one distinct.
+    Oracle: the closed-form knows edges reversed + typed with UNION in
+    SQL."""
+    from kgforge.operators.sparql import sparql_construct
+
+    out = sparql_construct(
+        _knows_triples(spark, sf_dir),
+        """CONSTRUCT { ?o <http://example.org/knownBy> ?s .
+                       ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type>
+                          <http://schema.org/Person> }
+           WHERE { ?s <http://schema.org/knows> ?o . }""",
+    )
+    return out.orderBy("predicate", "subject", "obj")
+
+
 def q_kg_shacl_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-AF rule inference (sh:TripleRule) executed to a fixpoint: a
     shapes graph parsed by the engine's own Turtle parser declares
@@ -3212,6 +3268,43 @@ def q_host_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds).orderBy("node")
 
 
+def q_host_hopplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop plot / neighbourhood function of the host graph from two
+    sampled landmarks (the ANF question, Palmer et al. 2002, answered
+    with exact landmark BFS): per hop h the number of (landmark, node)
+    pairs exactly h apart, cumulative pairs within h, and cumulative
+    share — the 90th-percentile effective diameter reads off cum_share.
+    The cumulative window sorts a DIAMETER-sized table (<= max_depth
+    rows), never the graph. Oracle: DuckDB recursive-CTE BFS from the
+    same two landmarks + identical window arithmetic."""
+    from kgforge.operators.graph import hop_plot
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    lm = spark.createDataFrame(
+        [("ex0.example.org",), ("ex50.example.org",)], "node string"
+    )
+    return hop_plot(edges, lm).orderBy("dist")
+
+
+def q_cosine_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine similarity join over the documents
+    table — the WEIGHTED near-dup primitive next to the set-overlap
+    family (MinHash/SimHash/Jaccard/containment): term-frequency vectors
+    (terms with df > 200 pruned first — the stopword cap that bounds the
+    postings self-join's per-term fan-out at df² on a power-law
+    vocabulary), exact bigint dots and squared norms, one IEEE division
+    + correctly-rounded sqrt so the cosine is bit-identical across
+    engines. Oracle: the identical tokenize/prune/dot/norm pipeline in
+    SQL."""
+    from kgforge.operators.similarity import bow_cosine_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bow_cosine_join(docs, threshold=0.5, max_df=200).orderBy("a", "b")
+
+
 def q_host_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """node2vec second-order biased walks (p=2 return-averse, q=0.5
     DFS-leaning) over the host graph: the weighted neighbor pick is an
@@ -4377,6 +4470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_graph_summary": q_host_graph_summary,
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
+        "q_kg_owl_transitive": q_kg_owl_transitive,
+        "q_kg_sparql_construct": q_kg_sparql_construct,
+        "q_host_hopplot": q_host_hopplot,
+        "q_cosine_simjoin": q_cosine_simjoin,
         "q_kg_shacl_rules": q_kg_shacl_rules,
         "q_host_boilerplate": q_host_boilerplate,
         "q_er_eval": q_er_eval,
@@ -7328,6 +7425,118 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, object
             FROM (SELECT * FROM inv UNION SELECT * FROM sym)
             ORDER BY predicate, subject, object
+        """,
+        # transitive closure of the closed-form broader hierarchy
+        # (c -> floor(c/2)) minus the asserted direct edges
+        "q_kg_owl_transitive": """
+            WITH RECURSIVE cats AS (
+                SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS c
+                FROM documents WHERE doc_id % 60 > 0),
+            e AS (SELECT c AS s, CAST(FLOOR(c / 2) AS BIGINT) AS o FROM cats),
+            clo(s, o) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT clo.s, e.o FROM clo JOIN e ON clo.o = e.s)
+            SELECT 'http://example.org/cat/C' || lpad(CAST(s AS VARCHAR), 2, '0')
+                     AS subject,
+                   'http://example.org/broader' AS predicate,
+                   'http://example.org/cat/C' || lpad(CAST(o AS VARCHAR), 2, '0')
+                     AS object
+            FROM clo c
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = c.s AND e.o = c.o)
+            ORDER BY subject, object
+        """,
+        # CONSTRUCT template instantiation: reversed knownBy edges +
+        # Person typing over the closed-form knows relation, set semantics
+        "q_kg_sparql_construct": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            uri AS (SELECT
+                'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                  || lpad(CAST(ks AS VARCHAR), 4, '0') AS s,
+                'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                  || lpad(CAST(ko AS VARCHAR), 4, '0') AS o
+              FROM knows)
+            SELECT subject, predicate, obj FROM (
+                SELECT o AS subject, 'http://example.org/knownBy' AS predicate,
+                       s AS obj FROM uri
+                UNION
+                SELECT s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'http://schema.org/Person' FROM uri)
+            ORDER BY predicate, subject, obj
+        """,
+        # landmark BFS from two seeds + diameter-sized cumulative window
+        "q_host_hopplot": """
+            WITH RECURSIVE d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+            bfs(landmark, node, dist) AS (
+              SELECT node, node, 0 FROM (
+                  VALUES ('ex0.example.org'), ('ex50.example.org')) t(node)
+              UNION
+              SELECT bfs.landmark, e.dst, bfs.dist + 1
+              FROM bfs JOIN e ON e.src = bfs.node
+              WHERE bfs.dist < 30
+            ),
+            md AS (SELECT landmark, node, MIN(dist) AS dist
+                   FROM bfs GROUP BY landmark, node),
+            per AS (SELECT CAST(dist AS BIGINT) AS dist,
+                           CAST(COUNT(*) AS BIGINT) AS n_pairs
+                    FROM md GROUP BY dist)
+            SELECT dist, n_pairs,
+                   CAST(SUM(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+                   ROUND(CAST(SUM(n_pairs) OVER (ORDER BY dist) AS DOUBLE)
+                         / CAST((SELECT SUM(n_pairs) FROM per) AS DOUBLE),
+                         6) AS cum_share
+            FROM per ORDER BY dist
+        """,
+        # identical tokenize/df-prune/dot/norm pipeline: exact bigint
+        # sums -> one IEEE division + sqrt, threshold on the rounded value
+        "q_cosine_simjoin": """
+            WITH terms AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+                    FROM documents
+                ) WHERE LENGTH(term) >= 3
+                GROUP BY doc_id, term
+            ),
+            pruned AS (
+                SELECT * FROM terms WHERE term NOT IN (
+                    SELECT term FROM terms GROUP BY term HAVING COUNT(*) > 200)
+            ),
+            norms AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2
+                      FROM pruned GROUP BY doc_id),
+            dots AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                            CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+                     FROM pruned x JOIN pruned y
+                       ON x.term = y.term AND x.doc_id < y.doc_id
+                     GROUP BY x.doc_id, y.doc_id),
+            scored AS (
+                SELECT a, b,
+                       ROUND(CAST(dot AS DOUBLE)
+                             / SQRT(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cosine
+                FROM dots
+                JOIN norms na ON na.doc_id = a
+                JOIN norms nb ON nb.doc_id = b)
+            SELECT a, b, cosine FROM scored
+            WHERE cosine >= 0.5 ORDER BY a, b
         """,
         # compound FILTER over the closed-form age relation: same entity-URI
         # spelling as q_kg_sparql, predicate (age<30 OR 50<=age<55)

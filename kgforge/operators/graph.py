@@ -26,6 +26,7 @@ ranks and edges can be pre-bucketed by node for shuffle-free reuse.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def normalize_edges(edges: DataFrame, symmetrize: bool = False) -> DataFrame:
@@ -975,3 +976,42 @@ def bowtie_classify(
         .otherwise("disconnected")
     )
     return both.select("node", comp.alias("component"), "dist_fwd", "dist_bwd")
+
+
+def hop_plot(
+    edges: DataFrame,
+    landmarks: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Hop plot / neighbourhood function from sampled landmarks (the ANF
+    question — Palmer et al. 2002 — answered with exact landmark BFS
+    instead of probabilistic counters): for each hop distance h, how many
+    (landmark, node) pairs are exactly h apart, cumulatively how many are
+    within h, and the cumulative share of all reached pairs. The
+    90th-percentile effective diameter reads straight off ``cum_share``.
+
+    Scale shape: one :func:`landmark_distances` run (frontier-driven,
+    state = |L|·|V| with L a sampled pivot set) + one combinable count
+    agg keyed on dist; the cumulative window runs over a DIAMETER-sized
+    table (≤ max_depth rows), so its single-partition sort is bounded by
+    construction, not by the graph. Distance 0 (landmark→itself) is
+    included, matching the neighbourhood-function convention N(0) = |L|.
+    """
+    d = landmark_distances(edges, landmarks, src=src, dst=dst, max_depth=max_depth)
+    per = d.groupBy("dist").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    w = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "dist",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("cum_pairs"),
+        F.round(
+            F.sum("n_pairs").over(w).cast("double")
+            / F.sum("n_pairs").over(tot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

@@ -156,3 +156,68 @@ def owl_property_inference(
     )
     inferred = fwd.unionByName(bwd).unionByName(mirrored).distinct()
     return inferred.join(base, ["subject", "predicate", "object"], "left_anti")
+
+
+def owl_transitive_inference(
+    triples: DataFrame, transitive_props: list[str], max_depth: int = 64
+) -> DataFrame:
+    """Materialize owl:TransitiveProperty entailments: for every declared
+    transitive predicate p, close (s, p, o) under s-p->x-p->o chaining and
+    return ONLY the newly-entailed triples (subject, predicate, object) —
+    the delta a forward-chaining materializer appends (completes the OWL
+    property-semantics trio next to :func:`owl_property_inference`'s
+    inverseOf/symmetric rules; the reference extracts ontology metadata,
+    /root/reference/src/ShaclParser.php:65-74, but never entails).
+
+    Scale shape: the edge relation for ONE property (partOf, broader,
+    subEventOf, ...) is link-shaped — orders of magnitude below the corpus
+    triple count — and the closure never touches other predicates: the
+    corpus scan happens once (a broadcastable isin filter on predicate
+    that pushes into the columnar scan), then path doubling iterates on
+    the filtered relation only, keyed (predicate, node) so multiple
+    transitive properties close in the same rounds without cross-talk.
+    Doubling reaches paths of length 2^r after r rounds — log(diameter)
+    self-joins, not diameter — and every round ends with an eager
+    localCheckpoint (lineage stays round-linear) + a count() fixpoint
+    probe on the property-sized relation, never a corpus job. Cycles are
+    safe: a node on a p-cycle entails (s, p, s) and the distinct-fixpoint
+    terminates. Worst case the closure is quadratic in one property's
+    node count — the well-known materialization trade-off; ``max_depth``
+    bounds rounds at ceil(log2(max_depth)).
+    """
+    props = [p for p in transitive_props]
+    base = (
+        triples.filter(
+            F.col("subject").isNotNull()
+            & (F.col("object.kind") == "iri")
+            & F.col("predicate").isin(props)
+        )
+        .select("subject", "predicate", F.col("object.value").alias("object"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    clo = base
+    n = clo.count()
+    rounds = max(1, (max(2, max_depth) - 1).bit_length())
+    for _ in range(rounds):
+        step = (
+            clo.alias("x")
+            .join(
+                clo.alias("y"),
+                (F.col("x.predicate") == F.col("y.predicate"))
+                & (F.col("x.object") == F.col("y.subject")),
+            )
+            .select(
+                F.col("x.subject").alias("subject"),
+                F.col("x.predicate").alias("predicate"),
+                F.col("y.object").alias("object"),
+            )
+        )
+        nxt = (
+            clo.unionByName(step).distinct().localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        if m == n:
+            break
+        clo, n = nxt, m
+    return clo.join(base, ["subject", "predicate", "object"], "left_anti")

@@ -723,3 +723,80 @@ def embedding_diversity(
             F.round(2 * (F.col("msq") - F.col("cnorm")), 6).alias("avg_sq_dist"),
         )
     )
+
+
+def bow_cosine_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 3,
+    max_df: int | None = 200,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sparse bag-of-words cosine similarity join: every document pair
+    whose term-frequency vectors' cosine meets ``threshold``, as
+    (a, b, cosine) with a < b — the WEIGHTED sibling of the set-overlap
+    joins (MinHash/SimHash/Jaccard/containment in dedup.py): repeated
+    terms count, so boilerplate-heavy near-dups that Jaccard underweights
+    still score high.
+
+    Exactness regime: dot products and squared norms are EXACT bigint
+    sums over integer term frequencies, so ``cosine = dot /
+    sqrt(na2 * nb2)`` hits one IEEE division + one correctly-rounded
+    sqrt — bit-identical across engines, which is what lets the DuckDB
+    oracle replay it value-for-value (same trick as the clustering
+    coefficient's integer-ratio doubles). Terms with document frequency
+    above ``max_df`` are dropped BEFORE norms are computed (cosine in the
+    pruned space — the standard stopword-pruning semantic, replayed
+    identically by the oracle).
+
+    Scale shape: the inverted-index self-join is the classic DAAT
+    formulation — postings ⋈ postings on term is the ONLY corpus-pair
+    producer, and its fan-out is bounded by ``max_df``² per term (the
+    df cap is the blocking: without it one stopword's postings list
+    produces |corpus|² candidate rows; with it the hottest term costs
+    max_df² — at web scale pair this with a minhash prefilter for
+    recall-bounded candidates). The (a, b) dot-product aggregation is
+    map-side combinable; the two norm joins are doc-keyed sort-merge
+    joins on tables the size of the corpus, not its square.
+    """
+    from .search import build_postings
+
+    p = build_postings(docs, id_col=id_col, text_col=text_col, min_len=min_len)
+    if max_df is not None:
+        hot = (
+            p.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("term")
+        )
+        p = p.join(F.broadcast(hot), "term", "left_anti")
+    norms = p.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("n2")
+    )
+    dots = (
+        p.alias("x")
+        .join(
+            p.alias("y"),
+            (F.col("x.term") == F.col("y.term"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.sum(F.col("x.tf") * F.col("y.tf")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("nb2"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt((F.col("na2") * F.col("nb2")).cast("double")),
+        round_digits,
+    )
+    return (
+        dots.join(na, "a")
+        .join(nb, "b")
+        .select("a", "b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

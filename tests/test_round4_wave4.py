@@ -1,0 +1,163 @@
+"""Fourth-wave operators: owl:TransitiveProperty entailment, bag-of-words
+cosine similarity join, hop plot / neighbourhood function."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge.operators.graph import hop_plot
+from kgforge.operators.inference import owl_transitive_inference
+from kgforge.operators.similarity import bow_cosine_join
+
+
+def _tri(spark, rows):
+    """(s, p, o_kind, o_value) -> triples-shaped DataFrame."""
+    return spark.createDataFrame(
+        [(s, p, {"kind": k, "value": v}) for s, p, k, v in rows],
+        "subject string, predicate string, "
+        "object struct<kind: string, value: string>",
+    )
+
+
+P = "http://example.org/partOf"
+K = "http://schema.org/knows"
+
+
+class TestOwlTransitive:
+    def test_chain_closure_delta(self, spark):
+        tri = _tri(
+            spark,
+            [("a", P, "iri", "b"), ("b", P, "iri", "c"), ("c", P, "iri", "d")],
+        )
+        out = owl_transitive_inference(tri, [P])
+        got = {(r.subject, r.predicate, r.object) for r in out.collect()}
+        # delta = length-2 and length-3 paths only; asserted edges excluded
+        assert got == {("a", P, "c"), ("a", P, "d"), ("b", P, "d")}
+
+    def test_cycle_terminates_and_entails_reflexive(self, spark):
+        tri = _tri(spark, [("x", P, "iri", "y"), ("y", P, "iri", "x")])
+        out = owl_transitive_inference(tri, [P])
+        got = {(r.subject, r.object) for r in out.collect()}
+        assert got == {("x", "x"), ("y", "y")}
+
+    def test_predicate_isolation(self, spark):
+        # a knows-edge chained onto a partOf-edge must NOT close: the
+        # closure is per-predicate
+        tri = _tri(
+            spark,
+            [("a", P, "iri", "b"), ("b", K, "iri", "c"), ("c", P, "iri", "d")],
+        )
+        out = owl_transitive_inference(tri, [P]).collect()
+        assert out == []
+
+    def test_literal_objects_excluded(self, spark):
+        tri = _tri(
+            spark,
+            [("a", P, "iri", "b"), ("b", P, "literal", "seven")],
+        )
+        out = owl_transitive_inference(tri, [P]).collect()
+        assert out == []
+
+    def test_two_transitive_props_same_rounds(self, spark):
+        Q = "http://example.org/ancestorOf"
+        tri = _tri(
+            spark,
+            [
+                ("a", P, "iri", "b"),
+                ("b", P, "iri", "c"),
+                ("u", Q, "iri", "v"),
+                ("v", Q, "iri", "w"),
+            ],
+        )
+        got = {
+            (r.subject, r.predicate, r.object)
+            for r in owl_transitive_inference(tri, [P, Q]).collect()
+        }
+        assert got == {("a", P, "c"), ("u", Q, "w")}
+
+
+class TestBowCosineJoin:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_hand_cosine(self, spark):
+        docs = self._docs(
+            spark,
+            [
+                (1, "apple banana apple"),  # apple:2 banana:1, n2=5
+                (2, "apple banana banana"),  # apple:1 banana:2, n2=5
+                (3, "cherry cherry cherry"),
+            ],
+        )
+        out = {
+            (r.a, r.b): r.cosine
+            for r in bow_cosine_join(docs, threshold=0.0, max_df=None).collect()
+        }
+        # dot(1,2) = 2*1 + 1*2 = 4; cos = 4/sqrt(25) = 0.8
+        assert out == {(1, 2): pytest.approx(0.8, abs=1e-9)}
+
+    def test_identical_docs_hit_one(self, spark):
+        docs = self._docs(spark, [(1, "apple banana pear"), (2, "apple banana pear")])
+        [r] = bow_cosine_join(docs, threshold=0.99, max_df=None).collect()
+        assert (r.a, r.b, r.cosine) == (1, 2, 1.0)
+
+    def test_threshold_filters(self, spark):
+        docs = self._docs(
+            spark, [(1, "apple banana apple"), (2, "apple banana banana")]
+        )
+        assert bow_cosine_join(docs, threshold=0.9, max_df=None).collect() == []
+
+    def test_max_df_prunes_stopword(self, spark):
+        # 'the' appears in all 3 docs; with max_df=2 it is dropped BEFORE
+        # norms, so docs 1 and 2 share nothing
+        docs = self._docs(
+            spark,
+            [(1, "the apple"), (2, "the banana"), (3, "the cherry cherry")],
+        )
+        assert bow_cosine_join(docs, threshold=0.01, max_df=2).collect() == []
+        with_stop = {
+            (r.a, r.b)
+            for r in bow_cosine_join(docs, threshold=0.01, max_df=None).collect()
+        }
+        assert with_stop == {(1, 2), (1, 3), (2, 3)}
+
+    def test_min_len_default_drops_short_tokens(self, spark):
+        # default min_len=3: 'ab' never indexes
+        docs = self._docs(spark, [(1, "ab apple"), (2, "ab orange")])
+        assert bow_cosine_join(docs, threshold=0.01, max_df=None).collect() == []
+
+
+class TestHopPlot:
+    def test_path_graph(self, spark):
+        # directed path a->b->c->d, landmark a
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        lm = spark.createDataFrame([("a",)], "node string")
+        rows = {r.dist: r for r in hop_plot(edges, lm).collect()}
+        assert [rows[d].n_pairs for d in range(4)] == [1, 1, 1, 1]
+        assert [rows[d].cum_pairs for d in range(4)] == [1, 2, 3, 4]
+        assert rows[3].cum_share == 1.0
+        assert rows[1].cum_share == pytest.approx(0.5, abs=1e-9)
+
+    def test_two_landmarks_min_distance_and_share(self, spark):
+        # star: h -> x, y; landmarks h and x (x has no out-edges)
+        edges = spark.createDataFrame(
+            [("h", "x"), ("h", "y")], "src string, dst string"
+        )
+        lm = spark.createDataFrame([("h",), ("x",)], "node string")
+        rows = {r.dist: r for r in hop_plot(edges, lm).collect()}
+        # dist 0: (h,h), (x,x); dist 1: (h,x), (h,y)
+        assert rows[0].n_pairs == 2 and rows[1].n_pairs == 2
+        assert rows[1].cum_pairs == 4 and rows[1].cum_share == 1.0
+
+    def test_effective_diameter_readoff(self, spark):
+        # chain of 10: 90% of pairs reached by hop 9 exactly
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{i+1}") for i in range(9)], "src string, dst string"
+        )
+        lm = spark.createDataFrame([("n0",)], "node string")
+        rows = sorted(hop_plot(edges, lm).collect(), key=lambda r: r.dist)
+        eff = min(r.dist for r in rows if r.cum_share >= 0.9)
+        assert eff == 8  # 9 of 10 pairs within 8 hops
