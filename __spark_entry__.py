@@ -990,6 +990,71 @@ def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owl_transitive_inference(tri, [B]).orderBy("subject", "object")
 
 
+def q_kg_ifp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:InverseFunctionalProperty key-based ER blocking: schema:name
+    declared inverse-functional — site-local alias subjects sharing a
+    name literal become owl:sameAs candidate pairs (the high-precision
+    feed into the MinHash/CC canonicalizer). Value groups larger than 20
+    subjects are dropped whole BEFORE pair expansion (Papadakis block
+    cleaning — the fixture's hot entity, on ~10% of pages, exists to be
+    dropped by exactly this rule). Oracle: the (site, entity) incidence
+    relation rebuilt closed-form from doc_id, grouped, cleaned, paired
+    and joined to the reconstructed surface strings in SQL."""
+    from kgforge.operators.inference import ifp_sameas_candidates
+
+    out = ifp_sameas_candidates(
+        _knows_triples(spark, sf_dir),
+        ["http://schema.org/name"],
+        max_group=20,
+    )
+    return out.orderBy("a", "b", "value")
+
+
+def q_kg_func_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:FunctionalProperty consistency report: subjects with more
+    than one distinct schema:name — the ontology-driven sibling of
+    SHACL's sh:maxCount 1 (the fixture plants a second name on every
+    i%17 page precisely to violate it). Conflicting values ship
+    '|'-joined in sorted order so the row is deterministic. Oracle: the
+    violating pages and both name strings rebuilt closed-form from
+    doc_id."""
+    from kgforge.operators.inference import functional_conflicts
+
+    out = functional_conflicts(
+        _knows_triples(spark, sf_dir), ["http://schema.org/name"]
+    )
+    return out.orderBy("subject")
+
+
+def q_kg_disjoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:disjointWith consistency check: entities typed with both
+    halves of a disjoint axiom (Person ⊓ Organization = ⊥) over a
+    closed-form typing relation with planted dual-typed entities
+    (c%3<2 Person, c%4<2 Organization). Both axiom hops are broadcast
+    joins; the typing relation shuffles only for the final distinct.
+    Oracle: the same residue arithmetic in SQL."""
+    from kgforge.operators.inference import disjoint_violations
+
+    P, O = "http://schema.org/Person", "http://schema.org/Organization"
+    ents = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 40).cast("bigint").alias("c"))
+        .distinct()
+    )
+    euri = F.concat(F.lit("urn:ent:"), F.col("c").cast("string"))
+    types = (
+        ents.filter(F.col("c") % 3 < 2)
+        .select(euri.alias("entity"), F.lit(P).alias("cls"))
+        .unionByName(
+            ents.filter(F.col("c") % 4 < 2).select(
+                euri.alias("entity"), F.lit(O).alias("cls")
+            )
+        )
+    )
+    axioms = spark.createDataFrame([(P, O)], "cls_a string, cls_b string")
+    return disjoint_violations(types, axioms).orderBy("entity")
+
+
 def q_kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL CONSTRUCT as a user-facing query surface (W3C SPARQL 1.1
     §10.2 — the KG enrichment path the SHACL-AF SPARQLRule executor
@@ -4471,6 +4536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_kg_owl_transitive": q_kg_owl_transitive,
+        "q_kg_ifp_sameas": q_kg_ifp_sameas,
+        "q_kg_func_conflicts": q_kg_func_conflicts,
+        "q_kg_disjoint": q_kg_disjoint,
         "q_kg_sparql_construct": q_kg_sparql_construct,
         "q_host_hopplot": q_host_hopplot,
         "q_cosine_simjoin": q_cosine_simjoin,
@@ -7445,6 +7513,81 @@ def oracle_sql() -> dict[str, str]:
             FROM clo c
             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = c.s AND e.o = c.o)
             ORDER BY subject, object
+        """,
+        # IFP blocking: (site, entity) incidence from the page-entity
+        # formula, block cleaning (2 <= group <= 20), pair expansion,
+        # reconstructed surface strings as the shared key value
+        "q_kg_ifp_sameas": f"""
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            raw AS (SELECT i, CAST(i % 97 AS BIGINT) AS site,
+                      list_transform(range(0, 2+(i*7)%4),
+                        j -> CASE WHEN j=0 AND i%10=3 THEN 0
+                                  ELSE (i*31+17*j)%1000 END) AS r
+                    FROM d),
+            sk AS (SELECT DISTINCT site, CAST(k AS BIGINT) AS k
+                   FROM raw, LATERAL unnest(r) t(k)),
+            subj AS (SELECT k,
+                'https://ex' || CAST(site AS VARCHAR)
+                  || '.example.org/entity/E' || lpad(CAST(k AS VARCHAR), 4, '0')
+                  AS s
+              FROM sk),
+            grp AS (SELECT k FROM subj GROUP BY k
+                    HAVING COUNT(*) BETWEEN 2 AND 20),
+            kept AS (SELECT subj.k, subj.s FROM subj JOIN grp USING (k)),
+            surf AS (SELECT k,
+                CASE k%3
+                  WHEN 0 THEN {_DD_FIRSTS}[k%10+1] || ' ' || {_DD_LASTS}[(k//10)%10+1]
+                              || ' ' || CAST(k//100 AS VARCHAR)
+                  WHEN 1 THEN {_DD_ORGS}[k%10+1] || ' ' || {_DD_ORGS}[(k//10)%10+1]
+                              || ' Group ' || CAST(k//100 AS VARCHAR)
+                  ELSE {_DD_ORGS}[(k//7)%10+1] || ' City ' || CAST(k//100 AS VARCHAR)
+                       || '-' || CAST(k%100 AS VARCHAR)
+                END AS value
+              FROM (SELECT DISTINCT k FROM kept)),
+            pairs AS (SELECT x.s AS a, y.s AS b, x.k
+                      FROM kept x JOIN kept y ON x.k = y.k AND x.s < y.s)
+            SELECT a, b, 'http://schema.org/name' AS predicate, surf.value
+            FROM pairs JOIN surf ON pairs.k = surf.k
+            ORDER BY a, b, value
+        """,
+        # functional-property conflicts: the i%17 duplicate-name pages
+        # (minus the i%13 datatype-violation branch that pre-empts them),
+        # both names rebuilt and '|'-joined in sorted order
+        "q_kg_func_conflicts": f"""
+            WITH d AS (SELECT doc_id AS i FROM documents
+                       WHERE doc_id % 17 = 0 AND doc_id % 13 <> 0),
+            x AS (SELECT i, CAST(i % 97 AS BIGINT) AS site,
+                    CAST(CASE WHEN i%10=3 THEN 0 ELSE (i*31)%1000 END AS BIGINT) AS k
+                  FROM d),
+            s AS (SELECT i, k,
+                'https://ex' || CAST(site AS VARCHAR)
+                  || '.example.org/entity/E' || lpad(CAST(k AS VARCHAR), 4, '0')
+                  AS subject,
+                CASE k%3
+                  WHEN 0 THEN {_DD_FIRSTS}[k%10+1] || ' ' || {_DD_LASTS}[(k//10)%10+1]
+                              || ' ' || CAST(k//100 AS VARCHAR)
+                  WHEN 1 THEN {_DD_ORGS}[k%10+1] || ' ' || {_DD_ORGS}[(k//10)%10+1]
+                              || ' Group ' || CAST(k//100 AS VARCHAR)
+                  ELSE {_DD_ORGS}[(k//7)%10+1] || ' City ' || CAST(k//100 AS VARCHAR)
+                       || '-' || CAST(k%100 AS VARCHAR)
+                END AS nm,
+                'Duplicate Name ' || CAST(i AS VARCHAR) AS dup
+              FROM x)
+            SELECT subject, 'http://schema.org/name' AS predicate,
+                   CAST(2 AS BIGINT) AS n_values,
+                   CASE WHEN nm < dup THEN nm || '|' || dup
+                        ELSE dup || '|' || nm END AS "values"
+            FROM s ORDER BY subject
+        """,
+        # disjoint-class violations: residues typed Person (c%3<2) AND
+        # Organization (c%4<2)
+        "q_kg_disjoint": """
+            SELECT 'urn:ent:' || CAST(c AS VARCHAR) AS entity,
+                   'http://schema.org/Person' AS cls_a,
+                   'http://schema.org/Organization' AS cls_b
+            FROM (SELECT DISTINCT CAST(doc_id % 40 AS BIGINT) AS c FROM documents)
+            WHERE c % 3 < 2 AND c % 4 < 2
+            ORDER BY entity
         """,
         # CONSTRUCT template instantiation: reversed knownBy edges +
         # Person typing over the closed-form knows relation, set semantics

@@ -221,3 +221,124 @@ def owl_transitive_inference(
             break
         clo, n = nxt, m
     return clo.join(base, ["subject", "predicate", "object"], "left_anti")
+
+
+def ifp_sameas_candidates(
+    triples: DataFrame, ifp_props: list[str], max_group: int = 100
+) -> DataFrame:
+    """owl:InverseFunctionalProperty-driven entity-resolution candidates:
+    two subjects sharing a value of an IFP (email, ISBN, tax id — here
+    any declared predicate) are candidates for owl:sameAs, the classic
+    KEY-BASED blocking step that feeds the MinHash/CC canonicalizer with
+    high-precision pairs. Returns evidence rows (a, b, predicate, value)
+    with a < b, one per shared key.
+
+    Scale shape: one pushdown isin filter on the corpus scan, one
+    distinct on (predicate, value, subject), then the group-size agg and
+    the pair self-join are BOTH keyed on (predicate, value) — co-keyed,
+    so AQE reuses the exchange. Junk keys (the empty string, 'unknown',
+    a boilerplate title shared by 10^6 pages) are the skew killer: any
+    value group larger than ``max_group`` is DROPPED ENTIRELY before the
+    quadratic pair expansion (Papadakis-style block cleaning — an
+    oversized key carries no linkage signal anyway), so the worst group
+    costs max_group²/2 pairs by construction.
+    """
+    vals = (
+        triples.filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isin(list(ifp_props))
+        )
+        .select("predicate", F.col("object.value").alias("value"), "subject")
+        .distinct()
+    )
+    ok = (
+        vals.groupBy("predicate", "value")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
+        .select("predicate", "value")
+    )
+    kept = vals.join(ok, ["predicate", "value"], "left_semi")
+    return (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.predicate") == F.col("y.predicate"))
+            & (F.col("x.value") == F.col("y.value"))
+            & (F.col("x.subject") < F.col("y.subject")),
+        )
+        .select(
+            F.col("x.subject").alias("a"),
+            F.col("y.subject").alias("b"),
+            F.col("x.predicate").alias("predicate"),
+            F.col("x.value").alias("value"),
+        )
+    )
+
+
+def functional_conflicts(
+    triples: DataFrame, func_props: list[str]
+) -> DataFrame:
+    """owl:FunctionalProperty consistency check: subjects asserting MORE
+    than one distinct value for a declared single-valued predicate —
+    the data-quality report a KG builder runs before trusting a column
+    for fusion or display (the executable sibling of SHACL's
+    sh:maxCount 1, but ontology-driven instead of shape-driven).
+    Returns (subject, predicate, n_values, values) with the conflicting
+    values '|'-joined in sorted order so the row is deterministic and
+    oracle-replayable.
+
+    Scale shape: pushdown isin filter, one distinct, one combinable
+    (subject, predicate)-keyed agg; collect_set is bounded by the
+    per-subject assertion count for ONE predicate — conflict lists are
+    small by nature (a subject with 10^4 'values' for a functional
+    property is itself the finding).
+    """
+    vals = (
+        triples.filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isin(list(func_props))
+        )
+        .select("subject", "predicate", F.col("object.value").alias("value"))
+        .distinct()
+    )
+    return (
+        vals.groupBy("subject", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.array_join(F.sort_array(F.collect_set("value")), "|").alias(
+                "values"
+            ),
+        )
+        .filter(F.col("n_values") >= 2)
+    )
+
+
+def disjoint_violations(types: DataFrame, axioms: DataFrame) -> DataFrame:
+    """owl:disjointWith consistency check: entities typed with BOTH
+    classes of a declared-disjoint pair (Person ⊓ Organization = ⊥ —
+    the standard sanity gate after entity linking / type inference).
+    ``types`` is (entity, cls); ``axioms`` is (cls_a, cls_b) rows.
+    Returns (entity, cls_a, cls_b) violation rows, one per axiom the
+    entity breaks.
+
+    Scale shape: the axiom table is ontology-sized — both hops are
+    broadcast joins against the (entity, cls)-keyed typing relation, so
+    the corpus-scale typing table is scanned twice and never shuffled
+    on anything but its own key for the final distinct.
+    """
+    t = types.select(
+        F.col("entity"), F.col("cls")
+    ).distinct()
+    left = t.join(
+        F.broadcast(axioms), t["cls"] == axioms["cls_a"]
+    ).select("entity", "cls_a", "cls_b")
+    t2 = t.select(F.col("entity").alias("_e2"), F.col("cls").alias("_c2"))
+    return (
+        left.join(
+            t2,
+            (F.col("entity") == F.col("_e2"))
+            & (F.col("cls_b") == F.col("_c2")),
+        )
+        .select("entity", "cls_a", "cls_b")
+        .distinct()
+    )

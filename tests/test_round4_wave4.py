@@ -161,3 +161,125 @@ class TestHopPlot:
         rows = sorted(hop_plot(edges, lm).collect(), key=lambda r: r.dist)
         eff = min(r.dist for r in rows if r.cum_share >= 0.9)
         assert eff == 8  # 9 of 10 pairs within 8 hops
+
+
+class TestIfpSameasCandidates:
+    def _t(self, spark, rows):
+        return _tri(spark, rows)
+
+    EMAIL = "http://schema.org/email"
+
+    def test_shared_key_pairs(self, spark):
+        tri = self._t(
+            spark,
+            [
+                ("s1", self.EMAIL, "literal", "a@x.org"),
+                ("s2", self.EMAIL, "literal", "a@x.org"),
+                ("s3", self.EMAIL, "literal", "b@x.org"),
+            ],
+        )
+        from kgforge.operators.inference import ifp_sameas_candidates
+
+        out = ifp_sameas_candidates(tri, [self.EMAIL]).collect()
+        assert [(r.a, r.b, r.predicate, r.value) for r in out] == [
+            ("s1", "s2", self.EMAIL, "a@x.org")
+        ]
+
+    def test_junk_key_group_dropped_whole(self, spark):
+        rows = [(f"s{i}", self.EMAIL, "literal", "unknown") for i in range(5)]
+        rows += [
+            ("t1", self.EMAIL, "literal", "k@x.org"),
+            ("t2", self.EMAIL, "literal", "k@x.org"),
+        ]
+        from kgforge.operators.inference import ifp_sameas_candidates
+
+        out = ifp_sameas_candidates(
+            self._t(spark, rows), [self.EMAIL], max_group=4
+        ).collect()
+        # the 5-subject 'unknown' block is dropped entirely, not sampled
+        assert {(r.a, r.b) for r in out} == {("t1", "t2")}
+
+    def test_duplicate_assertions_collapse(self, spark):
+        # the same (subject, value) asserted on two pages is ONE block member
+        tri = self._t(
+            spark,
+            [
+                ("s1", self.EMAIL, "literal", "a@x.org"),
+                ("s1", self.EMAIL, "literal", "a@x.org"),
+                ("s2", self.EMAIL, "literal", "a@x.org"),
+            ],
+        )
+        from kgforge.operators.inference import ifp_sameas_candidates
+
+        out = ifp_sameas_candidates(tri, [self.EMAIL]).collect()
+        assert len(out) == 1
+
+    def test_non_ifp_predicate_ignored(self, spark):
+        tri = self._t(
+            spark,
+            [
+                ("s1", "http://schema.org/name", "literal", "Ada"),
+                ("s2", "http://schema.org/name", "literal", "Ada"),
+            ],
+        )
+        from kgforge.operators.inference import ifp_sameas_candidates
+
+        assert ifp_sameas_candidates(tri, [self.EMAIL]).collect() == []
+
+
+class TestFunctionalConflicts:
+    AGE = "http://schema.org/age"
+
+    def test_conflict_detected_sorted_values(self, spark):
+        tri = _tri(
+            spark,
+            [
+                ("s1", self.AGE, "literal", "41"),
+                ("s1", self.AGE, "literal", "39"),
+                ("s2", self.AGE, "literal", "7"),
+            ],
+        )
+        from kgforge.operators.inference import functional_conflicts
+
+        [r] = functional_conflicts(tri, [self.AGE]).collect()
+        assert (r.subject, r.n_values, r.values) == ("s1", 2, "39|41")
+
+    def test_same_value_twice_is_not_a_conflict(self, spark):
+        tri = _tri(
+            spark,
+            [("s1", self.AGE, "literal", "41"), ("s1", self.AGE, "literal", "41")],
+        )
+        from kgforge.operators.inference import functional_conflicts
+
+        assert functional_conflicts(tri, [self.AGE]).collect() == []
+
+
+class TestDisjointViolations:
+    def test_dual_typed_entity_flagged(self, spark):
+        from kgforge.operators.inference import disjoint_violations
+
+        types = spark.createDataFrame(
+            [("e1", "Person"), ("e1", "Organization"), ("e2", "Person")],
+            "entity string, cls string",
+        )
+        ax = spark.createDataFrame(
+            [("Person", "Organization")], "cls_a string, cls_b string"
+        )
+        [r] = disjoint_violations(types, ax).collect()
+        assert (r.entity, r.cls_a, r.cls_b) == ("e1", "Person", "Organization")
+
+    def test_axiom_direction_and_multiple_axioms(self, spark):
+        from kgforge.operators.inference import disjoint_violations
+
+        types = spark.createDataFrame(
+            [("e1", "Place"), ("e1", "Event"), ("e2", "Event")],
+            "entity string, cls string",
+        )
+        ax = spark.createDataFrame(
+            [("Person", "Organization"), ("Place", "Event")],
+            "cls_a string, cls_b string",
+        )
+        out = disjoint_violations(types, ax).collect()
+        assert [(r.entity, r.cls_a, r.cls_b) for r in out] == [
+            ("e1", "Place", "Event")
+        ]
