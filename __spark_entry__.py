@@ -836,6 +836,48 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from", "value")
 
 
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal intersection join of two SCD2 histories (the temporal-KG
+    alignment question: which event-type run coincided with which
+    value-band run, and over exactly which stretch): one key-equi
+    sort-merge join with the overlap predicate as a join residual —
+    never a cross-key range join; NULL-aware open intervals, no sentinel
+    timestamps. Oracle: both run reconstructions + the identical overlap
+    join in SQL."""
+    from kgforge.operators.history import interval_join, scd2_history
+
+    events = _t(spark, sf_dir, "events")
+    a = scd2_history(
+        events.select("user_id", "event_type", "ts"),
+        ["user_id"], "event_type", "ts",
+    ).select("user_id", "value", "valid_from", "valid_to")
+    b = scd2_history(
+        events.select(
+            "user_id",
+            F.floor(F.col("value") / 10).cast("bigint").cast("string").alias("band"),
+            "ts",
+        ),
+        ["user_id"], "band", "ts",
+    ).select("user_id", "value", "valid_from", "valid_to")
+    return interval_join(a, b, ["user_id"]).orderBy(
+        "user_id", "seg_from", "value_a", "value_b"
+    )
+
+
+def q_kg_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte 2011) over the emitted
+    corpus triples: subjects grouped by their sorted distinct predicate
+    set — the RDF-store cardinality-estimation structure, and a one-table
+    heterogeneity summary of the graph's entity shapes. Bnode subjects
+    excluded (document-scoped labels). Two stacked combinable aggs.
+    Oracle: per-alias predicate membership and triple multiplicities
+    rebuilt closed-form from the page-entity formula, plus the per-page
+    shape subjects' constant 5-triple set."""
+    from kgforge.operators.profile import characteristic_sets
+
+    return characteristic_sets(_knows_triples(spark, sf_dir)).orderBy("cset")
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card (datasheets-for-datasets headline numbers):
     docs, tokens, mean length, language diversity + majority share, exact
@@ -4394,6 +4436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_microdata": q_kg_microdata,
         "q_kg_direct_map": q_kg_direct_map,
         "q_scd2_history": q_scd2_history,
+        "q_scd2_join": q_scd2_join,
+        "q_kg_charsets": q_kg_charsets,
         "q_emb_covariance": q_emb_covariance,
         "q_emb_jl_project": q_emb_jl_project,
         "q_kg_validate": q_kg_validate,
@@ -5726,6 +5770,45 @@ def oracle_sql() -> dict[str, str]:
             FROM runs
             WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from, run)
             ORDER BY user_id, valid_from, value
+        """,
+        # both SCD2 run reconstructions + NULL-aware half-open overlap join
+        "q_scd2_join": """
+            WITH oa AS (
+              SELECT user_id, event_type AS value, ts,
+                     CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS strt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+            ra AS (SELECT *, sum(strt) OVER (PARTITION BY user_id ORDER BY ts, value) AS run FROM oa),
+            runsa AS (SELECT user_id, run, min(value) AS value, min(ts) AS valid_from
+                      FROM ra GROUP BY user_id, run),
+            ia AS (SELECT user_id, value, valid_from,
+                          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS valid_to
+                   FROM runsa),
+            ob AS (
+              SELECT user_id,
+                     CAST(CAST(FLOOR("value"/10) AS BIGINT) AS VARCHAR) AS value, ts,
+                     CASE WHEN lag(CAST(CAST(FLOOR("value"/10) AS BIGINT) AS VARCHAR)) OVER w
+                               IS DISTINCT FROM CAST(CAST(FLOOR("value"/10) AS BIGINT) AS VARCHAR)
+                          THEN 1 ELSE 0 END AS strt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, CAST(CAST(FLOOR("value"/10) AS BIGINT) AS VARCHAR))),
+            rb AS (SELECT *, sum(strt) OVER (PARTITION BY user_id ORDER BY ts, value) AS run FROM ob),
+            runsb AS (SELECT user_id, run, min(value) AS value, min(ts) AS valid_from
+                      FROM rb GROUP BY user_id, run),
+            ib AS (SELECT user_id, value, valid_from,
+                          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run) AS valid_to
+                   FROM runsb)
+            SELECT a.user_id, a.value AS value_a, b.value AS value_b,
+                   GREATEST(a.valid_from, b.valid_from) AS seg_from,
+                   CASE WHEN a.valid_to IS NULL THEN b.valid_to
+                        WHEN b.valid_to IS NULL THEN a.valid_to
+                        ELSE LEAST(a.valid_to, b.valid_to) END AS seg_to
+            FROM ia a JOIN ib b ON a.user_id = b.user_id
+               AND (b.valid_to IS NULL OR a.valid_from < b.valid_to)
+               AND (a.valid_to IS NULL OR b.valid_from < a.valid_to)
+            ORDER BY a.user_id, seg_from, value_a, value_b
         """,
         "q_kg_direct_map": """
             WITH nat AS (SELECT 'http://kg.example.org/dm/Nation/n_nationkey=' || n_nationkey AS s, * FROM nation),
@@ -7549,6 +7632,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, 'http://schema.org/name' AS predicate, surf.value
             FROM pairs JOIN surf ON pairs.k = surf.k
             ORDER BY a, b, value
+        """,
+        # characteristic sets: per-alias predicate membership (base
+        # type/name/sameAs + conditional age/knows from the a0 branches)
+        # with exact triple multiplicities, plus the constant 5-triple
+        # per-page shape subjects; bnode property shapes excluded like
+        # the operator
+        "q_kg_charsets": """
+            WITH d AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                 CAST(CASE WHEN doc_id%10=3 THEN 0
+                           ELSE (doc_id*31)%1000 END AS BIGINT) AS a0,
+                 list_distinct(list_transform(range(0, 2 + (doc_id*7)%4),
+                   j -> CASE WHEN j=0 AND doc_id%10=3 THEN 0
+                             ELSE (doc_id*31 + 17*j)%1000 END)) AS es
+               FROM documents),
+            mem AS (SELECT i, site, len(es) AS ne, a0, CAST(k AS BIGINT) AS k
+                    FROM d, LATERAL unnest(es) t(k)),
+            per_alias AS (
+              SELECT site, k,
+                COUNT(*) AS cnt_all,
+                SUM(CASE WHEN k = a0 THEN 1 ELSE 0 END) AS cnt_a0,
+                SUM(CASE WHEN k = a0 AND ne >= 2 THEN 1 ELSE 0 END) AS cnt_a0k,
+                MAX(CASE WHEN k = a0 AND NOT (i%17=0 AND i%13<>0)
+                         THEN 1 ELSE 0 END) AS has_age,
+                MAX(CASE WHEN k = a0 AND ne >= 2 THEN 1 ELSE 0 END) AS has_knows
+              FROM mem GROUP BY site, k),
+            alias_rows AS (
+              SELECT
+                (CASE WHEN has_age=1 THEN 'http://schema.org/age|' ELSE '' END)
+                || (CASE WHEN has_knows=1 THEN 'http://schema.org/knows|' ELSE '' END)
+                || 'http://schema.org/name|http://www.w3.org/1999/02/22-rdf-syntax-ns#type|http://www.w3.org/2002/07/owl#sameAs'
+                  AS cset,
+                3*cnt_all + cnt_a0 + cnt_a0k AS nt
+              FROM per_alias),
+            shape_rows AS (
+              SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type|http://www.w3.org/ns/shacl#property|http://www.w3.org/ns/shacl#targetClass'
+                       AS cset,
+                     5 AS nt
+              FROM d),
+            allr AS (SELECT * FROM alias_rows UNION ALL SELECT * FROM shape_rows)
+            SELECT cset, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                   CAST(SUM(nt) AS BIGINT) AS n_triples
+            FROM allr GROUP BY cset ORDER BY cset
         """,
         # functional-property conflicts: the i%17 duplicate-name pages
         # (minus the i%13 datatype-violation branch that pre-empts them),

@@ -236,3 +236,53 @@ def retention_cohorts(
         "n_active",
         F.round(F.col("n_active") / F.col("n_cohort"), 6).alias("retention"),
     )
+
+
+def interval_join(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Temporal intersection join of two SCD2 validity tables (the
+    temporal-KG alignment step: "what was the user's state AND band
+    during each overlapping stretch"): both inputs carry key_cols +
+    (value, valid_from, valid_to) half-open [from, to) intervals with
+    NULL valid_to meaning open/current (:func:`scd2_history`'s output
+    shape). Emits one row per overlapping pair with the intersection
+    segment — key_cols + (value_a, value_b, seg_from, seg_to), seg_to
+    NULL when both sides are open.
+
+    Scale shape: ONE key-equi sort-merge join with the overlap predicate
+    evaluated as a join residual — never a cross-key range join; per-key
+    fan-out is version_count_a × version_count_b in the worst case but
+    overlap bounds it to ~(runs_a + runs_b) for genuinely sequential
+    histories. Null-aware overlap avoids sentinel timestamps entirely.
+    """
+    A = a.select(
+        *key_cols,
+        F.col("value").alias("value_a"),
+        F.col("valid_from").alias("_fa"),
+        F.col("valid_to").alias("_ta"),
+    )
+    B = b.select(
+        *key_cols,
+        F.col("value").alias("value_b"),
+        F.col("valid_from").alias("_fb"),
+        F.col("valid_to").alias("_tb"),
+    )
+    overlap = (F.col("_tb").isNull() | (F.col("_fa") < F.col("_tb"))) & (
+        F.col("_ta").isNull() | (F.col("_fb") < F.col("_ta"))
+    )
+    seg_to = (
+        F.when(F.col("_ta").isNull(), F.col("_tb"))
+        .when(F.col("_tb").isNull(), F.col("_ta"))
+        .otherwise(F.least("_ta", "_tb"))
+    )
+    return (
+        A.join(B, key_cols).filter(overlap)
+        .select(
+            *key_cols,
+            "value_a",
+            "value_b",
+            F.greatest("_fa", "_fb").alias("seg_from"),
+            seg_to.alias("seg_to"),
+        )
+    )

@@ -144,3 +144,38 @@ def key_skew(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("n_rows"), "key")
         .limit(top_n)
     )
+
+
+def characteristic_sets(
+    triples: DataFrame, include_bnodes: bool = False
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by their DISTINCT sorted predicate set — the structure
+    RDF stores keep for join-cardinality estimation, and a one-table
+    summary of how heterogeneous the emitted graph's entity shapes are
+    (the empirical cousin of the induced SHACL shapes). Returns
+    (cset, n_subjects, n_triples) with the predicate set '|'-joined in
+    sorted order.
+
+    Blank-node subjects are EXCLUDED by default: their '_:' labels are
+    document-scoped, so grouping them by bare label across documents
+    would conflate unrelated nodes (skolemize first if you need them).
+
+    Scale shape: two stacked combinable hash aggregations — subject-keyed
+    (collect_set bounded by the per-subject predicate vocabulary, tens
+    not millions), then cset-keyed on a schema-sized relation. Nothing
+    else shuffles.
+    """
+    base = triples.filter(F.col("subject").isNotNull())
+    if not include_bnodes:
+        base = base.filter(~F.col("subject").startswith("_:"))
+    per_subj = base.groupBy("subject").agg(
+        F.array_join(F.array_sort(F.collect_set("predicate")), "|").alias(
+            "cset"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("_nt"),
+    )
+    return per_subj.groupBy("cset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subjects"),
+        F.sum("_nt").cast("bigint").alias("n_triples"),
+    )

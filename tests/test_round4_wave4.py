@@ -283,3 +283,106 @@ class TestDisjointViolations:
         assert [(r.entity, r.cls_a, r.cls_b) for r in out] == [
             ("e1", "Place", "Event")
         ]
+
+
+class TestIntervalJoin:
+    def _h(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "user_id bigint, value string, valid_from timestamp, "
+            "valid_to timestamp",
+        )
+
+    def test_overlap_segments(self, spark):
+        import datetime as dt
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        from kgforge.operators.history import interval_join
+
+        # A: x [0,2), y [2,None); B: p [1,3), q [3,None)
+        a = self._h(spark, [(1, "x", t(0), t(2)), (1, "y", t(2), None)])
+        b = self._h(spark, [(1, "p", t(1), t(3)), (1, "q", t(3), None)])
+        out = sorted(
+            interval_join(a, b, ["user_id"]).collect(),
+            key=lambda r: (r.seg_from, r.value_a),
+        )
+        got = [(r.value_a, r.value_b, r.seg_from, r.seg_to) for r in out]
+        assert got == [
+            ("x", "p", t(1), t(2)),
+            ("y", "p", t(2), t(3)),
+            ("y", "q", t(3), None),
+        ]
+
+    def test_touching_intervals_do_not_overlap(self, spark):
+        import datetime as dt
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        from kgforge.operators.history import interval_join
+
+        a = self._h(spark, [(1, "x", t(0), t(2))])
+        b = self._h(spark, [(1, "p", t(2), t(4))])
+        assert interval_join(a, b, ["user_id"]).collect() == []
+
+    def test_keys_do_not_cross(self, spark):
+        import datetime as dt
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        from kgforge.operators.history import interval_join
+
+        a = self._h(spark, [(1, "x", t(0), None)])
+        b = self._h(spark, [(2, "p", t(0), None)])
+        assert interval_join(a, b, ["user_id"]).collect() == []
+
+    def test_both_open_yields_open_segment(self, spark):
+        import datetime as dt
+
+        t = lambda h: dt.datetime(2026, 1, 1, h)
+        from kgforge.operators.history import interval_join
+
+        a = self._h(spark, [(1, "x", t(0), None)])
+        b = self._h(spark, [(1, "p", t(5), None)])
+        [r] = interval_join(a, b, ["user_id"]).collect()
+        assert (r.seg_from, r.seg_to) == (t(5), None)
+
+
+class TestCharacteristicSets:
+    def test_grouping_and_multiplicity(self, spark):
+        from kgforge.operators.profile import characteristic_sets
+
+        tri = _tri(
+            spark,
+            [
+                ("s1", "p:a", "iri", "x"),
+                ("s1", "p:b", "literal", "1"),
+                ("s2", "p:a", "iri", "y"),
+                ("s2", "p:b", "literal", "2"),
+                ("s2", "p:b", "literal", "3"),  # multiplicity, same cset
+                ("s3", "p:a", "iri", "z"),
+            ],
+        )
+        out = {r.cset: (r.n_subjects, r.n_triples)
+               for r in characteristic_sets(tri).collect()}
+        assert out == {"p:a|p:b": (2, 5), "p:a": (1, 1)}
+
+    def test_bnodes_excluded_by_default(self, spark):
+        from kgforge.operators.profile import characteristic_sets
+
+        tri = _tri(
+            spark,
+            [("_:b0", "p:a", "iri", "x"), ("s1", "p:a", "iri", "y")],
+        )
+        out = characteristic_sets(tri).collect()
+        assert [(r.cset, r.n_subjects) for r in out] == [("p:a", 1)]
+        with_b = characteristic_sets(tri, include_bnodes=True).collect()
+        assert [(r.cset, r.n_subjects) for r in with_b] == [("p:a", 2)]
+
+    def test_set_semantics_in_cset(self, spark):
+        from kgforge.operators.profile import characteristic_sets
+
+        # predicate repeated: cset dedupes, n_triples keeps multiplicity
+        tri = _tri(
+            spark,
+            [("s1", "p:a", "iri", "x"), ("s1", "p:a", "iri", "y")],
+        )
+        [r] = characteristic_sets(tri).collect()
+        assert (r.cset, r.n_subjects, r.n_triples) == ("p:a", 1, 2)
