@@ -1259,6 +1259,33 @@ def q_kg_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "subject", "predicate")
 
 
+def q_kg_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3C SHACL §3.6 validation REPORT graph: the rejected rows
+    materialized as sh:ValidationReport / sh:ValidationResult triples
+    (focusNode, resultPath, resultSeverity, sourceConstraintComponent)
+    with deterministic urn:shacl skolem nodes — the interchange format
+    every SHACL consumer reads, which the reference never produces
+    because it never validates. Repeated violation instances collapse to
+    one result node (spec set semantics). Oracle: the closed-form
+    i%13/i%17 violation inventory expanded through the identical
+    8-triple template with DuckDB md5 skolems."""
+    from kgforge.fixtures import pages_from_documents
+    from kgforge.operators.parse import extract_shapes_df, parse_pages
+    from kgforge.operators.validate import (
+        split_validated,
+        validate_triples,
+        validation_report_triples,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    triples = parse_pages(pages)
+    shapes = extract_shapes_df(pages)
+    _accepted, rejected = split_validated(validate_triples(triples, shapes))
+    return validation_report_triples(rejected).orderBy(
+        "subject", "predicate", "object"
+    )
+
+
 def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.canonicalize import canonicalize_entities
@@ -4441,6 +4468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_covariance": q_emb_covariance,
         "q_emb_jl_project": q_emb_jl_project,
         "q_kg_validate": q_kg_validate,
+        "q_kg_validation_report": q_kg_validation_report,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
         "q_kg_classes": q_kg_classes,
@@ -5913,6 +5941,51 @@ def oracle_sql() -> dict[str, str]:
                    'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E' || lpad(CAST(e0 AS VARCHAR), 4, '0') AS subject,
                    predicate, violations
             FROM v ORDER BY url, subject, predicate
+        """,
+        # the same violation inventory expanded through the 8-triple
+        # sh:ValidationReport template; maxCount's two instances collapse
+        # into one result node (set semantics), md5 skolems match Spark's
+        "q_kg_validation_report": """
+            WITH d AS (
+              SELECT doc_id AS i, doc_id%97 AS site,
+                     CASE WHEN doc_id%10=3 THEN 0 ELSE (doc_id*31)%1000 END AS e0
+              FROM documents),
+            v AS (
+              SELECT i, site, e0, 'http://schema.org/age' AS path,
+                     'datatype' AS code, 'Datatype' AS comp
+              FROM d WHERE i%13 = 0
+              UNION ALL
+              SELECT i, site, e0, 'http://schema.org/name', 'maxCount', 'MaxCount'
+              FROM d WHERE i%17 = 0 AND i%13 <> 0),
+            n AS (
+              SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/doc/'
+                       || CAST(i AS VARCHAR) AS url,
+                     'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                       || lpad(CAST(e0 AS VARCHAR), 4, '0') AS focus,
+                     path, code, comp
+              FROM v),
+            m AS (
+              SELECT url, focus, path, comp,
+                     'urn:shacl:report:' || md5(url) AS rep,
+                     'urn:shacl:result:'
+                       || md5(url || '|' || focus || '|' || path || '|' || code) AS res
+              FROM n),
+            t AS (
+              SELECT rep AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+                     'http://www.w3.org/ns/shacl#ValidationReport' AS o, 'iri' AS kind FROM m
+              UNION ALL SELECT rep, 'http://www.w3.org/ns/shacl#conforms',
+                     'false', 'literal' FROM m
+              UNION ALL SELECT rep, 'http://www.w3.org/ns/shacl#result', res, 'iri' FROM m
+              UNION ALL SELECT res, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                     'http://www.w3.org/ns/shacl#ValidationResult', 'iri' FROM m
+              UNION ALL SELECT res, 'http://www.w3.org/ns/shacl#focusNode', focus, 'iri' FROM m
+              UNION ALL SELECT res, 'http://www.w3.org/ns/shacl#resultPath', path, 'iri' FROM m
+              UNION ALL SELECT res, 'http://www.w3.org/ns/shacl#resultSeverity',
+                     'http://www.w3.org/ns/shacl#Violation', 'iri' FROM m
+              UNION ALL SELECT res, 'http://www.w3.org/ns/shacl#sourceConstraintComponent',
+                     'http://www.w3.org/ns/shacl#' || comp || 'ConstraintComponent', 'iri' FROM m)
+            SELECT DISTINCT s AS subject, p AS predicate, o AS object, kind
+            FROM t ORDER BY subject, predicate, object
         """,
         "q_kg_canonicalize": f"""
             WITH d AS (SELECT doc_id%97 AS site, unnest({_DD_ENTS}) AS k FROM documents),

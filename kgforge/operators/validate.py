@@ -1350,3 +1350,85 @@ def split_validated(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     accepted = validated.filter(F.size("violations") == 0)
     rejected = validated.filter(F.size("violations") > 0)
     return accepted, rejected
+
+
+# W3C SHACL §3.6 constraint-component IRIs whose spelling is not the
+# plain initial-capitalization of the validator's violation code.
+_COMPONENT_OVERRIDES = {
+    "sparql": "SPARQL",
+    "lessThan": "LessThan",
+    "lessThanOrEquals": "LessThanOrEquals",
+}
+
+
+def validation_report_triples(rejected: DataFrame) -> DataFrame:
+    """Materialize the validator's rejected rows as a standards-shaped
+    SHACL validation report graph (W3C SHACL §3.6: sh:ValidationReport /
+    sh:ValidationResult with sh:focusNode, sh:resultPath,
+    sh:resultSeverity, sh:sourceConstraintComponent) — the interchange
+    format every SHACL consumer understands, which the reference parser
+    never produces because it never validates. Returns flat triple rows
+    (subject, predicate, object, kind) ready for the N-Triples/Turtle
+    serializers.
+
+    One report node per url (urn:shacl:report:md5(url)), one result node
+    per distinct (url, focus, path, code) — repeated violation instances
+    (e.g. two maxCount-flagged assertions of the same path) collapse into
+    one result, per the spec's set semantics. Component IRIs derive from
+    the violation code by initial capitalization with a spec-spelling
+    override table (sparql -> SPARQLConstraintComponent).
+
+    Scale shape: one explode of the per-row violations array, one
+    distinct on the result key, then a map-only 8-triple array+explode
+    projection (the direct-mapping codegen idiom) and a final distinct
+    that dedupes the per-url report header across that url's results —
+    both shuffles are keyed on report-sized data, and nothing runs in
+    Python.
+    """
+    v = (
+        rejected.select(
+            "url", "subject", "predicate", F.explode("violations").alias("code")
+        )
+        .filter(F.col("subject").isNotNull())
+        .distinct()
+    )
+    rep = F.concat(F.lit("urn:shacl:report:"), F.md5(F.col("url")))
+    res = F.concat(
+        F.lit("urn:shacl:result:"),
+        F.md5(F.concat_ws("|", "url", "subject", "predicate", "code")),
+    )
+    comp = F.concat(
+        F.lit(SH),
+        F.upper(F.substring("code", 1, 1)),
+        F.expr("substring(code, 2)"),
+        F.lit("ConstraintComponent"),
+    )
+    for code, spelled in _COMPONENT_OVERRIDES.items():
+        comp = F.when(
+            F.col("code") == code,
+            F.lit(f"{SH}{spelled}ConstraintComponent"),
+        ).otherwise(comp)
+
+    def t(s, p, o, kind):
+        return F.struct(
+            s.alias("subject"),
+            p.alias("predicate"),
+            o.alias("object"),
+            F.lit(kind).alias("kind"),
+        )
+
+    rows = F.array(
+        t(rep, F.lit(RDF_TYPE), F.lit(f"{SH}ValidationReport"), "iri"),
+        t(rep, F.lit(f"{SH}conforms"), F.lit("false"), "literal"),
+        t(rep, F.lit(f"{SH}result"), res, "iri"),
+        t(res, F.lit(RDF_TYPE), F.lit(f"{SH}ValidationResult"), "iri"),
+        t(res, F.lit(f"{SH}focusNode"), F.col("subject"), "iri"),
+        t(res, F.lit(f"{SH}resultPath"), F.col("predicate"), "iri"),
+        t(res, F.lit(f"{SH}resultSeverity"), F.lit(f"{SH}Violation"), "iri"),
+        t(res, F.lit(f"{SH}sourceConstraintComponent"), comp, "iri"),
+    )
+    return (
+        v.select(F.explode(rows).alias("r"))
+        .select("r.subject", "r.predicate", "r.object", "r.kind")
+        .distinct()
+    )

@@ -386,3 +386,90 @@ class TestCharacteristicSets:
         )
         [r] = characteristic_sets(tri).collect()
         assert (r.cset, r.n_subjects, r.n_triples) == ("p:a", 1, 2)
+
+
+class TestValidationReport:
+    SH = "http://www.w3.org/ns/shacl#"
+
+    def _rej(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, subject string, predicate string, "
+                  "violations array<string>"
+        )
+
+    def test_eight_triple_template_and_skolems(self, spark):
+        import hashlib
+
+        from kgforge.operators.validate import validation_report_triples
+
+        rej = self._rej(
+            spark, [("u1", "s1", "http://schema.org/age", ["datatype"])]
+        )
+        out = validation_report_triples(rej).collect()
+        assert len(out) == 8
+        rep = "urn:shacl:report:" + hashlib.md5(b"u1").hexdigest()
+        res = "urn:shacl:result:" + hashlib.md5(
+            b"u1|s1|http://schema.org/age|datatype"
+        ).hexdigest()
+        got = {(r.subject, r.predicate, r.object) for r in out}
+        assert (rep, f"{self.SH}result", res) in got
+        assert (res, f"{self.SH}focusNode", "s1") in got
+        assert (
+            res,
+            f"{self.SH}sourceConstraintComponent",
+            f"{self.SH}DatatypeConstraintComponent",
+        ) in got
+        kinds = {r.predicate: r.kind for r in out}
+        assert kinds[f"{self.SH}conforms"] == "literal"
+        assert kinds[f"{self.SH}focusNode"] == "iri"
+
+    def test_repeated_instances_collapse(self, spark):
+        from kgforge.operators.validate import validation_report_triples
+
+        rej = self._rej(
+            spark,
+            [
+                ("u1", "s1", "p", ["maxCount"]),
+                ("u1", "s1", "p", ["maxCount"]),  # second flagged assertion
+            ],
+        )
+        out = validation_report_triples(rej).collect()
+        assert len(out) == 8  # one result node, not two
+
+    def test_two_urls_two_reports(self, spark):
+        from kgforge.operators.validate import validation_report_triples
+
+        rej = self._rej(
+            spark,
+            [("u1", "s1", "p", ["datatype"]), ("u2", "s2", "p", ["datatype"])],
+        )
+        out = validation_report_triples(rej).collect()
+        reports = {
+            r.subject for r in out if r.object == f"{self.SH}ValidationReport"
+        }
+        assert len(out) == 16 and len(reports) == 2
+
+    def test_component_override_spelling(self, spark):
+        from kgforge.operators.validate import validation_report_triples
+
+        rej = self._rej(spark, [("u1", "s1", "p", ["sparql"])])
+        comps = {
+            r.object
+            for r in validation_report_triples(rej).collect()
+            if r.predicate == f"{self.SH}sourceConstraintComponent"
+        }
+        assert comps == {f"{self.SH}SPARQLConstraintComponent"}
+
+    def test_multi_code_array_fans_out(self, spark):
+        from kgforge.operators.validate import validation_report_triples
+
+        rej = self._rej(spark, [("u1", "s1", "p", ["datatype", "maxCount"])])
+        out = validation_report_triples(rej).collect()
+        results = {
+            r.subject for r in out if r.object == f"{self.SH}ValidationResult"
+        }
+        # 2 result nodes, 1 shared report header (2 + 2*1 + 2*6 = 16... )
+        assert len(results) == 2
+        # shared report header (type+conforms) + 6 triples per result
+        # (sh:result edge, type, focusNode, resultPath, severity, component)
+        assert len(out) == 2 + 2 * 6
