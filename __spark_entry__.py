@@ -2010,6 +2010,50 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dst_url", "anchor")
 
 
+def q_anchor_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikification commonness prior P(target | anchor surface) from the
+    crawl's own anchor statistics (Mihalcea & Csomai 2007; Milne & Witten
+    2008) — the context-free disambiguation signal an entity linker
+    consults first. Exact bigint counts -> one IEEE division; totals
+    computed before any presentation filter so shares sum to 1 per
+    anchor. Oracle: the q_anchor_texts closed-form link inventory plus
+    the identical total/share arithmetic."""
+    from kgforge.operators.links import anchor_priors
+
+    return anchor_priors(_link_pages(spark, sf_dir)).orderBy(
+        "anchor", "dst_url"
+    )
+
+
+def q_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect / rel=canonical chain resolution by pointer jumping
+    (log-round doubling, one row per source always): a closed-form
+    halving chain (u_c -> u_{c//2}, terminal u0) plus a planted
+    canonical LOOP (u90 <-> u91) and a tail into it (u92) — loops and
+    over-long chains resolve to NULL/false, the crawl-quality finding.
+    Oracle: DuckDB recursive chain walk bounded at the same max_hops,
+    terminal = no outgoing edge."""
+    from kgforge.operators.urlops import resolve_chains
+
+    cats = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 60).cast("bigint").alias("c"))
+        .filter(F.col("c") > 0)
+        .distinct()
+    )
+    base = cats.select(
+        F.concat(F.lit("u"), F.col("c").cast("string")).alias("src"),
+        F.concat(
+            F.lit("u"), F.floor(F.col("c") / F.lit(2)).cast("bigint").cast("string")
+        ).alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [("u90", "u91"), ("u91", "u90"), ("u92", "u90")],
+        "src string, dst string",
+    )
+    return resolve_chains(base.unionByName(cyc), max_hops=8).orderBy("src")
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text search over the documents table (inverted index +
     Lucene-variant idf): top-25 docs for a fixed query. Scores rounded to
@@ -4500,6 +4544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sitemap_urls": q_sitemap_urls,
         "q_rel_canonical": q_rel_canonical,
         "q_anchor_texts": q_anchor_texts,
+        "q_anchor_priors": q_anchor_priors,
+        "q_canonical_chains": q_canonical_chains,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
@@ -7035,6 +7081,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS n_links,
                    CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_src_hosts
             FROM l GROUP BY dst_url, anchor ORDER BY dst_url, anchor
+        """,
+        # the same link inventory rolled to P(target | anchor): per-pair
+        # counts over per-anchor totals, exact ints -> one IEEE division
+        "q_anchor_priors": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            l AS (
+              SELECT 'https://ex' || CAST((i*7+1) % 97 AS VARCHAR)
+                       || '.example.org/art/' || CAST(i % 500 AS VARCHAR)
+                       || '?a=1&b=2' AS dst_url,
+                     'a' AS anchor FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/idx/'
+                       || CAST(i % 20 AS VARCHAR), 'i' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST((i*11+3) % 97 AS VARCHAR)
+                       || '.example.org/pr', 'p' FROM d
+              UNION ALL
+              SELECT 'https://ex' || CAST(s AS VARCHAR) || '.example.org/dir'
+                       || CAST(i % 10 AS VARCHAR) || '/sec/'
+                       || CAST(i % 7 AS VARCHAR), 's' FROM d
+            ),
+            agg AS (SELECT anchor, dst_url, CAST(COUNT(*) AS BIGINT) AS n_links
+                    FROM l GROUP BY anchor, dst_url),
+            tot AS (SELECT anchor, CAST(SUM(n_links) AS BIGINT) AS t
+                    FROM agg GROUP BY anchor)
+            SELECT agg.anchor, agg.dst_url, agg.n_links,
+                   ROUND(CAST(agg.n_links AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+                     AS prior
+            FROM agg JOIN tot ON agg.anchor = tot.anchor
+            ORDER BY agg.anchor, agg.dst_url
+        """,
+        # functional chain walk bounded at max_hops; terminal = no
+        # outgoing edge; loops and over-long chains yield NULL/false
+        "q_canonical_chains": """
+            WITH RECURSIVE cats AS (
+                SELECT DISTINCT CAST(doc_id % 60 AS BIGINT) AS c
+                FROM documents WHERE doc_id % 60 > 0),
+            e0 AS (
+              SELECT 'u' || CAST(c AS VARCHAR) AS src,
+                     'u' || CAST(CAST(FLOOR(c / 2) AS BIGINT) AS VARCHAR) AS dst
+              FROM cats
+              UNION ALL
+              SELECT * FROM (VALUES ('u90','u91'), ('u91','u90'),
+                                    ('u92','u90')) t(src, dst)),
+            f AS (SELECT src AS u, MIN(dst) AS v
+                  FROM e0 WHERE src <> dst GROUP BY src),
+            walk(u, v, h) AS (
+              SELECT u, v, CAST(1 AS BIGINT) FROM f
+              UNION ALL
+              SELECT walk.u, f.v, walk.h + 1
+              FROM walk JOIN f ON f.u = walk.v WHERE walk.h < 8),
+            term AS (
+              SELECT w.u, w.v, w.h FROM walk w
+              WHERE w.h <= 8
+                AND NOT EXISTS (SELECT 1 FROM f WHERE f.u = w.v)),
+            res AS (SELECT u, MIN(v) AS final, MIN(h) AS n_hops
+                    FROM term GROUP BY u)
+            SELECT f.u AS src, res.final, res.n_hops,
+                   res.final IS NOT NULL AS resolved
+            FROM f LEFT JOIN res ON res.u = f.u
+            ORDER BY src
         """,
         # ordered containment: the all-pairs ground truth the asymmetric
         # prefix-filter join must equal exactly (same gram definition)

@@ -309,6 +309,14 @@ def main():
         "q_kg_entity_summary",
         "q_kg_shape_drift",
         "q_event_retention",
+        "q_kg_owl_transitive",
+        "q_cosine_simjoin",
+        "q_host_hopplot",
+        "q_kg_ifp_sameas",
+        "q_kg_func_conflicts",
+        "q_kg_charsets",
+        "q_scd2_join",
+        "q_kg_validation_report",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -312,3 +312,48 @@ def extract_canonical(
     return out.withColumn(
         "is_self", F.col("canonical_url") == canonical_url_col(F.col("url"))
     )
+
+
+def anchor_priors(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    min_links: int = 1,
+) -> DataFrame:
+    """Commonness prior P(target | anchor surface) from the crawl's own
+    anchor statistics — the wikification prior (Mihalcea & Csomai 2007;
+    Milne & Witten 2008): when entity linking sees the surface "jaguar",
+    the distribution of link targets the web attached to that exact
+    anchor text is the strongest context-free disambiguation signal.
+    Returns (anchor, dst_url, n_links, prior) with prior = this target's
+    share of the anchor's total links.
+
+    Exactness: n_links and the per-anchor total are exact bigints, so
+    the share is one IEEE division — bit-identical across engines,
+    rounded to 6 for presentation.
+
+    Scale shape: rides :func:`anchor_texts`'s map-side-combined
+    (dst_url, anchor) aggregation, then ONE anchor-keyed combinable
+    total + one anchor-keyed join — the prior table is
+    (surface, target)-sized, exactly what a linking stage broadcasts or
+    bucket-joins against its mention candidates.
+    """
+    agg = anchor_texts(
+        pages, html_col=html_col, url_col=url_col, min_count=1
+    ).select("anchor", "dst_url", "n_links")
+    # totals over ALL of the anchor's links, BEFORE the presentation
+    # filter — shares always sum to 1 per anchor
+    tot = agg.groupBy("anchor").agg(F.sum("n_links").alias("_tot"))
+    return (
+        agg.join(tot, "anchor")
+        .select(
+            "anchor",
+            "dst_url",
+            F.col("n_links").cast("bigint").alias("n_links"),
+            F.round(
+                F.col("n_links").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("prior"),
+        )
+        .filter(F.col("n_links") >= min_links)
+    )

@@ -112,3 +112,73 @@ def url_templates(urls: DataFrame, url_col: str = "dst_url") -> DataFrame:
             F.min("u").alias("sample_url"),
         )
     )
+
+
+def resolve_chains(
+    mapping: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Resolve redirect / rel=canonical chains to their terminal target
+    by pointer jumping: page A declares canonical B, B declares C — the
+    crawl consolidation step needs A -> C directly (plus the hop count
+    for loop/age diagnostics). Returns (src, final, n_hops, resolved):
+    resolved=false with NULL final/n_hops for sources whose chain never
+    terminates within ``max_hops`` (a canonical loop, or a chain longer
+    than the cap — both are crawl-quality findings, not data).
+
+    Multiple declared targets per source collapse to min(dst) first
+    (deterministic functional graph). Pointer jumping doubles the reach
+    per round — log2(max_hops) self-joins, not max_hops — with eager
+    localCheckpoint lineage cuts; each round's join is keyed on the
+    current pointer, and the relation never exceeds the input mapping's
+    size (one row per source, always).
+    """
+    import math
+
+    f = (
+        mapping.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u")
+        .agg(F.min("v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    cur = f.select("u", "v", F.lit(1).cast("bigint").alias("h"))
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        nxt = (
+            cur.alias("x")
+            .join(
+                cur.select(
+                    F.col("u").alias("_ju"),
+                    F.col("v").alias("_jv"),
+                    F.col("h").alias("_jh"),
+                ),
+                F.col("x.v") == F.col("_ju"),
+                "left",
+            )
+            .select(
+                F.col("x.u").alias("u"),
+                F.coalesce("_jv", F.col("x.v")).alias("v"),
+                (F.col("x.h") + F.coalesce("_jh", F.lit(0))).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = nxt
+    # terminal = the final pointer has no outgoing edge AND the chain fit
+    # inside the cap; everything else is a loop / over-long chain
+    dom = f.select(F.col("u").alias("_d"))
+    return (
+        cur.join(dom, cur["v"] == dom["_d"], "left")
+        .select(
+            F.col("u").alias("src"),
+            F.when(
+                F.col("_d").isNull() & (F.col("h") <= max_hops), F.col("v")
+            ).alias("final"),
+            F.when(
+                F.col("_d").isNull() & (F.col("h") <= max_hops), F.col("h")
+            ).alias("n_hops"),
+            (F.col("_d").isNull() & (F.col("h") <= max_hops)).alias("resolved"),
+        )
+    )

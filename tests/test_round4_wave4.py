@@ -473,3 +473,79 @@ class TestValidationReport:
         # shared report header (type+conforms) + 6 triples per result
         # (sh:result edge, type, focusNode, resultPath, severity, component)
         assert len(out) == 2 + 2 * 6
+
+
+class TestResolveChains:
+    def _m(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_chain_resolves_with_hop_count(self, spark):
+        from kgforge.operators.urlops import resolve_chains
+
+        m = self._m(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        out = {r.src: r for r in resolve_chains(m).collect()}
+        assert (out["a"].final, out["a"].n_hops, out["a"].resolved) == ("d", 3, True)
+        assert (out["b"].final, out["b"].n_hops) == ("d", 2)
+        assert (out["c"].final, out["c"].n_hops) == ("d", 1)
+
+    def test_loop_and_tail_unresolved(self, spark):
+        from kgforge.operators.urlops import resolve_chains
+
+        m = self._m(spark, [("x", "y"), ("y", "x"), ("t", "x"), ("a", "b")])
+        out = {r.src: r for r in resolve_chains(m).collect()}
+        for s in ("x", "y", "t"):
+            assert out[s].final is None and not out[s].resolved
+        assert out["a"].resolved and out["a"].final == "b"
+
+    def test_over_long_chain_hits_cap(self, spark):
+        from kgforge.operators.urlops import resolve_chains
+
+        m = self._m(spark, [(f"n{i}", f"n{i+1}") for i in range(10)])
+        out = {r.src: r for r in resolve_chains(m, max_hops=4).collect()}
+        assert not out["n0"].resolved  # 10 hops > 4
+        assert out["n7"].resolved and out["n7"].n_hops == 3
+
+    def test_multiple_targets_min_wins(self, spark):
+        from kgforge.operators.urlops import resolve_chains
+
+        m = self._m(spark, [("a", "c"), ("a", "b")])
+        [r] = resolve_chains(m).collect()
+        assert (r.src, r.final) == ("a", "b")
+
+
+class TestAnchorPriors:
+    def test_shares_sum_to_one_and_exact(self, spark):
+        from kgforge.operators.links import anchor_priors
+
+        html = (
+            '<a href="https://t1.org/x">jaguar</a>'
+            '<a href="https://t1.org/x">jaguar</a>'
+            '<a href="https://t2.org/y">jaguar</a>'
+            '<a href="https://t3.org/z">lion</a>'
+        )
+        pages = spark.createDataFrame(
+            [("https://src.org/p", html.encode())], "url string, html binary"
+        )
+        out = {(r.anchor, r.dst_url): (r.n_links, r.prior)
+               for r in anchor_priors(pages).collect()}
+        assert out[("jaguar", "https://t1.org/x")] == (2, 0.666667)
+        assert out[("jaguar", "https://t2.org/y")] == (1, 0.333333)
+        assert out[("lion", "https://t3.org/z")] == (1, 1.0)
+
+    def test_min_links_filters_after_totals(self, spark):
+        from kgforge.operators.links import anchor_priors
+
+        html = (
+            '<a href="https://t1.org/x">jaguar</a>'
+            '<a href="https://t1.org/x">jaguar</a>'
+            '<a href="https://t2.org/y">jaguar</a>'
+        )
+        pages = spark.createDataFrame(
+            [("https://src.org/p", html.encode())], "url string, html binary"
+        )
+        out = anchor_priors(pages, min_links=2).collect()
+        # the rare target is filtered but the surviving share still
+        # reflects the FULL total (2/3, not 2/2)
+        assert [(r.dst_url, r.prior) for r in out] == [
+            ("https://t1.org/x", 0.666667)
+        ]
