@@ -462,13 +462,23 @@ def canonicalize_entities(
     triples: DataFrame,
     entity_names: DataFrame | None = None,
     name_threshold: float = 0.9,
+    extra_edges: DataFrame | None = None,
 ) -> DataFrame:
-    """Full stage: sameAs edges (+ optional name-similarity edges) -> CC ->
-    (node, component) canonical mapping."""
+    """Full stage: sameAs edges (+ optional name-similarity edges,
+    + optional caller-supplied equivalence edges (a, b) — e.g.
+    inverse-functional shared-key pairs from
+    ``inference.ifp_sameas_candidates``) -> CC -> (node, component)
+    canonical mapping. All edge sources union into ONE component
+    computation, so key-based and similarity-based evidence merge
+    transitively."""
     edges = sameas_edges(triples)
     if entity_names is not None:
         sim = verified_similar_pairs(entity_names, "uri", "name", threshold=name_threshold)
         edges = edges.union(sim.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    if extra_edges is not None:
+        edges = edges.union(
+            extra_edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
     return connected_components(edges)
 
 

@@ -146,6 +146,7 @@ def run_pipeline(
     span_dedup: bool = False,
     host_filter: bool = False,
     infer_rules: list | None = None,
+    ifp_props: list | None = None,
 ) -> dict:
     """Returns dict of stage DataFrames + metrics. All heavy stages write
     through ``write_stage`` (repartitionByRange + lineage + manifest).
@@ -159,7 +160,12 @@ def run_pipeline(
     forward-chains SHACL-AF rules over the CANONICAL graph — the entailed
     delta is written as its own stage table (url = urn:kgforge:entailed,
     so derived triples are always distinguishable from asserted ones) and
-    unioned into the materialized S/P/O graph."""
+    unioned into the materialized S/P/O graph; ``ifp_props`` (a list of
+    inverse-functional predicate IRIs, e.g. schema:email) adds key-based
+    ER evidence to canonicalization — subjects sharing an IFP value merge
+    into one component even without an explicit owl:sameAs assertion
+    (``ifp_sameas_candidates``' block-cleaned pairs union into the CC
+    edge set)."""
     spark = pages.sparkSession
     manifests = ManifestStore(os.path.join(work_root, "_manifests"))
     gazetteer = gazetteer if gazetteer is not None else gazetteer_rows()
@@ -248,8 +254,18 @@ def run_pipeline(
         )
 
     if canonicalize:
+        # key-based ER (owl:InverseFunctionalProperty shared values) feeds
+        # the CC canonicalizer as extra equivalence edges: subjects sharing
+        # an email/ISBN-style key merge even without an explicit sameAs
+        ifp_edges = None
+        if ifp_props:
+            from ..operators.inference import ifp_sameas_candidates
+
+            ifp_edges = ifp_sameas_candidates(accepted, ifp_props).select(
+                "a", "b"
+            )
         mapping = write_stage(
-            canonicalize_entities(accepted),
+            canonicalize_entities(accepted, extra_edges=ifp_edges),
             os.path.join(work_root, "canonical_map"), "canonicalize", run_id, manifests,
             range_cols=["node"],
         )

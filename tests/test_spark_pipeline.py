@@ -510,3 +510,51 @@ def test_host_filter_stage(spark, tmp_path):
     )
     hosts2 = {r["url"].split("/")[2] for r in out2["pages"].select("url").collect()}
     assert "spam.example.org" in hosts2  # stage is opt-in
+
+
+def test_ifp_canonical_merge(spark, tmp_path):
+    """ifp_props: subjects sharing an inverse-functional key merge in the
+    canonical mapping even with NO owl:sameAs assertion anywhere — and
+    the stage stays opt-in."""
+    import datetime as dt
+
+    from kgforge.pipeline.run import run_pipeline
+
+    EM = "http://schema.org/email"
+
+    def page(url, subj):
+        ttl = (
+            f'<{subj}> <{EM}> "shared@example.org" ; '
+            f'<http://schema.org/name> "Someone" .'
+        )
+        html = (
+            '<html><body><script type="text/turtle">'
+            f"{ttl}</script><p>hello world</p></body></html>"
+        )
+        from kgforge.html import extract_text
+
+        ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        return (url, ts, html.encode(), extract_text(html), "en")
+
+    pages = spark.createDataFrame(
+        [
+            page("https://a.example.org/1", "urn:person:a"),
+            page("https://b.example.org/2", "urn:person:b"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+    out = run_pipeline(
+        pages, str(tmp_path / "w"), gazetteer=[], ifp_props=[EM]
+    )
+    comp = {r.node: r.component for r in out["mapping"].collect()}
+    assert comp["urn:person:a"] == comp["urn:person:b"] == "urn:person:a"
+    # the canonical graph rewrote b's subject to the component id
+    subs = {r.subject for r in out["spo"]["s"].select("subject").collect()}
+    assert "urn:person:b" not in subs and "urn:person:a" in subs
+
+    out2 = run_pipeline(pages, str(tmp_path / "w2"), gazetteer=[])
+    comp2 = {r.node: r.component for r in out2["mapping"].collect()}
+    # opt-out: no shared-key evidence used, nothing merges the two
+    assert comp2.get("urn:person:a") != "urn:person:b"
+    assert comp2.get("urn:person:b", "urn:person:b") != "urn:person:a"
