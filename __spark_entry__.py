@@ -3382,6 +3382,22 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the LPA partition on the host graph (Newman &
+    Girvan 2004) — the partition-quality number community detection is
+    judged by. Exact-integer numerator Σ(4·m·e_c − D_c²) over
+    decimal/int128, ONE int→double cast + IEEE division, so Q replays
+    bit-for-bit. Oracle: the LPA rounds unrolled (q_host_communities'
+    CTE) + identical modularity arithmetic."""
+    from kgforge.operators.community import label_propagation, modularity
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
+    und = edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    assign = label_propagation(und, iterations=3)
+    return modularity(und, assign)
+
+
 def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style random-walk corpus over the host graph: 2 walks x 3
     steps from every host, each step md5-deterministic (uniform over the
@@ -4620,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nb_classifier": q_nb_classifier,
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
+        "q_host_modularity": q_host_modularity,
         "q_host_walks": q_host_walks,
         "q_kg_align": q_kg_align,
         "q_host_hits": q_host_hits,
@@ -8954,6 +8971,67 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY c DESC, label) AS rn
                      FROM m3) WHERE rn = 1)
             SELECT node, label AS community FROM l3 ORDER BY node
+        """,
+        # the same unrolled LPA partition scored with exact-integer
+        # modularity: num = sum(4*m*e_c - d_c^2), Q = num / (4*m^2)
+        "q_host_modularity": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST(s AS VARCHAR) || '.example.org' FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            und AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+            l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+            m1 AS (SELECT u.dst AS node, l.label, count(*) AS c
+                   FROM und u JOIN l0 l ON u.src = l.node GROUP BY 1, 2),
+            l1 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY c DESC, label) AS rn
+                     FROM m1) WHERE rn = 1),
+            m2 AS (SELECT u.dst AS node, l.label, count(*) AS c
+                   FROM und u JOIN l1 l ON u.src = l.node GROUP BY 1, 2),
+            l2 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY c DESC, label) AS rn
+                     FROM m2) WHERE rn = 1),
+            m3 AS (SELECT u.dst AS node, l.label, count(*) AS c
+                   FROM und u JOIN l2 l ON u.src = l.node GROUP BY 1, 2),
+            l3 AS (SELECT node, label FROM (
+                     SELECT node, label,
+                            row_number() OVER (PARTITION BY node
+                                               ORDER BY c DESC, label) AS rn
+                     FROM m3) WHERE rn = 1),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM und WHERE src <> dst),
+            mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+            lab AS (SELECT e.a, e.b, x.label AS la, y.label AS lb
+                    FROM e JOIN l3 x ON x.node = e.a JOIN l3 y ON y.node = e.b),
+            ec AS (SELECT la AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+                   FROM lab WHERE la = lb GROUP BY la),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dd
+                    FROM (SELECT a AS node FROM e
+                          UNION ALL SELECT b FROM e) GROUP BY node),
+            dc AS (SELECT l3.label AS community, CAST(SUM(deg.dd) AS BIGINT) AS d_c
+                   FROM deg JOIN l3 ON l3.node = deg.node GROUP BY 1),
+            terms AS (SELECT dc.community, COALESCE(ec.e_c, 0) AS e_c, dc.d_c
+                      FROM dc LEFT JOIN ec USING (community)),
+            agg AS (SELECT SUM(4 * (SELECT m FROM mrow) * e_c - d_c * d_c) AS num,
+                           CAST(COUNT(*) AS BIGINT) AS n_communities,
+                           CAST(SUM(e_c) AS BIGINT) AS intra_edges
+                    FROM terms)
+            SELECT (SELECT m FROM mrow) AS n_edges, n_communities, intra_edges,
+                   ROUND(CAST(num AS DOUBLE)
+                         / CAST(4 * (SELECT m FROM mrow) * (SELECT m FROM mrow)
+                                AS DOUBLE), 6) AS modularity
+            FROM agg
         """,
         # 3-way self-join triangle enumeration (a<b<c canonical order) over
         # the same closed-form co-occurrence edge set the engine derives

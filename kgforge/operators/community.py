@@ -55,3 +55,88 @@ def label_propagation(
         if (i + 1) % 3 == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def modularity(
+    edges: DataFrame,
+    assign: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a partition over the UNDIRECTED simple
+    graph (Newman & Girvan 2004): Q = Σ_c (e_c/m − (D_c/2m)²) — the
+    standard "was this community detection any good" number. Returns ONE
+    row (n_edges, n_communities, intra_edges, modularity).
+
+    Exactness regime: the sum is computed as ONE exact integer numerator
+    Σ_c (4·m·e_c − D_c²) over decimal(38,0) (DuckDB: int128) and divided
+    by 4m² in a single int→double cast + IEEE division — no
+    order-dependent float accumulation, so the oracle replays Q
+    bit-for-bit. Edges normalize to a distinct a<b set (self-loops
+    dropped); communities are counted over nodes that carry degree.
+
+    Scale shape: one distinct on the edge set, two node-keyed joins to
+    label endpoints, then everything is community-keyed combinable
+    aggregation collapsing to ONE row — no windows, no collects; m
+    travels as a 1-row crossJoin-broadcast, never a driver value.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    mrow = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    lab = assign.select(
+        F.col(node_col).alias("node"), F.col(label_col).alias("community")
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("community").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("community").alias("lb"))
+    labeled = e.join(la, "a").join(lb, "b")
+    ec = (
+        labeled.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("community")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    terms = dc.join(ec, "community", "left").select(
+        "community",
+        F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
+        "d_c",
+    )
+    DEC = "decimal(38,0)"
+    agg = terms.crossJoin(F.broadcast(mrow)).agg(
+        F.sum(
+            F.lit(4).cast(DEC) * F.col("m").cast(DEC) * F.col("e_c").cast(DEC)
+            - F.col("d_c").cast(DEC) * F.col("d_c").cast(DEC)
+        ).alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("e_c").cast("bigint").alias("intra_edges"),
+        F.first("m").alias("m"),
+    )
+    denom = (
+        F.lit(4).cast(DEC) * F.col("m").cast(DEC) * F.col("m").cast(DEC)
+    ).cast("double")
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "intra_edges",
+        F.when(
+            F.col("m") > 0,
+            F.round(F.col("num").cast("double") / denom, 6),
+        ).alias("modularity"),
+    )

@@ -549,3 +549,38 @@ class TestAnchorPriors:
         assert [(r.dst_url, r.prior) for r in out] == [
             ("https://t1.org/x", 0.666667)
         ]
+
+
+class TestModularity:
+    def _run(self, spark, edges, assign):
+        from kgforge.operators.community import modularity
+
+        e = spark.createDataFrame(edges, "src string, dst string")
+        a = spark.createDataFrame(assign, "node string, label string")
+        return modularity(e, a).collect()[0]
+
+    def test_two_cliques_hand_value(self, spark):
+        # two triangles joined by one bridge: the textbook partition
+        edges = [("a", "b"), ("b", "c"), ("a", "c"),
+                 ("x", "y"), ("y", "z"), ("x", "z"), ("c", "x")]
+        assign = [("a", "1"), ("b", "1"), ("c", "1"),
+                  ("x", "2"), ("y", "2"), ("z", "2")]
+        r = self._run(spark, edges, assign)
+        # m=7, e_1=e_2=3, D_1=D_2=7 -> Q = 2*(3/7 - (7/14)^2) = 5/14
+        assert (r.n_edges, r.n_communities, r.intra_edges) == (7, 2, 6)
+        assert r.modularity == pytest.approx(5 / 14, abs=1e-6)
+
+    def test_single_community_zero(self, spark):
+        edges = [("a", "b"), ("b", "c")]
+        assign = [("a", "1"), ("b", "1"), ("c", "1")]
+        r = self._run(spark, edges, assign)
+        # all edges intra, D=2m -> Q = m/m - (2m/2m)^2 = 0
+        assert r.modularity == 0.0
+
+    def test_self_loops_and_duplicates_normalized(self, spark):
+        edges = [("a", "b"), ("b", "a"), ("a", "a"), ("a", "b")]
+        assign = [("a", "1"), ("b", "2")]
+        r = self._run(spark, edges, assign)
+        assert r.n_edges == 1 and r.intra_edges == 0
+        # one inter-community edge: Q = -(1/2)^2 * 2 = -0.5
+        assert r.modularity == pytest.approx(-0.5, abs=1e-6)
