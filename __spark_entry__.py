@@ -2054,6 +2054,29 @@ def q_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_chains(base.unionByName(cyc), max_hops=8).orderBy("src")
 
 
+def q_lexrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document extractive summarization — LexRank's degree-centrality
+    variant (Erkan & Radev 2004): top-2 most central sentences by summed
+    Jaccard word-set similarity to the document's other sentences.
+    Pairwise similarities quantize to integer micro-units so the score
+    is an exact order-free bigint sum; the similarity join is
+    DOC-CONFINED. Oracle: identical split/word-set/quantize/sum/rank
+    pipeline in SQL. The corpus text is period-free, so the fixture
+    first sentence-ifies it deterministically: 10-word groups joined
+    with '. ' (the oracle rebuilds the same grouping)."""
+    from kgforge.operators.ranking import lexrank_sentences
+
+    toks = F.split(F.col("text"), " ")
+    sents = F.transform(
+        F.sequence(F.lit(0), ((F.size(toks) - 1) / 10).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(sents, ". ").alias("text")
+    )
+    return lexrank_sentences(docs, k=2).orderBy("doc_id", "rank")
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text search over the documents table (inverted index +
     Lucene-variant idf): top-25 docs for a fixed query. Scores rounded to
@@ -4562,6 +4585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_texts": q_anchor_texts,
         "q_anchor_priors": q_anchor_priors,
         "q_canonical_chains": q_canonical_chains,
+        "q_lexrank_summary": q_lexrank_summary,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
@@ -7128,6 +7152,48 @@ def oracle_sql() -> dict[str, str]:
                      AS prior
             FROM agg JOIN tot ON agg.anchor = tot.anchor
             ORDER BY agg.anchor, agg.dst_url
+        """,
+        # identical split / word-set / micro-quantize / sum / rank chain;
+        # integer micro-units make the score sum order-free
+        "q_lexrank_summary": """
+            WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+            d AS (SELECT doc_id,
+                    list_transform(range(0, (len(tok)-1)//10 + 1),
+                      i -> array_to_string(
+                             tok[CAST(i*10+1 AS INT):CAST(i*10+10 AS INT)], ' '))
+                      AS ss
+                  FROM tk),
+            s AS (SELECT doc_id, CAST(jj AS BIGINT) AS idx,
+                         ss[CAST(jj AS INT)+1] AS sentence
+                  FROM d, LATERAL unnest(range(0, len(ss))) t(jj)),
+            sent AS (SELECT doc_id, idx, sentence,
+                       list_distinct(list_filter(
+                         string_split_regex(lower(sentence), '[^a-z]+'),
+                         w -> length(w) >= 3)) AS w
+                     FROM s WHERE sentence <> ''),
+            p AS (SELECT x.doc_id, x.idx AS i,
+                    CASE WHEN len(list_distinct(list_concat(x.w, y.w))) > 0
+                         THEN CAST(ROUND(1000000.0
+                                 * len(list_intersect(x.w, y.w))
+                                 / len(list_distinct(list_concat(x.w, y.w))))
+                              AS BIGINT)
+                         ELSE 0 END AS t
+                  FROM sent x JOIN sent y
+                    ON x.doc_id = y.doc_id AND x.idx <> y.idx),
+            sc AS (SELECT doc_id, i, CAST(SUM(t) AS BIGINT) AS micro
+                   FROM p GROUP BY doc_id, i),
+            r AS (SELECT sent.doc_id, sent.idx, sent.sentence,
+                         COALESCE(sc.micro, 0) AS micro
+                  FROM sent LEFT JOIN sc
+                    ON sc.doc_id = sent.doc_id AND sc.i = sent.idx),
+            rk AS (SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY micro DESC, idx)
+                     AS INT) AS "rank"
+                   FROM r)
+            SELECT doc_id, "rank", CAST(idx AS INT) AS idx,
+                   ROUND(CAST(micro AS DOUBLE) / 1000000.0, 6) AS score,
+                   sentence
+            FROM rk WHERE "rank" <= 2 ORDER BY doc_id, "rank"
         """,
         # functional chain walk bounded at max_hops; terminal = no
         # outgoing edge; loops and over-long chains yield NULL/false

@@ -182,3 +182,99 @@ def ranking_metrics(
     return out.select(
         query_col, "rr", "dcg", idcg.alias("idcg"), ndcg.alias("ndcg"), "hits"
     )
+
+
+def lexrank_sentences(
+    docs: DataFrame,
+    k: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 3,
+) -> DataFrame:
+    """Extractive summarization per document — the degree-centrality
+    variant of LexRank (Erkan & Radev 2004, §4.1: threshold/degree
+    centrality is the power-iteration-free member of the family): a
+    sentence's salience is the sum of its Jaccard word-set similarities
+    to the document's OTHER sentences, and the top-k most central
+    sentences are the summary. Returns (doc_id, rank, idx, score,
+    sentence) with idx = the sentence's original position.
+
+    Exactness regime: each pairwise similarity is quantized to integer
+    micro-units — round(1e6 · |A∩B| / |A∪B|) — so the per-sentence score
+    is an EXACT bigint sum (order-free), divided once for presentation.
+    With word-set unions far below 128, 1e6·i/u can never land on an
+    exact .5, so Spark's HALF_UP and DuckDB's half-away rounding agree
+    and the oracle replays scores bit-for-bit.
+
+    Scale shape: sentences explode to rows, the similarity join is
+    DOC-CONFINED (a document's own sentences — the same page-local shape
+    as the entity co-occurrence build), and the score aggregation is a
+    combinable integer sum keyed (doc, sentence). The only window is the
+    per-doc top-k, partitioned by the same doc key the join already
+    used. No Python anywhere.
+    """
+    words = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("sentence")), TOKEN_SPLIT_RE),
+            lambda w: F.length(w) >= min_len,
+        )
+    )
+    sent = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\\. ")).alias(
+                "idx", "sentence"
+            ),
+        )
+        .filter(F.col("sentence") != "")
+        .select("doc_id", "idx", "sentence", words.alias("w"))
+    )
+    a = sent.select(
+        "doc_id", F.col("idx").alias("i"), F.col("w").alias("wa")
+    )
+    b = sent.select(
+        "doc_id", F.col("idx").alias("j"), F.col("w").alias("wb")
+    )
+    inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    union = F.size(F.array_union("wa", "wb"))
+    term = F.when(
+        union > 0,
+        F.round(F.lit(1000000.0) * inter / union.cast("double"), 0),
+    ).otherwise(F.lit(0.0)).cast("bigint")
+    scores = (
+        a.join(b, "doc_id")
+        .filter(F.col("i") != F.col("j"))
+        .select("doc_id", "i", term.alias("t"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum("t").cast("bigint").alias("micro"))
+    )
+    sc = scores.select(
+        F.col("doc_id").alias("_sd"),
+        F.col("i").alias("_si"),
+        "micro",
+    )
+    ranked = (
+        sent.join(
+            sc,
+            (F.col("doc_id") == F.col("_sd")) & (F.col("idx") == F.col("_si")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "idx",
+            "sentence",
+            F.coalesce("micro", F.lit(0)).cast("bigint").alias("micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("micro"), F.asc("idx"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            F.col("idx").cast("int").alias("idx"),
+            F.round(F.col("micro").cast("double") / 1000000.0, 6).alias("score"),
+            "sentence",
+        )
+    )

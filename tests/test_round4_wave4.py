@@ -584,3 +584,41 @@ class TestModularity:
         assert r.n_edges == 1 and r.intra_edges == 0
         # one inter-community edge: Q = -(1/2)^2 * 2 = -0.5
         assert r.modularity == pytest.approx(-0.5, abs=1e-6)
+
+
+class TestLexrankSentences:
+    def _run(self, spark, rows, k=2):
+        from kgforge.operators.ranking import lexrank_sentences
+
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return lexrank_sentences(docs, k=k).collect()
+
+    def test_central_sentence_wins(self, spark):
+        # s0 overlaps both others; s1 and s2 share nothing with each other
+        text = (
+            "apple banana cherry mango. "
+            "apple banana lemon orange. "
+            "cherry mango grape melon"
+        )
+        out = sorted(self._run(spark, [(1, text)]), key=lambda r: r.rank)
+        assert out[0].idx == 0  # the hub sentence
+        # hub: J(s0,s1)=2/6, J(s0,s2)=2/6 -> micro = 2*round(1e6/3)
+        assert out[0].score == pytest.approx(2 * 0.333333, abs=1e-6)
+        assert out[0].rank == 1 and len(out) == 2
+
+    def test_tie_breaks_by_position(self, spark):
+        text = "apple banana. apple banana. cherry mango"
+        out = sorted(self._run(spark, [(1, text)]), key=lambda r: r.rank)
+        # the two identical sentences tie; earlier index wins rank 1
+        assert [r.idx for r in out] == [0, 1]
+
+    def test_single_sentence_doc(self, spark):
+        out = self._run(spark, [(1, "just one sentence here")])
+        assert len(out) == 1 and out[0].score == 0.0 and out[0].rank == 1
+
+    def test_doc_confinement(self, spark):
+        # identical sentences in DIFFERENT docs must not boost each other
+        rows = [(1, "apple banana. cherry mango"),
+                (2, "apple banana. grape melon")]
+        out = self._run(spark, rows)
+        assert all(r.score == 0.0 for r in out)
