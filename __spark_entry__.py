@@ -1286,6 +1286,31 @@ def q_kg_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_r2rml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom relational->RDF lifting per W3C R2RML (the configurable
+    sibling of the hard-coded Direct Mapping): a triples map over the
+    customer table with an rr:template subject, rr:class typing, literal
+    column maps, an IRI-template reference into nation (the join-less FK
+    shortcut), and a constant provenance term. ONE codegen array+explode
+    fused into the scan — no shuffle, no UDF. Oracle: every branch
+    rebuilt with UNION ALL in SQL."""
+    from kgforge.operators.direct_mapping import r2rml_map_table
+
+    R = "http://kg.example.org/r2rml/"
+    out = r2rml_map_table(
+        _t(spark, sf_dir, "customer"),
+        subject_template=R + "customer/{c_custkey}",
+        subject_class="http://schema.org/Person",
+        predicate_object_maps=[
+            {"predicate": "http://schema.org/name", "column": "c_name"},
+            {"predicate": R + "segment", "column": "c_mktsegment"},
+            {"predicate": R + "nation", "template": R + "nation/{c_nationkey}"},
+            {"predicate": R + "source", "constant": "tpch", "kind": "literal"},
+        ],
+    )
+    return out.orderBy("subject", "predicate", "object")
+
+
 def q_kg_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.fixtures import pages_from_documents
     from kgforge.operators.canonicalize import canonicalize_entities
@@ -4552,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_emb_jl_project": q_emb_jl_project,
         "q_kg_validate": q_kg_validate,
         "q_kg_validation_report": q_kg_validation_report,
+        "q_kg_r2rml": q_kg_r2rml,
         "q_kg_canonicalize": q_kg_canonicalize,
         "q_kg_mentions": q_kg_mentions,
         "q_kg_classes": q_kg_classes,
@@ -6073,6 +6099,38 @@ def oracle_sql() -> dict[str, str]:
                      'http://www.w3.org/ns/shacl#' || comp || 'ConstraintComponent', 'iri' FROM m)
             SELECT DISTINCT s AS subject, p AS predicate, o AS object, kind
             FROM t ORDER BY subject, predicate, object
+        """,
+        # R2RML triples map over customer: five UNION ALL branches
+        "q_kg_r2rml": """
+            WITH c AS (SELECT c_custkey, c_name, c_mktsegment,
+                              c_nationkey FROM customer),
+            t AS (
+              SELECT 'http://kg.example.org/r2rml/customer/'
+                       || CAST(c_custkey AS VARCHAR) AS subject,
+                     'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate,
+                     'http://schema.org/Person' AS object,
+                     'iri' AS object_kind, '' AS datatype FROM c
+              UNION ALL
+              SELECT 'http://kg.example.org/r2rml/customer/' || CAST(c_custkey AS VARCHAR),
+                     'http://schema.org/name', c_name, 'literal', '' FROM c
+              WHERE c_name IS NOT NULL
+              UNION ALL
+              SELECT 'http://kg.example.org/r2rml/customer/' || CAST(c_custkey AS VARCHAR),
+                     'http://kg.example.org/r2rml/segment', c_mktsegment,
+                     'literal', '' FROM c
+              WHERE c_mktsegment IS NOT NULL
+              UNION ALL
+              SELECT 'http://kg.example.org/r2rml/customer/' || CAST(c_custkey AS VARCHAR),
+                     'http://kg.example.org/r2rml/nation',
+                     'http://kg.example.org/r2rml/nation/' || CAST(c_nationkey AS VARCHAR),
+                     'iri', '' FROM c
+              WHERE c_nationkey IS NOT NULL
+              UNION ALL
+              SELECT 'http://kg.example.org/r2rml/customer/' || CAST(c_custkey AS VARCHAR),
+                     'http://kg.example.org/r2rml/source', 'tpch', 'literal', '' FROM c)
+            SELECT subject, predicate, object, object_kind, datatype
+            FROM t WHERE subject IS NOT NULL
+            ORDER BY subject, predicate, object
         """,
         "q_kg_canonicalize": f"""
             WITH d AS (SELECT doc_id%97 AS site, unnest({_DD_ENTS}) AS k FROM documents),

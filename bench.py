@@ -317,6 +317,10 @@ def main():
         "q_kg_charsets",
         "q_scd2_join",
         "q_kg_validation_report",
+        "q_anchor_priors",
+        "q_canonical_chains",
+        "q_host_modularity",
+        "q_lexrank_summary",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -93,3 +93,104 @@ def test_timestamp_iso8601(spark):
 def test_plan_is_map_only(spark, people):
     plan = direct_map_table(people, "People", ["id"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+class TestR2rmlMapTable:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "Ada", 10), (2, None, None)],
+            "id bigint, name string, nat int",
+        )
+
+    def test_full_map_shapes(self, spark):
+        from kgforge.operators.direct_mapping import r2rml_map_table
+
+        out = r2rml_map_table(
+            self._df(spark),
+            subject_template="http://x.org/c/{id}",
+            subject_class="http://x.org/C",
+            predicate_object_maps=[
+                {"predicate": "http://x.org/name", "column": "name"},
+                {"predicate": "http://x.org/nat",
+                 "template": "http://x.org/n/{nat}"},
+                {"predicate": "http://x.org/src", "constant": "t",
+                 "kind": "literal"},
+            ],
+        ).collect()
+        got = {(r.subject, r.predicate, r.object, r.object_kind) for r in out}
+        assert ("http://x.org/c/1", "http://x.org/name", "Ada", "literal") in got
+        assert (
+            "http://x.org/c/1", "http://x.org/nat", "http://x.org/n/10", "iri"
+        ) in got
+        # row 2: NULL name and NULL nat emit nothing (R2RML §11)
+        assert not any(
+            r.subject == "http://x.org/c/2"
+            and r.predicate in ("http://x.org/name", "http://x.org/nat")
+            for r in out
+        )
+        # but type + constant still emitted for row 2
+        assert ("http://x.org/c/2",
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "http://x.org/C", "iri") in got
+        assert len(out) == 4 + 2  # row1: type+name+nat+constant, row2: type+constant
+
+    def test_null_subject_suppresses_row(self, spark):
+        from kgforge.operators.direct_mapping import r2rml_map_table
+
+        df = spark.createDataFrame([(None, "x")], "id bigint, name string")
+        out = r2rml_map_table(
+            df,
+            subject_template="http://x.org/c/{id}",
+            predicate_object_maps=[
+                {"predicate": "http://x.org/name", "column": "name"}
+            ],
+        ).collect()
+        assert out == []
+
+    def test_template_percent_encoding(self, spark):
+        from kgforge.operators.direct_mapping import r2rml_map_table
+
+        df = spark.createDataFrame([("a b#c",)], "k string")
+        [r] = r2rml_map_table(
+            df,
+            subject_template="http://x.org/{k}",
+            predicate_object_maps=[
+                {"predicate": "http://x.org/p", "constant": "v",
+                 "kind": "literal"}
+            ],
+        ).collect()
+        assert r.subject == "http://x.org/a%20b%23c"
+
+    def test_datatype_inference_and_override(self, spark):
+        from kgforge.operators.direct_mapping import XSD, r2rml_map_table
+
+        df = spark.createDataFrame([(7,)], "n bigint")
+        [r] = r2rml_map_table(
+            df,
+            subject_template="http://x.org/{n}",
+            predicate_object_maps=[{"predicate": "http://x.org/n", "column": "n"}],
+        ).collect()
+        assert r.datatype == XSD + "integer" and r.object == "7"
+        [r2] = r2rml_map_table(
+            df,
+            subject_template="http://x.org/{n}",
+            predicate_object_maps=[
+                {"predicate": "http://x.org/n", "column": "n",
+                 "datatype": XSD + "gYear"}
+            ],
+        ).collect()
+        assert r2.datatype == XSD + "gYear"
+
+    def test_unknown_column_raises(self, spark):
+        import pytest as _pytest
+
+        from kgforge.operators.direct_mapping import r2rml_map_table
+
+        with _pytest.raises(ValueError, match="unknown column"):
+            r2rml_map_table(
+                self._df(spark),
+                subject_template="http://x.org/c/{id}",
+                predicate_object_maps=[
+                    {"predicate": "http://x.org/p", "column": "nope"}
+                ],
+            )
