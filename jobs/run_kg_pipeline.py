@@ -42,6 +42,16 @@ def main():
                          "canonicalization re-runs over the merged edge set; with "
                          "--rules-ttl the entailed layer is maintained by DRed "
                          "delta rules instead of a fixpoint replay)")
+    ap.add_argument("--span-dedup", action="store_true",
+                    help="rewrite surviving pages' text with duplicated spans "
+                         "removed (ExactSubstr) before parse/mentions")
+    ap.add_argument("--host-filter", action="store_true",
+                    help="drop whole hosts failing the domain-level curation "
+                         "rollup before any other stage")
+    ap.add_argument("--ifp-props", default=None, metavar="IRI[,IRI...]",
+                    help="comma-separated inverse-functional predicate IRIs: "
+                         "subjects sharing a value merge during canonicalization "
+                         "even without owl:sameAs (block-cleaned key-based ER)")
     ap.add_argument("--compact", action="store_true",
                     help="after materializing, compact the S/P/O stage directories to "
                          "~128MB range-clustered files (fingerprint-verified rewrite)")
@@ -69,7 +79,17 @@ def main():
             shape_triples, _, _ = parse_rdf(fh.read())
         rules = extract_rules(shape_triples)
 
+    ifp_props = (
+        [p.strip() for p in args.ifp_props.split(",") if p.strip()]
+        if args.ifp_props
+        else None
+    )
     if args.merge_from:
+        if ifp_props or args.span_dedup or args.host_filter:
+            ap.error(
+                "--ifp-props/--span-dedup/--host-filter apply to full runs; "
+                "an incremental --merge-from inherits the previous run's stages"
+            )
         from kgforge.pipeline.incremental import merge_increment
 
         out = merge_increment(
@@ -80,7 +100,8 @@ def main():
         out = run_pipeline(
             pages, args.out, run_id=args.run_id,
             extended_checks=args.extended_checks, dedup=args.dedup,
-            infer_rules=rules,
+            span_dedup=args.span_dedup, host_filter=args.host_filter,
+            infer_rules=rules, ifp_props=ifp_props,
         )
     summary = {
         "accepted": out["accepted"].count(),
