@@ -3446,6 +3446,22 @@ def q_host_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(und, assign)
 
 
+def q_host_richclub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient sweep φ(k) over the host graph (Zhou &
+    Mondragón 2004): do high-degree hosts preferentially interlink?
+    Degrees from ONE combinable count; the k sweep broadcast-joins a
+    tiny k-list so corpus-scale tables scan once, not once per k; φ is
+    an exact-integer ratio. Oracle: identical degree/threshold/ratio
+    arithmetic in SQL."""
+    from kgforge.operators.graph import rich_club
+    from kgforge.operators.links import extract_links, host_edges
+
+    edges = host_edges(extract_links(_link_pages(spark, sf_dir))).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return rich_club(edges, [1, 2, 4, 8, 16]).orderBy("k")
+
+
 def q_host_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DeepWalk-style random-walk corpus over the host graph: 2 walks x 3
     steps from every host, each step md5-deterministic (uniform over the
@@ -4687,6 +4703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_sample": q_dsir_sample,
         "q_host_communities": q_host_communities,
         "q_host_modularity": q_host_modularity,
+        "q_host_richclub": q_host_richclub,
         "q_host_walks": q_host_walks,
         "q_kg_align": q_kg_align,
         "q_host_hits": q_host_hits,
@@ -9095,6 +9112,39 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY c DESC, label) AS rn
                      FROM m3) WHERE rn = 1)
             SELECT node, label AS community FROM l3 ORDER BY node
+        """,
+        # rich-club sweep: undirected simple host edges, degree threshold
+        # per k from a VALUES list, exact-integer phi ratio
+        "q_host_richclub": """
+            WITH d AS (SELECT doc_id AS i, doc_id % 97 AS s FROM documents),
+            raw AS (
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org' AS src,
+                     'ex' || CAST((i*7+1) % 97 AS VARCHAR) || '.example.org' AS dst FROM d
+              UNION ALL
+              SELECT 'ex' || CAST(s AS VARCHAR) || '.example.org',
+                     'ex' || CAST((i*11+3) % 97 AS VARCHAR) || '.example.org' FROM d
+            ),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM raw WHERE src <> dst),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dd
+                    FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                    GROUP BY node),
+            ks AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) t(k)),
+            nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                   FROM ks JOIN deg ON deg.dd > ks.k GROUP BY k),
+            lab AS (SELECT e.a, e.b, x.dd AS da, y.dd AS db
+                    FROM e JOIN deg x ON x.node = e.a JOIN deg y ON y.node = e.b),
+            ek AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_edges
+                   FROM ks JOIN lab ON lab.da > ks.k AND lab.db > ks.k
+                   GROUP BY k)
+            SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+                   COALESCE(ek.n_edges, 0) AS n_edges,
+                   CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+                        THEN ROUND(CAST(2 * COALESCE(ek.n_edges, 0) AS DOUBLE)
+                               / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE), 6)
+                   END AS phi
+            FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+            ORDER BY ks.k
         """,
         # the same unrolled LPA partition scored with exact-integer
         # modularity: num = sum(4*m*e_c - d_c^2), Q = num / (4*m^2)

@@ -1015,3 +1015,79 @@ def hop_plot(
             6,
         ).alias("cum_share"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: list[int],
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004): over the
+    subgraph induced by nodes with degree > k, the realized fraction of
+    possible edges — φ(k) = 2·E_k / (N_k·(N_k−1)). A rising φ(k) means
+    the web's hubs preferentially interlink (the "rich club"), which
+    drives both crawl prioritization and skew planning. Returns one row
+    per requested k: (k, n_nodes, n_edges, phi); phi NULL when fewer
+    than two qualifying nodes exist.
+
+    Exactness: N_k and E_k are exact bigints; φ is one integer→double
+    division (the modularity trick), so the oracle replays it
+    bit-for-bit.
+
+    Scale shape: degrees come from ONE combinable count over the
+    normalized edge list; the k sweep is a broadcast join of the tiny
+    k-list against the degree table and against the degree-labeled
+    edges — the corpus-scale tables are scanned once each, never once
+    per k.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    nk = (
+        deg.crossJoin(F.broadcast(kdf))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    ek = (
+        e.join(da, "a")
+        .join(db, "b")
+        .crossJoin(F.broadcast(kdf))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    )
+    out = (
+        kdf.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).cast("bigint").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+        )
+    )
+    phi = F.when(
+        F.col("n_nodes") >= 2,
+        F.round(
+            (F.lit(2).cast("bigint") * F.col("n_edges")).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"),
+            6,
+        ),
+    )
+    return out.select("k", "n_nodes", "n_edges", phi.alias("phi"))

@@ -622,3 +622,41 @@ class TestLexrankSentences:
                 (2, "apple banana. grape melon")]
         out = self._run(spark, rows)
         assert all(r.score == 0.0 for r in out)
+
+
+class TestRichClub:
+    def test_clique_plus_pendants(self, spark):
+        from kgforge.operators.graph import rich_club
+
+        # K4 core {a,b,c,d} + pendant nodes hanging off a and b
+        core = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                ("b", "d"), ("c", "d")]
+        pend = [("a", "p1"), ("b", "p2")]
+        edges = spark.createDataFrame(core + pend, "src string, dst string")
+        rows = {r.k: r for r in rich_club(edges, [0, 2, 3]).collect()}
+        # k=0: everything (6 nodes, 8 edges): phi = 16/30
+        assert rows[0].n_nodes == 6 and rows[0].n_edges == 8
+        assert rows[0].phi == pytest.approx(16 / 30, abs=1e-6)
+        # k=2: the K4 core only -> perfect club
+        assert rows[2].n_nodes == 4 and rows[2].n_edges == 6
+        assert rows[2].phi == 1.0
+        # k=3: only a and b have degree 4 > 3; they are linked
+        assert rows[3].n_nodes == 2 and rows[3].n_edges == 1
+        assert rows[3].phi == 1.0
+
+    def test_degenerate_club_null(self, spark):
+        from kgforge.operators.graph import rich_club
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        rows = {r.k: r for r in rich_club(edges, [5]).collect()}
+        assert rows[5].n_nodes == 0 and rows[5].phi is None
+
+    def test_duplicate_and_self_edges_normalized(self, spark):
+        from kgforge.operators.graph import rich_club
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "a")], "src string, dst string"
+        )
+        rows = {r.k: r for r in rich_club(edges, [0]).collect()}
+        assert rows[0].n_nodes == 2 and rows[0].n_edges == 1
+        assert rows[0].phi == 1.0
