@@ -2079,6 +2079,24 @@ def q_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_chains(base.unionByName(cyc), max_hops=8).orderBy("src")
 
 
+def q_bootstrap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the corpus mean-token metric
+    (Chamandy et al. 2012 — Google's resampling-at-scale recipe):
+    20 replicates with deterministic md5-derived Poisson(1) weights,
+    replicate 0 = the point estimate; the CI is a trivial aggregate over
+    the returned replicate table. Integer metric -> exact bigint
+    numerator/denominator per replicate -> one IEEE division, so every
+    row replays bit-for-bit. Oracle: identical hash stream, hardcoded
+    CDF literals, and ratio arithmetic in SQL."""
+    from kgforge.operators.sampling import bootstrap_means
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    return bootstrap_means(docs, "n_tokens", replicates=20).orderBy("replicate")
+
+
 def q_lexrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document extractive summarization — LexRank's degree-centrality
     variant (Erkan & Radev 2004): top-2 most central sentences by summed
@@ -4628,6 +4646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_priors": q_anchor_priors,
         "q_canonical_chains": q_canonical_chains,
         "q_lexrank_summary": q_lexrank_summary,
+        "q_bootstrap_tokens": q_bootstrap_tokens,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
@@ -7227,6 +7246,42 @@ def oracle_sql() -> dict[str, str]:
                      AS prior
             FROM agg JOIN tot ON agg.anchor = tot.anchor
             ORDER BY agg.anchor, agg.dst_url
+        """,
+        # identical md5-uniform stream + hardcoded Poisson(1) CDF
+        # literals; integer metric -> exact per-replicate ratio
+        "q_bootstrap_tokens": """
+            WITH d AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+                       FROM documents),
+            b AS (SELECT CAST(replicate AS BIGINT) AS replicate
+                  FROM range(0, 21) t(replicate)),
+            r AS (SELECT doc_id, x, replicate FROM d, b),
+            uw AS (SELECT replicate, x,
+                     (CAST(concat('0x', substring(md5(
+                          CAST(doc_id AS VARCHAR) || chr(31)
+                          || CAST(replicate AS VARCHAR) || chr(31) || '7'),
+                        1, 15)) AS BIGINT) + 0.5)
+                     / 1152921504606846976.0 AS u
+                   FROM r),
+            w AS (SELECT replicate, x,
+                    CASE WHEN replicate = 0 THEN 1 ELSE
+                      CAST(u > 0.36787944117144233 AS INT)
+                      + CAST(u > 0.7357588823428847 AS INT)
+                      + CAST(u > 0.9196986029286058 AS INT)
+                      + CAST(u > 0.9810118431238463 AS INT)
+                      + CAST(u > 0.9963401531726563 AS INT)
+                      + CAST(u > 0.9994058151824183 AS INT)
+                      + CAST(u > 0.999916758850712 AS INT)
+                      + CAST(u > 0.9999897508033253 AS INT)
+                    END AS w
+                  FROM uw)
+            SELECT CAST(replicate AS INT) AS replicate,
+                   CAST(SUM(w) AS BIGINT) AS n_eff,
+                   CASE WHEN SUM(w) > 0
+                        THEN ROUND(CAST(SUM(w * x) AS DOUBLE)
+                                   / CAST(SUM(w) AS DOUBLE), 6)
+                   END AS boot_mean
+            FROM w GROUP BY replicate ORDER BY replicate
         """,
         # identical split / word-set / micro-quantize / sum / rank chain;
         # integer micro-units make the score sum order-free

@@ -379,3 +379,84 @@ def repetition_budget(
             F.round(alloc / F.lit(float(budget_tokens)), 6).alias("budget_share"),
         )
     )
+
+
+# P(Poisson(1) <= k) for k = 0..7, hardcoded so the Spark expression and
+# the DuckDB oracle share bit-identical literals; weights cap at 8
+# (P(X > 8) ~ 1e-6 — negligible mass, bounded fan-out by construction).
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+]
+
+
+def bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    replicates: int = 20,
+    seed: int = 7,
+) -> DataFrame:
+    """Poisson bootstrap for corpus metrics (Chamandy et al. 2012,
+    "Estimating Uncertainty for Massive Data Streams": resampling WITH
+    replacement is infeasible at 10^12 rows, but Poisson(1) weights per
+    (row, replicate) approximate it arbitrarily well and are
+    embarrassingly parallel). One row per replicate:
+    (replicate, n_eff, boot_mean) — replicate 0 is the unresampled point
+    estimate; the caller's CI is e.g. mean ± 1.96 · stddev(boot_means).
+
+    Determinism: weights come from the repo's md5-uniform stream
+    (hash of id | replicate | seed) inverted through hardcoded
+    Poisson(1) CDF literals, and for INTEGER-valued metrics both
+    Σ w·x and Σ w are exact bigints, so each replicate mean is a single
+    IEEE division — the oracle replays every row bit-for-bit (the
+    integer-ratio trick the modularity and LexRank operators use).
+
+    Scale shape: the replicate dimension explodes BEFORE one combinable
+    (map-side-partial) aggregation, so the shuffle carries B rows per
+    partition, not B copies of the corpus; no window, no collect, no
+    Python.
+    """
+    u_src = F.concat_ws(
+        "\x1f",
+        F.col("_id").cast("string"),
+        F.col("replicate").cast("string"),
+        F.lit(str(seed)),
+    )
+    h = F.conv(F.substring(F.md5(u_src), 1, 15), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    w = F.lit(0)
+    for t in POISSON1_CDF:
+        w = w + (u > F.lit(t)).cast("int")
+    w = F.when(F.col("replicate") == 0, F.lit(1)).otherwise(w)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("bigint").alias("_x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(replicates)))
+        ).alias("replicate"),
+    ).select("_id", "_x", "replicate", w.cast("bigint").alias("_w"))
+    return (
+        base.groupBy("replicate")
+        .agg(
+            F.sum("_w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_x")).cast("bigint").alias("_sum"),
+        )
+        .select(
+            F.col("replicate").cast("int").alias("replicate"),
+            "n_eff",
+            F.when(
+                F.col("n_eff") > 0,
+                F.round(
+                    F.col("_sum").cast("double") / F.col("n_eff").cast("double"),
+                    6,
+                ),
+            ).alias("boot_mean"),
+        )
+    )

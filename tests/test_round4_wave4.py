@@ -660,3 +660,55 @@ class TestRichClub:
         rows = {r.k: r for r in rich_club(edges, [0]).collect()}
         assert rows[0].n_nodes == 2 and rows[0].n_edges == 1
         assert rows[0].phi == 1.0
+
+
+class TestBootstrapMeans:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, (i * 13) % 50) for i in range(n)], "doc_id bigint, x bigint"
+        )
+
+    def test_replicate_zero_is_point_estimate(self, spark):
+        from kgforge.operators.sampling import bootstrap_means
+
+        docs = self._docs(spark)
+        rows = {r.replicate: r for r in bootstrap_means(docs, "x").collect()}
+        exact = sum((i * 13) % 50 for i in range(200)) / 200
+        assert rows[0].n_eff == 200
+        assert rows[0].boot_mean == pytest.approx(exact, abs=1e-6)
+        assert len(rows) == 21
+
+    def test_weights_behave_like_poisson1(self, spark):
+        from kgforge.operators.sampling import bootstrap_means
+
+        docs = self._docs(spark, n=500)
+        rows = bootstrap_means(docs, "x", replicates=20).collect()
+        effs = [r.n_eff for r in rows if r.replicate > 0]
+        # E[n_eff] = n; a 500-row corpus keeps every replicate well
+        # inside +-20% (sd = sqrt(500) ~ 22)
+        assert all(400 <= e <= 600 for e in effs)
+        # replicates differ from each other (the hash stream varies by b)
+        assert len(set(effs)) > 5
+
+    def test_ci_brackets_truth(self, spark):
+        import statistics
+
+        from kgforge.operators.sampling import bootstrap_means
+
+        docs = self._docs(spark, n=400)
+        rows = {r.replicate: r for r in bootstrap_means(docs, "x").collect()}
+        point = rows[0].boot_mean
+        boots = [r.boot_mean for b, r in rows.items() if b > 0]
+        se = statistics.stdev(boots)
+        assert se > 0
+        # the point estimate sits inside its own 4-se band trivially,
+        # and the band is narrow relative to the value scale
+        assert se < 5
+
+    def test_deterministic_across_runs(self, spark):
+        from kgforge.operators.sampling import bootstrap_means
+
+        docs = self._docs(spark)
+        a = bootstrap_means(docs, "x").collect()
+        b = bootstrap_means(docs, "x").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
