@@ -1032,6 +1032,24 @@ def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owl_transitive_inference(tri, [B]).orderBy("subject", "object")
 
 
+def q_kg_owl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:propertyChainAxiom execution (OWL 2 RL prp-spo2), the general
+    form of transitivity: ex:knowsEntity ⊑ schema:knows ∘ owl:sameAs —
+    "knows the CANONICAL entity behind the alias you know" — entailed
+    with one keyed composition join over property-sized edge relations,
+    never the corpus. Oracle: the closed-form knows relation composed
+    with the alias→canonical mapping in SQL."""
+    from kgforge.operators.inference import owl_chain_inference
+
+    K = "http://schema.org/knows"
+    SA = "http://www.w3.org/2002/07/owl#sameAs"
+    out = owl_chain_inference(
+        _knows_triples(spark, sf_dir),
+        [("http://example.org/knowsEntity", [K, SA])],
+    )
+    return out.orderBy("subject", "object")
+
+
 def q_kg_ifp_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:InverseFunctionalProperty key-based ER blocking: schema:name
     declared inverse-functional — site-local alias subjects sharing a
@@ -4757,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_kg_owl_transitive": q_kg_owl_transitive,
+        "q_kg_owl_chain": q_kg_owl_chain,
         "q_kg_ifp_sameas": q_kg_ifp_sameas,
         "q_kg_func_conflicts": q_kg_func_conflicts,
         "q_kg_disjoint": q_kg_disjoint,
@@ -7969,6 +7988,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, object
             FROM (SELECT * FROM inv UNION SELECT * FROM sym)
             ORDER BY predicate, subject, object
+        """,
+        # chain composition knows ∘ sameAs: every knows edge lands on an
+        # alias whose sameAs edge points at the canonical entity
+        "q_kg_owl_chain": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL)
+            SELECT DISTINCT
+              'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                || lpad(CAST(ks AS VARCHAR), 4, '0') AS subject,
+              'http://example.org/knowsEntity' AS predicate,
+              'https://kg.example.org/entity/E'
+                || lpad(CAST(ko AS VARCHAR), 4, '0') AS object
+            FROM knows ORDER BY subject, object
         """,
         # transitive closure of the closed-form broader hierarchy
         # (c -> floor(c/2)) minus the asserted direct edges

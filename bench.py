@@ -321,6 +321,9 @@ def main():
         "q_canonical_chains",
         "q_host_modularity",
         "q_lexrank_summary",
+        "q_kg_r2rml",
+        "q_host_richclub",
+        "q_bootstrap_tokens",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

@@ -342,3 +342,66 @@ def disjoint_violations(types: DataFrame, axioms: DataFrame) -> DataFrame:
         .select("entity", "cls_a", "cls_b")
         .distinct()
     )
+
+
+def owl_chain_inference(
+    triples: DataFrame, chains: list[tuple[str, list[str]]]
+) -> DataFrame:
+    """owl:propertyChainAxiom materialization (OWL 2 RL rule prp-spo2):
+    for each axiom q ⊑ p1 ∘ p2 ∘ ... ∘ pn, entail q(x, z) whenever the
+    chain p1...pn connects x to z. The general form of which
+    owl:TransitiveProperty (p ⊑ p∘p) is the special case — together with
+    inverseOf/symmetric/transitive this completes the OWL property
+    semantics the engine executes. ``chains`` is a list of
+    (q_predicate, [p1, ..., pn]); returns ONLY the newly-entailed
+    (subject, predicate, object) delta.
+
+    Scale shape: the corpus is scanned once through a pushdown isin
+    filter over ALL predicates any chain mentions; each chain then
+    composes property-sized edge relations with n−1 keyed joins
+    (object = next subject) — link-shaped inputs, never the corpus. The
+    final distinct + anti-join are keyed on the full triple.
+    """
+    props = sorted({p for _, ps in chains for p in ps} | {q for q, _ in chains})
+    base = (
+        triples.filter(
+            F.col("subject").isNotNull()
+            & (F.col("object.kind") == "iri")
+            & F.col("predicate").isin(props)
+        )
+        .select("subject", "predicate", F.col("object.value").alias("object"))
+        .distinct()
+    )
+
+    def edges(p):
+        return base.filter(F.col("predicate") == p).select(
+            F.col("subject").alias("s"), F.col("object").alias("o")
+        )
+
+    outs = []
+    for q, ps in chains:
+        if not ps:
+            raise ValueError(f"empty chain for {q!r}")
+        cur = edges(ps[0])
+        for p in ps[1:]:
+            nxt = edges(p).select(
+                F.col("s").alias("_ns"), F.col("o").alias("_no")
+            )
+            cur = (
+                cur.join(nxt, cur["o"] == nxt["_ns"])
+                .select("s", F.col("_no").alias("o"))
+                .distinct()
+            )
+        outs.append(
+            cur.select(
+                F.col("s").alias("subject"),
+                F.lit(q).alias("predicate"),
+                F.col("o").alias("object"),
+            )
+        )
+    inferred = outs[0]
+    for o in outs[1:]:
+        inferred = inferred.unionByName(o)
+    return inferred.distinct().join(
+        base, ["subject", "predicate", "object"], "left_anti"
+    )

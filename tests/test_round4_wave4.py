@@ -712,3 +712,68 @@ class TestBootstrapMeans:
         a = bootstrap_means(docs, "x").collect()
         b = bootstrap_means(docs, "x").collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestOwlChainInference:
+    HAS_P = "http://x.org/hasParent"
+    GRAND = "http://x.org/hasGrandparent"
+
+    def test_two_hop_chain(self, spark):
+        from kgforge.operators.inference import owl_chain_inference
+
+        tri = _tri(
+            spark,
+            [
+                ("c", self.HAS_P, "iri", "p"),
+                ("p", self.HAS_P, "iri", "g"),
+                ("g", self.HAS_P, "iri", "gg"),
+            ],
+        )
+        out = {
+            (r.subject, r.predicate, r.object)
+            for r in owl_chain_inference(
+                tri, [(self.GRAND, [self.HAS_P, self.HAS_P])]
+            ).collect()
+        }
+        assert out == {("c", self.GRAND, "g"), ("p", self.GRAND, "gg")}
+
+    def test_three_hop_and_asserted_excluded(self, spark):
+        from kgforge.operators.inference import owl_chain_inference
+
+        GG = "http://x.org/hasGreatGrandparent"
+        tri = _tri(
+            spark,
+            [
+                ("c", self.HAS_P, "iri", "p"),
+                ("p", self.HAS_P, "iri", "g"),
+                ("g", self.HAS_P, "iri", "gg"),
+                ("c", GG, "iri", "gg"),  # already asserted -> not in delta
+            ],
+        )
+        out = owl_chain_inference(
+            tri, [(GG, [self.HAS_P, self.HAS_P, self.HAS_P])]
+        ).collect()
+        assert out == []
+
+    def test_heterogeneous_chain(self, spark):
+        from kgforge.operators.inference import owl_chain_inference
+
+        W = "http://x.org/worksAt"
+        L = "http://x.org/locatedIn"
+        C = "http://x.org/worksIn"
+        tri = _tri(
+            spark,
+            [("a", W, "iri", "acme"), ("acme", L, "iri", "paris")],
+        )
+        [r] = owl_chain_inference(tri, [(C, [W, L])]).collect()
+        assert (r.subject, r.predicate, r.object) == ("a", C, "paris")
+
+    def test_empty_chain_raises(self, spark):
+        import pytest as _pytest
+
+        from kgforge.operators.inference import owl_chain_inference
+
+        with _pytest.raises(ValueError, match="empty chain"):
+            owl_chain_inference(
+                _tri(spark, [("a", self.HAS_P, "iri", "b")]), [(self.GRAND, [])]
+            ).collect()
