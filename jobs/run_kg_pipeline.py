@@ -85,16 +85,16 @@ def main():
         else None
     )
     if args.merge_from:
-        if ifp_props or args.span_dedup or args.host_filter:
+        if args.span_dedup or args.host_filter:
             ap.error(
-                "--ifp-props/--span-dedup/--host-filter apply to full runs; "
-                "an incremental --merge-from inherits the previous run's stages"
+                "--span-dedup/--host-filter apply to full runs; an "
+                "incremental --merge-from inherits the previous run's stages"
             )
         from kgforge.pipeline.incremental import merge_increment
 
         out = merge_increment(
             pages, args.merge_from, args.out, run_id=args.run_id,
-            dedup=args.dedup, infer_rules=rules,
+            dedup=args.dedup, infer_rules=rules, ifp_props=ifp_props,
         )
     else:
         out = run_pipeline(

@@ -51,6 +51,7 @@ def merge_increment(
     gazetteer: list | None = None,
     dedup: str | None = None,
     infer_rules: list | None = None,
+    ifp_props: list | None = None,
 ) -> dict:
     """Process ``new_pages`` and merge with the run materialized at
     ``prev_work_root``. Writes the increment's stages plus the MERGED
@@ -89,8 +90,17 @@ def merge_increment(
         manifests,
         range_cols=["subject", "predicate"],
     )
+    # key-based ER evidence recomputes over the MERGED accepted set — a
+    # new page sharing an inverse-functional value with an entity from a
+    # previous crawl must merge across batches (same semantics as the
+    # sameAs edges, which canonicalization also re-derives from the union)
+    ifp_edges = None
+    if ifp_props:
+        from ..operators.inference import ifp_sameas_candidates
+
+        ifp_edges = ifp_sameas_candidates(accepted, ifp_props).select("a", "b")
     mapping = write_stage(
-        canonicalize_entities(accepted),
+        canonicalize_entities(accepted, extra_edges=ifp_edges),
         os.path.join(work_root, "canonical_map"),
         "canonicalize",
         run_id,

@@ -118,3 +118,47 @@ def test_incremental_entailment_matches_rebuild(spark, tmp_path):
     assert _rows(merged["spo"]["s"], ["subject", "predicate"]) == _rows(
         full["spo"]["s"], ["subject", "predicate"]
     )
+
+
+def test_ifp_merge_bridges_batches(spark, tmp_path):
+    """A new batch's page sharing an inverse-functional key with an entity
+    from the PREVIOUS crawl merges into its component — key-based ER
+    evidence recomputes over the merged accepted set."""
+    import datetime as dt
+
+    from kgforge.pipeline.incremental import merge_increment
+    from kgforge.pipeline.run import run_pipeline
+
+    EM = "http://schema.org/email"
+
+    def page(url, subj):
+        ttl = (
+            f'<{subj}> <{EM}> "k@x.org" ; '
+            f'<http://schema.org/name> "K" .'
+        )
+        html = (
+            '<html><body><script type="text/turtle">'
+            f"{ttl}</script><p>t</p></body></html>"
+        )
+        from kgforge.html import extract_text
+
+        ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+        return (url, ts, html.encode(), extract_text(html), "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    first = spark.createDataFrame(
+        [page("https://a.example.org/1", "urn:p:old")], schema
+    )
+    second = spark.createDataFrame(
+        [page("https://b.example.org/2", "urn:p:new")], schema
+    )
+    run_pipeline(
+        first, str(tmp_path / "prev"), run_id="r1", gazetteer=[],
+        ifp_props=[EM],
+    )
+    merged = merge_increment(
+        second, str(tmp_path / "prev"), str(tmp_path / "inc"),
+        run_id="inc", gazetteer=[], ifp_props=[EM],
+    )
+    comp = {r.node: r.component for r in merged["mapping"].collect()}
+    assert comp["urn:p:old"] == comp["urn:p:new"] == "urn:p:new"
