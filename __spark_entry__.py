@@ -1032,6 +1032,25 @@ def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owl_transitive_inference(tri, [B]).orderBy("subject", "object")
 
 
+def q_kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD round trip: the corpus triples serialize to one compact
+    node object per (page, subject) (deterministic key/value ordering),
+    then the engine's OWN JSON-LD expander re-parses every emitted line
+    distributed via Arrow batches — per-predicate counts of the
+    re-parsed stream must equal the corpus inventory exactly, which
+    value-gates the serializer through the parser. Oracle: the
+    q_kg_triples closed-form per-predicate inventory."""
+    from kgforge.rdf.jsonld_out import jsonld_objects, reparse_jsonld
+
+    t = _knows_triples(spark, sf_dir)
+    rt = reparse_jsonld(jsonld_objects(t))
+    return (
+        rt.groupBy("predicate")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("predicate")
+    )
+
+
 def q_kg_owl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:propertyChainAxiom execution (OWL 2 RL prp-spo2), the general
     form of transitivity: ex:knowsEntity ⊑ schema:knows ∘ owl:sameAs —
@@ -4776,6 +4795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_kg_owl_transitive": q_kg_owl_transitive,
         "q_kg_owl_chain": q_kg_owl_chain,
+        "q_kg_jsonld": q_kg_jsonld,
         "q_kg_ifp_sameas": q_kg_ifp_sameas,
         "q_kg_func_conflicts": q_kg_func_conflicts,
         "q_kg_disjoint": q_kg_disjoint,
@@ -5089,7 +5109,7 @@ def _dd_dsir_weights_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         # seeded bow-tie: forward + backward reachability closures as
         # recursive CTEs over the closed-form host edges, min-dist each way
         "q_host_bowtie": """
@@ -9955,3 +9975,7 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY q
         """,
     }
+    # the JSON-LD round trip must land exactly back on the corpus
+    # per-predicate inventory — same oracle as the parse surface
+    sql["q_kg_jsonld"] = sql["q_kg_triples"]
+    return sql

@@ -777,3 +777,76 @@ class TestOwlChainInference:
             owl_chain_inference(
                 _tri(spark, [("a", self.HAS_P, "iri", "b")]), [(self.GRAND, [])]
             ).collect()
+
+
+class TestJsonldExport:
+    def test_value_object_round_trip(self, spark):
+        from kgforge.rdf.jsonld import parse_jsonld
+        from kgforge.rdf.jsonld_out import jsonld_objects
+
+        tri = spark.createDataFrame(
+            [
+                ("u", "http://x.org/s", "http://x.org/plain",
+                 {"value": "hello", "kind": "literal", "datatype": "", "lang": ""}),
+                ("u", "http://x.org/s", "http://x.org/tagged",
+                 {"value": "bonjour", "kind": "literal", "datatype": "", "lang": "fr"}),
+                ("u", "http://x.org/s", "http://x.org/typed",
+                 {"value": "7", "kind": "literal",
+                  "datatype": "http://www.w3.org/2001/XMLSchema#integer", "lang": ""}),
+                ("u", "http://x.org/s",
+                 "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                 {"value": "http://x.org/C", "kind": "iri", "datatype": "", "lang": ""}),
+            ],
+            "url string, subject string, predicate string, "
+            "object struct<value: string, kind: string, datatype: string, lang: string>",
+        )
+        [row] = jsonld_objects(tri).collect()
+        back, _ = parse_jsonld(row.jsonld)
+        got = {(s[0], p[0], o[0], o[1], o[2], o[3]) for s, p, o in back}
+        assert ("http://x.org/s", "http://x.org/plain", "hello",
+                "literal", "", "") in got
+        assert ("http://x.org/s", "http://x.org/tagged", "bonjour",
+                "literal", "", "fr") in got
+        assert ("http://x.org/s", "http://x.org/typed", "7", "literal",
+                "http://www.w3.org/2001/XMLSchema#integer", "") in got
+        assert ("http://x.org/s",
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                "http://x.org/C", "iri", "", "") in got
+        assert len(got) == 4
+
+    def test_deterministic_bytes(self, spark):
+        from kgforge.rdf.jsonld_out import jsonld_objects
+
+        tri = spark.createDataFrame(
+            [
+                ("u", "s", "http://x.org/b",
+                 {"value": "2", "kind": "literal", "datatype": "", "lang": ""}),
+                ("u", "s", "http://x.org/a",
+                 {"value": "1", "kind": "literal", "datatype": "", "lang": ""}),
+            ],
+            "url string, subject string, predicate string, "
+            "object struct<value: string, kind: string, datatype: string, lang: string>",
+        )
+        [a] = jsonld_objects(tri).collect()
+        [b] = jsonld_objects(tri.orderBy(F.desc("predicate"))).collect()
+        assert a.jsonld == b.jsonld
+        assert a.jsonld.index("http://x.org/a") < a.jsonld.index("http://x.org/b")
+
+    def test_full_corpus_round_trip_exact(self, spark):
+        from kgforge.fixtures import pages_df
+        from kgforge.operators.parse import parse_pages
+        from kgforge.rdf.jsonld_out import jsonld_objects, reparse_jsonld
+
+        t = parse_pages(pages_df(spark, 40, partitions=2)).filter(
+            F.col("subject").isNotNull()
+        )
+        rt = reparse_jsonld(jsonld_objects(t))
+        orig = {
+            tuple(r)
+            for r in t.groupBy("predicate").count().collect()
+        }
+        back = {
+            tuple(r)
+            for r in rt.groupBy("predicate").count().collect()
+        }
+        assert orig == back and len(orig) > 5
