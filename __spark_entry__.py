@@ -1032,6 +1032,50 @@ def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owl_transitive_inference(tri, [B]).orderBy("subject", "object")
 
 
+def _entity_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The business-entity projection of the corpus triples (types, names,
+    ages, knows, sameAs — the shape-metadata triples stay on the SHACL
+    side), shared by the LPG export queries."""
+    keep = [
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://schema.org/name",
+        "http://schema.org/age",
+        "http://schema.org/knows",
+        "http://www.w3.org/2002/07/owl#sameAs",
+    ]
+    t = _knows_triples(spark, sf_dir)
+    return t.filter(
+        F.col("predicate").isin(keep)
+        & F.col("subject").contains("/entity/")
+    )
+
+
+def q_kg_lpg_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-property-graph export, relationship side (the
+    neosemantics/Neptune RDF->LPG projection): IRI-object non-type
+    triples become typed relationships — here the knows edges plus the
+    alias->canonical sameAs mapping. Oracle: both closed-form edge sets
+    unioned in SQL."""
+    from kgforge.operators.propertygraph import to_property_graph
+
+    _nodes, rels = to_property_graph(_entity_subgraph(spark, sf_dir))
+    return rels.orderBy("src", "rel_type", "dst")
+
+
+def q_kg_lpg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPG export, node side: per node — sorted '|'-joined type labels,
+    sorted ';'-joined "pred=value" property pairs, property count, out
+    degree; object-only nodes (the canonical entities) appear with empty
+    labels/properties, as a bulk importer requires. Oracle: the
+    page-entity formula expanded to every node's label, distinct
+    property-pair set (name + the a0 age/dup-name branches) and distinct
+    outgoing edges in SQL."""
+    from kgforge.operators.propertygraph import to_property_graph
+
+    nodes, _rels = to_property_graph(_entity_subgraph(spark, sf_dir))
+    return nodes.orderBy("node_id")
+
+
 def q_kg_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-LD round trip: the corpus triples serialize to one compact
     node object per (page, subject) (deterministic key/value ordering),
@@ -4796,6 +4840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_owl_transitive": q_kg_owl_transitive,
         "q_kg_owl_chain": q_kg_owl_chain,
         "q_kg_jsonld": q_kg_jsonld,
+        "q_kg_lpg_rels": q_kg_lpg_rels,
+        "q_kg_lpg_nodes": q_kg_lpg_nodes,
         "q_kg_ifp_sameas": q_kg_ifp_sameas,
         "q_kg_func_conflicts": q_kg_func_conflicts,
         "q_kg_disjoint": q_kg_disjoint,
@@ -8008,6 +8054,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT subject, predicate, object
             FROM (SELECT * FROM inv UNION SELECT * FROM sym)
             ORDER BY predicate, subject, object
+        """,
+        # LPG relationship side: knows edges + alias->canonical sameAs
+        "q_kg_lpg_rels": """
+            WITH base AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CASE WHEN doc_id % 10 = 3 THEN 0 ELSE (doc_id * 31) % 1000 END AS e0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2,
+                    list_distinct(list_transform(range(0, 2 + (doc_id*7)%4),
+                      j -> CASE WHEN j=0 AND doc_id%10=3 THEN 0
+                                ELSE (doc_id*31 + 17*j)%1000 END)) AS es
+                  FROM documents),
+            knows AS (SELECT DISTINCT site, e0 AS ks,
+                        CASE WHEN r1 <> e0 THEN r1
+                             WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                      FROM base
+                      WHERE CASE WHEN r1 <> e0 THEN r1
+                                 WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            mem AS (SELECT DISTINCT site, CAST(k AS BIGINT) AS k
+                    FROM base, LATERAL unnest(es) t(k)),
+            rels AS (
+              SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                       || lpad(CAST(ks AS VARCHAR), 4, '0') AS src,
+                     'http://schema.org/knows' AS rel_type,
+                     'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                       || lpad(CAST(ko AS VARCHAR), 4, '0') AS dst
+              FROM knows
+              UNION
+              SELECT 'https://ex' || CAST(site AS VARCHAR) || '.example.org/entity/E'
+                       || lpad(CAST(k AS VARCHAR), 4, '0'),
+                     'http://www.w3.org/2002/07/owl#sameAs',
+                     'https://kg.example.org/entity/E' || lpad(CAST(k AS VARCHAR), 4, '0')
+              FROM mem)
+            SELECT src, rel_type, dst FROM rels ORDER BY src, rel_type, dst
+        """,
+        # LPG node side: labels from entity type, sorted distinct
+        # pred=value property pairs (name + the a0 branches), out degree
+        # = sameAs + distinct knows targets; canonical entities are
+        # object-only nodes with empty labels/properties
+        "q_kg_lpg_nodes": f"""
+            WITH d AS (SELECT doc_id AS i, CAST(doc_id % 97 AS BIGINT) AS site,
+                    2 + (doc_id * 7) % 4 AS n,
+                    CAST(CASE WHEN doc_id % 10 = 3 THEN 0
+                              ELSE (doc_id * 31) % 1000 END AS BIGINT) AS a0,
+                    (doc_id * 31 + 17) % 1000 AS r1,
+                    (doc_id * 31 + 34) % 1000 AS r2,
+                    list_distinct(list_transform(range(0, 2 + (doc_id*7)%4),
+                      j -> CASE WHEN j=0 AND doc_id%10=3 THEN 0
+                                ELSE (doc_id*31 + 17*j)%1000 END)) AS es
+                  FROM documents),
+            mem AS (SELECT DISTINCT site, CAST(k AS BIGINT) AS k
+                    FROM d, LATERAL unnest(es) t(k)),
+            kv AS (
+              SELECT site, k,
+                'http://schema.org/name=' ||
+                CASE k%3
+                  WHEN 0 THEN {_DD_FIRSTS}[k%10+1] || ' ' || {_DD_LASTS}[(k//10)%10+1]
+                              || ' ' || CAST(k//100 AS VARCHAR)
+                  WHEN 1 THEN {_DD_ORGS}[k%10+1] || ' ' || {_DD_ORGS}[(k//10)%10+1]
+                              || ' Group ' || CAST(k//100 AS VARCHAR)
+                  ELSE {_DD_ORGS}[(k//7)%10+1] || ' City ' || CAST(k//100 AS VARCHAR)
+                       || '-' || CAST(k%100 AS VARCHAR)
+                END AS kv
+              FROM mem
+              UNION
+              SELECT site, a0,
+                CASE WHEN i%13=0 THEN 'http://schema.org/age=unknown'
+                     WHEN i%17=0 THEN 'http://schema.org/name=Duplicate Name '
+                                     || CAST(i AS VARCHAR)
+                     ELSE 'http://schema.org/age=' || CAST(20 + i%60 AS VARCHAR)
+                END
+              FROM d),
+            props AS (SELECT site, k, CAST(COUNT(*) AS BIGINT) AS n_props,
+                             string_agg(kv, ';' ORDER BY kv) AS properties
+                      FROM kv GROUP BY site, k),
+            kt AS (SELECT DISTINCT site, a0 AS k,
+                     CASE WHEN r1 <> a0 THEN r1
+                          WHEN n >= 3 THEN r2 ELSE NULL END AS ko
+                   FROM d
+                   WHERE CASE WHEN r1 <> a0 THEN r1
+                              WHEN n >= 3 THEN r2 ELSE NULL END IS NOT NULL),
+            outd AS (SELECT site, k, CAST(COUNT(*) + 1 AS BIGINT) AS out_degree
+                     FROM kt GROUP BY site, k),
+            alias_nodes AS (
+              SELECT 'https://ex' || CAST(m.site AS VARCHAR)
+                       || '.example.org/entity/E'
+                       || lpad(CAST(m.k AS VARCHAR), 4, '0') AS node_id,
+                     'http://schema.org/' ||
+                       CASE m.k%3 WHEN 0 THEN 'Person'
+                                  WHEN 1 THEN 'Organization'
+                                  ELSE 'Place' END AS labels,
+                     p.properties, p.n_props,
+                     COALESCE(o.out_degree, 1) AS out_degree
+              FROM mem m
+              JOIN props p ON p.site = m.site AND p.k = m.k
+              LEFT JOIN outd o ON o.site = m.site AND o.k = m.k),
+            canon AS (SELECT DISTINCT
+                        'https://kg.example.org/entity/E'
+                          || lpad(CAST(k AS VARCHAR), 4, '0') AS node_id,
+                        '' AS labels, '' AS properties,
+                        CAST(0 AS BIGINT) AS n_props,
+                        CAST(0 AS BIGINT) AS out_degree
+                      FROM mem)
+            SELECT node_id, labels, properties, n_props,
+                   CAST(out_degree AS BIGINT) AS out_degree
+            FROM (SELECT * FROM alias_nodes UNION ALL SELECT * FROM canon)
+            ORDER BY node_id
         """,
         # chain composition knows ∘ sameAs: every knows edge lands on an
         # alias whose sameAs edge points at the canonical entity

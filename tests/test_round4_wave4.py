@@ -850,3 +850,71 @@ class TestJsonldExport:
             for r in rt.groupBy("predicate").count().collect()
         }
         assert orig == back and len(orig) > 5
+
+
+class TestPropertyGraphExport:
+    def _tri(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                (u, s, p, {"kind": k, "value": v, "datatype": "", "lang": l})
+                for u, s, p, k, v, l in rows
+            ],
+            "url string, subject string, predicate string, "
+            "object struct<kind: string, value: string, "
+            "datatype: string, lang: string>",
+        )
+
+    RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def test_projection_rules(self, spark):
+        from kgforge.operators.propertygraph import to_property_graph
+
+        tri = self._tri(
+            spark,
+            [
+                ("u", "e1", self.RT, "iri", "Person", ""),
+                ("u", "e1", self.RT, "iri", "Agent", ""),
+                ("u", "e1", "name", "literal", "Ada", ""),
+                ("u", "e1", "age", "literal", "41", ""),
+                ("u", "e1", "knows", "iri", "e2", ""),
+                ("u", "e2", "name", "literal", "Bob", ""),
+            ],
+        )
+        nodes, rels = to_property_graph(tri)
+        n = {r.node_id: r for r in nodes.collect()}
+        # labels sorted, types are NOT edges or nodes
+        assert n["e1"].labels == "Agent|Person"
+        assert "Person" not in n
+        # properties sorted pred=value pairs
+        assert n["e1"].properties == "age=41;name=Ada"
+        assert n["e1"].n_props == 2 and n["e1"].out_degree == 1
+        assert n["e2"].labels == "" and n["e2"].n_props == 1
+        assert [(r.src, r.rel_type, r.dst) for r in rels.collect()] == [
+            ("e1", "knows", "e2")
+        ]
+
+    def test_object_only_node_materializes(self, spark):
+        from kgforge.operators.propertygraph import to_property_graph
+
+        tri = self._tri(spark, [("u", "e1", "knows", "iri", "e9", "")])
+        nodes, _ = to_property_graph(tri)
+        n = {r.node_id: r for r in nodes.collect()}
+        assert n["e9"].labels == "" and n["e9"].out_degree == 0
+        assert set(n) == {"e1", "e9"}
+
+    def test_duplicate_assertions_collapse(self, spark):
+        from kgforge.operators.propertygraph import to_property_graph
+
+        tri = self._tri(
+            spark,
+            [
+                ("u1", "e1", "knows", "iri", "e2", ""),
+                ("u2", "e1", "knows", "iri", "e2", ""),
+                ("u1", "e1", "name", "literal", "Ada", ""),
+                ("u2", "e1", "name", "literal", "Ada", ""),
+            ],
+        )
+        nodes, rels = to_property_graph(tri)
+        assert rels.count() == 1
+        [e1] = [r for r in nodes.collect() if r.node_id == "e1"]
+        assert e1.n_props == 1 and e1.out_degree == 1
