@@ -324,6 +324,10 @@ def main():
         "q_kg_r2rml",
         "q_host_richclub",
         "q_bootstrap_tokens",
+        "q_kg_owl_chain",
+        "q_kg_jsonld",
+        "q_kg_lpg_rels",
+        "q_kg_lpg_nodes",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())
