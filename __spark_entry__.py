@@ -3540,7 +3540,13 @@ def q_host_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgforge.operators.links import extract_links, host_edges
 
     edges = host_edges(extract_links(_link_pages(spark, sf_dir)))
-    und = edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    # ONE link-extraction scan feeds both the LPA rounds and the
+    # modularity aggregation (their internal checkpoints then re-cut
+    # lineage on an already-materialized host-sized table)
+    und = (
+        edges.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
     assign = label_propagation(und, iterations=3)
     return modularity(und, assign)
 

@@ -35,10 +35,17 @@ def label_propagation(
     at least the edge that introduced it)."""
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
+    # iterative-operator idiom (same as the BFS/CC loops): the edge view
+    # is referenced by EVERY unrolled round, and each round's plan nests
+    # the previous round's — without eager checkpoints the upstream edge
+    # producer (often a parse-derived link extraction) re-executes once
+    # per round per branch at action time. One edge-sized materialization
+    # + one node-sized one per round replaces that.
     und = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = und.select(F.col("_s").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -52,8 +59,8 @@ def label_propagation(
             F.min(F.struct((-F.col("_c")).alias("nc"), F.col("label").alias("l"))).alias("_b")
         )
         labels = best.select("node", F.col("_b.l").alias("label"))
-        if (i + 1) % 3 == 0 and i + 1 < iterations:
-            labels = labels.localCheckpoint(eager=False)
+        if i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -82,6 +89,10 @@ def modularity(
     aggregation collapsing to ONE row — no windows, no collects; m
     travels as a 1-row crossJoin-broadcast, never a driver value.
     """
+    # both inputs are read three times below (m / endpoint labels / degree
+    # side); an eager localCheckpoint cuts the upstream lineage ONCE so an
+    # expensive producer (an LPA fixpoint, a parse-derived edge list) is
+    # not re-executed per branch — the same idiom as the BFS/CC operators
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -89,11 +100,12 @@ def modularity(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     mrow = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     lab = assign.select(
         F.col(node_col).alias("node"), F.col(label_col).alias("community")
-    )
+    ).localCheckpoint(eager=True)
     la = lab.select(F.col("node").alias("a"), F.col("community").alias("la"))
     lb = lab.select(F.col("node").alias("b"), F.col("community").alias("lb"))
     labeled = e.join(la, "a").join(lb, "b")

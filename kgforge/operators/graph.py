@@ -1042,6 +1042,9 @@ def rich_club(
     per k.
     """
     spark = edges.sparkSession
+    # e feeds the degree count AND the labeled-edge join AND (via deg)
+    # two more branches; checkpoint once so the upstream edge producer
+    # is not re-executed per branch (same idiom as modularity)
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -1049,12 +1052,14 @@ def rich_club(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .localCheckpoint(eager=True)
     )
     kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
     nk = (

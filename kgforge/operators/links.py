@@ -338,9 +338,11 @@ def anchor_priors(
     (surface, target)-sized, exactly what a linking stage broadcasts or
     bucket-joins against its mention candidates.
     """
+    # the aggregated table is read twice (totals + join); checkpoint so
+    # the anchor-extraction scan underneath runs once
     agg = anchor_texts(
         pages, html_col=html_col, url_col=url_col, min_count=1
-    ).select("anchor", "dst_url", "n_links")
+    ).select("anchor", "dst_url", "n_links").localCheckpoint(eager=True)
     # totals over ALL of the anchor's links, BEFORE the presentation
     # filter — shares always sum to 1 per anchor
     tot = agg.groupBy("anchor").agg(F.sum("n_links").alias("_tot"))
