@@ -2160,6 +2160,20 @@ def q_canonical_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_chains(base.unionByName(cyc), max_hops=8).orderBy("src")
 
 
+def q_dedup_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup operating curve: pairwise precision/recall of the exact
+    n-gram-Jaccard join vs exact-text ground truth at thresholds
+    0.5-0.9 — the pre-release threshold-picking table. One candidate
+    computation at 0.5, every threshold a conditional aggregate over the
+    same pair relation (the rich-club sweep shape). Oracle: all-pairs
+    Jaccard + text-equality truth + identical sweep arithmetic in SQL."""
+    from kgforge.operators.dedup import dedup_pr_curve
+
+    return dedup_pr_curve(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("threshold")
+
+
 def q_bootstrap_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap uncertainty for the corpus mean-token metric
     (Chamandy et al. 2012 — Google's resampling-at-scale recipe):
@@ -4734,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_chains": q_canonical_chains,
         "q_lexrank_summary": q_lexrank_summary,
         "q_bootstrap_tokens": q_bootstrap_tokens,
+        "q_dedup_pr": q_dedup_pr,
         "q_bm25_search": q_bm25_search,
         "q_lm_score": q_lm_score,
         "q_chunk_windows": q_chunk_windows,
@@ -7337,6 +7352,42 @@ def oracle_sql() -> dict[str, str]:
                      AS prior
             FROM agg JOIN tot ON agg.anchor = tot.anchor
             ORDER BY agg.anchor, agg.dst_url
+        """,
+        # all-pairs exact Jaccard + text-equality truth + the identical
+        # threshold-sweep conditional aggregation
+        "q_dedup_pr": f"""
+            WITH g AS (SELECT doc_id AS id, {_DD_GRAMS} AS grams
+                       FROM documents WHERE trim(text) <> ''),
+            pairs AS (SELECT a.id AS a, b.id AS b,
+                        CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+                      FROM g a JOIN g b ON a.id < b.id
+                      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+            tr AS (SELECT x.doc_id AS a, y.doc_id AS b
+                   FROM documents x JOIN documents y
+                     ON x.text = y.text AND x.doc_id < y.doc_id
+                   WHERE trim(x.text) <> ''),
+            f AS (SELECT COALESCE(p.j, -1.0) AS j, (t.a IS NOT NULL) AS dup
+                  FROM pairs p FULL JOIN tr t ON p.a = t.a AND p.b = t.b),
+            th AS (SELECT * FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9))
+                   v(threshold)),
+            agg AS (SELECT threshold,
+                      CAST(SUM(CASE WHEN j >= threshold AND dup
+                               THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(SUM(CASE WHEN j >= threshold AND NOT dup
+                               THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(SUM(CASE WHEN j < threshold AND dup
+                               THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                    FROM f, th GROUP BY threshold)
+            SELECT threshold, tp, fp, fn,
+                   CASE WHEN tp + fp > 0
+                        THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                   END AS "precision",
+                   CASE WHEN tp + fn > 0
+                        THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                   END AS recall
+            FROM agg ORDER BY threshold
         """,
         # identical md5-uniform stream + hardcoded Poisson(1) CDF
         # literals; integer metric -> exact per-replicate ratio

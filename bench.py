@@ -328,6 +328,7 @@ def main():
         "q_kg_jsonld",
         "q_kg_lpg_rels",
         "q_kg_lpg_nodes",
+        "q_dedup_pr",
     ):
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, sf_dir).write.format("noop").mode("overwrite").save())

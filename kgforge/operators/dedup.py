@@ -555,3 +555,105 @@ def select_canonical(
         score_col,
         (F.col(id_col) == F.col("winner_id")).alias("is_canonical"),
     )
+
+
+def dedup_pr_curve(
+    docs: DataFrame,
+    thresholds=(0.5, 0.6, 0.7, 0.8, 0.9),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    gram_rank_cap: int = 1_000_000,
+) -> DataFrame:
+    """Operating-curve evaluation for the near-dup join: pairwise
+    precision/recall of the exact n-gram-Jaccard join against exact-text
+    ground truth at a SWEEP of thresholds — the number a pipeline owner
+    reads before picking the dedup threshold for a release. Returns one
+    row per threshold: (threshold, tp, fp, fn, precision, recall).
+
+    The candidate relation is computed ONCE at min(thresholds) via the
+    prefix-filtered exact join; every threshold is then a conditional
+    aggregate over the same pair table crossJoined with the tiny
+    threshold dim (the rich-club sweep shape — corpus-pair work never
+    repeats per threshold). Ground truth is the exact-text equality
+    self-join (empty texts excluded — the classic junk key). Counts are
+    exact bigints; P/R are single IEEE divisions, so the oracle replays
+    the whole curve value-for-value.
+    """
+    spark = docs.sparkSession
+    tmin = float(min(thresholds))
+    base = docs.filter(F.trim(F.col(text_col)) != "")
+    pairs = jaccard_similarity_join(
+        base, id_col=id_col, text_col=text_col, n=n, threshold=tmin,
+        gram_rank_cap=gram_rank_cap,
+    )
+    t = base.select(F.col(id_col).alias("id"), F.col(text_col).alias("_tx"))
+    truth = (
+        t.alias("x")
+        .join(
+            t.alias("y"),
+            (F.col("x._tx") == F.col("y._tx"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.lit(True).alias("dup"),
+        )
+    )
+    full = (
+        pairs.select("a", "b", "jaccard")
+        .join(truth, ["a", "b"], "full")
+        .select(
+            F.coalesce("jaccard", F.lit(-1.0)).alias("j"),
+            F.coalesce("dup", F.lit(False)).alias("dup"),
+        )
+    )
+    ths = spark.createDataFrame(
+        [(float(x),) for x in thresholds], "threshold double"
+    )
+    counted = (
+        full.crossJoin(F.broadcast(ths))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                ((F.col("j") >= F.col("threshold")) & F.col("dup")).cast("int")
+            ).cast("bigint").alias("tp"),
+            F.sum(
+                ((F.col("j") >= F.col("threshold")) & ~F.col("dup")).cast("int")
+            ).cast("bigint").alias("fp"),
+            F.sum(
+                ((F.col("j") < F.col("threshold")) & F.col("dup")).cast("int")
+            ).cast("bigint").alias("fn"),
+        )
+    )
+    # a degenerate corpus (no candidates, no truth) still reports every
+    # threshold, with zero counts
+    agg = ths.join(counted, "threshold", "left").select(
+        "threshold",
+        F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+        F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fp")).cast("double"),
+                6,
+            ),
+        ).alias("precision"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.round(
+                F.col("tp").cast("double")
+                / (F.col("tp") + F.col("fn")).cast("double"),
+                6,
+            ),
+        ).alias("recall"),
+    )

@@ -918,3 +918,57 @@ class TestPropertyGraphExport:
         assert rels.count() == 1
         [e1] = [r for r in nodes.collect() if r.node_id == "e1"]
         assert e1.n_props == 1 and e1.out_degree == 1
+
+
+class TestDedupPrCurve:
+    def test_hand_curve(self, spark):
+        from kgforge.operators.dedup import dedup_pr_curve
+
+        # d1 == d2 exactly; d3 is a near-dup of d1 (high jaccard, not
+        # identical); d4 unrelated
+        t1 = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, t1),
+                (2, t1),
+                (3, t1 + " iota"),
+                (4, "totally different words everywhere here now"),
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {r.threshold: r for r in
+                dedup_pr_curve(docs, thresholds=(0.5, 0.99)).collect()}
+        # truth = {(1,2)}; at 0.5 the near-dup pairs (1,3),(2,3) are FPs
+        lo = rows[0.5]
+        assert lo.tp == 1 and lo.fp == 2 and lo.fn == 0
+        assert lo.precision == pytest.approx(1 / 3, abs=1e-6)
+        assert lo.recall == 1.0
+        # at 0.99 only the exact pair survives -> perfect P/R
+        hi = rows[0.99]
+        assert (hi.tp, hi.fp, hi.fn) == (1, 0, 0)
+        assert hi.precision == 1.0 and hi.recall == 1.0
+
+    def test_missed_truth_counts_as_fn(self, spark):
+        from kgforge.operators.dedup import dedup_pr_curve
+
+        # identical SHORT docs whose gram sets exist, plus an unrelated
+        # pair; with an impossible threshold nothing is predicted
+        docs = spark.createDataFrame(
+            [(1, "one two three four"), (2, "one two three four"),
+             (3, "five six seven eight")],
+            "doc_id bigint, text string",
+        )
+        [r] = dedup_pr_curve(docs, thresholds=(1.0,)).collect()
+        # the identical pair IS found at jaccard 1.0
+        assert r.tp == 1 and r.fn == 0 and r.precision == 1.0
+
+    def test_empty_texts_excluded(self, spark):
+        from kgforge.operators.dedup import dedup_pr_curve
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "real content words here")],
+            "doc_id bigint, text string",
+        )
+        [r] = dedup_pr_curve(docs, thresholds=(0.5,)).collect()
+        # the empty-empty pair is a junk key, not ground truth
+        assert (r.tp, r.fp, r.fn) == (0, 0, 0)
