@@ -3801,6 +3801,23 @@ def q_kg_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_nquads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads EXPORT round trip: the parsed named-graph corpus
+    serializes back through the graph-aware line builder (codegen concat
+    chain, default graph degrades to the triple spelling) and must
+    reproduce the source lines BYTE-FOR-BYTE. Oracle: the identical
+    closed-form line strings."""
+    from kgforge.operators.quads import parse_quad_docs
+    from kgforge.rdf.serialize import to_nquads_lines
+
+    q = parse_quad_docs(_quad_docs(spark, sf_dir)).filter(
+        F.col("status") == "ok"
+    )
+    return to_nquads_lines(
+        q.select("graph", "subject", "predicate", "object")
+    ).orderBy("line")
+
+
 def q_kg_sparql_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL GRAPH clause with W3C dataset semantics: the knows BGP is
     scoped to named graph urn:g:2 (docs with doc_id%5==2 only) — compiled
@@ -4830,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_hits": q_host_hits,
         "q_leakage_split": q_leakage_split,
         "q_kg_quads": q_kg_quads,
+        "q_kg_nquads": q_kg_nquads,
         "q_kg_trig": q_kg_trig,
         "q_kg_sparql_graph": q_kg_sparql_graph,
         "q_distinct_sketch": q_distinct_sketch,
@@ -9229,6 +9247,25 @@ def oracle_sql() -> dict[str, str]:
                    'urn:e:' || CAST(i % 50 AS VARCHAR), 'iri'
             FROM d
             ORDER BY url, seq
+        """,
+        # byte-identical N-Quads export round trip: the same closed-form
+        # lines the quad fixture feeds the parser
+        "q_kg_nquads": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            l AS (
+              SELECT '<urn:e:' || CAST(i % 50 AS VARCHAR)
+                     || '> <urn:p:knows> <urn:e:' || CAST((i*3+1) % 50 AS VARCHAR)
+                     || '> <urn:g:' || CAST(i % 5 AS VARCHAR) || '> .' AS line
+              FROM d
+              UNION ALL
+              SELECT '<urn:e:' || CAST(i % 50 AS VARCHAR)
+                     || '> <urn:p:name> "n' || CAST(i % 20 AS VARCHAR) || '" .'
+              FROM d
+              UNION ALL
+              SELECT '_:b0 <urn:p:ref> <urn:e:' || CAST(i % 50 AS VARCHAR)
+                     || '> <urn:g:' || CAST(i % 5 AS VARCHAR) || '> .'
+              FROM d)
+            SELECT line FROM l ORDER BY line
         """,
         # TriG replay: prefix expansion, block graph labels, typed integer
         "q_kg_trig": """

@@ -102,9 +102,12 @@ def _resource(col):
     )
 
 
-def ntriples_line_col(subject, predicate, obj):
+def ntriples_line_col(subject, predicate, obj, graph=None):
     """One N-Triples line from (subject str, predicate str, object struct
-    (value, kind, datatype, lang)) — the repo's TRIPLE schema object."""
+    (value, kind, datatype, lang)) — the repo's TRIPLE schema object.
+    With ``graph`` (an IRI string column) the line is an N-QUADS line;
+    NULL/'' graph degrades to the default-graph (triple) spelling, per
+    the N-Quads grammar's optional graphLabel."""
     o_val, kind = obj["value"], obj["kind"]
     dt, lang = obj["datatype"], obj["lang"]
     tag = (
@@ -126,6 +129,14 @@ def ntriples_line_col(subject, predicate, obj):
         .when(kind == "triple", o_val)  # N-Triples-star canonical form
         .otherwise(F.concat(F.lit('"'), escape_literal_col(o_val), F.lit('"'), tag))
     )
+    gpart = (
+        F.lit("")
+        if graph is None
+        else F.when(
+            graph.isNotNull() & (graph != ""),
+            F.concat(F.lit(" <"), graph, F.lit(">")),
+        ).otherwise(F.lit(""))
+    )
     return F.concat(
         _resource(subject),
         F.lit(" "),
@@ -133,6 +144,7 @@ def ntriples_line_col(subject, predicate, obj):
         predicate,
         F.lit("> "),
         rendered,
+        gpart,
         F.lit(" ."),
     )
 
@@ -344,3 +356,37 @@ def write_turtle(
     if partitions is not None:
         lines = lines.repartition(partitions)
     lines.write.mode("overwrite").text(path)
+
+
+def to_nquads_lines(quads: DataFrame, on_invalid: str = "keep") -> DataFrame:
+    """(graph, subject, predicate, object struct) -> single-column (line)
+    N-Quads export — the named-graph sibling of :func:`to_ntriples_lines`
+    (same grammar preconditions, same keep/drop/error regimes; a NULL or
+    '' graph emits the default-graph triple spelling). Round-trip gated:
+    serializing the N-Quads parser's output reproduces the source lines
+    byte-for-byte (q_kg_nquads)."""
+    if on_invalid not in ("keep", "drop", "error"):
+        raise ValueError(f"on_invalid must be keep|drop|error, got {on_invalid!r}")
+    line = ntriples_line_col(
+        F.col("subject"), F.col("predicate"), F.col("object"), F.col("graph")
+    )
+    if on_invalid == "keep":
+        return quads.select(line.alias("line"))
+    bad = ntriples_invalid_col(F.col("subject"), F.col("predicate"), F.col("object"))
+    if on_invalid == "drop":
+        return quads.filter(~bad).select(line.alias("line"))
+    return quads.select(
+        F.when(
+            bad,
+            F.raise_error(
+                F.concat(
+                    F.lit("invalid N-Quads term in quad: subject="),
+                    F.coalesce(F.col("subject"), F.lit("NULL")),
+                    F.lit(" predicate="),
+                    F.coalesce(F.col("predicate"), F.lit("NULL")),
+                )
+            ),
+        )
+        .otherwise(line)
+        .alias("line")
+    )

@@ -972,3 +972,52 @@ class TestDedupPrCurve:
         [r] = dedup_pr_curve(docs, thresholds=(0.5,)).collect()
         # the empty-empty pair is a junk key, not ground truth
         assert (r.tp, r.fp, r.fn) == (0, 0, 0)
+
+
+class TestNquadsExport:
+    def _q(self, spark, rows):
+        return spark.createDataFrame(
+            [
+                (g, s, p, {"value": v, "kind": k, "datatype": d, "lang": l})
+                for g, s, p, k, v, d, l in rows
+            ],
+            "graph string, subject string, predicate string, "
+            "object struct<value: string, kind: string, "
+            "datatype: string, lang: string>",
+        )
+
+    def test_graph_and_default_graph_spellings(self, spark):
+        from kgforge.rdf.serialize import to_nquads_lines
+
+        q = self._q(
+            spark,
+            [
+                ("urn:g:1", "urn:s", "urn:p", "iri", "urn:o", "", ""),
+                ("", "urn:s", "urn:p", "literal", "x", "", ""),
+                (None, "urn:s", "urn:p", "literal", "y", "", "en"),
+            ],
+        )
+        lines = sorted(r.line for r in to_nquads_lines(q).collect())
+        assert lines == [
+            '<urn:s> <urn:p> "x" .',
+            '<urn:s> <urn:p> "y"@en .',
+            "<urn:s> <urn:p> <urn:o> <urn:g:1> .",
+        ]
+
+    def test_round_trip_through_parser(self, spark):
+        from kgforge.rdf.nquads import parse_nquads
+        from kgforge.rdf.serialize import to_nquads_lines
+
+        q = self._q(
+            spark,
+            [
+                ("urn:g:2", "_:b0", "urn:p", "iri", "urn:o", "", ""),
+                ("urn:g:2", "urn:s", "urn:p", "literal", 'he said "hi"\n',
+                 "", ""),
+            ],
+        )
+        text = "\n".join(r.line for r in to_nquads_lines(q).collect())
+        quads, _ = parse_nquads(text)
+        vals = {(t[0][0], t[2][0]) for t in quads}
+        assert ("_:b0", "urn:o") in vals
+        assert ("urn:s", 'he said "hi"\n') in vals
