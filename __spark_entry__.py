@@ -1289,12 +1289,17 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed second-moment structure of the embedding corpus: the
-    64x64 population covariance via per-batch numpy Gramian partials (one
-    GEMM per Arrow batch, one d+d^2-double row per batch shuffled — corpus-
-    size-free reduction). Upper triangle as (i, j, cov). The
-    eigendecomposition consumer (pca_components/pca_project) is pinned
-    against numpy in tests/test_pca.py; the distributed part is oracled
-    here value-for-value."""
+    64x64 population covariance via per-batch Gramian partials (one GEMM
+    per Arrow batch, one d+d^2-value row per batch shuffled — corpus-
+    size-free reduction). Upper triangle as (i, j, cov). PARTITION-
+    INVARIANT by construction: inputs quantize to exact fixed-point
+    integers (floor(x*2^20+0.5) — exact IEEE ops both engines replay
+    bit-for-bit), sums accumulate order-free in decimal(38,0), and only
+    the one final fixed float expression touches IEEE rounding — so the
+    hash is stable under any batch/partition layout. The eigen consumer
+    (pca_components/pca_project) is pinned against numpy in
+    tests/test_pca.py; the distributed part is oracled here
+    value-for-value."""
     from kgforge.operators.pca import covariance_matrix
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5952,14 +5957,31 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN r ON v.i = r.i
             GROUP BY v.vec_id, r.j ORDER BY vec_id, j
         """,
+        # fixed-point covariance: the same quantization (floor(x*2^20+0.5),
+        # exact IEEE ops), exact HUGEINT sums (order-free, so ANY partition
+        # layout on the Spark side reduces to the same integers), and the
+        # identical final float expression (g/n - (si/n)(sj/n)) / 2^40
         "q_emb_covariance": """
             WITH idx AS (SELECT UNNEST(range(64)) AS i),
-            v AS (SELECT e.vec_id, idx.i, CAST(e.embedding[idx.i + 1] AS DOUBLE) AS x
-                  FROM embeddings e, idx)
-            SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
-                   ROUND(AVG(a.x*b.x) - AVG(a.x)*AVG(b.x), 6) AS cov
-            FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
-            GROUP BY a.i, b.i ORDER BY i, j
+            v AS (SELECT e.vec_id, idx.i,
+                         CAST(floor(CAST(e.embedding[idx.i + 1] AS DOUBLE)
+                                    * 1048576.0 + 0.5) AS HUGEINT) AS xq
+                  FROM embeddings e, idx),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+            s AS (SELECT i, SUM(xq) AS s FROM v GROUP BY i),
+            g AS (SELECT a.i AS i, b.i AS j, SUM(a.xq * b.xq) AS g
+                  FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY a.i, b.i)
+            SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j,
+                   ROUND((CAST(g.g AS DOUBLE) / n.n
+                          - (CAST(si.s AS DOUBLE) / n.n)
+                            * (CAST(sj.s AS DOUBLE) / n.n))
+                         / 1099511627776.0, 6) AS cov
+            FROM g
+            CROSS JOIN n
+            JOIN s si ON si.i = g.i
+            JOIN s sj ON sj.i = g.j
+            ORDER BY i, j
         """,
         # hourly z-scores: identical buckets + population moments; z and
         # is_burst NULL-guarded exactly like the Spark side

@@ -36,46 +36,94 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def gramian_partials(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def gramian_partials(
+    emb: DataFrame, vec_col: str = "embedding", scale_bits: int | None = None
+) -> DataFrame:
     """One row per Arrow batch: (n, s = column sums, g = X^T X flattened
-    row-major). The only data-dependent cost is the per-batch GEMM."""
+    row-major). The only data-dependent cost is the per-batch GEMM.
+
+    With ``scale_bits`` set, inputs are first quantized to fixed-point
+    integers ``xq = floor(x * 2**scale_bits + 0.5)`` and the partials are
+    EXACT int64 sums: x * 2**b is an exact IEEE op (power-of-two multiply
+    only shifts the exponent), and + 0.5 / floor round identically in any
+    IEEE engine — so Spark and a SQL oracle derive bit-identical integers
+    from the same input, and integer sums are order-free. In-batch int64
+    headroom: n_batch * (max|x| * 2**b)**2 must stay < 2**63 — for unit-
+    scale embeddings at b=20 that allows ~10**6-row batches (Arrow batches
+    are 10**4); cross-batch reduction widens to decimal(38,0) upstream."""
 
     def part(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "g": [(X.T @ X).ravel().tolist()],
-                }
-            )
+            if scale_bits is not None:
+                Xq = np.floor(X * float(2**scale_bits) + 0.5).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "n": [len(Xq)],
+                        "s": [Xq.sum(axis=0, dtype=np.int64).tolist()],
+                        "g": [(Xq.T @ Xq).ravel().tolist()],
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "n": [len(X)],
+                        "s": [X.sum(axis=0).tolist()],
+                        "g": [(X.T @ X).ravel().tolist()],
+                    }
+                )
 
+    elem = "long" if scale_bits is not None else "double"
     return emb.select(vec_col).mapInPandas(
-        part, schema="n long, s array<double>, g array<double>"
+        part, schema=f"n long, s array<{elem}>, g array<{elem}>"
     )
 
 
-def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def covariance_matrix(
+    emb: DataFrame, vec_col: str = "embedding", scale_bits: int | None = 20
+) -> DataFrame:
     """-> (i, j, cov) for the upper triangle i <= j (population covariance).
 
     Reduction shape: partials posexplode to (index, value) and groupBy-sum —
-    at most (d^2 + d) * n_batches shuffled doubles, corpus-size-free."""
-    partials = gramian_partials(emb, vec_col).persist()
+    at most (d^2 + d) * n_batches shuffled values, corpus-size-free.
+
+    Default ``scale_bits=20`` selects the PARTITION-INVARIANT fixed-point
+    path: inputs quantize to exact integers (see :func:`gramian_partials`),
+    per-index sums accumulate in decimal(38,0) — exact and order-free under
+    ANY partitioning/batch layout — and only the final covariance assembly
+    touches floats, via one fixed expression ``(g/n - (s_i/n)(s_j/n)) /
+    2**(2*scale_bits)`` that a SQL oracle replays bit-for-bit. The float32
+    quantization error (~2**-(scale_bits+1) per value) is far below the
+    6-dp reporting precision; ``scale_bits=None`` keeps the raw float64
+    path (order-sensitive in the last ulp, for numpy-parity use)."""
+    partials = gramian_partials(emb, vec_col, scale_bits=scale_bits).persist()
+
+    def _acc(v):
+        return v.cast("decimal(38,0)") if scale_bits is not None else v
 
     n_row = partials.agg(F.sum("n").alias("n"))
     sums = (
         partials.select(F.posexplode("s").alias("i", "v"))
         .groupBy("i")
-        .agg(F.sum("v").alias("s"))
+        .agg(F.sum(_acc(F.col("v"))).alias("s"))
     )
     grams = (
         partials.select(F.posexplode("g").alias("ij", "v"))
         .groupBy("ij")
-        .agg(F.sum("v").alias("g"))
+        .agg(F.sum(_acc(F.col("v"))).alias("g"))
     )
+    if scale_bits is not None:
+        g_d, si_d, sj_d = (
+            F.col("g").cast("double"),
+            F.col("si").cast("double"),
+            F.col("sj").cast("double"),
+        )
+        descale = F.lit(float(2 ** (2 * scale_bits)))
+    else:
+        g_d, si_d, sj_d = F.col("g"), F.col("si"), F.col("sj")
+        descale = F.lit(1.0)
     dim = F.col("dim")
     out = (
         grams.crossJoin(F.broadcast(n_row))
@@ -92,8 +140,8 @@ def covariance_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             "i",
             "j",
             (
-                F.col("g") / F.col("n")
-                - (F.col("si") / F.col("n")) * (F.col("sj") / F.col("n"))
+                (g_d / F.col("n") - (si_d / F.col("n")) * (sj_d / F.col("n")))
+                / descale
             ).alias("cov"),
         )
     )

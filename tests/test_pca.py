@@ -23,11 +23,37 @@ def data(spark):
 def test_covariance_matches_numpy(spark, data):
     X, df = data
     truth = np.cov(X, rowvar=False, bias=True)  # population covariance
-    got = {(r.i, r.j): r.cov for r in covariance_matrix(df).collect()}
+    got = {
+        (r.i, r.j): r.cov
+        for r in covariance_matrix(df, scale_bits=None).collect()
+    }
     assert len(got) == 6 * 7 // 2
     for (i, j), v in got.items():
         assert i <= j
         assert v == pytest.approx(truth[i, j], abs=1e-9)
+
+
+def test_covariance_fixed_point_partition_invariant(spark, data):
+    """The default (quantized) path must produce BIT-IDENTICAL covariances
+    under any partition/batch layout — the property the DuckDB value
+    oracle depends on — while staying within quantization error of the
+    float truth (|x| ~ 15 here, so ~1e-4 at scale_bits=20)."""
+    X, df = data
+    truth = np.cov(X, rowvar=False, bias=True)
+    layouts = [
+        df.coalesce(1),
+        df.repartition(7),
+        df.repartition(32, "vec_id"),
+    ]
+    results = []
+    for lay in layouts:
+        got = {
+            (r.i, r.j): r.cov for r in covariance_matrix(lay).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]  # exact, not approx
+    for (i, j), v in results[0].items():
+        assert v == pytest.approx(truth[i, j], abs=1e-4)
 
 
 def test_components_match_numpy_eigh(spark, data):
