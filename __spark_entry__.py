@@ -292,16 +292,74 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge learning, 10 merges: iterative argmax over the
-    vocab table, one bounded 1-row collect per merge, merge application as
-    a codegen left fold — genuinely non-SQL-expressible (each iteration's
-    input depends on the previous argmax), so this entry is rows-only;
-    the algorithm itself is value-pinned against a pure-Python reference
-    in tests/test_bpe.py and its iteration-0 statistic is hash-verified by
-    q_bpe_pairs."""
+    vocab table, one bounded 1-row collect per merge, merge application
+    as a codegen left fold. Value-oracled by UNROLLING the 10 merge
+    iterations as DuckDB CTEs (the q_host_communities/q_host_node2vec
+    idiom): each round re-derives the pair argmax — (count desc, a desc,
+    b desc), the max(struct) ordering — and replays the leftmost-
+    non-overlapping fold as a delimiter-joined string double-replace
+    (matches overlap only by the shared delimiter, so two replace passes
+    are exactly the fold). Also value-pinned against a pure-Python
+    reference in tests/test_bpe.py."""
     from kgforge.operators.bpe import bpe_learn, merges_df
 
     docs = _t(spark, sf_dir, "documents")
-    return merges_df(spark, bpe_learn(docs, num_merges=10))
+    return merges_df(spark, bpe_learn(docs, num_merges=10)).orderBy("rank")
+
+
+def _bpe_merges_sql(k: int = 10) -> str:
+    """Unrolled-k-iteration DuckDB twin of ``bpe_learn``. Per round:
+    pair counts from the symbol lists, argmax by (cnt, a, b) struct
+    order, then the merge applied via chr(31)-delimited string
+    replacement run twice (pass 1 takes the leftmost non-overlapping
+    matches; the only blocked matches are isolated pairs whose leading
+    delimiter was consumed, which pass 2 completes — equivalent to the
+    engine's left fold)."""
+    d = "chr(31)"
+    parts = [
+        r"""WITH w AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+            FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    ch AS (SELECT cnt, regexp_split_to_array(word, '') AS c FROM w),
+    s0 AS (SELECT cnt,
+                  CASE WHEN len(c) = 1
+                       THEN [c[1] || '</w>']
+                       ELSE list_append(c[1:len(c)-1], c[len(c)] || '</w>')
+                  END AS s
+           FROM ch)"""
+    ]
+    for r in range(1, k + 1):
+        prev = f"s{r - 1}"
+        pat = f"{d} || m.a || {d} || m.b || {d}"
+        rep = f"{d} || m.a || m.b || {d}"
+        parts.append(
+            f"""p{r} AS (SELECT s[i] AS a, s[i+1] AS b, sum(cnt) AS pc
+            FROM {prev}, UNNEST(range(1, len(s))) AS u(i)
+            GROUP BY 1, 2),
+    m{r} AS (SELECT a, b FROM p{r} ORDER BY pc DESC, a DESC, b DESC LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f"""s{r} AS (
+            SELECT cnt,
+                   string_split(substr(r2, 2, length(r2) - 2), {d}) AS s
+            FROM (SELECT cnt,
+                         replace(replace({d} || array_to_string(s, {d}) || {d},
+                                         {pat}, {rep}),
+                                 {pat}, {rep}) AS r2
+                  FROM {prev}, m{r} m))"""
+            )
+    union = "\n            UNION ALL ".join(
+        f"SELECT a, b, CAST({r - 1} AS INTEGER) AS rank FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({union})\n    ORDER BY rank"
+    )
 
 
 def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1442,8 +1500,9 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface/offset/entity subset — the closed-form DuckDB oracle reconstructs
     the extracted page text and every mention position from doc_id alone
     (verified byte-exact vs the matcher at sf0.001 and sf0.01). The score
-    column (crc32 feature-hash embeddings, not ANSI-SQL-expressible) is
-    value-asserted in tests/test_mentions_oracle.py instead."""
+    column (md5 feature-hash embeddings) is value-asserted in
+    tests/test_mentions_oracle.py; its full SQL replay lives in the
+    q_entity_linking oracle."""
     from kgforge.fixtures import gazetteer_rows, pages_from_documents
     from kgforge.operators.mentions import detect_mentions
 
@@ -3431,11 +3490,14 @@ def q_entity_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entity_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disambiguating entity linking (argmax of prior x context-cosine over
-    each span's candidate set, margin = best - runner-up). The choice
-    depends on crc32 feature-hash embeddings (not ANSI-SQL-expressible),
-    so this query takes the driver's rows-only check; the chosen entities,
-    scores and margins are value-asserted against an independent
-    pure-Python reimplementation in tests/test_entity_linking.py."""
+    each span's candidate set, margin = best - runner-up). VALUE-ORACLED:
+    the feature-hash embeddings are signed integer trigram counts keyed by
+    the repo's md5 convention, so the DuckDB twin rebuilds every context
+    and candidate vector exactly and replays the cosine as the one fixed
+    expression int_dot / (sqrt(int_ss_a) * sqrt(int_ss_b)) over exact
+    integers — bit-deterministic in both engines. Also value-asserted
+    against an independent pure-Python reimplementation in
+    tests/test_entity_linking.py."""
     from kgforge.fixtures import ambiguous_gazetteer_rows, pages_from_documents
     from kgforge.operators.mentions import link_mentions
 
@@ -5141,6 +5203,144 @@ def _dd_entity_candidates_sql() -> str:
     """
 
 
+def _dd_entity_linking_sql() -> str:
+    """DuckDB twin of link_mentions: the candidate reconstruction of
+    ``_dd_entity_candidates_sql`` extended with the full scoring replay —
+    signed integer trigram counts (bucket/sign from md5(tri)[:15 hex], the
+    repo's key convention) for each mention's 80-char context and each
+    candidate's 'surface type_uri' descriptor, cosine as the single fixed
+    expression dot/(sqrt(ssa)*sqrt(ssb)) over exact integers, then the
+    (score desc, entity_id) argmax + margin via window functions.
+
+    Contexts can extend past the woven sentences into the page-unique
+    pseudo-paragraph, so the full visible text is rebuilt here: the
+    fixture's per-word LCG is replayed CLOSED-FORM via a precomputed jump
+    table (A^k, c_k mod 2^64 embedded as HUGEINT literals; the 128-bit
+    multiply is split 32/32 to stay inside HUGEINT), syllables decoded
+    with the same shift/mod schedule — byte-identical to
+    kgforge.fixtures._pseudo_paragraph."""
+    A, C, M = 6364136223846793005, 1442695040888963407, 1 << 64
+    ak, ck, vals = 1, 0, []
+    for k in range(1, 51):
+        ak, ck = ak * A % M, (ck * A + C) % M
+        vals.append(f"({k}, {ak}::HUGEINT, {ck}::HUGEINT)")
+    lcg_values = ",\n                ".join(vals)
+    return f"""{_dd_mention_ctes()},
+        lcgk(k, ak, ck) AS (VALUES {lcg_values}),
+        pseeds AS (SELECT DISTINCT s FROM v),
+        pwords AS (
+          SELECT sd.s, l.k,
+                 ((l.ak * (sd.seed % 4294967296)
+                   + ((l.ak * (sd.seed // 4294967296)) % 4294967296) * 4294967296
+                   + l.ck) % 18446744073709551616::HUGEINT) AS h
+          FROM (SELECT s, CAST(s AS HUGEINT) * 1000003 + 2654435769 AS seed
+                FROM pseeds) sd
+          CROSS JOIN lcgk l),
+        pwtext AS (
+          SELECT s, k,
+            (SELECT string_agg(
+                ['b','d','f','g','k','l','m','n','p','r','s','v','z']
+                  [CAST((((h // 65536) // 4) // [1,128,16384,2097152][m+1]) % 13 AS INT) + 1]
+                || ['a','e','i','o','u']
+                  [CAST(((((h // 65536) // 4) // [1,128,16384,2097152][m+1]) // 16) % 5 AS INT) + 1],
+                '' ORDER BY m)
+             FROM UNNEST(range(0, CAST(2 + (h // 65536) % 3 AS INT))) t(m)) AS word
+          FROM pwords),
+        ppara AS (SELECT s, string_agg(word, ' ' ORDER BY k) || '.' AS para
+                  FROM pwtext GROUP BY s),
+        pagefull AS (
+          SELECT vz.i,
+            'Doc ' || CAST(vz.i AS VARCHAR) || chr(10) || vz.text || ' ' ||
+            CASE WHEN vz.i%29=0 AND vz.i>0
+                 THEN regexp_replace(vz.vtext || ' ' || pp.para, 'the', 'that')
+                 ELSE vz.vtext || ' ' || pp.para END AS ext
+          FROM (SELECT i, any_value(text) AS text,
+                       string_agg(replace({_DD_TPLS}[(s+j)%5+1], '{{e}}', surface),
+                                  ' ' ORDER BY j) AS vtext,
+                       any_value(s) AS s
+                FROM surf GROUP BY i) vz
+          JOIN ppara pp ON pp.s = vz.s),
+        cs AS (SELECT DISTINCT k, surface FROM surf),
+        cand AS (
+          SELECT k,
+                 'E' || lpad(CAST(k AS VARCHAR), 4, '0') AS entity_id,
+                 'http://schema.org/' || CASE k%3 WHEN 0 THEN 'Person'
+                    WHEN 1 THEN 'Organization' ELSE 'Place' END AS type_uri,
+                 round(0.5 + (k*2654435761 % 1000)/2000.0, 4) AS prior,
+                 CASE WHEN k%5=0 THEN 2 ELSE 1 END AS n_candidates
+          FROM cs
+          UNION ALL
+          SELECT k,
+                 'A' || lpad(CAST(k AS VARCHAR), 4, '0'),
+                 'http://schema.org/' || CASE (k+1)%3 WHEN 0 THEN 'Person'
+                    WHEN 1 THEN 'Organization' ELSE 'Place' END,
+                 round(0.5 + ((k*2654435761 + 7919) % 1000)/2000.0, 4),
+                 2
+          FROM cs WHERE k%5=0),
+        men AS (
+          SELECT 'https://ex' || CAST(su.i%97 AS VARCHAR) || '.example.org/doc/'
+                   || CAST(su.i AS VARCHAR) AS url,
+                 su.surface, su.k,
+                 strpos(p.ext, su.surface) - 1 AS s0,
+                 strpos(p.ext, su.surface) - 1 + length(su.surface) AS e0,
+                 ' ' || lower(substr(p.ext,
+                       greatest(strpos(p.ext, su.surface) - 1 - 80, 0) + 1,
+                       (strpos(p.ext, su.surface) - 1 + length(su.surface) + 80)
+                         - greatest(strpos(p.ext, su.surface) - 1 - 80, 0)))
+                   || ' ' AS t
+          FROM surf su JOIN pagefull p ON su.i = p.i),
+        mh AS (SELECT url, s0,
+                      CAST(concat('0x', substring(md5(substr(t, CAST(g AS INT) + 1, 3)), 1, 15)) AS BIGINT) AS h
+               FROM men, LATERAL unnest(range(0, length(t) - 2)) u(g)),
+        mc AS (SELECT url, s0, h % 16 AS b,
+                      SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS c
+               FROM mh GROUP BY url, s0, b),
+        mss AS (SELECT url, s0, SUM(c*c) AS ss FROM mc GROUP BY url, s0),
+        cf AS (SELECT c.k, c.entity_id, c.prior, c.n_candidates,
+                      ' ' || lower(s.surface || ' ' || c.type_uri) || ' ' AS t
+               FROM cand c JOIN cs s USING (k)),
+        chh AS (SELECT k, entity_id,
+                       CAST(concat('0x', substring(md5(substr(t, CAST(g AS INT) + 1, 3)), 1, 15)) AS BIGINT) AS h
+                FROM cf, LATERAL unnest(range(0, length(t) - 2)) u(g)),
+        cc AS (SELECT k, entity_id, h % 16 AS b,
+                      SUM(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS c
+               FROM chh GROUP BY k, entity_id, b),
+        css AS (SELECT k, entity_id, SUM(c*c) AS ss
+                FROM cc GROUP BY k, entity_id),
+        dt AS (SELECT mc.url, mc.s0, cc.k, cc.entity_id, SUM(mc.c * cc.c) AS dot
+               FROM mc JOIN men me ON me.url = mc.url AND me.s0 = mc.s0
+               JOIN cc ON cc.k = me.k AND cc.b = mc.b
+               GROUP BY 1, 2, 3, 4),
+        scored AS (
+          SELECT me.url, me.surface, me.s0, me.e0, cf.entity_id,
+                 cf.n_candidates,
+                 round(cf.prior * (0.5 + 0.5 * LEAST(GREATEST(
+                   CASE WHEN mss.ss > 0 AND css.ss > 0
+                        THEN CAST(COALESCE(dt.dot, 0) AS DOUBLE)
+                             / (sqrt(CAST(mss.ss AS DOUBLE))
+                                * sqrt(CAST(css.ss AS DOUBLE)))
+                        ELSE 0.0 END, -1.0), 1.0)), 6) AS score
+          FROM men me
+          JOIN cf ON cf.k = me.k
+          JOIN mss ON mss.url = me.url AND mss.s0 = me.s0
+          JOIN css ON css.k = cf.k AND css.entity_id = cf.entity_id
+          LEFT JOIN dt ON dt.url = me.url AND dt.s0 = me.s0
+                      AND dt.entity_id = cf.entity_id),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY url, s0
+                                         ORDER BY score DESC, entity_id) AS rn,
+                      lead(score) OVER (PARTITION BY url, s0
+                                        ORDER BY score DESC, entity_id) AS snd
+               FROM scored)
+        SELECT url, surface, CAST(s0 AS INT) AS start, CAST(e0 AS INT) AS "end",
+               entity_id, score,
+               round(score - COALESCE(snd, 0.0), 6) AS margin,
+               CAST(n_candidates AS INT) AS n_candidates
+        FROM rk WHERE rn = 1
+        ORDER BY url, start, entity_id
+    """
+
+
 _DD_GRAMS = (
     "list_distinct(list_transform(range(1, greatest(length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) - 2, 1) + 1), "
     "i -> substr(lower(regexp_replace(text, '\\s+', ' ', 'g')), CAST(i AS INT), 3)))"
@@ -5683,6 +5883,11 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY a, b
             ORDER BY pair_cnt DESC, a, b LIMIT 20
         """,
+        # full BPE learning: the 10 merge iterations unrolled as CTEs —
+        # per round the identical symbolization/pair argmax, and the
+        # leftmost-nonoverlapping merge fold replayed as a chr(31)-
+        # delimited double string replace (see _bpe_merges_sql)
+        "q_bpe_merges": _bpe_merges_sql(10),
         "q_fingerprint": """
             SELECT doc_id,
                    list_min(list_transform(
@@ -9759,6 +9964,7 @@ def oracle_sql() -> dict[str, str]:
             FROM flagged ORDER BY doc_id
         """,
         "q_entity_candidates": _dd_entity_candidates_sql(),
+        "q_entity_linking": _dd_entity_linking_sql(),
         "q_fuzzy_match": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                    levenshtein(a.c_name, b.c_name) AS dist

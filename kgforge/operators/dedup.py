@@ -575,10 +575,15 @@ def dedup_pr_curve(
     prefix-filtered exact join; every threshold is then a conditional
     aggregate over the same pair table crossJoined with the tiny
     threshold dim (the rich-club sweep shape — corpus-pair work never
-    repeats per threshold). Ground truth is the exact-text equality
-    self-join (empty texts excluded — the classic junk key). Counts are
-    exact bigints; P/R are single IEEE divisions, so the oracle replays
-    the whole curve value-for-value.
+    repeats per threshold). Ground truth (exact-text equality, empty
+    texts excluded — the classic junk key) is COMBINATORIAL, never
+    pairwise: the truth-pair total is sum over md5(text) groups of
+    C(n, 2) — the ``er_pairwise_eval`` idiom — and candidate pairs carry
+    a dup flag from two md5-keyed hash joins, so a planted 10^5-copy
+    template page costs one bigint per group instead of a quadratic
+    equality self-join shuffling full text as the key; fn is then
+    truth_total − tp. Counts are exact bigints; P/R are single IEEE
+    divisions, so the oracle replays the whole curve value-for-value.
     """
     spark = docs.sparkSession
     tmin = float(min(thresholds))
@@ -587,33 +592,30 @@ def dedup_pr_curve(
         base, id_col=id_col, text_col=text_col, n=n, threshold=tmin,
         gram_rank_cap=gram_rank_cap,
     )
-    t = base.select(F.col(id_col).alias("id"), F.col(text_col).alias("_tx"))
-    truth = (
-        t.alias("x")
-        .join(
-            t.alias("y"),
-            (F.col("x._tx") == F.col("y._tx"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            F.lit(True).alias("dup"),
+    t = base.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h"))
+    total_row = (
+        t.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("_n * (_n - 1) DIV 2")), F.lit(0)
+            ).cast("bigint").alias("_truth_total")
         )
     )
-    full = (
+    cand = (
         pairs.select("a", "b", "jaccard")
-        .join(truth, ["a", "b"], "full")
+        .join(t.select(F.col("id").alias("a"), F.col("_h").alias("_ha")), "a")
+        .join(t.select(F.col("id").alias("b"), F.col("_h").alias("_hb")), "b")
         .select(
-            F.coalesce("jaccard", F.lit(-1.0)).alias("j"),
-            F.coalesce("dup", F.lit(False)).alias("dup"),
+            F.col("jaccard").alias("j"),
+            (F.col("_ha") == F.col("_hb")).alias("dup"),
         )
     )
     ths = spark.createDataFrame(
         [(float(x),) for x in thresholds], "threshold double"
     )
     counted = (
-        full.crossJoin(F.broadcast(ths))
+        cand.crossJoin(F.broadcast(ths))
         .groupBy("threshold")
         .agg(
             F.sum(
@@ -622,18 +624,21 @@ def dedup_pr_curve(
             F.sum(
                 ((F.col("j") >= F.col("threshold")) & ~F.col("dup")).cast("int")
             ).cast("bigint").alias("fp"),
-            F.sum(
-                ((F.col("j") < F.col("threshold")) & F.col("dup")).cast("int")
-            ).cast("bigint").alias("fn"),
         )
     )
     # a degenerate corpus (no candidates, no truth) still reports every
     # threshold, with zero counts
-    agg = ths.join(counted, "threshold", "left").select(
-        "threshold",
-        F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
-        F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
-        F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+    agg = (
+        ths.join(counted, "threshold", "left")
+        .crossJoin(F.broadcast(total_row))
+        .select(
+            "threshold",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            (
+                F.col("_truth_total") - F.coalesce("tp", F.lit(0))
+            ).cast("bigint").alias("fn"),
+        )
     )
     return agg.select(
         "threshold",

@@ -72,6 +72,65 @@ def rdfs_type_closure(
     return types.select("entity", "cls").unionByName(inferred).distinct()
 
 
+def lower_equivalences(equiv: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """owl:equivalentClass / owl:equivalentProperty lowered to MUTUAL
+    subsumption edges (OWL 2 RL: cax-eqc1/2 are exactly cax-sco over both
+    directions; prp-eqp1/2 likewise over prp-spo1) — returns (sub, sup)
+    rows with both orientations of every equivalence, ready to union into
+    the subclass/subproperty relation before closure. The 2-cycles this
+    creates are safe: the path-doubling closures fixpoint-terminate on
+    cycles (see :func:`subclass_closure`)."""
+    fwd = equiv.select(F.col(a).alias("sub"), F.col(b).alias("sup"))
+    bwd = equiv.select(F.col(b).alias("sub"), F.col(a).alias("sup"))
+    return fwd.unionByName(bwd).distinct()
+
+
+def subproperty_inference(
+    triples: DataFrame,
+    subprop: DataFrame,
+    equiv_props: DataFrame | None = None,
+    max_depth: int = 64,
+) -> DataFrame:
+    """RDFS rules rdfs5 + rdfs7 (and, with ``equiv_props``, OWL 2 RL
+    prp-eqp1/2): close the (sub, sup) subPropertyOf relation transitively
+    — equivalences lowered to mutual edges first — then entail
+    (s, q, o) for every asserted (s, p, o) with p ⊑ q strictly. Returns
+    ONLY the newly-entailed delta (subject, predicate, object-struct),
+    deduped and anti-joined against what the corpus asserts, mirroring
+    :func:`owl_property_inference`'s contract. Literal-valued triples
+    participate (rdfs7 applies to any triple, unlike the IRI-only
+    inverse/symmetric rules).
+
+    Scale shape: the property hierarchy is ontology-sized — the closure
+    iterates on it alone (path doubling, the :func:`subclass_closure`
+    machinery; the equivalence 2-cycles fixpoint-terminate) — and the
+    corpus is scanned ONCE through a broadcast equi-join on predicate
+    with an isin pushdown on the closure's subject properties; the final
+    distinct + anti-join are the only corpus-keyed shuffles."""
+    edges = subprop.select("sub", "sup")
+    if equiv_props is not None:
+        edges = edges.unionByName(lower_equivalences(equiv_props))
+    clo = subclass_closure(edges, max_depth=max_depth).filter(
+        F.col("sub") != F.col("sup")
+    )
+    # pushdown: only predicates that HAVE a strict super-property matter
+    props = [r["sub"] for r in clo.select("sub").distinct().collect()]
+    base = triples.filter(
+        F.col("subject").isNotNull() & F.col("predicate").isin(props)
+    ).select("subject", "predicate", "object")
+    inferred = (
+        base.join(F.broadcast(clo), base["predicate"] == clo["sub"])
+        .select("subject", F.col("sup").alias("predicate"), "object")
+        .distinct()
+    )
+    asserted = triples.filter(F.col("subject").isNotNull()).select(
+        "subject", "predicate", "object"
+    )
+    return inferred.join(
+        asserted, ["subject", "predicate", "object"], "left_anti"
+    )
+
+
 def domain_range_types(
     triples: DataFrame, domains: DataFrame, ranges: DataFrame | None = None
 ) -> DataFrame:

@@ -37,18 +37,32 @@ from ..schema import MENTIONS_SCHEMA
 EMB_DIM = 16
 
 
-def hash_embedding(text: str, dim: int = EMB_DIM) -> np.ndarray:
-    """Deterministic unit vector from character trigrams (feature hashing).
-    Stand-in for a model embedding; stable across processes (no PYTHONHASHSEED
-    dependence — uses zlib.crc32)."""
-    import zlib
+def hash_counts(text: str, dim: int = EMB_DIM) -> np.ndarray:
+    """Signed integer trigram bucket counts (pre-normalization feature
+    hashing) over ' ' + lower(text) + ' ': bucket = h % dim, sign = h % 2,
+    with h = int64(md5(trigram)[:15 hex]) — the repo's standard cross-
+    engine key convention (JL projection, negatives, walks), so a SQL
+    oracle rebuilds the identical integer vector. Integer counts are the
+    determinism anchor: ±1 sums are order-free, and cosine computed as
+    int_dot / (sqrt(int_ss_a) * sqrt(int_ss_b)) is one fixed IEEE
+    expression over exact integers — bit-replayable in any engine."""
+    import hashlib
 
-    v = np.zeros(dim, dtype=np.float64)
+    v = np.zeros(dim, dtype=np.int64)
     t = " " + text.lower() + " "
     for i in range(len(t) - 2):
         g = t[i : i + 3].encode("utf-8")
-        h = zlib.crc32(g)
-        v[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+        h = int(hashlib.md5(g).hexdigest()[:15], 16)
+        v[h % dim] += 1 if h % 2 == 0 else -1
+    return v
+
+
+def hash_embedding(text: str, dim: int = EMB_DIM) -> np.ndarray:
+    """Deterministic unit vector from character trigrams: L2-normalized
+    :func:`hash_counts`. Stand-in for a model embedding with the exact
+    data layout of one (array<float>); stable across processes (md5, no
+    PYTHONHASHSEED dependence)."""
+    v = hash_counts(text, dim).astype(np.float64)
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
 
@@ -188,10 +202,10 @@ class GazetteerMatcher:
         # sharing a surface still get DISTINCT vectors (the disambiguation
         # signal; plain self.emb is surface-only and identical across an
         # ambiguous candidate set)
-        self.link_emb = (
-            np.stack([hash_embedding(f"{e[1]} {e[2]}") for e in self.entries])
+        self.link_counts = (
+            np.stack([hash_counts(f"{e[1]} {e[2]}") for e in self.entries])
             if self.entries
-            else np.zeros((0, EMB_DIM))
+            else np.zeros((0, EMB_DIM), dtype=np.int64)
         )
         self.eid_to_row = {eid: i for i, eid in enumerate(self.entity_ids)}
 
@@ -409,11 +423,20 @@ def link_mentions(
             if not urls:
                 yield empty
                 continue
-            ctx_m = np.stack([hash_embedding(c) for c in ctxs])  # (m, dim)
+            # integer-count cosine (see hash_counts): dot and squared
+            # norms are EXACT int64, so cos = dot / (sqrt(ssa)*sqrt(ssb))
+            # is one fixed IEEE expression a SQL oracle replays bit-for-bit
+            ctx_m = np.stack([hash_counts(c) for c in ctxs])  # int64 (m, dim)
+            ctx_ss = (ctx_m * ctx_m).sum(axis=1)  # int64 (m,)
             rows = np.array([matcher.eid_to_row[e] for e in c_eids])
-            cand_m = matcher.link_emb[rows]  # (c, dim)
+            cand_m = matcher.link_counts[rows]  # int64 (c, dim)
+            cand_ss = (cand_m * cand_m).sum(axis=1)
             midx = np.array(c_m)
-            cos = np.einsum("ij,ij->i", ctx_m[midx], cand_m)
+            dot = np.einsum("ij,ij->i", ctx_m[midx], cand_m).astype(np.float64)
+            denom = np.sqrt(ctx_ss[midx].astype(np.float64)) * np.sqrt(
+                cand_ss.astype(np.float64)
+            )
+            cos = np.divide(dot, denom, out=np.zeros_like(dot), where=denom > 0)
             priors = np.array([matcher.entries[r][3] for r in rows])
             score = np.round(priors * (0.5 + 0.5 * np.clip(cos, -1.0, 1.0)), 6)
             cd = pd.DataFrame({"m": midx, "entity_id": c_eids, "score": score})

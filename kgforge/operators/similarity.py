@@ -139,12 +139,17 @@ def embedding_cosine_pairs(
     ``lsh_topk``-style hyperplane bucketing with this function applied per
     bucket."""
     spark = embeddings.sparkSession
-    rows = embeddings.select(id_col, vec_col).collect()
-    if len(rows) > max_broadcast_rows:
+    # bound check BEFORE any driver materialization: a limit(max+1).count()
+    # ships one bigint, so an over-sized corpus is refused without the
+    # driver ever holding rows (the guard must fire before the damage)
+    probe = embeddings.limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
         raise ValueError(
-            f"{len(rows)} rows exceed max_broadcast_rows={max_broadcast_rows}; "
+            f"over {max_broadcast_rows} rows exceed "
+            f"max_broadcast_rows={max_broadcast_rows}; "
             "use hyperplane-bucketed blocking for corpus-scale near-dup"
         )
+    rows = embeddings.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)

@@ -337,3 +337,29 @@ def test_select_canonical_hand_case(spark):
     }
     # cluster 1: docs 2 and 3 tie on score 50 -> smallest doc_id (2) wins
     assert out == {1: (1, False), 2: (1, True), 3: (1, False), 4: (4, True)}
+
+
+def test_broadcast_guard_fires_before_collect(spark, monkeypatch):
+    """The max_broadcast_rows guard must refuse an over-sized corpus
+    BEFORE any driver-side materialization: a spy on DataFrame.collect
+    proves zero rows are ever collected when the ValueError fires."""
+    import pyspark.sql as pssql
+    import pytest as _pytest
+
+    from kgforge.operators.similarity import embedding_cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    calls = []
+    orig = pssql.DataFrame.collect
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(pssql.DataFrame, "collect", spy)
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_cosine_pairs(emb, threshold=0.9, max_broadcast_rows=10)
+    assert calls == []  # guard decided from a count, never a collect

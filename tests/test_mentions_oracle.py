@@ -3,14 +3,13 @@
 - the driver query's SQL-expressible projection (url/surface/offsets/entity)
   matches the closed-form DuckDB oracle at sf0.001 (same compare the driver
   runs at sf0.01), and
-- the score column — crc32 feature-hash embeddings, NOT SQL-expressible, so
+- the score column — md5 feature-hash embeddings, value-asserted here and so
   excluded from the driver projection — is re-derived here by an independent
   inline implementation of the scoring spec and must match to 6 decimals.
 """
 
 from __future__ import annotations
 
-import zlib
 
 import duckdb
 import numpy as np
@@ -38,13 +37,16 @@ def test_mentions_match_closed_form_oracle(spark):
 
 
 def _spec_embedding(text: str, dim: int = 16) -> np.ndarray:
-    """Independent restatement of the scoring spec: signed feature hashing of
-    character trigrams via crc32 (sign from bit 16), L2-normalized."""
+    """Independent restatement of the scoring spec: signed feature hashing
+    of character trigrams — bucket/sign from md5(trigram)[:15 hex] (the
+    repo's cross-engine key convention) — L2-normalized."""
+    import hashlib
+
     v = np.zeros(dim)
     t = " " + text.lower() + " "
     for i in range(len(t) - 2):
-        h = zlib.crc32(t[i : i + 3].encode("utf-8"))
-        v[h % dim] += 1.0 if (h >> 16) % 2 == 0 else -1.0
+        h = int(hashlib.md5(t[i : i + 3].encode("utf-8")).hexdigest()[:15], 16)
+        v[h % dim] += 1.0 if h % 2 == 0 else -1.0
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
 

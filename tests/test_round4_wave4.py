@@ -973,6 +973,24 @@ class TestDedupPrCurve:
         # the empty-empty pair is a junk key, not ground truth
         assert (r.tp, r.fp, r.fn) == (0, 0, 0)
 
+    def test_planted_kilocopy_group_counts_combinatorially(self, spark):
+        """A planted 1000-copy template page: the truth side must come out
+        as C(1000,2) from ONE bigint per md5 group (the er_pairwise_eval
+        idiom), never a pairwise equality self-join — the counts stay
+        exact and the truth total always reconciles as tp + fn."""
+        from kgforge.operators.dedup import dedup_pr_curve
+
+        tpl = "breaking news template page"
+        rows = [(i, tpl) for i in range(1000)]
+        rows += [(2000, "unique article about graphs"),
+                 (2001, "another unique piece entirely")]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        [r] = dedup_pr_curve(docs, thresholds=(0.9,)).collect()
+        want = 1000 * 999 // 2
+        assert r.tp + r.fn == want  # combinatorial truth total, exact
+        assert r.tp == want and r.fp == 0  # identical texts all found
+        assert r.precision == 1.0 and r.recall == 1.0
+
 
 class TestNquadsExport:
     def _q(self, spark, rows):
