@@ -1090,6 +1090,57 @@ def q_kg_owl_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owl_transitive_inference(tri, [B]).orderBy("subject", "object")
 
 
+def q_kg_rdfs_subprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdfs:subPropertyOf + owl:equivalentProperty entailment (RDFS rules
+    rdfs5/rdfs7, OWL 2 RL prp-spo1 + prp-eqp1/2): a closed-form binary-
+    tree property hierarchy P_c ⊑ P_{c DIV 2} (c in 2..47) with
+    equivalence aliases E_c ≡ P_c at c in {3,7,11}; each doc asserts one
+    instance triple through P_c — or the E_c alias on even docs — and the
+    returned delta is every strictly-super (and equivalent) property's
+    entailed triple the corpus doesn't assert. Equivalences lower to
+    mutual subsumption edges; the 2-cycles fixpoint-terminate inside the
+    path-doubling closure, which iterates on the ontology-sized relation
+    only — the corpus is scanned once through a broadcast predicate join.
+    Oracle: DuckDB recursive-CTE closure over the identical edge set,
+    EXCEPT the asserted triples."""
+    from kgforge.operators.inference import subproperty_inference
+
+    PP = "http://example.org/prop/P"
+    EP = "http://example.org/prop/E"
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    c = (F.col("i") % 46 + 2).cast("long")
+    pred = F.when(
+        c.isin(3, 7, 11) & (F.col("i") % 2 == 0),
+        F.concat(F.lit(EP), c.cast("string")),
+    ).otherwise(F.concat(F.lit(PP), c.cast("string")))
+    inst = docs.select(
+        F.concat(F.lit("http://example.org/x/X"), F.col("i").cast("string")).alias(
+            "subject"
+        ),
+        pred.alias("predicate"),
+        F.struct(
+            F.lit("iri").alias("kind"),
+            F.concat(
+                F.lit("http://example.org/y/Y"),
+                ((F.col("i") * 3) % 100).cast("string"),
+            ).alias("value"),
+        ).alias("object"),
+    )
+    cs = spark.range(2, 48).select(F.col("id").alias("c"))
+    subprop = cs.select(
+        F.concat(F.lit(PP), F.col("c").cast("string")).alias("sub"),
+        F.concat(F.lit(PP), F.expr("c DIV 2").cast("string")).alias("sup"),
+    )
+    equiv = spark.createDataFrame(
+        [(f"{EP}{k}", f"{PP}{k}") for k in (3, 7, 11)], "a string, b string"
+    )
+    out = subproperty_inference(inst, subprop, equiv_props=equiv)
+    return out.select(
+        "subject", "predicate", F.col("object.value").alias("object")
+    ).orderBy("subject", "predicate", "object")
+
+
 def _entity_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The business-entity projection of the corpus triples (types, names,
     ages, knows, sameAs — the shape-metadata triples stay on the SHACL
@@ -4944,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_recrawl_priority": q_recrawl_priority,
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_kg_owl_transitive": q_kg_owl_transitive,
+        "q_kg_rdfs_subprop": q_kg_rdfs_subprop,
         "q_kg_owl_chain": q_kg_owl_chain,
         "q_kg_jsonld": q_kg_jsonld,
         "q_kg_lpg_rels": q_kg_lpg_rels,
@@ -8486,6 +8538,42 @@ def oracle_sql() -> dict[str, str]:
               'https://kg.example.org/entity/E'
                 || lpad(CAST(ko AS VARCHAR), 4, '0') AS object
             FROM knows ORDER BY subject, object
+        """,
+        # subPropertyOf/equivalentProperty entailment: recursive-CTE
+        # closure over the binary-tree property hierarchy + mutual
+        # equivalence edges (cycles dedup-terminate under UNION),
+        # instance triples re-derived closed-form, EXCEPT asserted
+        "q_kg_rdfs_subprop": """
+            WITH RECURSIVE inst AS (
+                SELECT 'http://example.org/x/X' || CAST(doc_id AS VARCHAR) AS s,
+                       CASE WHEN (doc_id % 46 + 2) IN (3, 7, 11) AND doc_id % 2 = 0
+                            THEN 'http://example.org/prop/E' || CAST(doc_id % 46 + 2 AS VARCHAR)
+                            ELSE 'http://example.org/prop/P' || CAST(doc_id % 46 + 2 AS VARCHAR)
+                       END AS p,
+                       'http://example.org/y/Y' || CAST((doc_id * 3) % 100 AS VARCHAR) AS o
+                FROM documents),
+            e AS (
+                SELECT 'http://example.org/prop/P' || CAST(c AS VARCHAR) AS sub,
+                       'http://example.org/prop/P' || CAST(c // 2 AS VARCHAR) AS sup
+                FROM (SELECT UNNEST(range(2, 48)) AS c)
+                UNION ALL
+                SELECT 'http://example.org/prop/E' || CAST(k AS VARCHAR),
+                       'http://example.org/prop/P' || CAST(k AS VARCHAR)
+                FROM (SELECT UNNEST([3, 7, 11]) AS k)
+                UNION ALL
+                SELECT 'http://example.org/prop/P' || CAST(k AS VARCHAR),
+                       'http://example.org/prop/E' || CAST(k AS VARCHAR)
+                FROM (SELECT UNNEST([3, 7, 11]) AS k)),
+            clo(sub, sup) AS (
+                SELECT sub, sup FROM e
+                UNION
+                SELECT clo.sub, e.sup FROM clo JOIN e ON clo.sup = e.sub)
+            SELECT DISTINCT i.s AS subject, c.sup AS predicate, i.o AS object
+            FROM inst i JOIN clo c ON c.sub = i.p
+            WHERE c.sub <> c.sup
+              AND NOT EXISTS (SELECT 1 FROM inst x
+                              WHERE x.s = i.s AND x.p = c.sup AND x.o = i.o)
+            ORDER BY subject, predicate, object
         """,
         # transitive closure of the closed-form broader hierarchy
         # (c -> floor(c/2)) minus the asserted direct edges
