@@ -90,3 +90,55 @@ def test_canonical_lines_reparse_to_original_graph(spark):
     # the escaped literal round-trips byte-identically
     lits = {o[0] for (_, _, o) in parsed if o[1] == "literal"}
     assert 'he said "hi"\n' in lits
+
+
+def _cycle(url, labels, pred="http://p/p"):
+    """Directed cycle over bnode labels."""
+    return [
+        (url, f"_:{a}", pred, _term(labels[(i + 1) % len(labels)], "bnode"))
+        for i, a in enumerate(labels)
+    ]
+
+
+def test_canonical_nonautomorphic_wl_equivalent_bnodes(spark):
+    """C6 ∪ C3 in one document: all nine bnodes are WL-equivalent (every
+    node is 1-in/1-out on the same predicate) but a hexagon node is NOT
+    automorphic to a triangle node — the refinement-only tie-break's
+    disclosed failure case. The individuation-refinement path must
+    canonicalize any relabeling to byte-identical text."""
+    hex_a = ["a0", "m1", "a2", "m3", "a4", "m5"]
+    tri_a = ["a1", "m0", "a3"]
+    # adversarial relabeling: sorted-label order interleaves the cycles
+    # differently (x-names land in the triangle, etc.)
+    hex_b = ["x5", "k0", "x3", "k2", "x1", "k4"]
+    tri_b = ["x0", "k1", "x2"]
+    rows = _cycle("P", hex_a) + _cycle("P", tri_a)
+    rows += _cycle("Q", hex_b) + _cycle("Q", tri_b)
+    lines = _lines(rows, spark)
+    assert lines["P"] == lines["Q"]
+    assert len(lines["P"]) == 9
+
+
+def test_canonical_distinguishes_c6_from_two_c3(spark):
+    """1-WL cannot tell a hexagon from two triangles (the classic
+    counterexample); the canonical text must."""
+    rows = _cycle("H", ["h0", "h1", "h2", "h3", "h4", "h5"])
+    rows += _cycle("T", ["t0", "t1", "t2"]) + _cycle("T", ["u0", "u1", "u2"])
+    lines = _lines(rows, spark)
+    assert lines["H"] != lines["T"]
+
+
+def test_canonical_budget_fallback_is_deterministic(spark):
+    from kgforge.rdf.c14n import canonical_bnode_labels
+
+    rows = _cycle("P", ["a", "b", "c"])
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got1 = {
+        (r["label"], r["canon"])
+        for r in canonical_bnode_labels(df, max_branches=0).collect()
+    }
+    got2 = {
+        (r["label"], r["canon"])
+        for r in canonical_bnode_labels(df, max_branches=0).collect()
+    }
+    assert got1 == got2 and len(got1) == 3
