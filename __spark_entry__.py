@@ -1141,6 +1141,45 @@ def q_kg_rdfs_subprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject", "predicate", "object")
 
 
+def q_kg_equiv_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:equivalentClass entailment at the query surface (OWL 2 RL
+    cax-eqc1/2 + cax-sco): a closed-form class tree T_c ⊑ T_{c DIV 2}
+    (c in 2..12) with equivalence aliases Q_c ≡ T_c at c in {2, 5};
+    each doc types one entity through T_c — or the Q_c alias on odd docs
+    — and the output is the FULL materialized type closure (entity, cls),
+    equivalences lowered to mutual subsumption before the path-doubling
+    closure (the 2-cycles fixpoint-terminate). One broadcast join expands
+    the corpus-side typing table. Oracle: DuckDB recursive-CTE closure
+    over the identical lowered edge set."""
+    from kgforge.operators.inference import lower_equivalences, rdfs_type_closure
+
+    TC = "http://example.org/cls/T"
+    QC = "http://example.org/cls/Q"
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    c = (F.col("i") % 11 + 2).cast("long")
+    cls = F.when(
+        c.isin(2, 5) & (F.col("i") % 2 == 1),
+        F.concat(F.lit(QC), c.cast("string")),
+    ).otherwise(F.concat(F.lit(TC), c.cast("string")))
+    types = docs.select(
+        F.concat(F.lit("http://example.org/e/N"), F.col("i").cast("string")).alias(
+            "entity"
+        ),
+        cls.alias("cls"),
+    )
+    cs = spark.range(2, 13).select(F.col("id").alias("c"))
+    subclass = cs.select(
+        F.concat(F.lit(TC), F.col("c").cast("string")).alias("sub"),
+        F.concat(F.lit(TC), F.expr("c DIV 2").cast("string")).alias("sup"),
+    )
+    equiv = spark.createDataFrame(
+        [(f"{QC}{k}", f"{TC}{k}") for k in (2, 5)], "a string, b string"
+    )
+    edges = subclass.unionByName(lower_equivalences(equiv))
+    return rdfs_type_closure(types, edges).orderBy("entity", "cls")
+
+
 def _entity_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The business-entity projection of the corpus triples (types, names,
     ages, knows, sameAs — the shape-metadata triples stay on the SHACL
@@ -4996,6 +5035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_owl_entail": q_kg_owl_entail,
         "q_kg_owl_transitive": q_kg_owl_transitive,
         "q_kg_rdfs_subprop": q_kg_rdfs_subprop,
+        "q_kg_equiv_class": q_kg_equiv_class,
         "q_kg_owl_chain": q_kg_owl_chain,
         "q_kg_jsonld": q_kg_jsonld,
         "q_kg_lpg_rels": q_kg_lpg_rels,
@@ -8574,6 +8614,38 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM inst x
                               WHERE x.s = i.s AND x.p = c.sup AND x.o = i.o)
             ORDER BY subject, predicate, object
+        """,
+        # equivalentClass through the type closure: recursive-CTE closure
+        # over subclass + mutual equivalence edges, full (entity, cls) set
+        "q_kg_equiv_class": """
+            WITH RECURSIVE t0 AS (
+                SELECT 'http://example.org/e/N' || CAST(doc_id AS VARCHAR) AS entity,
+                       CASE WHEN (doc_id % 11 + 2) IN (2, 5) AND doc_id % 2 = 1
+                            THEN 'http://example.org/cls/Q' || CAST(doc_id % 11 + 2 AS VARCHAR)
+                            ELSE 'http://example.org/cls/T' || CAST(doc_id % 11 + 2 AS VARCHAR)
+                       END AS cls
+                FROM documents),
+            e AS (
+                SELECT 'http://example.org/cls/T' || CAST(c AS VARCHAR) AS sub,
+                       'http://example.org/cls/T' || CAST(c // 2 AS VARCHAR) AS sup
+                FROM (SELECT UNNEST(range(2, 13)) AS c)
+                UNION ALL
+                SELECT 'http://example.org/cls/Q' || CAST(k AS VARCHAR),
+                       'http://example.org/cls/T' || CAST(k AS VARCHAR)
+                FROM (SELECT UNNEST([2, 5]) AS k)
+                UNION ALL
+                SELECT 'http://example.org/cls/T' || CAST(k AS VARCHAR),
+                       'http://example.org/cls/Q' || CAST(k AS VARCHAR)
+                FROM (SELECT UNNEST([2, 5]) AS k)),
+            clo(sub, sup) AS (
+                SELECT sub, sup FROM e
+                UNION
+                SELECT clo.sub, e.sup FROM clo JOIN e ON clo.sup = e.sub)
+            SELECT DISTINCT entity, cls FROM (
+                SELECT entity, cls FROM t0
+                UNION ALL
+                SELECT t0.entity, clo.sup AS cls FROM t0 JOIN clo ON clo.sub = t0.cls)
+            ORDER BY entity, cls
         """,
         # transitive closure of the closed-form broader hierarchy
         # (c -> floor(c/2)) minus the asserted direct edges

@@ -310,6 +310,8 @@ def main():
         "q_kg_shape_drift",
         "q_event_retention",
         "q_kg_owl_transitive",
+        "q_kg_rdfs_subprop",
+        "q_kg_equiv_class",
         "q_cosine_simjoin",
         "q_host_hopplot",
         "q_kg_ifp_sameas",

@@ -37,6 +37,25 @@ from ..schema import MENTIONS_SCHEMA
 EMB_DIM = 16
 
 
+# md5 is ~20x costlier than the trigram loop around it, but the distinct-
+# trigram vocabulary of any real corpus is tiny (lowercased chars ->
+# 10^3-10^4), so each worker memoizes trigram -> h once; the cap only
+# guards adversarial binary-soup text from unbounded growth
+_TRI_CACHE: dict[str, int] = {}
+_TRI_CACHE_MAX = 1 << 20
+
+
+def _tri_h(g: str) -> int:
+    h = _TRI_CACHE.get(g)
+    if h is None:
+        import hashlib
+
+        h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        if len(_TRI_CACHE) < _TRI_CACHE_MAX:
+            _TRI_CACHE[g] = h
+    return h
+
+
 def hash_counts(text: str, dim: int = EMB_DIM) -> np.ndarray:
     """Signed integer trigram bucket counts (pre-normalization feature
     hashing) over ' ' + lower(text) + ' ': bucket = h % dim, sign = h % 2,
@@ -46,13 +65,10 @@ def hash_counts(text: str, dim: int = EMB_DIM) -> np.ndarray:
     determinism anchor: ±1 sums are order-free, and cosine computed as
     int_dot / (sqrt(int_ss_a) * sqrt(int_ss_b)) is one fixed IEEE
     expression over exact integers — bit-replayable in any engine."""
-    import hashlib
-
     v = np.zeros(dim, dtype=np.int64)
     t = " " + text.lower() + " "
     for i in range(len(t) - 2):
-        g = t[i : i + 3].encode("utf-8")
-        h = int(hashlib.md5(g).hexdigest()[:15], 16)
+        h = _tri_h(t[i : i + 3])
         v[h % dim] += 1 if h % 2 == 0 else -1
     return v
 
