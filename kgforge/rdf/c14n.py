@@ -209,7 +209,7 @@ def canonical_bnode_labels(
         rows = [
             (s, p, (o["value"], o["kind"]))
             for s, p, o in zip(pdf["subject"], pdf["predicate"], pdf["object"])
-            if s is not None and p is not None
+            if s is not None and p is not None and o is not None
         ]
         mapping = _exact_canonical_labels(rows, max_branches=max_branches)
         if mapping is None:
