@@ -5,16 +5,11 @@
 # weaker rows-only check): each must justify itself in its docstring and
 # carry an independent value-level pytest instead. Anything else missing
 # an oracle is drift that silently downgrades the correctness gate.
-ROWS_ONLY = {
-    # argmax over crc32 feature-hash embeddings — not ANSI-SQL-expressible;
-    # value-asserted against a pure-Python reimpl in test_entity_linking.py
-    "q_entity_linking",
-    # iterative argmax + re-symbolization (each merge rewrites the symbol
-    # sequences the next iteration counts) — a sequential fold SQL cannot
-    # express; value-asserted against the published BPE algorithm in
-    # test_bpe.py (iteration-0 statistic IS fully oracled as q_bpe_pairs)
-    "q_bpe_merges",
-}
+# EMPTY since round 5: q_entity_linking's feature hashing moved to
+# md5-keyed integer counts (cosine = one fixed IEEE expression over exact
+# integers, SQL-replayable) and q_bpe_merges' 10 merge iterations are
+# unrolled as CTEs with the fold replayed via delimiter-string replace.
+ROWS_ONLY: set[str] = set()
 
 
 def test_queries_and_oracles_key_parity():
