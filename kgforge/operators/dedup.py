@@ -573,72 +573,117 @@ def dedup_pr_curve(
 
     The candidate relation is computed ONCE at min(thresholds) via the
     prefix-filtered exact join; every threshold is then a conditional
-    aggregate over the same pair table crossJoined with the tiny
-    threshold dim (the rich-club sweep shape — corpus-pair work never
-    repeats per threshold). Ground truth (exact-text equality, empty
+    sum inside ONE wide single-pass aggregate — corpus-pair work never
+    repeats per threshold, and no threshold crossJoin ever multiplies
+    the pair table (which would re-run the collapsed jaccard verify
+    projection once per threshold row). Ground truth (exact-text equality, empty
     texts excluded — the classic junk key) is COMBINATORIAL, never
     pairwise: the truth-pair total is sum over md5(text) groups of
     C(n, 2) — the ``er_pairwise_eval`` idiom — and candidate pairs carry
-    a dup flag from two md5-keyed hash joins, so a planted 10^5-copy
-    template page costs one bigint per group instead of a quadratic
-    equality self-join shuffling full text as the key; fn is then
-    truth_total − tp. Counts are exact bigints; P/R are single IEEE
-    divisions, so the oracle replays the whole curve value-for-value.
+    a dup flag from two BROADCAST joins against the duplicate-group
+    MEMBERS only (the ids that can form a truth pair — small by nature,
+    so the flag costs two map-side lookups over the pair table, never a
+    shuffle of it and never a text-keyed join); a planted 10^5-copy
+    template page costs one bigint per group, and fn is truth_total − tp.
+    Counts are exact bigints; P/R are single IEEE divisions, so the
+    oracle replays the whole curve value-for-value.
     """
-    spark = docs.sparkSession
     tmin = float(min(thresholds))
     base = docs.filter(F.trim(F.col(text_col)) != "")
     pairs = jaccard_similarity_join(
         base, id_col=id_col, text_col=text_col, n=n, threshold=tmin,
         gram_rank_cap=gram_rank_cap,
     )
-    t = base.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h"))
-    total_row = (
-        t.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(
-            F.coalesce(
-                F.sum(F.expr("_n * (_n - 1) DIV 2")), F.lit(0)
-            ).cast("bigint").alias("_truth_total")
-        )
+    # ONE materialized (id, digest) projection: total_row and BOTH dup_ids
+    # broadcast builds would otherwise each rescan documents and re-md5
+    # the full text column (three extra corpus scans — measured +20 s at
+    # sf0.1); the eager checkpoint pays one scan and ~24 B/row after it
+    t = base.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_h")
+    ).localCheckpoint(eager=True)
+    groups = (
+        t.groupBy("_h").agg(F.count(F.lit(1)).alias("_n")).filter(F.col("_n") >= 2)
     )
+    total_row = groups.agg(
+        F.coalesce(F.sum(F.expr("_n * (_n - 1) DIV 2")), F.lit(0))
+        .cast("bigint")
+        .alias("_truth_total")
+    )
+    # dup flags come from DUPLICATE-GROUP MEMBERS only — the relation is
+    # small by nature (exactly the ids that can form a truth pair), so it
+    # broadcasts and the flag is two map-side hash lookups over the pair
+    # table instead of two shuffles of it (or, worse, a text-keyed join)
+    dup_ids = t.join(groups.select("_h"), "_h", "left_semi")
     cand = (
         pairs.select("a", "b", "jaccard")
-        .join(t.select(F.col("id").alias("a"), F.col("_h").alias("_ha")), "a")
-        .join(t.select(F.col("id").alias("b"), F.col("_h").alias("_hb")), "b")
+        .join(
+            F.broadcast(dup_ids.select(F.col("id").alias("a"), F.col("_h").alias("_ha"))),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(dup_ids.select(F.col("id").alias("b"), F.col("_h").alias("_hb"))),
+            "b",
+            "left",
+        )
         .select(
             F.col("jaccard").alias("j"),
-            (F.col("_ha") == F.col("_hb")).alias("dup"),
+            # coalesce guards the mixed case (one side in a dup group, the
+            # other not): TRUE AND NULL is NULL in SQL logic and a NULL
+            # dup silently drops the pair from both conditional sums
+            F.coalesce(F.col("_ha") == F.col("_hb"), F.lit(False)).alias(
+                "dup"
+            ),
         )
     )
-    ths = spark.createDataFrame(
-        [(float(x),) for x in thresholds], "threshold double"
-    )
-    counted = (
-        cand.crossJoin(F.broadcast(ths))
-        .groupBy("threshold")
-        .agg(
-            F.sum(
-                ((F.col("j") >= F.col("threshold")) & F.col("dup")).cast("int")
-            ).cast("bigint").alias("tp"),
-            F.sum(
-                ((F.col("j") >= F.col("threshold")) & ~F.col("dup")).cast("int")
-            ).cast("bigint").alias("fp"),
+    # ONE wide single-pass aggregate — per-threshold conditional sums,
+    # never a threshold crossJoin: multiplying the pair table by the
+    # threshold dim re-evaluates the collapsed jaccard projection (the
+    # array_intersect/union verify) once PER THRESHOLD ROW (measured ~4x
+    # at sf0.1); conditional sums over one pass read each pair once
+    ts = [float(x) for x in thresholds]
+    aggs = []
+    for i, th in enumerate(ts):
+        aggs.append(
+            F.sum(((F.col("j") >= F.lit(th)) & F.col("dup")).cast("int"))
+            .cast("bigint")
+            .alias(f"_tp{i}")
         )
-    )
+        aggs.append(
+            F.sum(((F.col("j") >= F.lit(th)) & ~F.col("dup")).cast("int"))
+            .cast("bigint")
+            .alias(f"_fp{i}")
+        )
+    wide = cand.agg(*aggs)
     # a degenerate corpus (no candidates, no truth) still reports every
     # threshold, with zero counts
     agg = (
-        ths.join(counted, "threshold", "left")
-        .crossJoin(F.broadcast(total_row))
+        wide.crossJoin(F.broadcast(total_row))
         .select(
-            "threshold",
-            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
-            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
-            (
-                F.col("_truth_total") - F.coalesce("tp", F.lit(0))
-            ).cast("bigint").alias("fn"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(th).alias("threshold"),
+                            F.coalesce(F.col(f"_tp{i}"), F.lit(0))
+                            .cast("bigint")
+                            .alias("tp"),
+                            F.coalesce(F.col(f"_fp{i}"), F.lit(0))
+                            .cast("bigint")
+                            .alias("fp"),
+                            (
+                                F.col("_truth_total")
+                                - F.coalesce(F.col(f"_tp{i}"), F.lit(0))
+                            )
+                            .cast("bigint")
+                            .alias("fn"),
+                        )
+                        for i, th in enumerate(ts)
+                    ]
+                )
+            ).alias("r")
         )
+        .select("r.threshold", "r.tp", "r.fp", "r.fn")
     )
     return agg.select(
         "threshold",
