@@ -26,18 +26,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def subclass_closure(subclass: DataFrame, max_depth: int = 64) -> DataFrame:
+def subclass_closure(
+    subclass: DataFrame, max_depth: int = 64, driver_cap: int = 20_000
+) -> DataFrame:
     """(sub, sup) direct edges -> (sub, sup) transitive closure (irreflexive
     unless the input itself carries cycles, which fixpoint-terminate).
 
-    Path doubling on the ontology-sized relation: after r rounds all paths
-    of length <= 2^r are present, so ``max_depth`` 64 costs at most 6
-    rounds; each round ends with a count() fixpoint probe — acceptable
-    here and only here because the relation is schema-scale (see module
-    docstring), never the corpus.
+    Relations up to ``driver_cap`` edges (the overwhelmingly common case —
+    the ontology is schema-scale by the module contract) close DRIVER-SIDE
+    with the same doubling-round semantics: a distributed fixpoint on a
+    50-edge relation costs 8+ tiny Spark jobs of pure scheduling latency
+    (measured ~15 s inside a query at sf0.1), while the in-memory closure
+    is microseconds and returns one createDataFrame. Larger relations keep
+    the distributed path doubling: after r rounds all paths of length
+    <= 2^r are present, so ``max_depth`` 64 costs at most 6 rounds; each
+    round ends with a count() fixpoint probe — acceptable here and only
+    here because the relation is never the corpus.
     """
-    clo = subclass.select("sub", "sup").distinct().persist()
+    clo = subclass.select("sub", "sup").distinct()
     rounds = max(1, (max_depth - 1).bit_length())
+
+    probe = clo.limit(driver_cap + 1).count()
+    if probe <= driver_cap:
+        rows = [(r["sub"], r["sup"]) for r in clo.collect()]
+        closed: dict[str, set[str]] = {}
+        for u, v in rows:
+            closed.setdefault(u, set()).add(v)
+        # identical doubling-round semantics to the distributed loop
+        for _ in range(rounds):
+            changed = False
+            for u, vs in closed.items():
+                add = set()
+                for v in vs:
+                    add |= closed.get(v, set())
+                if not add <= vs:
+                    vs |= add
+                    changed = True
+            if not changed:
+                break
+        out = [(u, v) for u, vs in sorted(closed.items()) for v in sorted(vs)]
+        return subclass.sparkSession.createDataFrame(
+            out, "sub string, sup string"
+        )
+
+    clo = clo.persist()
     n = clo.count()
     for _ in range(rounds):
         step = (
