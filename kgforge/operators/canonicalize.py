@@ -312,6 +312,7 @@ def connected_components(
     max_iterations: int = 20,
     num_partitions: int | None = None,
     verbose: bool = False,
+    driver_cap: int = 100_000,
 ) -> DataFrame:
     """(src: string, dst: string) -> (node: string, component: string).
 
@@ -333,6 +334,39 @@ def connected_components(
     # upstream), so without a persist the same scan runs 3x serially
     edges = edges.persist()
     n_edges_in = edges.count()
+    # Small-graph fast path: each large/small-star iteration is ~8 serial
+    # shuffle stages, so a few-hundred-edge graph (a near-dup pair set, an
+    # incremental batch) pays seconds of pure scheduling latency per call.
+    # Up to ``driver_cap`` edges the already-materialized set collects (two
+    # strings per row — bounded MBs) and a union-find with path compression
+    # produces the identical (node, component=min-uri-member) output in
+    # microseconds; bigger graphs keep the distributed loop untouched
+    # (tests force it with driver_cap=0).
+    if n_edges_in <= driver_cap:
+        rows = edges.select("src", "dst").collect()
+        edges.unpersist()
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # union by lexicographic min so the root IS the component id
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        members: dict[str, str] = {}
+        for r in rows:
+            for x in (r["src"], r["dst"]):
+                members[x] = find(x)
+        out_rows = sorted(members.items())
+        return spark.createDataFrame(out_rows, "node string, component string")
     # floor of 8, NOT defaultParallelism: each CC iteration is ~8 serial
     # shuffle stages, so a 50k-edge graph on 32 partitions pays 32-task
     # scheduling latency per stage for ~1.5k rows/task; 8 partitions keeps

@@ -558,3 +558,25 @@ def test_ifp_canonical_merge(spark, tmp_path):
     # opt-out: no shared-key evidence used, nothing merges the two
     assert comp2.get("urn:person:a") != "urn:person:b"
     assert comp2.get("urn:person:b", "urn:person:b") != "urn:person:a"
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    """driver_cap=0 forces the large/small-star loop; its output must be
+    row-identical to the small-graph union-find fast path on the same
+    edges (path worst case + pseudo-random multi-component graph)."""
+    path = [(f"p{i:03d}", f"p{i + 1:03d}") for i in range(63)]
+    edges, x = list(path), 7
+    for _ in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % 120
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % 120
+        if a != b:
+            edges.append((f"r{a:03d}", f"r{b:03d}"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(df, driver_cap=0).collect()
+    }
+    assert fast == dist and len(fast) > 120
