@@ -542,14 +542,36 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid norms (vector agg via posexplode —
-    relational formulation shared with the oracle)."""
+    relational formulation shared with the oracle). PARTITION-INVARIANT
+    by the covariance idiom: values quantize to exact fixed-point ints
+    (floor(x*2^20+0.5) — exact IEEE ops), per-(label, idx) sums s_i and
+    the norm numerator Σ s_i² accumulate exactly in decimal(38,0), and
+    only the single final expression sqrt(Σ s_i²)/(n·2^20) touches
+    floats — so the 6-dp hash cannot flip with partition/summation
+    order (the failure class that flaked q_emb_covariance in round 4)."""
     emb = _t(spark, sf_dir, "embeddings")
-    exploded = emb.select("label", F.posexplode("embedding").alias("idx", "val"))
+    exploded = emb.select(
+        "label",
+        F.posexplode("embedding").alias("idx", "val"),
+    ).select(
+        "label",
+        "idx",
+        F.floor(F.col("val").cast("double") * F.lit(1048576.0) + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    per_idx = exploded.groupBy("label", "idx").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
     return (
-        exploded.groupBy("label", "idx")
-        .agg(F.avg(F.col("val").cast("double")).alias("mean_val"))
-        .groupBy("label")
-        .agg(F.round(F.sqrt(F.sum(F.col("mean_val") * F.col("mean_val"))), 6).alias("centroid_norm"))
+        per_idx.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double"))
+                / (F.max("n").cast("double") * F.lit(1048576.0)),
+                6,
+            ).alias("centroid_norm")
+        )
         .orderBy("label")
     )
 
@@ -6064,19 +6086,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # diversity identity: E||x-y||^2 = 2(E||x||^2 - ||mean||^2), means
         # replayed per (label, dim); vectors fold left-to-right like Spark
+        # fixed-point diversity (the covariance idiom): exact HUGEINT sums
+        # of floor(x*2^20+0.5), two fixed float expressions at the end
         "q_emb_diversity": """
-            WITH sq AS (SELECT label, count(*) AS n,
-                          avg(list_sum(list_transform(embedding,
-                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS msq
-                        FROM embeddings GROUP BY label),
-            dims AS (SELECT label, j, avg(CAST(embedding[j] AS DOUBLE)) AS m
-                     FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(j)
+            WITH q AS (SELECT label, vec_id,
+                          list_transform(embedding,
+                              x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0
+                                              + 0.5) AS HUGEINT)) AS qv
+                       FROM embeddings),
+            sq AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                          SUM(list_sum(list_transform(qv, v -> v * v))) AS ssq
+                   FROM q GROUP BY label),
+            dims AS (SELECT label, j, SUM(qv[j]) AS s
+                     FROM q, UNNEST(range(1, len(qv) + 1)) r(j)
                      GROUP BY label, j),
-            cent AS (SELECT label, sum(m * m) AS cnorm FROM dims GROUP BY label)
-            SELECT sq.label, CAST(n AS BIGINT) AS n,
-                   round(msq, 6) AS mean_sq_norm,
-                   round(cnorm, 6) AS centroid_sq_norm,
-                   round(2 * (msq - cnorm), 6) AS avg_sq_dist
+            cent AS (SELECT label, SUM(s * s) AS s2 FROM dims GROUP BY label)
+            SELECT sq.label, n,
+                   round(CAST(ssq AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1099511627776.0), 6)
+                     AS mean_sq_norm,
+                   round(CAST(s2 AS DOUBLE)
+                         / ((CAST(n AS DOUBLE) * 1048576.0)
+                            * (CAST(n AS DOUBLE) * 1048576.0)), 6)
+                     AS centroid_sq_norm,
+                   round(2 * (CAST(ssq AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * 1099511627776.0)
+                              - CAST(s2 AS DOUBLE)
+                                / ((CAST(n AS DOUBLE) * 1048576.0)
+                                   * (CAST(n AS DOUBLE) * 1048576.0))), 6)
+                     AS avg_sq_dist
             FROM sq JOIN cent ON sq.label = cent.label ORDER BY sq.label
         """,
         "q_emb_neardup": """
@@ -6218,12 +6256,19 @@ def oracle_sql() -> dict[str, str]:
                    END AS flesch
             FROM documents ORDER BY doc_id
         """,
+        # fixed-point centroid norms (the covariance idiom): exact HUGEINT
+        # sums of floor(x*2^20+0.5), one final float expression
         "q_emb_centroids": """
             SELECT label,
-                   round(sqrt(sum(mean_val * mean_val)), 6) AS centroid_norm
+                   round(sqrt(CAST(sum(s * s) AS DOUBLE))
+                         / (CAST(max(n) AS DOUBLE) * 1048576.0), 6)
+                     AS centroid_norm
             FROM (
                 SELECT label, t.range AS idx,
-                       avg(CAST(embedding[CAST(t.range AS INT) + 1] AS DOUBLE)) AS mean_val
+                       SUM(CAST(floor(CAST(embedding[CAST(t.range AS INT) + 1]
+                                           AS DOUBLE) * 1048576.0 + 0.5)
+                                AS HUGEINT)) AS s,
+                       CAST(count(*) AS BIGINT) AS n
                 FROM embeddings, range(64) t
                 GROUP BY label, t.range
             )

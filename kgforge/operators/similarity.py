@@ -699,33 +699,54 @@ def embedding_diversity(
 
     Scale shape: squared norms fold inside codegen (F.aggregate over the
     array — no Python); the centroid is the posexplode + (group, dim)
-    keyed avg idiom (d rows per input row, combinable), then a d-row
+    keyed sum idiom (d rows per input row, combinable), then a d-row
     reduce per group. Nothing is ever pairwise.
+
+    PARTITION-INVARIANT (the covariance idiom): values quantize to exact
+    fixed-point ints (floor(x·2^20 + 0.5), exact IEEE ops), per-row and
+    per-dim sums accumulate exactly in long/decimal(38,0), and only the
+    two final fixed expressions msq = Σq²/(n·2^40) and cnorm =
+    Σs²/(n·2^20)² touch floats — the 6-dp hash cannot flip with
+    summation order.
     """
-    sq = F.aggregate(
+    S = F.lit(1048576.0)  # 2^20
+    S2 = F.lit(1099511627776.0)  # 2^40
+    qarr = F.transform(
         F.col(vec_col),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        lambda x: F.floor(x.cast("double") * S + F.lit(0.5)).cast("long"),
+    )
+    row_sq = F.aggregate(
+        qarr, F.lit(0).cast("long"), lambda acc, q: acc + q * q
     )
     base = embeddings.select(
-        F.col(group_col).alias("grp"), F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sq.alias("sq")
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        qarr.alias("qv"),
+        row_sq.alias("sq"),
     )
     stats = base.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.avg("sq").alias("msq"),
+        F.sum(F.col("sq").cast("decimal(38,0)")).alias("ssq"),
     )
-    dims = base.select(
-        "grp", F.posexplode(F.col("v")).alias("dim", "x")
-    ).groupBy("grp", "dim").agg(F.avg(F.col("x").cast("double")).alias("m"))
-    cent = dims.groupBy("grp").agg(F.sum(F.col("m") * F.col("m")).alias("cnorm"))
+    dims = (
+        base.select("grp", F.posexplode(F.col("qv")).alias("dim", "q"))
+        .groupBy("grp", "dim")
+        .agg(F.sum(F.col("q").cast("decimal(38,0)")).alias("s"))
+    )
+    cent = dims.groupBy("grp").agg(
+        F.sum(F.col("s") * F.col("s")).alias("s2")
+    )
+    n_d = F.col("n").cast("double")
+    msq = F.col("ssq").cast("double") / (n_d * S2)
+    cnorm = F.col("s2").cast("double") / ((n_d * S) * (n_d * S))
     return (
         stats.join(cent, "grp")
         .select(
             F.col("grp").alias(group_col),
             "n",
-            F.round("msq", 6).alias("mean_sq_norm"),
-            F.round("cnorm", 6).alias("centroid_sq_norm"),
-            F.round(2 * (F.col("msq") - F.col("cnorm")), 6).alias("avg_sq_dist"),
+            F.round(msq, 6).alias("mean_sq_norm"),
+            F.round(cnorm, 6).alias("centroid_sq_norm"),
+            F.round(2 * (msq - cnorm), 6).alias("avg_sq_dist"),
         )
     )
 
