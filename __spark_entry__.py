@@ -5504,7 +5504,8 @@ def _dd_dsir_weights_sql() -> str:
                    FROM st),
             db AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2),
             w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-                         sum(c * lr.lrv) AS dsir_weight
+                         CAST(sum(CAST(c * lr.lrv AS DECIMAL(38,12)))
+                              AS DOUBLE) AS dsir_weight
                   FROM db JOIN lr USING (b) GROUP BY doc_id)
             SELECT d.doc_id, coalesce(w.n_grams, 0) AS n_grams,
                    coalesce(w.dsir_weight, 0.0) AS dsir_weight
@@ -6286,16 +6287,22 @@ def oracle_sql() -> dict[str, str]:
                    'violation' AS severity
             FROM documents ORDER BY url, uri
         """,
+        # fixed-point JL sketch (the covariance idiom): exact integer dot
+        # against the ±1 sign matrix, one final float descale
         "q_emb_jl_project": """
             WITH idx AS (SELECT UNNEST(range(64)) AS i),
             ks AS (SELECT UNNEST(range(8)) AS j),
             r AS (SELECT idx.i, ks.j,
-                    (CASE WHEN CAST(concat('0x', substring(md5(idx.i || chr(31) || ks.j), 1, 15)) AS BIGINT) % 2 = 0
-                          THEN 1.0 ELSE -1.0 END) / sqrt(8.0) AS w
+                    CASE WHEN CAST(concat('0x', substring(md5(idx.i || chr(31) || ks.j), 1, 15)) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE -1 END AS w
                   FROM idx, ks),
-            v AS (SELECT e.vec_id, idx.i, CAST(e.embedding[idx.i + 1] AS DOUBLE) AS x
+            v AS (SELECT e.vec_id, idx.i,
+                         CAST(floor(CAST(e.embedding[idx.i + 1] AS DOUBLE)
+                                    * 1048576.0 + 0.5) AS BIGINT) AS xq
                   FROM embeddings e, idx)
-            SELECT v.vec_id, CAST(r.j AS BIGINT) AS j, ROUND(SUM(v.x * r.w), 5) AS y
+            SELECT v.vec_id, CAST(r.j AS BIGINT) AS j,
+                   ROUND(CAST(SUM(v.xq * r.w) AS DOUBLE)
+                         / (sqrt(8.0) * 1048576.0), 5) AS y
             FROM v JOIN r ON v.i = r.i
             GROUP BY v.vec_id, r.j ORDER BY vec_id, j
         """,
@@ -8170,7 +8177,10 @@ def oracle_sql() -> dict[str, str]:
             lm AS (SELECT token, ln((c + 0.5) / (T + 0.5 * (V + 1))) AS logp
                    FROM counts, tot)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-                   sum(logp) AS sum_logp, avg(logp) AS avg_logp
+                   CAST(sum(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+                     AS sum_logp,
+                   CAST(sum(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*) AS avg_logp
             FROM toks JOIN lm USING (token)
             GROUP BY doc_id ORDER BY doc_id
         """,
@@ -8189,7 +8199,10 @@ def oracle_sql() -> dict[str, str]:
                           ln((c_ab + 0.5) / (c_a + 0.5 * (V + 1))) AS logp
                    FROM counts c JOIN ctx USING (prev), tot)
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   sum(logp) AS sum_logp, avg(logp) AS avg_logp
+                   CAST(sum(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+                     AS sum_logp,
+                   CAST(sum(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*) AS avg_logp
             FROM bg JOIN lm USING (prev, token)
             GROUP BY doc_id ORDER BY doc_id
         """,
@@ -8205,7 +8218,9 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T, count(*) AS V FROM counts),
             lm AS (SELECT token, ln((c + 0.5) / (T + 0.5 * (V + 1))) AS logp
                    FROM counts, tot),
-            sc AS (SELECT t.doc_id, round(avg(logp), 6) AS score_r
+            sc AS (SELECT t.doc_id,
+                          round(CAST(sum(CAST(logp AS DECIMAL(38,12)))
+                                     AS DOUBLE) / count(*), 6) AS score_r
                    FROM toks t JOIN lm USING (token) GROUP BY t.doc_id),
             base AS (SELECT s.doc_id, d.lang, s.score_r
                      FROM sc s JOIN documents d USING (doc_id)),
@@ -10377,7 +10392,9 @@ def oracle_sql() -> dict[str, str]:
                      ln((pos + 1.0) / (tp + 1024.0)) - ln((neg + 1.0) / (tn + 1024.0)) AS weight
               FROM pb, tot),
             dot AS (
-              SELECT tb.doc_id, sum(tb.n * w.weight) AS d
+              SELECT tb.doc_id,
+                     CAST(sum(CAST(tb.n * w.weight AS DECIMAL(38,12)))
+                          AS DOUBLE) AS d
               FROM tb JOIN w USING (bucket) GROUP BY 1),
             s AS (
               SELECT d.doc_id,

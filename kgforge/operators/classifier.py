@@ -128,7 +128,16 @@ def score_documents(
         _doc_buckets(docs, id_col, text_col, buckets)
         .join(F.broadcast(weights.select(F.col("bucket").alias("__bucket"), "weight")), "__bucket", "left")
         .groupBy("__id")
-        .agg(F.sum(F.col("__n") * F.coalesce(F.col("weight"), F.lit(0.0))).alias("__dot"))
+        .agg(
+            # order-free decimal reduction (see dsir_weights)
+            F.sum(
+                (F.col("__n") * F.coalesce(F.col("weight"), F.lit(0.0))).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("__dot")
+        )
     )
     base = docs.select(F.col(id_col).alias("__id"))
     out = base.join(scored, "__id", "left").select(

@@ -138,7 +138,12 @@ def dsir_weights(
         .groupBy(id_col)
         .agg(
             F.sum("_n").cast("long").alias("n_grams"),
-            F.sum(F.col("_n") * F.col("_lr")).alias("dsir_weight"),
+            # order-free reduction: each per-bucket contribution rounds
+            # once to decimal(38,12), decimal addition is exact — the 6-dp
+            # compare cannot flip with summation order
+            F.sum((F.col("_n") * F.col("_lr")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dsir_weight"),
         )
     )
     return (

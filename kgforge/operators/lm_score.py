@@ -87,10 +87,16 @@ def unigram_lm_score(
         .crossJoin(F.broadcast(oov_logp))
         .select(F.col(id_col), F.coalesce("logp", "oov_logp").alias("logp"))
     )
+    # ORDER-FREE per-doc reduction: each logp rounds once to a
+    # decimal(38,12) (deterministic for a given double), decimal addition
+    # is exact, and avg is one final float division — so the 6-dp compare
+    # cannot flip with partition/summation order (the covariance idiom)
+    sum_dec = F.sum(F.col("logp").cast("decimal(38,12)"))
+    n = F.count(F.lit(1))
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("logp").alias("sum_logp"),
-        F.avg("logp").alias("avg_logp"),
+        n.alias("n_tokens"),
+        sum_dec.cast("double").alias("sum_logp"),
+        (sum_dec.cast("double") / n).alias("avg_logp"),
     )
 
 
@@ -253,8 +259,11 @@ def bigram_lm_score(
             F.coalesce("lp_seen", "lp_miss", "lp_unseen").alias("logp"),
         )
     )
+    # order-free decimal reduction — see unigram_lm_score
+    sum_dec = F.sum(F.col("logp").cast("decimal(38,12)"))
+    n = F.count(F.lit(1))
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.sum("logp").alias("sum_logp"),
-        F.avg("logp").alias("avg_logp"),
+        n.cast("bigint").alias("n_bigrams"),
+        sum_dec.cast("double").alias("sum_logp"),
+        (sum_dec.cast("double") / n).alias("avg_logp"),
     )

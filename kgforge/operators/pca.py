@@ -213,17 +213,31 @@ def jl_project(
 
     Map-only: the k x dim matrix rides the closure (a few KB), projection
     is one numpy GEMM per Arrow batch — the cheap front-end for ANN
-    pre-filtering or dedup blocking when d is large."""
+    pre-filtering or dedup blocking when d is large.
+
+    With ``round_digits`` set (the value-oracled mode) the projection is
+    PARTITION- and SUMMATION-ORDER-INVARIANT: the ±1/sqrt(k) matrix
+    factors as sign matrix over 1/sqrt(k), inputs quantize to exact
+    fixed-point ints (floor(x·2^20+0.5)), the dot against ±1 signs is an
+    EXACT int64 GEMM, and one fixed float expression
+    dot / (sqrt(k)·2^20) descales — bit-replayable in SQL regardless of
+    BLAS/SQL accumulation order (the covariance idiom)."""
     R = jl_sign_matrix(dim, k)
 
     def proj(batches):
+        signs = np.rint(R * np.sqrt(k)).astype(np.int64)  # exact ±1
+        denom = np.sqrt(float(k)) * 1048576.0
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            P = X @ R
             if round_digits is not None:
-                P = P.round(round_digits)
+                Xq = np.floor(X * 1048576.0 + 0.5).astype(np.int64)
+                P = ((Xq @ signs).astype(np.float64) / denom).round(
+                    round_digits
+                )
+            else:
+                P = X @ R
             yield pd.DataFrame({id_col: pdf[id_col], "pc": list(map(list, P))})
 
     return emb.select(id_col, vec_col).mapInPandas(
