@@ -5629,7 +5629,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             md AS (SELECT l, node, min(dist) AS dist FROM walk GROUP BY l, node)
             SELECT node, CAST(count(*) AS BIGINT) AS n_reached,
-                   round(sum(1.0 / dist), 6) AS harmonic
+                   round(CAST(sum(CAST(1.0 / dist AS DECIMAL(38,12)))
+                              AS DOUBLE), 6) AS harmonic
             FROM md WHERE dist >= 1 GROUP BY node ORDER BY node
         """,
         # script letter counts closed-form: latin 2*(1+i%3), cyrillic
@@ -7674,7 +7675,9 @@ def oracle_sql() -> dict[str, str]:
             wadj AS (SELECT adj.w, adj.n, 1.0 / ln(deg) AS contrib
                      FROM adj JOIN deg USING (w) WHERE deg BETWEEN 2 AND 10000),
             pairs AS (
-              SELECT x.n AS a, y.n AS b, round(sum(x.contrib), 6) AS aa_score
+              SELECT x.n AS a, y.n AS b,
+                     round(CAST(sum(CAST(x.contrib AS DECIMAL(38,12)))
+                                AS DOUBLE), 6) AS aa_score
               FROM wadj x JOIN wadj y ON x.w = y.w AND x.n < y.n
               GROUP BY x.n, y.n
             )

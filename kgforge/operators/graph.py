@@ -487,7 +487,17 @@ def adamic_adar(
             (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n")),
         )
         .groupBy(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
-        .agg(F.round(F.sum(F.col("x.contrib")), 6).alias("aa_score"))
+        .agg(
+            # order-free decimal reduction (the covariance idiom): each
+            # 1/ln(deg) contribution rounds once to decimal(38,12), the
+            # sum is exact, so the 6-dp value is summation-order-free
+            F.round(
+                F.sum(F.col("x.contrib").cast("decimal(38,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("aa_score")
+        )
     )
     return (
         pairs.join(e, ["a", "b"], "left_anti")
@@ -918,7 +928,14 @@ def harmonic_centrality(
         .groupBy("node")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_reached"),
-            F.round(F.sum(F.lit(1.0) / F.col("dist").cast("double")), 6).alias(
+            F.round(
+                F.sum(
+                    (F.lit(1.0) / F.col("dist").cast("double")).cast(
+                        "decimal(38,12)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias(
                 "harmonic"
             ),
         )
