@@ -1163,6 +1163,46 @@ def q_kg_rdfs_subprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject", "predicate", "object")
 
 
+def q_kg_prop_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL consistency rules prp-irp + prp-asyp: closed-form edge
+    sets with planted violations — ex:dependsOn (irreflexive) gets a
+    self-loop on every doc_id ≡ 0 (mod 50) (12i ≡ 0 mod 200 ⇔ 50 | i),
+    and ex:beats (asymmetric) is oriented by (i DIV 40) % 2 so every
+    ring pair is asserted BOTH ways. Irreflexive findings are a pure
+    codegen filter (zero shuffles); asymmetric is one reversed-key
+    left-semi self-join over the property-sized relation. Oracle: the
+    same closed forms with an EXISTS reverse probe."""
+    from kgforge.operators.inference import property_axiom_violations
+
+    IR = "http://example.org/rel/dependsOn"
+    AS = "http://example.org/rel/beats"
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+
+    def x(n):
+        return F.concat(F.lit("http://example.org/n/X"), n.cast("string"))
+
+    def obj(v):
+        return F.struct(F.lit("iri").alias("kind"), v.alias("value"))
+
+    ir = docs.select(
+        x(F.col("i") % 200).alias("subject"),
+        F.lit(IR).alias("predicate"),
+        obj(x((F.col("i") * 13) % 200)).alias("object"),
+    )
+    a, b = F.col("i") % 40, (F.col("i") % 40 + 1) % 40
+    fwd = F.expr("(i DIV 40) % 2 = 0")
+    asym = docs.select(
+        F.when(fwd, x(a)).otherwise(x(b)).alias("subject"),
+        F.lit(AS).alias("predicate"),
+        obj(F.when(fwd, x(b)).otherwise(x(a))).alias("object"),
+    )
+    tri = ir.unionByName(asym)
+    return property_axiom_violations(
+        tri, irreflexive=[IR], asymmetric=[AS]
+    ).orderBy("axiom", "subject", "object")
+
+
 def q_kg_equiv_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """owl:equivalentClass entailment at the query surface (OWL 2 RL
     cax-eqc1/2 + cax-sco): a closed-form class tree T_c ⊑ T_{c DIV 2}
@@ -5058,6 +5098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_owl_transitive": q_kg_owl_transitive,
         "q_kg_rdfs_subprop": q_kg_rdfs_subprop,
         "q_kg_equiv_class": q_kg_equiv_class,
+        "q_kg_prop_violations": q_kg_prop_violations,
         "q_kg_owl_chain": q_kg_owl_chain,
         "q_kg_jsonld": q_kg_jsonld,
         "q_kg_lpg_rels": q_kg_lpg_rels,
@@ -8677,6 +8718,34 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM inst x
                               WHERE x.s = i.s AND x.p = c.sup AND x.o = i.o)
             ORDER BY subject, predicate, object
+        """,
+        # prp-irp / prp-asyp consistency: closed-form edge sets, self-loop
+        # filter + EXISTS reverse probe, distinct union
+        "q_kg_prop_violations": """
+            WITH d AS (SELECT doc_id AS i FROM documents),
+            ir AS (SELECT DISTINCT
+                     'http://example.org/n/X' || CAST(i % 200 AS VARCHAR) AS s,
+                     'http://example.org/n/X' || CAST((i*13) % 200 AS VARCHAR) AS o
+                   FROM d),
+            ae AS (SELECT DISTINCT
+                     CASE WHEN (i // 40) % 2 = 0
+                          THEN 'http://example.org/n/X' || CAST(i % 40 AS VARCHAR)
+                          ELSE 'http://example.org/n/X' || CAST((i % 40 + 1) % 40 AS VARCHAR)
+                     END AS s,
+                     CASE WHEN (i // 40) % 2 = 0
+                          THEN 'http://example.org/n/X' || CAST((i % 40 + 1) % 40 AS VARCHAR)
+                          ELSE 'http://example.org/n/X' || CAST(i % 40 AS VARCHAR)
+                     END AS o
+                   FROM d)
+            SELECT * FROM (
+                SELECT s AS subject, 'http://example.org/rel/dependsOn' AS predicate,
+                       o AS object, 'irreflexive' AS axiom
+                FROM ir WHERE s = o
+                UNION
+                SELECT a.s, 'http://example.org/rel/beats', a.o, 'asymmetric'
+                FROM ae a
+                WHERE EXISTS (SELECT 1 FROM ae r WHERE r.s = a.o AND r.o = a.s)
+            ) ORDER BY axiom, subject, object
         """,
         # equivalentClass through the type closure: recursive-CTE closure
         # over subclass + mutual equivalence edges, full (entity, cls) set

@@ -312,6 +312,7 @@ def main():
         "q_kg_owl_transitive",
         "q_kg_rdfs_subprop",
         "q_kg_equiv_class",
+        "q_kg_prop_violations",
         "q_cosine_simjoin",
         "q_host_hopplot",
         "q_kg_ifp_sameas",

@@ -435,6 +435,66 @@ def disjoint_violations(types: DataFrame, axioms: DataFrame) -> DataFrame:
     )
 
 
+def property_axiom_violations(
+    triples: DataFrame,
+    irreflexive: list[str] | None = None,
+    asymmetric: list[str] | None = None,
+) -> DataFrame:
+    """OWL 2 RL consistency rules prp-irp and prp-asyp: triples that
+    violate owl:IrreflexiveProperty (s p s) or owl:AsymmetricProperty
+    (s p o asserted together with o p s) — completing the executed
+    consistency family next to :func:`functional_conflicts` and
+    :func:`disjoint_violations`. Returns (subject, predicate, object,
+    axiom) rows, axiom in {'irreflexive', 'asymmetric'}; BOTH directions
+    of an asymmetric violation are reported (each asserted triple is a
+    finding).
+
+    Scale shape: one pushdown isin filter per rule family over the IRI-
+    object triples; irreflexive is a pure codegen filter (no shuffle at
+    all), asymmetric is ONE self-join of the property-sized relation on
+    the reversed key — link-shaped inputs, never the corpus."""
+    base = triples.filter(
+        F.col("subject").isNotNull() & (F.col("object.kind") == "iri")
+    ).select("subject", "predicate", F.col("object.value").alias("object"))
+    outs = []
+    if irreflexive:
+        outs.append(
+            base.filter(
+                F.col("predicate").isin(list(irreflexive))
+                & (F.col("subject") == F.col("object"))
+            ).select(
+                "subject",
+                "predicate",
+                "object",
+                F.lit("irreflexive").alias("axiom"),
+            )
+        )
+    if asymmetric:
+        asym = base.filter(
+            F.col("predicate").isin(list(asymmetric))
+        ).distinct()
+        rev = asym.select(
+            F.col("object").alias("subject"),
+            F.col("predicate").alias("predicate"),
+            F.col("subject").alias("object"),
+        )
+        outs.append(
+            asym.join(rev, ["subject", "predicate", "object"], "left_semi")
+            .select(
+                "subject",
+                "predicate",
+                "object",
+                F.lit("asymmetric").alias("axiom"),
+            )
+        )
+    if not outs:
+        raise ValueError("no axioms given")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.distinct()
+
+
 def owl_chain_inference(
     triples: DataFrame, chains: list[tuple[str, list[str]]]
 ) -> DataFrame:

@@ -118,3 +118,57 @@ class TestEquivalentClass:
         eq = spark.createDataFrame([("A", "B"), ("C", "D")], "a string, b string")
         got = {(r["sub"], r["sup"]) for r in lower_equivalences(eq).collect()}
         assert got == {("A", "B"), ("B", "A"), ("C", "D"), ("D", "C")}
+
+
+class TestPropertyAxiomViolations:
+    def test_irreflexive_self_loops_flagged(self, spark):
+        from kgforge.operators.inference import property_axiom_violations
+
+        tri = _tri(
+            spark,
+            [("a", "p", "iri", "a"), ("b", "p", "iri", "c"),
+             ("d", "q", "iri", "d")],  # q not declared -> ignored
+        )
+        got = {
+            (r["subject"], r["object"], r["axiom"])
+            for r in property_axiom_violations(tri, irreflexive=["p"]).collect()
+        }
+        assert got == {("a", "a", "irreflexive")}
+
+    def test_asymmetric_reports_both_directions(self, spark):
+        from kgforge.operators.inference import property_axiom_violations
+
+        tri = _tri(
+            spark,
+            [("a", "p", "iri", "b"), ("b", "p", "iri", "a"),
+             ("a", "p", "iri", "c")],  # one-way edge: fine
+        )
+        got = {
+            (r["subject"], r["object"])
+            for r in property_axiom_violations(tri, asymmetric=["p"]).collect()
+        }
+        assert got == {("a", "b"), ("b", "a")}
+
+    def test_mixed_axioms_and_literals_excluded(self, spark):
+        from kgforge.operators.inference import property_axiom_violations
+
+        tri = _tri(
+            spark,
+            [("a", "ir", "iri", "a"), ("x", "as", "iri", "y"),
+             ("y", "as", "iri", "x"), ("s", "ir", "literal", "s")],
+        )
+        got = {
+            (r["predicate"], r["axiom"])
+            for r in property_axiom_violations(
+                tri, irreflexive=["ir"], asymmetric=["as"]
+            ).collect()
+        }
+        assert got == {("ir", "irreflexive"), ("as", "asymmetric")}
+
+    def test_no_axioms_raises(self, spark):
+        import pytest as _pytest
+
+        from kgforge.operators.inference import property_axiom_violations
+
+        with _pytest.raises(ValueError):
+            property_axiom_violations(_tri(spark, []), None, None)
