@@ -56,18 +56,17 @@ def parse_feeds(
         if dict(feeds.dtypes)[xml_col] == "binary"
         else F.col(xml_col)
     )
+    # ONE regex pass over each feed document: extract whole <item>/<entry>
+    # matches (group 0), then split tag/body per MATCH — the per-element
+    # regexp_extract runs on short block strings, not the full XML (the
+    # former two-group formulation scanned every document twice)
     entries = feeds.select(
         F.col(url_col).alias("feed_url"),
-        F.explode(
-            F.arrays_zip(
-                F.regexp_extract_all(xml, F.lit(_ENTRY_RE), 1).alias("tag"),
-                F.regexp_extract_all(xml, F.lit(_ENTRY_RE), 2).alias("block"),
-            )
-        ).alias("e"),
+        F.explode(F.regexp_extract_all(xml, F.lit(_ENTRY_RE), 0)).alias("m"),
     ).select(
         "feed_url",
-        F.lower(F.col("e.tag")).alias("kind"),
-        F.col("e.block").alias("block"),
+        F.lower(F.regexp_extract(F.col("m"), _ENTRY_RE, 1)).alias("kind"),
+        F.regexp_extract(F.col("m"), _ENTRY_RE, 2).alias("block"),
     )
     b = F.col("block")
     rss_link = _field(b, "link")
