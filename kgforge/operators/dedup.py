@@ -329,8 +329,17 @@ def jaccard_similarity_join(
     verification touches only surviving candidate pairs."""
     import numpy as np
 
-    grams = rebalance(docs).select(
-        F.col(id_col).alias("id"), _hashed_ngram_set(F.col(text_col), n).alias("grams")
+    # persisted: the gram table feeds FOUR lineages (the rank-dict agg,
+    # the prefix build, and BOTH verify join sides) — unpersisted, each
+    # re-runs the hashed-gram expression over the full corpus text (at
+    # cluster scale, write it to a stage table instead)
+    grams = (
+        rebalance(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            _hashed_ngram_set(F.col(text_col), n).alias("grams"),
+        )
+        .persist()
     )
     bc = _collect_gram_rank(grams, gram_rank_cap)
 
